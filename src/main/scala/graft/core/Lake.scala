@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Two-zone lake addressing (SURVEY.md §1.1).
+  *
+  * The reference addresses every table as `(environment, zone,
+  * namespace, dataset)` through its proprietary wrapper (reference
+  * `shared_etls/etls/utils.py:117-124`); WORK is append-only staging,
+  * TRUSTED is the merged/deduped curated zone
+  * (`cloud_utils.py:459-467`, `:515-524`). We reproduce the observable
+  * behavior over any Hadoop-compatible filesystem.
+  */
+sealed abstract class Zone(val name: String)
+object Zone {
+  case object Work extends Zone("work")
+  case object Trusted extends Zone("trusted")
+}
+
+final case class DatasetRef(
+    environment: String,
+    namespace: String,
+    dataset: String)
+
+/** Resolves (ref, zone) → filesystem path under a configurable root. */
+final case class LakePaths(root: String) {
+  def path(ref: DatasetRef, zone: Zone): String =
+    s"$root/${ref.environment}/${zone.name}/${ref.namespace}/${ref.dataset}"
+  def work(ref: DatasetRef): String = path(ref, Zone.Work)
+  def trusted(ref: DatasetRef): String = path(ref, Zone.Trusted)
+}
+
+/** Bucket-lifecycle surface of the reference (exists / create /
+  * clear — `cloud_utils.py:96-373`), realized over Hadoop
+  * `FileSystem` so the same code runs on HDFS/S3A/GCS/local.
+  */
+final class LakeStorage(conf: Configuration) {
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def exists(path: String): Boolean = { val p = new Path(path); fs(p).exists(p) }
+
+  def create(path: String): Unit = { val p = new Path(path); fs(p).mkdirs(p) }
+
+  /** K3 dataset truncation (destructive re-init): recursive delete of
+    * every object under the prefix — reference
+    * `cloud_utils.py:172-247` iterates blobs and deletes each; one
+    * recursive FS delete is the scalable equivalent. */
+  def truncate(path: String): Unit = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  /** `clear_current_bucket_or_create_a_new_bucket`
+    * (`cloud_utils.py:315-373`): wipe if present, else create. */
+  def clearOrCreate(path: String): Unit = {
+    truncate(path)
+    create(path)
+  }
+}
+
+object LakeStorage {
+  def apply(spark: SparkSession): LakeStorage =
+    new LakeStorage(spark.sparkContext.hadoopConfiguration)
+}

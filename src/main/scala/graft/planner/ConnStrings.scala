@@ -1,0 +1,32 @@
+package graft.planner
+
+/** P7 connection-string surgery (SURVEY.md §2.5) — pure string
+  * functions, ported verbatim from the reference.
+  */
+object ConnStrings {
+
+  /** Driver name extraction (reference
+    * `shared_etls/etls/utils.py:253-267`): `"mongodb"` when the URL
+    * contains it, else the scheme part after the first `:` of the
+    * segment before the first `/` — e.g.
+    * `jdbc:mysql://host/db` → `mysql`. */
+  def driverName(url: String): String =
+    if (url.contains("mongodb")) "mongodb"
+    else url.split("/")(0).split(":")(1)
+
+  /** MySQL `useSSL=false` appender (reference `utils.py:629-656`):
+    * only for mysql URLs; `&`-aware when a query string exists, `?`
+    * otherwise; idempotent when the flag is already present. */
+  def withSslDisabled(url: String): String =
+    if (!url.contains("mysql") || url.contains("useSSL=false")) url
+    else if (url.contains("?")) url + "&useSSL=false"
+    else url + "?useSSL=false"
+
+  private val DbNameRe = "database=(\\w+)".r
+
+  /** Mongo database-name extraction (reference `utils.py:30-47`):
+    * regex `database=(\w+)` over the URI, else the namespace
+    * fallback. */
+  def mongoDatabaseName(uri: String, fallbackNamespace: String): String =
+    DbNameRe.findFirstMatchIn(uri).map(_.group(1)).getOrElse(fallbackNamespace)
+}

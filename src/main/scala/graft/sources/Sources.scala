@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.planner.Boundaries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** S1-S3 — JDBC source (reference `shared_etls/etls/load_utils.py:11-46,
+  * 306-362, 460-526` + query construction `utils.py:270-287`).
+  *
+  * The reference pushes the WHERE into the database as a dbTable
+  * subquery so the range filter executes server-side; Spark passes the
+  * `dbtable` string verbatim, giving exact parity. The reference reads
+  * each chunk single-partition (`load_utils.py:37-44` sets no
+  * partitioning options); chunk-level parallelism comes from the
+  * planner. `numPartitions` here additionally allows intra-chunk
+  * parallel pull at scale (SURVEY.md §4 improvement row).
+  */
+final case class JdbcSource(url: String, user: String, password: String, driver: Option[String] = None) {
+
+  private def reader(spark: SparkSession) = {
+    val r = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("user", user)
+      .option("password", password)
+    driver.fold(r)(d => r.option("driver", d))
+  }
+
+  /** S1 query construction (reference `utils.py:282-287`): half-open
+    * `[start, end)` range pushed as a subquery aliased `subs`. */
+  def rangedQuery(dataset: String, pc: String, start: String, end: String): String =
+    s"(select * from $dataset where $pc >= '$start' and $pc < '$end') subs"
+
+  def readQuery(spark: SparkSession, query: String, numPartitions: Int = 1): DataFrame =
+    reader(spark).option("dbtable", query).load()
+
+  def readRange(spark: SparkSession, dataset: String, pc: String, start: String, end: String): DataFrame =
+    readQuery(spark, rangedQuery(dataset, pc, start, end))
+
+  /** S2 — `(select min(pc) from ds) subs`, aggregate pushed to the DB,
+    * one-row result collected (reference `load_utils.py:343, 358`). */
+  def minValue(spark: SparkSession, dataset: String, pc: String): Any =
+    readQuery(spark, s"(select min($pc) as v from $dataset) subs").head().get(0)
+
+  /** S3 — `(select max(pc) from ds) subs` + the +300000 safety margin
+    * (reference `load_utils.py:490-517`), with the reference's
+    * string→int coercion of a text-typed max (`load_utils.py:509-515`). */
+  def maxIntWithMargin(spark: SparkSession, dataset: String, pc: String): Long = {
+    val raw = readQuery(spark, s"(select max($pc) as v from $dataset) subs").head().get(0)
+    val v = raw match {
+      case n: Number => n.longValue()
+      case s: String => s.trim.toLong
+      case other => sys.error(s"non-numeric max($pc) = $other")
+    }
+    v + Boundaries.SecurityMargin
+  }
+}
+
+/** S4-S6 — document-store ("Mongo-like") source. No mongo connector
+  * jar ships in this environment, so the source abstraction is backed
+  * by parquet; the operator semantics are what the reference
+  * exercises (reference `load_utils.py:49-103, 244-303, 365-457`):
+  *
+  *  - optional explicit schema with inference disabled
+  *    (`load_utils.py:89`: `.load(schema=…, inferSchema=False)`),
+  *  - a post-load INCLUSIVE `between` range filter
+  *    (`load_utils.py:90` — note the asymmetry with S1's half-open
+  *    range; the P6 end+1 compensation makes chunk boundaries overlap
+  *    by design, healed by T4 dedup downstream),
+  *  - min/max boundary aggregates evaluated by Spark.
+  */
+final case class MongoLikeSource(path: String) {
+
+  private def base(spark: SparkSession, schema: Option[StructType]): DataFrame =
+    schema.fold(spark.read.parquet(path))(s => spark.read.schema(s).parquet(path))
+
+  /** S4 ranged scan: inclusive `pc BETWEEN start AND end`. The filter
+    * is declarative, so Catalyst pushes it into the scan (with a real
+    * connector it becomes a server-side `$match`). */
+  def readRange(
+      spark: SparkSession,
+      pc: String,
+      start: Any,
+      end: Any,
+      schema: Option[StructType] = None): DataFrame =
+    base(spark, schema).filter(col(pc).between(lit(start), lit(end)))
+
+  /** S5 — `df.agg(min(pc))` collected to the driver
+    * (reference `load_utils.py:283-299`). */
+  def minValue(spark: SparkSession, pc: String): Any =
+    base(spark, None).agg(min(col(pc))).head().get(0)
+
+  /** S6 — `df.select(max(pc))` + the +300000 margin
+    * (reference `load_utils.py:419-445`). */
+  def maxIntWithMargin(spark: SparkSession, pc: String): Long = {
+    val v = base(spark, None).select(max(col(pc))).head().getLong(0)
+    v + Boundaries.SecurityMargin
+  }
+}
+
+/** S7/S8 — lake parquet scans (reference `utils.py:118-124, 792-798`). */
+object ParquetSource {
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}

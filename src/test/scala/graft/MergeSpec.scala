@@ -1,0 +1,69 @@
+package graft
+
+import graft.core.LakeStorage
+import graft.sinks.{MergeUpsert, ParquetAppend}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def collectAll(path: String) =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getAs[String]("sk"), r.getAs[Int]("v"))).toSet
+
+  // K2 semantics (cloud_utils.py:515-524): matched rows fully
+  // replaced, unmatched trusted rows survive, new rows inserted.
+  test("K2 merged: replace / survive / insert") {
+    val trusted = Seq(("a", 1), ("b", 2)).toDF("sk", "v")
+    val updates = Seq(("b", 20), ("c", 30)).toDF("sk", "v")
+    val out = MergeUpsert.merged(trusted, updates).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("a", 1), ("b", 20), ("c", 30)))
+  }
+
+  test("K2 merge is idempotent: merge(merge(t,u),u) == merge(t,u)") {
+    val trusted = Seq(("a", 1), ("b", 2)).toDF("sk", "v")
+    val updates = Seq(("b", 20), ("c", 30)).toDF("sk", "v")
+    val once = MergeUpsert.merged(trusted, updates)
+    val twice = MergeUpsert.merged(once, updates)
+    val s1 = once.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val s2 = twice.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(s1 == s2)
+  }
+
+  test("K2 mergeInto: bootstrap, upsert, swap leaves no staging debris") {
+    val dir = Files.createTempDirectory("graft-merge").toString
+    val trustedPath = s"$dir/trusted"
+    // bootstrap: no trusted yet → updates become the table
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("a", 1), ("b", 2)).toDF("sk", "v"))
+    assert(collectAll(trustedPath) == Set(("a", 1), ("b", 2)))
+    // upsert
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("b", 20), ("c", 30)).toDF("sk", "v"))
+    assert(collectAll(trustedPath) == Set(("a", 1), ("b", 20), ("c", 30)))
+    // swap protocol cleaned up after itself
+    assert(!Files.exists(java.nio.file.Paths.get(trustedPath + "__staging")))
+    assert(!Files.exists(java.nio.file.Paths.get(trustedPath + "__prev")))
+  }
+
+  // K1 (cloud_utils.py:438-475): append accumulates
+  test("K1 parquet append accumulates batches") {
+    val dir = Files.createTempDirectory("graft-append").toString + "/work"
+    ParquetAppend.write(Seq(("a", 1)).toDF("sk", "v"), dir)
+    ParquetAppend.write(Seq(("b", 2)).toDF("sk", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  // K3 (cloud_utils.py:172-247): recursive truncate + clearOrCreate
+  test("K3 truncate and clearOrCreate") {
+    val storage = LakeStorage(spark)
+    val dir = Files.createTempDirectory("graft-trunc").toString + "/ds"
+    ParquetAppend.write(Seq(("a", 1)).toDF("sk", "v"), dir)
+    assert(storage.exists(dir))
+    storage.truncate(dir)
+    assert(!storage.exists(dir))
+    storage.clearOrCreate(dir)
+    assert(storage.exists(dir))
+  }
+}
