@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.Clock
+import graft.ext._
 import graft.operators._
 import graft.planner.{Boundaries, ChunkWidth, Intervals}
 import graft.sinks.MergeUpsert
@@ -143,7 +144,81 @@ object SparkEntry {
             col("o_orderdate") < lit(ts(s"$b 00:00:00")))
       }.reduce(_ unionByName _)
     }),
+
+    // ── §7.4 training-data pipeline extensions ──────────────────────
+
+    // Text analysis: sizes, token counts, punctuation, fingerprints
+    "ext_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(tbl(s, dir, "documents"))),
+
+    // Quality scoring: density / punctuation / stopword ratios
+    "ext_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(tbl(s, dir, "documents"))),
+
+    // Language-ID heuristic: stopword-marker counting + CJK detection
+    "ext_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(tbl(s, dir, "documents"))),
+
+    // Exact dedup: hash-groupBy on the canonical-text fingerprint
+    "ext_dedup_exact" -> ((s, dir) =>
+      DedupOps.exact(tbl(s, dir, "documents"))),
+
+    // N-gram token-set Jaccard near-dup (blocked all-pairs, integer
+    // threshold arithmetic)
+    "ext_dedup_ngram" -> ((s, dir) =>
+      DedupOps.ngramJaccard(tbl(s, dir, "documents"), numOverDen = (1, 3))),
+
+    // MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify);
+    // hash-seeded, not SQL-expressible → rows-only gate + ScalaTest
+    // recall check vs exact Jaccard
+    "ext_dedup_minhash" -> ((s, dir) =>
+      MinHashLSH.nearDupPairs(tbl(s, dir, "documents"), jaccard = (1, 3))),
+
+    // SimHash near-dup (64-bit fingerprints, pigeonhole block join)
+    "ext_dedup_simhash" -> ((s, dir) =>
+      SimHash.nearDupPairs(tbl(s, dir, "documents"), maxHamming = 3)),
+
+    // Embedding-cosine near-dup pairs above a threshold
+    "ext_dedup_embedding" -> ((s, dir) =>
+      DedupOps.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = 0.4)),
+
+    // Brute-force cosine top-k (exact ANN baseline)
+    "ext_ann_bruteforce" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(e.where(col("vec_id") < 5), e, k = 10)
+    }),
+
+    // LSH-bucketed ANN (scale path; recall-tested in ScalaTest)
+    "ext_ann_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(e.where(col("vec_id") < 5), e, k = 10)
+    }),
+
+    // Multimodal: binary payload column + partition-batched decode
+    // (deterministic stub decoder; real plumbing)
+    "ext_multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(s, Multimodal.asMedia(tbl(s, dir, "documents"))).toDF()),
   )
+
+  // ── DuckDB fragments mirroring TextFunctions bit-exactly ─────────
+  // (DuckDB regexp_replace needs the 'g' flag; Spark's is global by
+  // default. Counts are BIGINT on both sides.)
+  private val normSql = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+  private val wordsSql = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')"
+  private val paddedSql = s"(' ' || $normSql || ' ')"
+
+  private def occSql(w: String): String =
+    s"CAST((length($paddedSql) - length(replace($paddedSql, ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
+
+  private def hitsSql(lang: String): String =
+    graft.functions.TextFunctions.StopwordMarkers(lang).map(occSql).mkString("(", " + ", ")")
+
+  private val rollingSql =
+    s"""list_reduce(
+       |  list_transform(
+       |    list_filter(regexp_split_to_array($normSql, ' '), w -> w != ''),
+       |    w -> length(w) * ascii(substring(w, 1, 1))),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys → rows-only check. */
@@ -191,5 +266,84 @@ object SparkEntry {
          |UNION ALL SELECT * FROM u""".stripMargin,
 
     "d9_chunk_invariance" -> "SELECT * FROM orders",
+
+    "ext_text_stats" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_calc,
+         |  len($wordsSql) AS n_words,
+         |  len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens,
+         |  length(regexp_replace($normSql, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         |  md5($normSql) AS fp,
+         |  $rollingSql AS rolling_fp
+         |FROM documents""".stripMargin,
+
+    "ext_text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_calc,
+         |  len($wordsSql) AS n_words,
+         |  CAST(len($wordsSql) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS word_density,
+         |  CAST(length(regexp_replace($normSql, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(${hitsSql("en")} AS DOUBLE) / CAST(len($wordsSql) AS DOUBLE) AS stopword_ratio
+         |FROM documents""".stripMargin,
+
+    "ext_lang_id" ->
+      s"""SELECT doc_id, hits_en, hits_es, hits_fr, hits_de, cjk,
+         |  CASE WHEN cjk > 0 THEN 'zh'
+         |       WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+         |       WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+         |       WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+         |       WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
+         |       ELSE 'de' END AS lang_guess
+         |FROM (SELECT doc_id,
+         |  ${hitsSql("en")} AS hits_en, ${hitsSql("es")} AS hits_es,
+         |  ${hitsSql("fr")} AS hits_fr, ${hitsSql("de")} AS hits_de,
+         |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+         |FROM documents)""".stripMargin,
+
+    "ext_dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+         |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |GROUP BY fp""".stripMargin,
+
+    "ext_dedup_ngram" ->
+      s"""WITH prep AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+         |    list_distinct($wordsSql) AS toks
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.toks, b.toks)) AS inter,
+         |  len(list_distinct(list_concat(a.toks, b.toks))) AS uni
+         |FROM prep a JOIN prep b
+         |  ON a.source = b.source AND a.len_bucket = b.len_bucket
+         |  AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.toks, b.toks)) * 3
+         |   >= len(list_distinct(list_concat(a.toks, b.toks))) * 1""".stripMargin,
+
+    "ext_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+
+    "ext_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_multimodal_meta" ->
+      """SELECT doc_id,
+        |  strlen(text) AS n_bytes,
+        |  64 + strlen(text) % 640 AS width,
+        |  64 + (strlen(text) * 31) % 480 AS height,
+        |  strlen(text) % 16 AS n_frames
+        |FROM documents""".stripMargin,
   )
 }

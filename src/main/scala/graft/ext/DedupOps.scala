@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over a document corpus (SURVEY.md §7.4) —
+  * exact, n-gram Jaccard, and embedding-cosine near-dup. (MinHash-LSH
+  * and SimHash live in their own files.)
+  */
+object DedupOps {
+
+  /** Exact dedup: one survivor (min doc_id) per canonical-text
+    * fingerprint. A single hash-shuffle on the md5 key — map-side
+    * partial aggregation applies, and the md5 key distributes
+    * uniformly, so no skew at any scale. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keyed = docs.withColumn("fp", fingerprint(col(textCol)))
+    keyed
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("fp"), col("n_copies"))
+  }
+
+  /** Deterministic keep-first over a fingerprint via window (the
+    * full-row-preserving variant of `exact`). */
+  def exactKeepRows(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keyed = docs.withColumn("fp", fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    keyed.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** N-gram (word token set) Jaccard near-dup: candidate pairs inside
+    * a cheap blocking key (same source, similar length), exact token
+    * Jaccard ≥ `num/den` kept.
+    *
+    * The threshold test is pure integer arithmetic
+    * (`den·|A∩B| ≥ num·|A∪B|`) — no float comparisons to disagree
+    * with an oracle. Blocking bounds the quadratic term: pairs only
+    * form inside a (source, length-bucket) block, which is the
+    * standard scale pattern when an equality-ish key exists. For
+    * corpora with no natural blocking key, MinHashLSH is the scale
+    * path.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      numOverDen: (Int, Int) = (1, 2),
+      lengthBucket: Int = 100): DataFrame = {
+    val (num, den) = numOverDen
+    // floor() before the cast: Spark's double→long cast truncates
+    // while other engines round — floor makes both sides identical.
+    val prepared = docs.select(
+      col("doc_id"), col("source"),
+      floor(col("n_chars") / lengthBucket).cast("long").as("len_bucket"),
+      array_distinct(words(col("text"))).as("toks"))
+    val a = prepared.select(
+      col("doc_id").as("doc_a"), col("source"), col("len_bucket"), col("toks").as("toks_a"))
+    val b = prepared.select(
+      col("doc_id").as("doc_b"), col("source"), col("len_bucket"), col("toks").as("toks_b"))
+    a.join(b, Seq("source", "len_bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))).cast("long"))
+      .where(col("inter") * den >= col("uni") * num)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
+  /** Embedding-cosine near-dup: pairs above a cosine threshold.
+    * All-pairs within the corpus — O(n²) compute but shuffle-light
+    * (one self-join); the LSH-bucketed variant in SimilaritySearch is
+    * the scale path. Cosine computes in double with sequential
+    * summation for oracle parity. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

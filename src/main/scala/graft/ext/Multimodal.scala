@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §7.4): media payloads ride
+  * as opaque `binary` columns with typed metadata; decode /
+  * feature-extract runs as a partition-batched typed transformation.
+  *
+  * The Spark-side plumbing — schema, typed Dataset boundary,
+  * partition batching, decoder lifecycle — is real and tested. The
+  * decoder itself is a clearly-marked deterministic STUB
+  * (`FakeDecoder`): the image/audio codec libraries are not in this
+  * environment. A real deployment swaps `FakeDecoder` for a codec
+  * binding; nothing else changes.
+  *
+  * Scale shape: `mapPartitions` is the right boundary for decode
+  * because a real decoder has per-process setup cost (native lib
+  * init, GPU context) that must amortize across a partition batch,
+  * exactly like a Pandas-UDF `mapInPandas` batch on the Python side.
+  * The work is per-row, shuffle-free, and the binary payloads never
+  * leave their input partition.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long)
+
+  /** Decoder contract: bytes → metadata/features. */
+  trait Decoder extends Serializable {
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta
+  }
+
+  /** STUB decoder — deterministic fake dimensions derived from the
+    * payload size, so tests (and the SQL oracle) can replay it with
+    * plain arithmetic. A real build replaces this with an actual
+    * codec (e.g. JNI image decode); the pipeline shape is identical. */
+  object FakeDecoder extends Decoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length.toLong
+      MediaMeta(
+        doc_id = docId,
+        n_bytes = n,
+        width = 64L + n % 640L,
+        height = 64L + (n * 31L) % 480L,
+        n_frames = n % 16L)
+    }
+  }
+
+  /** Binary-column ingestion: any string payload column → opaque
+    * binary + byte length (the pass-through posture of §1.3 extended
+    * with explicit media typing). */
+  def asMedia(docs: DataFrame, idCol: String = "doc_id", payloadCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("media"))
+
+  /** Partition-batched decode through the typed Dataset boundary. */
+  def decodeMeta(spark: SparkSession, media: DataFrame, decoder: Decoder = FakeDecoder): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // Per-partition decoder setup would run here (native init);
+      // FakeDecoder needs none.
+      rows.map(r => decoder.decode(r.doc_id, r.media))
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §7.4 similarity search).
+  *
+  * Two tiers:
+  *  - `bruteForceTopK` — exact cosine top-k, the correctness
+  *    baseline. Queries are broadcast (a handful of vectors), the
+  *    corpus is scanned once, and ranking happens in two phases:
+  *    a partition-local top-k (map-side, bounded memory) followed by
+  *    a global top-k over only `queries × k × partitions` candidate
+  *    rows. The full corpus never shuffles — the property that makes
+  *    this viable on a 100 TB corpus.
+  *  - `lshTopK` — random-hyperplane LSH bucketing: corpus and queries
+  *    hashed to signature buckets, exact re-rank only within the
+  *    query's bucket. Sub-linear candidate sets at the cost of
+  *    recall; signatures are hash-derived (deterministic, no RNG
+  *    state).
+  */
+object SimilaritySearch {
+
+  /** Exact cosine top-k per query vector.
+    * Output: (q_id, neighbor_id, rank), rank 1..k by (cos desc,
+    * neighbor_id asc) — a total order, so results are deterministic
+    * and oracle-comparable. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+    val scored = c.crossJoin(q)
+      .where(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("neighbor_id"), col("cos"))
+    // Phase 1: partition-local top-k (no shuffle — spark_partition_id
+    // keys the window to data already in place).
+    val wLocal = Window.partitionBy(col("q_id"), spark_partition_id())
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val local = scored.withColumn("__lr", row_number().over(wLocal))
+      .where(col("__lr") <= k).drop("__lr")
+    // Phase 2: global top-k over the surviving candidates.
+    val wGlobal = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    local.withColumn("rank", row_number().over(wGlobal).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: exact re-rank within the query's hyperplane
+    * bucket. `planes` controls the bucket count (2^planes);
+    * multi-probe (flipping each signature bit once) widens recall at
+    * planes× candidate cost. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      planes: Int = 4,
+      multiProbe: Boolean = true): DataFrame = {
+    val sig = VectorFunctions.hyperplaneSignature("embedding", planes)
+    val c = corpus
+      .withColumn("bucket", sig)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"), col("bucket"))
+    val qBase = queries.withColumn("sig0", sig)
+    // probe set: own bucket + (optionally) each one-bit flip
+    val probes =
+      if (multiProbe)
+        expr(s"array_union(array(sig0), transform(sequence(0, ${planes - 1}), p -> sig0 ^ shiftleft(1L, p)))")
+      else expr("array(sig0)")
+    val q = broadcast(qBase
+      .withColumn("bucket", explode(probes))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket")))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .select(col("q_id"), col("neighbor_id"), col("cos")).distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
+  }
+}

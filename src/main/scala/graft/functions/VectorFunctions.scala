@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float>` embedding columns
+  * (SURVEY.md §7.4 similarity search).
+  *
+  * Everything computes in DOUBLE with strict left-to-right
+  * summation (`aggregate` folds sequentially), so results are
+  * bit-reproducible and match an oracle that sums in the same order.
+  * Higher-order functions keep the math inside whole-stage codegen —
+  * no UDF boxing, no shuffle; a 100 TB corpus scan stays
+  * embarrassingly parallel.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ, sequential fold in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. NULL when either vector
+    * has zero norm. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance (monotone with L2 — cheaper for ranking). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Deterministic random-hyperplane signature for LSH bucketing:
+    * bit p = sign(Σᵢ vᵢ · h(p,i)) where h is a hash-derived
+    * pseudo-random weight in [-0.5, 0.5). Seeded by construction
+    * (xxhash64), so the same signature plan runs identically on every
+    * executor and every run — no RNG state to ship. */
+  def hyperplaneSignature(vecCol: String, planes: Int): Column =
+    expr(
+      s"""aggregate(
+         |  sequence(0, ${planes - 1}),
+         |  0L,
+         |  (acc, p) -> acc + shiftleft(
+         |    CASE WHEN aggregate(
+         |      zip_with($vecCol, sequence(0, size($vecCol) - 1),
+         |        (v, i) -> CAST(v AS DOUBLE) * ((pmod(xxhash64(p, i), 1000L) / 1000.0) - 0.5)),
+         |      0.0D, (a, x) -> a + x) > 0.0D THEN 1L ELSE 0L END, p)
+         |)""".stripMargin)
+}

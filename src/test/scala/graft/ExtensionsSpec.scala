@@ -1,0 +1,133 @@
+package graft
+
+import graft.ext._
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = SparkEntry.tbl(spark, sf, "documents")
+  private def embeddings = SparkEntry.tbl(spark, sf, "embeddings")
+
+  test("vector functions: cosine identities") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (3L, Array(3.0f, 4.0f), Array(3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) - 1.0) < 1e-12)
+  }
+
+  test("text functions: word occurrence counting edges") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "the the the"),
+      (3L, "threshold theory"), // substrings must not count
+      (4L, "  the   cat  ")     // whitespace collapse
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextFunctions.wordOccurrences(col("text"), "the").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2)
+    // adjacent repeats: non-overlapping replace counts 2 of 3 — the
+    // documented cross-engine-stable behavior, not linguistic truth
+    assert(out(2L) == 2)
+    assert(out(3L) == 0)
+    assert(out(4L) == 1)
+  }
+
+  test("exact dedup groups planted duplicates") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha  beta   gamma"), // same canonical form
+      (3L, "different text here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.exact(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash LSH finds the planted near-dup pairs with full recall here") {
+    // ground truth: exact shingle-set Jaccard >= 1/3 over all pairs
+    val sigs = MinHashLSH.signatures(docs)
+    val sets = sigs.select(col("doc_id"), array_distinct(col("__shingles")).as("s"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    val truth = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", size(array_union(col("sa"), col("sb"))))
+      .where(col("inter") * 3 >= col("uni"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val found = MinHashLSH.nearDupPairs(docs, jaccard = (1, 3))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(found.subsetOf(truth), "verification stage must kill false positives")
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall (found ${found.size} of ${truth.size})")
+  }
+
+  test("simhash finds near-dups within the hamming bound") {
+    val out = SimHash.nearDupPairs(docs, maxHamming = 3).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("hamming") <= 3))
+    // deterministic across runs
+    val again = SimHash.nearDupPairs(docs, maxHamming = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("LSH ANN approximates brute-force top-k with decent recall") {
+    val q = embeddings.where(col("vec_id") < 5)
+    val exact = SimilaritySearch.bruteForceTopK(q, embeddings, 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(q, embeddings, 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall too low")
+  }
+
+  test("multimodal decode: real plumbing, deterministic stub values") {
+    val media = Multimodal.asMedia(docs)
+    assert(media.schema("media").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val meta = Multimodal.decodeMeta(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.take(10).foreach { case (id, text) =>
+      val n = text.getBytes("UTF-8").length.toLong
+      val m = meta(id)
+      assert(m.n_bytes == n)
+      assert(m.width == 64 + n % 640)
+      assert(m.height == 64 + (n * 31) % 480)
+      assert(m.n_frames == n % 16)
+    }
+  }
+
+  test("language-id picks argmax with fixed tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog is a pet"),
+      (2L, "el perro y la casa de que y el"),
+      (3L, "xyz qrs")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(df).select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+}

@@ -38,7 +38,12 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        got = canon(con, f"SELECT * FROM '{d}/*.parquet'")
+        try:
+            got = canon(con, f"SELECT * FROM '{d}/*.parquet'")
+        except Exception as e:
+            print(f"FAIL {name}: no result parquet ({str(e)[:120]})")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(got)} rows")
             continue
