@@ -138,11 +138,21 @@ object SparkEntry {
       val span = ChronoUnit.DAYS.between(mn, mx)
       val width = ChunkWidth.dateChunkDays(n, span)
       val chunks = Intervals.dates(mn, mx, width).map(Intervals.halfOpenDates)
-      chunks.map { case (a, b) =>
-        orders.where(
-          col("o_orderdate") >= lit(ts(s"$a 00:00:00")) &&
-            col("o_orderdate") < lit(ts(s"$b 00:00:00")))
-      }.reduce(_ unionByName _)
+      // The union of per-interval half-open extracts over a TILING
+      // plan is, row-for-row, the single scan range-joined against
+      // the interval list (each row falls in exactly one chunk). The
+      // join form evaluates the whole chunk plan in ONE pass with the
+      // intervals broadcast — a ~200-branch union of the same scans
+      // spends more time in the planner and scheduler than in the
+      // data. Same P1/P3/P6 plan, same result, 100 TB-viable shape.
+      import s.implicits._
+      val ivs = broadcast(chunks.map { case (a, b) =>
+        (ts(s"$a 00:00:00"), ts(s"$b 00:00:00"))
+      }.toDF("__start", "__end"))
+      orders
+        .join(ivs,
+          col("o_orderdate") >= col("__start") && col("o_orderdate") < col("__end"))
+        .select(orders.columns.map(col).toSeq: _*)
     }),
 
     // ── §7.4 training-data pipeline extensions ──────────────────────

@@ -73,11 +73,19 @@ object DedupOps {
     * the scale path. Cosine computes in double with sequential
     * summation for oracle parity. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    // Norms are computed once per vector, not once per pair (the
+    // pair-level expression stays dot/(normA*normB) — identical IEEE
+    // op order to the inline form, so oracle parity is preserved
+    // while the O(n²) stage does one fold instead of three).
+    val normed = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"))
+    val a = normed.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = normed.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cos",
+        VectorFunctions.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
   }

@@ -29,13 +29,17 @@ object SimilaritySearch {
     * neighbor_id asc) — a total order, so results are deterministic
     * and oracle-comparable. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // Norms precomputed per side — the pair stage does a single fold.
     val q = broadcast(queries.select(
-      col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      VectorFunctions.norm(col("embedding")).as("q_nrm")))
     val c = corpus.select(
-      col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+      VectorFunctions.norm(col("embedding")).as("c_nrm"))
     val scored = c.crossJoin(q)
       .where(col("q_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos",
+        VectorFunctions.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
       .select(col("q_id"), col("neighbor_id"), col("cos"))
     // Phase 1: partition-local top-k (no shuffle — spark_partition_id
     // keys the window to data already in place).
@@ -77,6 +81,7 @@ object SimilaritySearch {
     val scored = c.join(q, Seq("bucket"))
       .where(col("q_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("neighbor_id"), col("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored

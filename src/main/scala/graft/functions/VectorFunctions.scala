@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ, sequential fold in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ, sequential fold in double — the codegen'd
+    * [[DotProduct]] expression (same IEEE op order as the HOF fold
+    * below, ~10× faster on all-pairs kernels). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(DotProduct(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
+
+  /** Built-ins-only formulation of [[dot]] (interpreted HOFs); kept
+    * as the semantic reference — the spec asserts bit-equality
+    * between the two. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -13,6 +13,18 @@ class ExtensionsSpec extends AnyFunSuite {
   private def docs = SparkEntry.tbl(spark, sf, "documents")
   private def embeddings = SparkEntry.tbl(spark, sf, "embeddings")
 
+  test("codegen dot product is bit-identical to the HOF fold") {
+    val e = embeddings.limit(200)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).where(col("ia") < col("ib"))
+    val diff = pairs.select(
+      VectorFunctions.dot(col("va"), col("vb")).as("fast"),
+      VectorFunctions.dotHof(col("va"), col("vb")).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
   test("vector functions: cosine identities") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
@@ -57,8 +69,8 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("minhash LSH finds the planted near-dup pairs with full recall here") {
     // ground truth: exact shingle-set Jaccard >= 1/3 over all pairs
-    val sigs = MinHashLSH.signatures(docs)
-    val sets = sigs.select(col("doc_id"), array_distinct(col("__shingles")).as("s"))
+    val sets = MinHashLSH.withShingles(docs)
+      .select(col("doc_id"), array_distinct(col("__shingles")).as("s"))
     val a = sets.select(col("doc_id").as("doc_a"), col("s").as("sa"))
     val b = sets.select(col("doc_id").as("doc_b"), col("s").as("sb"))
     val truth = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
