@@ -1,0 +1,110 @@
+package graft.app
+
+import graft.core.{DatasetRef, LakePaths, Sessions}
+import graft.planner.ConnStrings
+import graft.sources.{JdbcSource, MongoLikeSource}
+import java.time.LocalDate
+
+/** CLI entry points mirroring the reference's four resync scripts +
+  * the promote flow (SURVEY.md §3). Flags follow the reference's
+  * argparse names (`carga_date.py:35-50`): `--dataset`,
+  * `--partition_column`, `--start_date`/`--end_date` (or
+  * `--start_id`/`--end_id`), plus engine flags for the lake root and
+  * source location.
+  */
+private[app] object Args {
+  def parse(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def req(m: Map[String, String], k: String): String =
+    m.getOrElse(k, sys.error(s"missing required flag --$k"))
+}
+
+private[app] object Common {
+  def spark() = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+  def lake(m: Map[String, String]) = LakePaths(Args.req(m, "lake_root"))
+  def ref(m: Map[String, String]) = DatasetRef(
+    m.getOrElse("environment", "production"),
+    Args.req(m, "namespace"), Args.req(m, "dataset"))
+}
+
+/** JDBC source, date partition column (carga_date.py archetype). */
+object CargaDate {
+  def main(args: Array[String]): Unit = {
+    val m = Args.parse(args)
+    val url = ConnStrings.withSslDisabled(Args.req(m, "url")) // P7
+    val src = JdbcSource(url, m.getOrElse("user", ""), m.getOrElse("password", ""))
+    ResyncJob.runDate(
+      Common.spark(),
+      ResyncJob.JdbcRanged(src, Args.req(m, "dataset")),
+      pc = Args.req(m, "partition_column"),
+      ref = Common.ref(m), lake = Common.lake(m),
+      cliStart = m.get("start_date").map(LocalDate.parse),
+      cliEnd = m.get("end_date").map(LocalDate.parse),
+      estimatedRows = m.getOrElse("estimated_rows", "0").toLong)
+  }
+}
+
+/** JDBC source, integer partition column (carga_int.py archetype). */
+object CargaInt {
+  def main(args: Array[String]): Unit = {
+    val m = Args.parse(args)
+    val url = ConnStrings.withSslDisabled(Args.req(m, "url"))
+    val src = JdbcSource(url, m.getOrElse("user", ""), m.getOrElse("password", ""))
+    ResyncJob.runInt(
+      Common.spark(),
+      ResyncJob.JdbcRanged(src, Args.req(m, "dataset")),
+      pc = Args.req(m, "partition_column"),
+      ref = Common.ref(m), lake = Common.lake(m),
+      cliStart = m.get("start_id").map(_.toLong),
+      cliEnd = m.get("end_id").map(_.toLong),
+      estimatedRows = m.getOrElse("estimated_rows", "0").toLong)
+  }
+}
+
+/** Document source, date partition column (mongodb_carga_date.py:
+  * retry without checkpoint recovery — SURVEY.md §3.3). */
+object CargaMongoDate {
+  def main(args: Array[String]): Unit = {
+    val m = Args.parse(args)
+    ResyncJob.runDate(
+      Common.spark(),
+      ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path"))),
+      pc = Args.req(m, "partition_column"),
+      ref = Common.ref(m), lake = Common.lake(m),
+      cliStart = m.get("start_date").map(LocalDate.parse),
+      cliEnd = m.get("end_date").map(LocalDate.parse),
+      estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
+      withRecovery = false)
+  }
+}
+
+/** Document source, integer partition column (mongodb_carga_int.py). */
+object CargaMongoInt {
+  def main(args: Array[String]): Unit = {
+    val m = Args.parse(args)
+    ResyncJob.runInt(
+      Common.spark(),
+      ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path"))),
+      pc = Args.req(m, "partition_column"),
+      ref = Common.ref(m), lake = Common.lake(m),
+      cliStart = m.get("start_id").map(_.toLong),
+      cliEnd = m.get("end_id").map(_.toLong),
+      estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
+      withRecovery = false)
+  }
+}
+
+/** Promote WORK → TRUSTED (the reference's 4th flow, §3.4). */
+object PromoteApp {
+  def main(args: Array[String]): Unit = {
+    val m = Args.parse(args)
+    ResyncJob.promote(
+      Common.spark(),
+      ref = Common.ref(m), lake = Common.lake(m),
+      skIds = Args.req(m, "sk_keys").split(",").toSeq,
+      hyphen = m.get("hyphen").exists(_.toBoolean))
+  }
+}

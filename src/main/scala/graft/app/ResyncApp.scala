@@ -1,0 +1,187 @@
+package graft.app
+
+import graft.core.{Clock, DatasetRef, LakePaths, LakeStorage}
+import graft.ingest.{IngestLoop, StatusReporter}
+import graft.operators.Promote
+import graft.planner._
+import graft.planner.Intervals.Interval
+import graft.sinks.{MergeUpsert, ParquetAppend}
+import graft.sources.{JdbcSource, MongoLikeSource}
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
+
+/** §3 entry points — the four resync flows of the reference plus the
+  * promote flow, as one parameterized job.
+  *
+  * Reference archetypes: `resync_date/etls/carga_date.py` (JDBC +
+  * date pc), `resync_int/etls/carga_int.py` (JDBC + int pc), the two
+  * `mongodb_carga` scripts (document source, retry without checkpoint
+  * recovery), and the promote path
+  * `shared_etls/etls/utils.py:754-819` + `cloud_utils.py:478-532`.
+  */
+object ResyncJob {
+
+  /** Range-extraction boundary semantics per source family:
+    *  - JDBC pushes half-open `[start, end)` SQL (S1);
+    *  - document sources filter INCLUSIVE `between` (S4), so with the
+    *    P6 end+1 compensation consecutive chunks overlap at the
+    *    boundary — expected, healed by T4 dedup at promote
+    *    (SURVEY.md §2.5 P6).
+    */
+  trait RangedSource {
+    def readRange(spark: SparkSession, pc: String, startIncl: String, endExcl: String): DataFrame
+    def minValue(spark: SparkSession, pc: String): Any
+    def maxIntWithMargin(spark: SparkSession, pc: String): Long
+  }
+
+  final case class JdbcRanged(src: JdbcSource, dataset: String) extends RangedSource {
+    def readRange(spark: SparkSession, pc: String, startIncl: String, endExcl: String): DataFrame =
+      src.readRange(spark, dataset, pc, startIncl, endExcl)
+    def minValue(spark: SparkSession, pc: String): Any = src.minValue(spark, dataset, pc)
+    def maxIntWithMargin(spark: SparkSession, pc: String): Long =
+      src.maxIntWithMargin(spark, dataset, pc)
+  }
+
+  /** Document-store semantics over the parquet-backed source: the
+    * inclusive upper bound is `endExcl` itself (P6 already extended
+    * it), reproducing the reference's boundary overlap. */
+  final case class MongoRanged(src: MongoLikeSource) extends RangedSource {
+    def readRange(spark: SparkSession, pc: String, startIncl: String, endExcl: String): DataFrame =
+      src.readRange(spark, pc, startIncl, endExcl)
+    def minValue(spark: SparkSession, pc: String): Any = src.minValue(spark, pc)
+    def maxIntWithMargin(spark: SparkSession, pc: String): Long =
+      src.maxIntWithMargin(spark, pc)
+  }
+
+  /** Date-partitioned resync (carga_date flow, steps §3.1 1-9). */
+  def runDate(
+      spark: SparkSession,
+      source: RangedSource,
+      pc: String,
+      ref: DatasetRef,
+      lake: LakePaths,
+      cliStart: Option[LocalDate] = None,
+      cliEnd: Option[LocalDate] = None,
+      estimatedRows: Long,
+      truncateFirst: Boolean = true,
+      withRecovery: Boolean = true,
+      reporter: StatusReporter = StatusReporter.Noop,
+      sleep: Long => Unit = Thread.sleep): Unit = {
+
+    val workPath = lake.work(ref)
+    val storage = LakeStorage(spark)
+    if (truncateFirst) storage.clearOrCreate(workPath) // K3 destructive init (§3.1 step 3)
+
+    // P4 boundary resolution (§3.1 step 4)
+    val bounds = Boundaries.resolveDates(
+      cliStart, cliEnd,
+      sourceMin = toLocalDate(source.minValue(spark, pc)),
+      today = LocalDate.now())
+
+    // P1 width + P3 intervals (§3.1 step 5)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(bounds.start, bounds.end)
+    val width = ChunkWidth.dateChunkDays(estimatedRows, span)
+    val plan = Intervals.dates(bounds.start, bounds.end, width)
+
+    def extract(iv: Interval[LocalDate]): Unit = {
+      val (s, e) = Intervals.halfOpenDates(iv) // P6 (§3.1 step 7)
+      val df = source.readRange(spark, pc, s.toString, e.toString)
+      ParquetAppend.write(df, workPath) // K1
+    }
+
+    // P5 recovery: probe WORK for max(pc), replan from there (§3.1 step 8)
+    val recover: Option[() => Option[LocalDate]] =
+      if (withRecovery) Some(() =>
+        if (!storage.exists(workPath)) None
+        else spark.read.parquet(workPath).select(max(col(pc))).head().get(0) match {
+          case null => None
+          case v => Some(toLocalDate(v))
+        })
+      else None
+
+    new IngestLoop[LocalDate](reporter = reporter, sleep = sleep).run(
+      idRequest = s"${ref.namespace}.${ref.dataset}",
+      plan = plan,
+      extract = extract,
+      recover = recover,
+      replan = cp => Intervals.dates(cp, bounds.end, width))
+  }
+
+  /** Integer-partitioned resync (carga_int flow, §3.2). */
+  def runInt(
+      spark: SparkSession,
+      source: RangedSource,
+      pc: String,
+      ref: DatasetRef,
+      lake: LakePaths,
+      cliStart: Option[Long] = None,
+      cliEnd: Option[Long] = None,
+      estimatedRows: Long,
+      truncateFirst: Boolean = true,
+      withRecovery: Boolean = true,
+      reporter: StatusReporter = StatusReporter.Noop,
+      sleep: Long => Unit = Thread.sleep): Unit = {
+
+    val workPath = lake.work(ref)
+    val storage = LakeStorage(spark)
+    if (truncateFirst) storage.clearOrCreate(workPath)
+
+    val bounds = Boundaries.resolveInts(
+      cliStart, cliEnd,
+      sourceMin = toLong(source.minValue(spark, pc)),
+      sourceMax = source.maxIntWithMargin(spark, pc) - Boundaries.SecurityMargin)
+
+    val width = ChunkWidth.intChunkWidth(estimatedRows)
+    val plan = Intervals.ints(bounds.start, bounds.end, width)
+
+    def extract(iv: Interval[Long]): Unit = {
+      val (s, e) = Intervals.halfOpenInts(iv)
+      ParquetAppend.write(source.readRange(spark, pc, s.toString, e.toString), workPath)
+    }
+
+    val recover: Option[() => Option[Long]] =
+      if (withRecovery) Some(() =>
+        if (!storage.exists(workPath)) None
+        else Option(spark.read.parquet(workPath).select(max(col(pc))).head())
+          .filterNot(_.isNullAt(0)).map(r => toLong(r.get(0))))
+      else None
+
+    new IngestLoop[Long](reporter = reporter, sleep = sleep).run(
+      idRequest = s"${ref.namespace}.${ref.dataset}",
+      plan = plan,
+      extract = extract,
+      recover = recover,
+      replan = cp => Intervals.ints(cp, bounds.end, width))
+  }
+
+  /** Promote flow (§3.4): WORK → T1 sk → T2 → T3 → T4 → K2 MERGE. */
+  def promote(
+      spark: SparkSession,
+      ref: DatasetRef,
+      lake: LakePaths,
+      skIds: Seq[String],
+      hyphen: Boolean = false,
+      clock: Clock = Clock.System,
+      deterministic: Boolean = true): Unit = {
+    val work = spark.read.parquet(lake.work(ref)) // S7
+    val curated = Promote.transform(work, skIds, hyphen, clock, deterministic)
+    MergeUpsert.mergeInto(spark, lake.trusted(ref), curated) // K2
+  }
+
+  private def toLocalDate(v: Any): LocalDate = v match {
+    case d: LocalDate => d
+    case d: java.sql.Date => d.toLocalDate
+    case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+    case t: java.time.LocalDateTime => t.toLocalDate
+    case t: java.time.Instant => t.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    case s: String => LocalDate.parse(s.take(10))
+    case other => sys.error(s"cannot read a date boundary from $other")
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case s: String => s.trim.toLong // reference's str→int coercion (load_utils.py:509-515)
+    case other => sys.error(s"cannot read an int boundary from $other")
+  }
+}

@@ -28,9 +28,19 @@ final case class JdbcSource(url: String, user: String, password: String, driver:
   }
 
   /** S1 query construction (reference `utils.py:282-287`): half-open
-    * `[start, end)` range pushed as a subquery aliased `subs`. */
-  def rangedQuery(dataset: String, pc: String, start: String, end: String): String =
-    s"(select * from $dataset where $pc >= '$start' and $pc < '$end') subs"
+    * `[start, end)` range pushed as a subquery aliased `subs`.
+    *
+    * Deviation from the reference, documented: the reference quotes
+    * BOTH date and integer bounds (`'{start}'`), relying on MySQL's
+    * implicit string→int coercion; strict engines (Derby, Postgres
+    * with ints) reject the cross-type comparison. Numeric bounds are
+    * therefore emitted as bare literals — identical semantics on
+    * coercing engines, valid SQL on strict ones. */
+  def rangedQuery(dataset: String, pc: String, start: String, end: String): String = {
+    def lit(v: String): String =
+      if (v.matches("-?\\d+")) v else s"'$v'"
+    s"(select * from $dataset where $pc >= ${lit(start)} and $pc < ${lit(end)}) subs"
+  }
 
   def readQuery(spark: SparkSession, query: String, numPartitions: Int = 1): DataFrame =
     reader(spark).option("dbtable", query).load()

@@ -1,0 +1,71 @@
+package graft
+
+import graft.core.Clock
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, Timestamp.valueOf(t), user, typ, v)
+
+  test("windowed event stats aggregate by event-time window") {
+    val input = MemoryStream[Event](spark)
+    input.addData(
+      ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 00:02:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 00:07:00", 2, "view", 5.0))
+    val q = StreamingOps.windowedEventStats(input.toDF())
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_stats")
+        .selectExpr("win.start", "event_type", "n", "total_value")
+        .collect().map(r => (r.getAs[Any](0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.exists { case (w, t, n, v) => t == "click" && n == 2 && v == 3.0 })
+      assert(rows.exists { case (w, t, n, v) => t == "view" && n == 1 && v == 5.0 })
+    } finally q.stop()
+  }
+
+  test("streaming promote dedups by sk within the watermark") {
+    val input = MemoryStream[Event](spark)
+    input.addData(
+      ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 00:01:00", 1, "click", 1.0), // exact dup in-batch
+      ev(2, "2024-01-01 00:02:00", 2, "view", 2.0))
+    val q = StreamingOps.streamingPromote(
+      input.toDF(), skIds = Seq("event_id"), clock = Clock.ForOracle)
+      .writeStream.format("memory").queryName("spromote")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("spromote")
+      assert(out.count() == 2)
+      assert(out.columns.contains("sk") && out.columns.contains("timestamp_kafka"))
+    } finally q.stop()
+  }
+
+  test("stateful running user stats accumulate across micro-batches") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamingOps.runningUserStats(spark, input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, "2024-01-01 00:01:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(2, "2024-01-01 00:02:00", 7, "click", 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("running")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(latest.contains((7L, 2L, 5.0)))
+    } finally q.stop()
+  }
+}
