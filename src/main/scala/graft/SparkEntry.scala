@@ -173,6 +173,15 @@ object SparkEntry {
     "ext_dedup_exact" -> ((s, dir) =>
       DedupOps.exact(tbl(s, dir, "documents"))),
 
+    // Exact dedup again via the two-phase SALTED aggregation (the
+    // hot-key-safe physical strategy) — result-identical to the
+    // plain groupBy, same oracle
+    "ext_dedup_exact_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedDupCounts(
+        tbl(s, dir, "documents").withColumn(
+          "fp", graft.functions.TextFunctions.fingerprint(col("text"))),
+        col("fp"), salts = 16)),
+
     // N-gram token-set Jaccard near-dup (blocked all-pairs, integer
     // threshold arithmetic)
     "ext_dedup_ngram" -> ((s, dir) =>
@@ -312,6 +321,11 @@ object SparkEntry {
          |FROM documents)""".stripMargin,
 
     "ext_dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+         |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |GROUP BY fp""".stripMargin,
+
+    "ext_dedup_exact_salted" ->
       s"""SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
          |FROM (SELECT doc_id, md5($normSql) AS fp FROM documents)
          |GROUP BY fp""".stripMargin,

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
 object ParquetAppend {
   def write(df: DataFrame, workPath: String): Unit =
     df.write.mode(SaveMode.Append).parquet(workPath)
+
+  /** Hive-style partitioned append (SURVEY.md §4: optional WORK
+    * layout) — downstream reads that filter on the partition columns
+    * (the promote incremental path, the P5 recovery probe) then
+    * prune directories instead of scanning the zone. */
+  def writePartitioned(df: DataFrame, workPath: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(workPath)
 }
 
 /** K2 — MERGE into TRUSTED (reference `cloud_utils.py:478-532`):

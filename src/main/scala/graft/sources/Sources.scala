@@ -48,6 +48,30 @@ final case class JdbcSource(url: String, user: String, password: String, driver:
   def readRange(spark: SparkSession, dataset: String, pc: String, start: String, end: String): DataFrame =
     readQuery(spark, rangedQuery(dataset, pc, start, end))
 
+  /** Parallel chunked pull (SURVEY.md §4 improvement row): the
+    * reference reads every chunk single-partition
+    * (`load_utils.py:37-44` sets no partitioning options) and gets
+    * its parallelism from the driver loop; this maps the planner's
+    * half-open chunks onto JDBC partition predicates, so one read
+    * pulls all chunks concurrently — one DB cursor per executor
+    * slot instead of one at a time. Semantically identical to the
+    * union of per-chunk S1 reads because the chunks tile. */
+  def readChunksParallel(
+      spark: SparkSession,
+      dataset: String,
+      pc: String,
+      chunks: Seq[(String, String)]): DataFrame = {
+    val props = new java.util.Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    driver.foreach(d => props.setProperty("driver", d))
+    def lit(v: String): String = if (v.matches("-?\\d+")) v else s"'$v'"
+    val predicates = chunks.map { case (s, e) =>
+      s"$pc >= ${lit(s)} and $pc < ${lit(e)}"
+    }.toArray
+    spark.read.jdbc(url, dataset, predicates, props)
+  }
+
   /** S2 — `(select min(pc) from ds) subs`, aggregate pushed to the DB,
     * one-row result collected (reference `load_utils.py:343, 358`). */
   def minValue(spark: SparkSession, dataset: String, pc: String): Any =
