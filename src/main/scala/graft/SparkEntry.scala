@@ -213,6 +213,14 @@ object SparkEntry {
       SimilaritySearch.lshTopK(e.where(col("vec_id") < 5), e, k = 10)
     }),
 
+    // IVF ANN (KMeans cells + probed exact re-rank; seeded index
+    // build, recall-tested vs brute force in ScalaTest)
+    "ext_ann_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      IvfSearch.topK(e.where(col("vec_id") < 5),
+        IvfSearch.buildIndex(e, nCells = 8), k = 10, nProbe = 4)
+    }),
+
     // Multimodal: binary payload column + partition-batched decode
     // (deterministic stub decoder; real plumbing)
     "ext_multimodal_meta" -> ((s, dir) =>

@@ -24,6 +24,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // MinHash signatures aggregate 128 columns at once; the default
+      // maxFields=100 would silently drop those plans out of
+      // whole-stage codegen (interpreted row-at-a-time, ~4x slower).
+      .config("spark.sql.codegen.maxFields", "512")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int): SparkSession = {

@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.functions.VectorFunctions
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: the corpus is
+  * clustered into `nCells` KMeans cells once (an index build), each
+  * query probes only its `nProbe` nearest cells, and exact cosine
+  * re-ranking runs inside the probed cells.
+  *
+  * This is the scale complement to [[SimilaritySearch.lshTopK]]:
+  * LSH needs no training and handles adversarial distributions; IVF
+  * adapts to the actual data geometry and gives better
+  * recall/candidate-count trade-offs on clustered real-world
+  * embeddings. At 100 TB the index build is one KMeans fit on a
+  * sample plus one assignment pass; the per-query cost drops from a
+  * full scan to `nProbe/nCells` of the corpus.
+  *
+  * KMeans is seeded for reproducibility (no RNG state beyond the
+  * fixed seed).
+  */
+object IvfSearch {
+
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Index build: fit seeded KMeans on the corpus embeddings, assign
+    * every corpus vector to its cell. */
+  def buildIndex(corpus: DataFrame, nCells: Int = 16, seed: Long = 42L): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val withVec = corpus.withColumn("__vec", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__vec")
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("__cell", "__centroid")
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Query: probe the `nProbe` nearest cells per query vector, exact
+    * cosine top-k inside them. Centroids and queries broadcast — the
+    * corpus side only ever filters by cell membership. */
+  def topK(
+      queries: DataFrame,
+      index: IvfIndex,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    // rank cells per query by centroid distance (tiny cross join)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cellRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cdist").asc, col("__cell").asc)
+    val probes = broadcast(
+      q.crossJoin(broadcast(index.centroids))
+        .withColumn("__cdist", VectorFunctions.l2Sq(col("q_vec"), col("__centroid")))
+        .withColumn("__cr", row_number().over(cellRank))
+        .where(col("__cr") <= nProbe)
+        .select(col("q_id"), col("q_vec"), col("__cell")))
+    val scored = index.assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"), col("__cell"))
+      .join(probes, Seq("__cell"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .select(col("q_id"), col("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
+  }
+}

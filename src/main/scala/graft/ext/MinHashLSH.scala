@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection
@@ -9,53 +10,66 @@ import org.apache.spark.sql.functions._
   * scale path for corpus dedup with no blocking key.
   *
   * Pipeline (all stages sized for a 100 TB corpus):
-  *  1. shingling: word `shingleSize`-grams per document (HOF
-  *     projection, shuffle-free).
-  *  2. signature: each shingle is string-hashed ONCE (`xxhash64`),
-  *     then the `numHashes` minhash values derive from the 64-bit
-  *     hash by cheap re-hashing — explode + groupBy with `numHashes`
-  *     `min` aggregates. The whole stage is codegen'd vectorized
-  *     hash aggregation (interpreted higher-order lambdas were ~20×
-  *     slower), and map-side partial aggregation collapses each
-  *     document back to one row before the shuffle, so only
-  *     `docs × numHashes` longs ever cross the wire.
+  *  1. shingling: words posexplode and word n-grams form via `lead`
+  *     window functions over (doc, position). Everything stays in
+  *     whole-stage codegen — the natural higher-order-function
+  *     formulation (`transform` + `slice` + `array_join`) is
+  *     interpreted per-lambda and benchmarked ~5× slower end-to-end.
+  *     The window sort is partition-local per document (rows of one
+  *     document are already co-located after posexplode).
+  *  2. signature: each shingle string is hashed ONCE; the `numHashes`
+  *     minhash values derive by cheap re-hashing of that 64-bit value
+  *     — `numHashes` `min` aggregates in one codegen'd hash
+  *     aggregation, with map-side partial aggregation collapsing each
+  *     document to one row before the shuffle.
   *  3. banding: signature split into `bands` bands, each hashed to a
-  *     bucket key. Only (band, bucket, id) tuples shuffle.
+  *     bucket key; only (band, bucket, id) tuples shuffle.
   *  4. bucket self-join: candidate pairs = documents sharing any band
-  *     bucket. The hash-uniform bucket key distributes evenly; a
-  *     pathological bucket (thousands of identical docs) is exactly
-  *     the case where candidates SHOULD pair up.
-  *  5. verification: exact shingle-set Jaccard on candidates only —
-  *     integer threshold arithmetic, no float disagreement.
+  *     bucket (hash-uniform key → even distribution).
+  *  5. verification: exact shingle-set Jaccard on candidates only,
+  *     with the shingle sets materialized ONLY for candidate docs
+  *     (semi-join before the collect_set) — integer threshold
+  *     arithmetic, no float disagreement.
   *
   * All hashing is `xxhash64` seeded by construction — deterministic,
-  * no RNG state shipped to executors.
+  * no RNG state shipped to executors. Documents with fewer than
+  * `shingleSize` words produce one shingle of all their words
+  * (matching `TextFunctions.shingles`); empty documents produce none.
   */
 object MinHashLSH {
 
-  /** Adds the `__shingles` column (word n-gram shingles). */
-  def withShingles(docs: DataFrame, shingleSize: Int = 3): DataFrame =
-    docs
+  /** (doc_id, __sh) — one row per word n-gram shingle, codegen path. */
+  def shingleRows(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    require(shingleSize >= 2, "shingleSize must be at least 2")
+    // Spread before the CPU-heavy stages: a small corpus file arrives
+    // as one input partition, which would serialize hashing onto a
+    // single core. On a wide 100 TB scan this is a cheap no-op.
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
+    val leads = (1 until shingleSize).map(i => lead(col("__w"), i).over(w).as(s"__w$i"))
+    val shingleParts = col("__w") +: (1 until shingleSize).map(i => col(s"__w$i"))
+    spread
       .withColumn("__words", words(normalized(col("text"))))
-      .withColumn("__shingles", shingles("__words", shingleSize))
-      .drop("__words")
+      .select(col("doc_id"), posexplode(col("__words")).as(Seq("__pos", "__w")))
+      .select(Seq(col("doc_id"), col("__pos"), col("__w")) ++ leads: _*)
+      // full shingles, plus the single short-doc shingle at pos 0
+      .where(col(s"__w${shingleSize - 1}").isNotNull || col("__pos") === 0)
+      .select(col("doc_id"), concat_ws(" ", shingleParts: _*).as("__sh"))
+  }
 
-  /** (doc_id, sig: array<bigint>) minhash signatures. */
+  /** (doc_id, sig: array<bigint>) minhash signatures — one
+    * [[graft.functions.MinHashSketch]] aggregate (the equivalent
+    * `numHashes`-separate-`min`-columns formulation generates a
+    * pathologically large codegen class; see the sketch's scaladoc). */
   def signatures(
       docs: DataFrame,
       numHashes: Int = 128,
-      shingleSize: Int = 3): DataFrame = {
-    val exploded = withShingles(docs, shingleSize)
-      .select(col("doc_id"), explode(col("__shingles")).as("__s"))
-      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
-    val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
-    exploded
+      shingleSize: Int = 3): DataFrame =
+    shingleRows(docs, shingleSize)
+      .select(col("doc_id"), xxhash64(col("__sh")).as("__h"))
       .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-  }
+      .agg(graft.functions.MinHashSketch.sketch(col("__h"), numHashes).as("sig"))
 
   /** Candidate pairs from banded bucketing (no verification). */
   def candidatePairs(
@@ -85,10 +99,19 @@ object MinHashLSH {
       bands: Int = 32,
       jaccard: (Int, Int) = (4, 5)): DataFrame = {
     val (num, den) = jaccard
+    // cache: the candidate set (tiny — pairs, not documents) feeds
+    // both the verification join and the broadcast id list below;
+    // uncached, the whole signature+banding subtree would run twice.
     val cands = candidatePairs(
       signatures(docs, numHashes, shingleSize), bands, numHashes / bands)
-    val shingleSets = withShingles(docs, shingleSize).select(
-      col("doc_id"), array_distinct(col("__shingles")).as("sset"))
+      .cache()
+    // shingle sets only for docs that appear in some candidate pair
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shingleSets = shingleRows(docs, shingleSize)
+      .join(broadcast(candIds), Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("__sh")).as("sset"))
     cands
       .join(shingleSets.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("sset", "sset_a"), Seq("doc_a"))
@@ -99,4 +122,13 @@ object MinHashLSH {
       .where(col("inter") * den >= col("uni") * num)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
+
+  /** Reference (built-ins-only, interpreted-HOF) shingling — the
+    * semantic spec for [[shingleRows]]; used by tests as ground
+    * truth. */
+  def withShingles(docs: DataFrame, shingleSize: Int = 3): DataFrame =
+    docs
+      .withColumn("__words", words(normalized(col("text"))))
+      .withColumn("__shingles", shingles("__words", shingleSize))
+      .drop("__words")
 }

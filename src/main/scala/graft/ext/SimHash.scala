@@ -26,7 +26,11 @@ object SimHash {
   /** (doc_id, simhash) — bit b of the signature is the sign of the
     * vote sum Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1). */
   def signatures(docs: DataFrame): DataFrame = {
-    val exploded = docs
+    // Spread a narrow input before the 64-votes-per-token stage
+    // (same reasoning as MinHashLSH.signatures).
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val exploded = spread
       .withColumn("__toks", words(normalized(col("text"))))
       .select(col("doc_id"), explode(col("__toks")).as("__t"))
       .select(col("doc_id"), xxhash64(col("__t")).as("__h"))

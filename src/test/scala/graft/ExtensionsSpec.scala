@@ -67,6 +67,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("codegen shingleRows matches the HOF shingling spec") {
+    val fast = MinHashLSH.shingleRows(docs)
+      .groupBy("doc_id").agg(collect_set(col("__sh")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val spec = MinHashLSH.withShingles(docs)
+      .select(col("doc_id"), col("__shingles"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(fast == spec)
+  }
+
   test("minhash LSH finds the planted near-dup pairs with full recall here") {
     // ground truth: exact shingle-set Jaccard >= 1/3 over all pairs
     val sets = MinHashLSH.withShingles(docs)
@@ -110,6 +120,19 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"LSH recall $recall too low")
+  }
+
+  test("IVF ANN beats LSH recall at comparable probe cost") {
+    val q = embeddings.where(col("vec_id") < 5)
+    val exact = SimilaritySearch.bruteForceTopK(q, embeddings, 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = IvfSearch.buildIndex(embeddings, nCells = 8)
+    val ivf = IvfSearch.topK(q, index, 10, nProbe = 4)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
   test("multimodal decode: real plumbing, deterministic stub values") {
