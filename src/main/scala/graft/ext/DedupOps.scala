@@ -55,14 +55,33 @@ object DedupOps {
       col("doc_id"), col("source"),
       floor(col("n_chars") / lengthBucket).cast("long").as("len_bucket"),
       array_distinct(words(col("text"))).as("toks"))
-    val a = prepared.select(
-      col("doc_id").as("doc_a"), col("source"), col("len_bucket"), col("toks").as("toks_a"))
-    val b = prepared.select(
-      col("doc_id").as("doc_b"), col("source"), col("len_bucket"), col("toks").as("toks_b"))
-    a.join(b, Seq("source", "len_bucket"))
+    // Token-join formulation: |A∩B| comes from joining the exploded
+    // distinct-token lists and counting matches per pair;
+    // |A∪B| = |A| + |B| − |A∩B|. Everything is codegen'd joins and
+    // hash aggregation — the direct formulation
+    // (`array_intersect`/`array_union` per blocked pair) re-walks
+    // both arrays interpretively for every pair, which dominates once
+    // blocks grow. Pairs sharing zero tokens never surface, and
+    // correctly so: they can't pass any positive threshold.
+    val sized = prepared.withColumn("n_toks", size(col("toks")).cast("long"))
+    val tokens = sized.select(
+      col("doc_id"), col("source"), col("len_bucket"),
+      explode(col("toks")).as("tok"))
+    val a = tokens.select(col("source"), col("len_bucket"), col("tok"),
+      col("doc_id").as("doc_a"))
+    val b = tokens.select(col("source"), col("len_bucket"), col("tok"),
+      col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("source", "len_bucket", "tok"))
       .where(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
-      .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))).cast("long"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val counts = sized.select(col("doc_id"), col("n_toks"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_toks", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_toks", "n_b"), Seq("doc_b"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .where(col("inter") * den >= col("uni") * num)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
