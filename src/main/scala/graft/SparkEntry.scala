@@ -225,6 +225,11 @@ object SparkEntry {
     // (deterministic stub decoder; real plumbing)
     "ext_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s, Multimodal.asMedia(tbl(s, dir, "documents"))).toDF()),
+
+    // Multimodal frame sampling: one-to-many typed flatMap (the real
+    // video-extractor shape), arithmetic-replayable stub geometry
+    "ext_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.asMedia(tbl(s, dir, "documents")), everyN = 2).toDF()),
   )
 
   // ── DuckDB fragments mirroring TextFunctions bit-exactly ─────────
@@ -377,5 +382,9 @@ object SparkEntry {
         |  64 + (strlen(text) * 31) % 480 AS height,
         |  strlen(text) % 16 AS n_frames
         |FROM documents""".stripMargin,
+
+    "ext_multimodal_frames" ->
+      """SELECT doc_id, f AS frame_idx, f * 4096 AS byte_offset
+        |FROM documents, UNNEST(range(0, CAST(strlen(text) % 16 AS BIGINT), 2)) AS t(f)""".stripMargin,
   )
 }

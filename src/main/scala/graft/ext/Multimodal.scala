@@ -69,4 +69,30 @@ object Multimodal {
       rows.map(r => decoder.decode(r.doc_id, r.media))
     }
   }
+
+  final case class FrameRow(
+      doc_id: Long,
+      frame_idx: Long,
+      byte_offset: Long)
+
+  /** Frame sampling for video-shaped payloads: every `everyN`-th
+    * frame of each media row becomes its own output row (one-to-many
+    * through the typed boundary — the flatMap shape a real frame
+    * extractor has). Frame count and offsets come from the
+    * deterministic stub geometry (`n_frames = n_bytes % 16`,
+    * fixed-size frames), so an arithmetic oracle can replay the
+    * output exactly. */
+  def sampleFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      everyN: Int = 2): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(everyN > 0)
+    media.as[MediaRow].flatMap { r =>
+      val meta = FakeDecoder.decode(r.doc_id, r.media)
+      (0L until meta.n_frames by everyN.toLong).map { f =>
+        FrameRow(r.doc_id, f, f * 4096L) // fake fixed-size frames
+      }
+    }
+  }
 }

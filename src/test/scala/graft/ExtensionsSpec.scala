@@ -153,6 +153,32 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL registration exposes custom expressions to spark.sql") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS DOUBLE), 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+    val sig = spark.sql(
+      "SELECT minhash_sketch(h, 8) AS sig FROM (SELECT xxhash64(x) AS h FROM VALUES ('a'), ('b'), ('c') AS t(x))")
+      .head().getSeq[Long](0)
+    assert(sig.length == 8)
+  }
+
+  test("frame sampling emits every Nth frame with stub geometry") {
+    val media = Multimodal.asMedia(docs.limit(50))
+    val frames = Multimodal.sampleFrames(spark, media, everyN = 2).collect()
+    val metas = Multimodal.decodeMeta(spark, media).collect()
+      .map(m => m.doc_id -> m.n_frames).toMap
+    val byDoc = frames.groupBy(_.doc_id)
+    metas.foreach { case (id, n) =>
+      val expected = (0L until n by 2L).toSeq
+      val got = byDoc.getOrElse(id, Array.empty).map(_.frame_idx).sorted.toSeq
+      assert(got == expected, s"doc $id")
+    }
+    frames.foreach(f => assert(f.byte_offset == f.frame_idx * 4096))
+  }
+
   test("language-id picks argmax with fixed tie-break") {
     val df = Seq(
       (1L, "the cat and the dog is a pet"),

@@ -47,6 +47,33 @@ class MergeSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(trustedPath + "__prev")))
   }
 
+  test("partition-aware merge rewrites only affected partitions") {
+    val dir = Files.createTempDirectory("graft-pmerge").toString
+    val trustedPath = s"$dir/trusted"
+    val init = Seq(
+      ("a", 1, "p1"), ("b", 2, "p1"),
+      ("c", 3, "p2"),
+      ("d", 4, "p3")).toDF("sk", "v", "part")
+    MergeUpsert.mergeIntoPartitioned(spark, trustedPath, init, partitionCol = "part")
+
+    def fileOf(part: String) = {
+      val d = new java.io.File(s"$trustedPath/part=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    }
+    val p3FilesBefore = fileOf("p3")
+
+    // update touches p1 (replace b) and p2 (insert e); p3 untouched
+    val updates = Seq(("b", 20, "p1"), ("e", 50, "p2")).toDF("sk", "v", "part")
+    MergeUpsert.mergeIntoPartitioned(spark, trustedPath, updates, partitionCol = "part")
+
+    val out = spark.read.parquet(trustedPath)
+      .collect().map(r => (r.getAs[String]("sk"), r.getAs[Int]("v"))).toSet
+    assert(out == Set(("a", 1), ("b", 20), ("c", 3), ("e", 50), ("d", 4)))
+    // p3's physical files must be byte-identical survivors
+    assert(fileOf("p3") == p3FilesBefore, "untouched partition must not be rewritten")
+    assert(!Files.exists(java.nio.file.Paths.get(trustedPath + "__staging")))
+  }
+
   // K1 (cloud_utils.py:438-475): append accumulates
   test("K1 parquet append accumulates batches") {
     val dir = Files.createTempDirectory("graft-append").toString + "/work"
