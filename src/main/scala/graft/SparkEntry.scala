@@ -201,6 +201,13 @@ object SparkEntry {
     "ext_dedup_embedding" -> ((s, dir) =>
       DedupOps.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = 0.4)),
 
+    // LSH-bucketed embedding near-dup (sub-quadratic scale path;
+    // recall-tested on planted true near-dups in ScalaTest). planes=2
+    // here because the fixture's 0.4 threshold is a loose 66° cone —
+    // real dedup thresholds (≥0.9) support many more planes
+    "ext_dedup_embedding_lsh" -> ((s, dir) =>
+      SimilaritySearch.lshNearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.4, planes = 2)),
+
     // Brute-force cosine top-k (exact ANN baseline)
     "ext_ann_bruteforce" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")

@@ -55,6 +55,35 @@ object SimilaritySearch {
       .select(col("q_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** LSH-bucketed embedding NEAR-DUP pairs — the scale path for
+    * [[DedupOps.embeddingNearDup]]'s all-pairs baseline: vectors
+    * sharing a hyperplane bucket are compared exactly; others are
+    * never paired. Near-duplicate vectors (cosine ≈ 1) land in the
+    * same bucket with probability (1 − θ/π)^planes, so recall stays
+    * high exactly where a dedup threshold lives, while candidate
+    * count drops from O(n²) to Σ bucket². */
+  def lshNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      planes: Int = 8): DataFrame = {
+    val sig = VectorFunctions.hyperplaneSignature("embedding", planes)
+    val bucketed = embeddings
+      .withColumn("bucket", sig)
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** LSH-bucketed ANN: exact re-rank within the query's hyperplane
     * bucket. `planes` controls the bucket count (2^planes);
     * multi-probe (flipping each signature bit once) widens recall at

@@ -122,6 +122,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall $recall too low")
   }
 
+  test("LSH near-dup pairs find planted true near-duplicates") {
+    // The fixture corpus has no true near-dups (max cosine ~0.5), so
+    // plant some: 60 base vectors, 20 perturbed copies (cos > 0.99).
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val dups = base.take(20).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+
+    val exact = DedupOps.embeddingNearDup(df, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, "planting must create near-dup pairs")
+    val lsh = SimilaritySearch.lshNearDupPairs(df, 0.95, planes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "bucketing must not create false pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH near-dup recall $recall")
+  }
+
   test("IVF ANN beats LSH recall at comparable probe cost") {
     val q = embeddings.where(col("vec_id") < 5)
     val exact = SimilaritySearch.bruteForceTopK(q, embeddings, 10)
