@@ -13,10 +13,17 @@ import java.time.LocalDate
   * source location.
   */
 private[app] object Args {
-  def parse(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+  def parse(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"flags come in --key value pairs; got odd argument list: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--"), s"expected a --flag, got '$k'")
+        require(!v.startsWith("--"),
+          s"flag $k is missing a value (next token is '$v')")
+        k.drop(2) -> v
     }.toMap
+  }
 
   def req(m: Map[String, String], k: String): String =
     m.getOrElse(k, sys.error(s"missing required flag --$k"))

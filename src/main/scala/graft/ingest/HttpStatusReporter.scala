@@ -15,15 +15,8 @@ final class HttpStatusReporter(endpoint: String, timeout: Duration = Duration.of
 
   private lazy val client = HttpClient.newBuilder().connectTimeout(timeout).build()
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-
   def report(idRequest: String, process: String, value: String): Unit = {
+    import graft.core.Json.{escape => esc}
     val body =
       s"""{"id_request": "${esc(idRequest)}", "process": "${esc(process)}", "value": "${esc(value)}"}"""
     try {

@@ -67,7 +67,16 @@ final class IngestLoop[T](
             // restart from; otherwise back off and retry in place.
             val checkpoint = if (wroteAny) recover.flatMap(_.apply()) else None
             checkpoint match {
-              case Some(cp) => loop(replan(cp), 1, wroteAny)
+              case Some(cp) =>
+                // Back off, and reset wroteAny: if the replanned first
+                // interval also fails, the NEXT failures take the
+                // bounded sleep-retry path instead of replanning
+                // forever (the reference resets its write counter
+                // after a replan for the same reason —
+                // carga_date.py:209-211). A later successful write
+                // re-arms recovery.
+                sleep(sleepMillis)
+                loop(replan(cp), 1, wroteAny = false)
               case None =>
                 sleep(sleepMillis)
                 loop(remaining, attempt + 1, wroteAny)

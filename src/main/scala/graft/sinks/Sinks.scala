@@ -34,11 +34,13 @@ object ParquetAppend {
   * unique sk.
   *
   * Scale posture (100 TB): the only shuffle is the anti-join on sk.
-  * When `updates` is small relative to `trusted` (the common
-  * incremental case) we broadcast it, turning the anti-join into a
-  * shuffle-free map-side filter over the trusted scan; otherwise AQE
-  * plans a shuffled hash join. `broadcastUpdates = None` → decide by
-  * row-count estimate against the session's autoBroadcast threshold.
+  * By default no join hint is given — AQE picks a broadcast anti-join
+  * at runtime when the update batch is small (the common incremental
+  * case: shuffle-free map-side filter over the trusted scan) and a
+  * shuffled hash join when it isn't (a full-resync promote where
+  * `updates` IS the dataset — force-broadcasting that would OOM the
+  * cluster). Set `broadcastUpdates = true` only when the caller
+  * KNOWS the batch is small and wants to skip AQE's first shuffle.
   */
 object MergeUpsert {
 
@@ -47,7 +49,7 @@ object MergeUpsert {
       trusted: DataFrame,
       updates: DataFrame,
       key: String = "sk",
-      broadcastUpdates: Boolean = true): DataFrame = {
+      broadcastUpdates: Boolean = false): DataFrame = {
     val upd = if (broadcastUpdates) broadcast(updates) else updates
     trusted
       .join(upd.select(col(key)), Seq(key), "left_anti")
@@ -81,6 +83,13 @@ object MergeUpsert {
     val storage = LakeStorage(spark)
     val fs = new Path(trustedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(trustedPath + "__staging")
+    // Aside-copies live in a SIBLING root, never inside the table —
+    // a leftover inside the table directory would be discovered as a
+    // bogus partition by every subsequent read.
+    val prevRoot = new Path(trustedPath + "__prev")
+
+    recoverPartitionSwap(fs, new Path(trustedPath), staging, prevRoot)
 
     if (!storage.exists(trustedPath)) {
       updates.write.partitionBy(partitionCol).parquet(trustedPath)
@@ -89,29 +98,56 @@ object MergeUpsert {
 
     val affected = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    require(!affected.contains(null),
+      s"null $partitionCol in update batch: partitioned merge requires non-null partition values")
     if (affected.isEmpty) return
 
     val trustedAffected = spark.read.parquet(trustedPath)
       .where(col(partitionCol).isin(affected: _*)) // partition pruning
     val mergedRows = merged(trustedAffected, updates, key)
 
-    val staging = new Path(trustedPath + "__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     mergedRows.write.partitionBy(partitionCol).parquet(staging.toString)
 
+    if (fs.exists(prevRoot)) fs.delete(prevRoot, true)
+    fs.mkdirs(prevRoot)
     affected.foreach { v =>
-      val dir = s"$partitionCol=$v"
+      // Hive-escapes the value exactly as the parquet writer did —
+      // spaces/colons/slashes in partition values map to %xx on disk.
+      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partitionCol, v.toString)
       val src = new Path(staging, dir)
       val dst = new Path(trustedPath, dir)
-      val prev = new Path(trustedPath, dir + "__prev")
-      if (fs.exists(prev)) fs.delete(prev, true)
+      val prev = new Path(prevRoot, dir)
       if (fs.exists(dst) && !fs.rename(dst, prev))
         sys.error(s"partition swap failed: could not move $dst aside")
       if (!fs.rename(src, dst))
         sys.error(s"partition swap failed: could not promote $src")
-      if (fs.exists(prev)) fs.delete(prev, true)
     }
+    fs.delete(prevRoot, true)
     fs.delete(staging, true)
+    ()
+  }
+
+  /** Crash recovery for the per-partition swap: any partition present
+    * in the aside root but missing from the table is restored; then
+    * leftover staging/aside roots are dropped. (A partition present
+    * in BOTH places means the promote completed — the aside copy is
+    * stale and deleted with its root.) */
+  private[sinks] def recoverPartitionSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, staging: Path, prevRoot: Path): Unit = {
+    if (fs.exists(prevRoot)) {
+      fs.listStatus(prevRoot).foreach { st =>
+        val dst = new Path(target, st.getPath.getName)
+        if (!fs.exists(dst)) {
+          if (!fs.rename(st.getPath, dst))
+            sys.error(s"partition recovery failed: could not restore ${st.getPath}")
+        }
+      }
+      fs.delete(prevRoot, true)
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
     ()
   }
 
@@ -119,22 +155,27 @@ object MergeUpsert {
     *
     * Atomicity protocol (SURVEY.md §7.5 #3): write the merged result
     * to `<trusted>__staging`, then swap via two renames with the old
-    * data preserved at `<trusted>__prev` until the swap completes —
-    * a crash between the renames leaves either the old or the new
-    * directory recoverable, never a half-written table.
+    * data preserved at `<trusted>__prev` until the swap completes.
+    * Every call starts with [[recoverSwap]], which finishes or rolls
+    * back an interrupted swap — so a crash at any rename boundary
+    * leaves the table recoverable and the NEXT merge sees a complete
+    * table, never an empty target that would make it mistake the
+    * update batch for the whole dataset.
     */
   def mergeInto(
       spark: SparkSession,
       trustedPath: String,
       updates: DataFrame,
       key: String = "sk",
-      broadcastUpdates: Boolean = true): Unit = {
+      broadcastUpdates: Boolean = false): Unit = {
     val storage = LakeStorage(spark)
     val fs = new Path(trustedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(trustedPath + "__staging")
     val prev = new Path(trustedPath + "__prev")
     val target = new Path(trustedPath)
+
+    recoverSwap(fs, target, staging, prev)
 
     val result =
       if (storage.exists(trustedPath)) {
@@ -153,5 +194,36 @@ object MergeUpsert {
     if (!fs.rename(staging, target))
       sys.error(s"merge swap failed: could not promote $staging")
     if (fs.exists(prev)) fs.delete(prev, true)
+  }
+
+  /** Crash recovery for the write-then-swap protocol. Interrupted
+    * states and their resolutions:
+    *  - target missing, staging present (crashed between the two
+    *    renames, or before the first): the staging result was fully
+    *    written (parquet commit protocol), so complete the swap;
+    *  - target missing, no staging, prev present (staging was already
+    *    promoted away or lost): roll back to the old table;
+    *  - target present: last swap completed — drop leftovers.
+    */
+  private[sinks] def recoverSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, staging: Path, prev: Path): Unit = {
+    // _SUCCESS gates the promote: a staging dir without the commit
+    // marker is a half-written bootstrap write, not a swap candidate.
+    def stagingCommitted = fs.exists(new Path(staging, "_SUCCESS"))
+    if (!fs.exists(target)) {
+      if (fs.exists(staging) && stagingCommitted) {
+        if (!fs.rename(staging, target))
+          sys.error(s"merge recovery failed: could not promote $staging")
+        if (fs.exists(prev)) fs.delete(prev, true)
+      } else if (fs.exists(prev)) {
+        if (fs.exists(staging)) fs.delete(staging, true)
+        if (!fs.rename(prev, target))
+          sys.error(s"merge recovery failed: could not restore $prev")
+      }
+    } else if (fs.exists(prev)) {
+      fs.delete(prev, true)
+    }
+    ()
   }
 }

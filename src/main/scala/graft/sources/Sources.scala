@@ -42,7 +42,9 @@ final case class JdbcSource(url: String, user: String, password: String, driver:
     s"(select * from $dataset where $pc >= ${lit(start)} and $pc < ${lit(end)}) subs"
   }
 
-  def readQuery(spark: SparkSession, query: String, numPartitions: Int = 1): DataFrame =
+  /** Single-partition read of a pushed subquery (the reference's
+    * shape); use [[readChunksParallel]] for parallel pulls. */
+  def readQuery(spark: SparkSession, query: String): DataFrame =
     reader(spark).option("dbtable", query).load()
 
   def readRange(spark: SparkSession, dataset: String, pc: String, start: String, end: String): DataFrame =

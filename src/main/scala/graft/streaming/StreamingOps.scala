@@ -21,22 +21,30 @@ object StreamingOps {
 
   /** Streaming variant of the promote transform chain: T1 sk →
     * T2 ingest timestamp → T3 quality repair → watermarked streaming
-    * dedup on sk. `dropDuplicates` over a watermarked column keeps
-    * per-key state only within the watermark horizon — bounded state
-    * at any throughput. */
+    * dedup on sk.
+    *
+    * The watermark MUST ride on a real event-time column from the
+    * data (`eventTimeCol`) — watermarking on the batch-constant
+    * ingest stamp would pin the watermark forever and grow dedup
+    * state without bound. `dropDuplicatesWithinWatermark` then keeps
+    * per-sk state only inside the watermark horizon: bounded state at
+    * any throughput. The ingest stamp itself uses
+    * `current_timestamp()` (evaluated per micro-batch, the streaming
+    * analog of the reference's per-batch wall-clock literal) rather
+    * than the injectable batch clock, which is fixed at plan time. */
   def streamingPromote(
       stream: DataFrame,
       skIds: Seq[String],
+      eventTimeCol: String,
       hyphen: Boolean = false,
-      clock: Clock = Clock.System,
-      watermarkCol: String = IngestTimestamp.ColumnName,
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val withSk = SurrogateKey.addSk(stream, skIds, hyphen)
-    val stamped = IngestTimestamp.add(withSk, clock)
+    val stamped = withSk.withColumn(IngestTimestamp.ColumnName,
+      date_trunc("second", current_timestamp()))
     val repaired = DateQuality.repair(stamped)
     repaired
-      .withWatermark(watermarkCol, watermarkDelay)
-      .dropDuplicates("sk", watermarkCol)
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("sk")
   }
 
   /** Event-time windowed aggregation with late-data handling:

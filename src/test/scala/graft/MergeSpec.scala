@@ -47,6 +47,66 @@ class MergeSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(trustedPath + "__prev")))
   }
 
+  test("swap recovery: a crash between the renames does not lose the table") {
+    val dir = Files.createTempDirectory("graft-crash").toString
+    val trustedPath = s"$dir/trusted"
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("a", 1), ("b", 2)).toDF("sk", "v"))
+    // simulate a crash after `rename(target, prev)`: table gone,
+    // only the aside copy remains
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(trustedPath),
+      java.nio.file.Paths.get(trustedPath + "__prev"))
+    // next merge must restore the old table first — NOT treat the
+    // update batch as the whole dataset
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("b", 20), ("c", 30)).toDF("sk", "v"))
+    assert(collectAll(trustedPath) == Set(("a", 1), ("b", 20), ("c", 30)))
+  }
+
+  test("swap recovery: a committed staging dir is promoted, a half-written one discarded") {
+    val dir = Files.createTempDirectory("graft-crash2").toString
+    val trustedPath = s"$dir/trusted"
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("a", 1)).toDF("sk", "v"))
+    // crash after staging write + target moved aside, before promote
+    Seq(("a", 1), ("z", 9)).toDF("sk", "v").write.parquet(trustedPath + "__staging")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(trustedPath),
+      java.nio.file.Paths.get(trustedPath + "__prev"))
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("b", 2)).toDF("sk", "v"))
+    // staged (committed) result was completed, then the new batch merged
+    assert(collectAll(trustedPath) == Set(("a", 1), ("z", 9), ("b", 2)))
+  }
+
+  test("partition swap recovery restores a partition stranded in the aside root") {
+    val dir = Files.createTempDirectory("graft-pcrash").toString
+    val trustedPath = s"$dir/trusted"
+    val init = Seq(("a", 1, "p1"), ("b", 2, "p2")).toDF("sk", "v", "part")
+    MergeUpsert.mergeIntoPartitioned(spark, trustedPath, init, partitionCol = "part")
+    // simulate a crash mid-swap: p2 moved aside, never promoted
+    val prevRoot = java.nio.file.Paths.get(trustedPath + "__prev")
+    java.nio.file.Files.createDirectories(prevRoot)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$trustedPath/part=p2"),
+      prevRoot.resolve("part=p2"))
+    MergeUpsert.mergeIntoPartitioned(spark, trustedPath,
+      Seq(("a", 10, "p1")).toDF("sk", "v", "part"), partitionCol = "part")
+    val out = spark.read.parquet(trustedPath)
+      .collect().map(r => (r.getAs[String]("sk"), r.getAs[Int]("v"))).toSet
+    assert(out == Set(("a", 10), ("b", 2)))
+    assert(!Files.exists(prevRoot))
+  }
+
+  test("partitioned merge hive-escapes partition values") {
+    val dir = Files.createTempDirectory("graft-pesc").toString
+    val trustedPath = s"$dir/trusted"
+    val init = Seq(("a", 1, "2024-01-01 00:00:00")).toDF("sk", "v", "part")
+    MergeUpsert.mergeIntoPartitioned(spark, trustedPath, init, partitionCol = "part")
+    MergeUpsert.mergeIntoPartitioned(spark, trustedPath,
+      Seq(("a", 5, "2024-01-01 00:00:00")).toDF("sk", "v", "part"), partitionCol = "part")
+    val out = spark.read.parquet(trustedPath)
+      .collect().map(r => (r.getAs[String]("sk"), r.getAs[Int]("v"))).toSet
+    assert(out == Set(("a", 5)))
+  }
+
   test("partition-aware merge rewrites only affected partitions") {
     val dir = Files.createTempDirectory("graft-pmerge").toString
     val trustedPath = s"$dir/trusted"

@@ -42,7 +42,7 @@ class StreamingSpec extends AnyFunSuite {
       ev(1, "2024-01-01 00:01:00", 1, "click", 1.0), // exact dup in-batch
       ev(2, "2024-01-01 00:02:00", 2, "view", 2.0))
     val q = StreamingOps.streamingPromote(
-      input.toDF(), skIds = Seq("event_id"), clock = Clock.ForOracle)
+      input.toDF(), skIds = Seq("event_id"), eventTimeCol = "ts")
       .writeStream.format("memory").queryName("spromote")
       .outputMode(OutputMode.Append()).start()
     try {

@@ -34,9 +34,17 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name in sorted(os.listdir(out_dir)):
+    # The manifest lists EVERY declared query — a query that crashed in
+    # Verify (no result dir) must fail here, not be silently skipped.
+    manifest_path = f"{out_dir}/_manifest.json"
+    expected = sorted(json.load(open(manifest_path))) if os.path.exists(
+        manifest_path) else sorted(
+        n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n)))
+    for name in expected:
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            print(f"FAIL {name}: query produced no result directory")
+            n_fail += 1
             continue
         try:
             got = canon(con, f"SELECT * FROM '{d}/*.parquet'")
