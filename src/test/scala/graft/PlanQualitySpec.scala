@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-readiness regression tests: the physical plans the engine
+  * promises (SURVEY.md §4, README design principles) — filters
+  * reaching the parquet scan, column pruning, whole-stage codegen —
+  * asserted so a refactor can't silently regress them.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // materialize so AQE's FINAL plan (with codegen spans) is inspectable
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("d1: range predicate is pushed into the parquet scan") {
+    val plan = planOf("d1_ranged_extract")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual"),
+      s"filters must reach the scan:\n$plan")
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.tbl(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .where(col("l_quantity") > 30)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan must read only the two projected columns:\n$plan")
+  }
+
+  test("d1 executes inside whole-stage codegen") {
+    // the '*(n)' prefix marks WholeStageCodegen spans in plan strings
+    val plan = planOf("d1_ranged_extract")
+    assert(plan.contains("*(1)"), s"no codegen span found:\n$plan")
+  }
+
+  test("d7 promote shuffles exactly once (hash partition on sk)") {
+    val plan = planOf("d7_promote")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"promote should shuffle exactly once (on sk):\n$plan")
+  }
+
+  test("deterministic dedup limits rows map-side before the shuffle") {
+    val plan = planOf("d5_dedup_deterministic")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown (partial WindowGroupLimit) missing:\n$plan")
+  }
+
+  test("exact dedup aggregates map-side before the shuffle") {
+    val plan = planOf("ext_dedup_exact")
+    // partial aggregation appears as two HashAggregate nodes around
+    // the exchange
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 2, s"expected partial+final hash aggregation:\n$plan")
+  }
+}

@@ -1,6 +1,5 @@
 package graft
 
-import graft.core.Clock
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Event
 import java.sql.Timestamp
