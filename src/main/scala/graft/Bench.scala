@@ -21,9 +21,42 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => graft.core.Json.quote(k) + ":" + v }
+    // BASELINE.md protocol items (a)+(b): full chunked ingest of
+    // lineitem into WORK staging, then promote T1-T5 + K2 merge.
+    val flowTimes: Seq[(String, Double)] = {
+      import graft.app.ResyncJob
+      import graft.core.{Clock, DatasetRef, LakePaths}
+      val lake = LakePaths(
+        java.nio.file.Files.createTempDirectory("graft-bench-lake").toString)
+      val ref = DatasetRef("bench", "tpch", "lineitem")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime()
+        try { f; (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] flow failed: ${e.getMessage}"); -1.0
+        }
+      }
+      val rows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val ingest = timed {
+        ResyncJob.runInt(
+          spark,
+          ResyncJob.MongoRanged(graft.sources.MongoLikeSource(s"$sfDir/lineitem.parquet")),
+          pc = "l_orderkey", ref = ref, lake = lake,
+          cliEnd = Some(spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .agg(org.apache.spark.sql.functions.max("l_orderkey")).head().getLong(0)),
+          estimatedRows = rows, withRecovery = false, sleep = _ => ())
+      }
+      val promote = timed {
+        ResyncJob.promote(spark, ref, lake,
+          skIds = Seq("l_orderkey", "l_linenumber"), hyphen = true,
+          clock = Clock.ForOracle)
+      }
+      Seq("flow_ingest_lineitem" -> ingest, "flow_promote_merge" -> promote)
+    }
+    val all = results ++ flowTimes
+    val qs = all.map { case (k, v) => graft.core.Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = all.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -76,9 +76,12 @@ object CargaInt {
 object CargaMongoDate {
   def main(args: Array[String]): Unit = {
     val m = Args.parse(args)
+    val spark = Common.spark()
+    val schema = ResyncJob.resolveSchema(
+      spark, Common.lake(m), Common.ref(m), m.get("schema_registry_dir"))
     ResyncJob.runDate(
-      Common.spark(),
-      ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path"))),
+      spark,
+      ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path")), schema),
       pc = Args.req(m, "partition_column"),
       ref = Common.ref(m), lake = Common.lake(m),
       cliStart = m.get("start_date").map(LocalDate.parse),
@@ -92,9 +95,12 @@ object CargaMongoDate {
 object CargaMongoInt {
   def main(args: Array[String]): Unit = {
     val m = Args.parse(args)
+    val spark = Common.spark()
+    val schema = ResyncJob.resolveSchema(
+      spark, Common.lake(m), Common.ref(m), m.get("schema_registry_dir"))
     ResyncJob.runInt(
-      Common.spark(),
-      ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path"))),
+      spark,
+      ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path")), schema),
       pc = Args.req(m, "partition_column"),
       ref = Common.ref(m), lake = Common.lake(m),
       cliStart = m.get("start_id").map(_.toLong),

@@ -45,13 +45,34 @@ object ResyncJob {
 
   /** Document-store semantics over the parquet-backed source: the
     * inclusive upper bound is `endExcl` itself (P6 already extended
-    * it), reproducing the reference's boundary overlap. */
-  final case class MongoRanged(src: MongoLikeSource) extends RangedSource {
+    * it), reproducing the reference's boundary overlap.
+    *
+    * `schema` carries the §1.4 three-tier resolution result (the
+    * reference resolves it BEFORE boundary queries,
+    * `mongodb_carga_date.py:102-110`): when present, inference is
+    * disabled on every ranged read — at 100 TB an inference pass is a
+    * full extra collection scan. */
+  final case class MongoRanged(
+      src: MongoLikeSource,
+      schema: Option[org.apache.spark.sql.types.StructType] = None) extends RangedSource {
     def readRange(spark: SparkSession, pc: String, startIncl: String, endExcl: String): DataFrame =
-      src.readRange(spark, pc, startIncl, endExcl)
+      src.readRange(spark, pc, startIncl, endExcl, schema)
     def minValue(spark: SparkSession, pc: String): Any = src.minValue(spark, pc)
     def maxIntWithMargin(spark: SparkSession, pc: String): Long =
       src.maxIntWithMargin(spark, pc)
+  }
+
+  /** §1.4 resolution for the document flows: registry file → existing
+    * trusted schema → None (infer). */
+  def resolveSchema(
+      spark: SparkSession,
+      lake: LakePaths,
+      ref: DatasetRef,
+      registryDir: Option[String]): Option[org.apache.spark.sql.types.StructType] = {
+    val tiers = registryDir.map(graft.schema.JsonFileRegistry).toSeq :+
+      graft.schema.ExistingTableRegistry(spark,
+        (ns, ds) => lake.trusted(ref.copy(namespace = ns, dataset = ds)))
+    graft.schema.ChainedRegistry(tiers: _*).resolve(ref.namespace, ref.dataset)
   }
 
   /** Date-partitioned resync (carga_date flow, steps §3.1 1-9). */
