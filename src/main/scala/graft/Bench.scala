@@ -36,14 +36,17 @@ object Bench {
             System.err.println(s"[bench] flow failed: ${e.getMessage}"); -1.0
         }
       }
-      val rows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val stats = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.max("l_orderkey")).head()
+      val (rows, maxKey) = (stats.getLong(0), stats.getLong(1))
       val ingest = timed {
         ResyncJob.runInt(
           spark,
           ResyncJob.MongoRanged(graft.sources.MongoLikeSource(s"$sfDir/lineitem.parquet")),
           pc = "l_orderkey", ref = ref, lake = lake,
-          cliEnd = Some(spark.read.parquet(s"$sfDir/lineitem.parquet")
-            .agg(org.apache.spark.sql.functions.max("l_orderkey")).head().getLong(0)),
+          cliEnd = Some(maxKey),
           estimatedRows = rows, withRecovery = false, sleep = _ => ())
       }
       val promote = timed {

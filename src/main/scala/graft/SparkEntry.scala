@@ -127,14 +127,8 @@ object SparkEntry {
         .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"),
           count(lit(1)).as("n"))
         .head()
-      def toDate(v: Any): java.time.LocalDate = v match {
-        case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
-        case d: java.time.LocalDateTime => d.toLocalDate
-        case i: java.time.Instant => i.atZone(java.time.ZoneOffset.UTC).toLocalDate
-        case d: java.sql.Date => d.toLocalDate
-        case d: java.time.LocalDate => d
-      }
-      val (mn, mx, n) = (toDate(row.get(0)), toDate(row.get(1)), row.getLong(2))
+      import graft.core.Coerce.toLocalDate
+      val (mn, mx, n) = (toLocalDate(row.get(0)), toLocalDate(row.get(1)), row.getLong(2))
       val span = ChronoUnit.DAYS.between(mn, mx)
       val width = ChunkWidth.dateChunkDays(n, span)
       val chunks = Intervals.dates(mn, mx, width).map(Intervals.halfOpenDates)

@@ -190,19 +190,6 @@ object ResyncJob {
     MergeUpsert.mergeInto(spark, lake.trusted(ref), curated) // K2
   }
 
-  private def toLocalDate(v: Any): LocalDate = v match {
-    case d: LocalDate => d
-    case d: java.sql.Date => d.toLocalDate
-    case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
-    case t: java.time.LocalDateTime => t.toLocalDate
-    case t: java.time.Instant => t.atZone(java.time.ZoneOffset.UTC).toLocalDate
-    case s: String => LocalDate.parse(s.take(10))
-    case other => sys.error(s"cannot read a date boundary from $other")
-  }
-
-  private def toLong(v: Any): Long = v match {
-    case n: Number => n.longValue()
-    case s: String => s.trim.toLong // reference's str→int coercion (load_utils.py:509-515)
-    case other => sys.error(s"cannot read an int boundary from $other")
-  }
+  private def toLocalDate(v: Any): LocalDate = graft.core.Coerce.toLocalDate(v)
+  private def toLong(v: Any): Long = graft.core.Coerce.toLong(v)
 }

@@ -113,8 +113,9 @@ object SimilaritySearch {
       .select(col("q_id"), col("neighbor_id"), col("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .select(col("q_id"), col("neighbor_id"), col("cos")).distinct()
+    // distinct: multi-probe can surface the same (query, neighbor)
+    // pair from several probed buckets
+    scored.distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("rank"))

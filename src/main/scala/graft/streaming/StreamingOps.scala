@@ -1,10 +1,9 @@
 package graft.streaming
 
-import graft.core.Clock
 import graft.operators.{DateQuality, IngestTimestamp, SurrogateKey}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming surface (SURVEY.md §2.8 notes the reference
   * has NO streaming — `timestamp_kafka` only nods at an upstream CDC
