@@ -181,6 +181,14 @@ object SparkEntry {
     "ext_dedup_ngram" -> ((s, dir) =>
       DedupOps.ngramJaccard(tbl(s, dir, "documents"), numOverDen = (1, 3))),
 
+    // Near-dup clustering: connected components over the (oracle-
+    // checked) ngram pair list via min-label propagation; oracle is a
+    // recursive CTE computing true components
+    "ext_dedup_clusters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      DedupClusters.clusters(docs, DedupOps.ngramJaccard(docs, numOverDen = (1, 3)))
+    }),
+
     // MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify);
     // hash-seeded, not SQL-expressible → rows-only gate + ScalaTest
     // recall check vs exact Jaccard
@@ -358,6 +366,28 @@ object SparkEntry {
          |  AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.toks, b.toks)) * 3
          |   >= len(list_distinct(list_concat(a.toks, b.toks))) * 1""".stripMargin,
+
+    "ext_dedup_clusters" ->
+      s"""WITH RECURSIVE prep AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+         |    list_distinct($wordsSql) AS toks
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM prep a JOIN prep b
+         |    ON a.source = b.source AND a.len_bucket = b.len_bucket
+         |    AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.toks, b.toks)) * 3
+         |     >= len(list_distinct(list_concat(a.toks, b.toks))) * 1),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS root FROM documents
+         |  UNION
+         |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node)
+         |SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node""".stripMargin,
 
     "ext_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING: turns a pair list (from any of the
+  * near-dup detectors) into connected components, so a pipeline can
+  * keep exactly one representative per duplicate cluster — the final
+  * step of corpus dedup.
+  *
+  * Algorithm: min-label propagation. Every node starts labeled with
+  * its own id; each round every node takes the minimum label among
+  * itself and its neighbors; at fixpoint the label is the component's
+  * minimum id. Each round is one join + one aggregation — the
+  * standard Spark-native connected-components shape (no graph
+  * library needed). Label values only decrease, so `maxIterations`
+  * rounds are exact for any component whose graph diameter is below
+  * that; near-dup clusters are overwhelmingly small cliques
+  * (diameter 1-2), and the convergence check stops early when a
+  * round changes nothing.
+  *
+  * Scale posture: each round shuffles (edges ⋈ labels) — both keyed
+  * by node id, hash-uniform. The edge list is the pairs output,
+  * which dedup thresholds keep tiny relative to the corpus.
+  */
+object DedupClusters {
+
+  /** (doc_id, cluster_id) for every node of `nodes`; nodes that
+    * appear in no pair are their own singleton cluster.
+    *
+    * `pairs` must have two id columns (`aCol`, `bCol`). */
+  def clusters(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIterations: Int = 10): DataFrame = {
+    // symmetric edge list, cached: reused every round
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+
+    var labels = nodes.select(col(idCol).as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (i < maxIterations && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels
+        .join(neighborMin, Seq("node"), "left")
+        .withColumn("new_label", least(col("label"), coalesce(col("nbr_label"), col("label"))))
+        .select(col("node"), col("new_label").as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .where(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Corpus dedup, end to end: near-dup pairs → clusters → keep the
+    * min-id document of every cluster. `pairs` from any detector
+    * (MinHashLSH, SimHash, ngram, embedding). */
+  def keepOnePerCluster(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters(docs, pairs, idCol)
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col(idCol))
+    docs.join(cl, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "cluster_id")
+  }
+}

@@ -122,6 +122,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall $recall too low")
   }
 
+  test("cluster labels propagate transitively and keep singletons") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = DedupClusters.clusters(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("keepOnePerCluster collapses planted near-dup clusters") {
+    val pairs = MinHashLSH.nearDupPairs(docs, jaccard = (1, 3))
+    val nPairs = pairs.count()
+    assert(nPairs > 0)
+    val kept = DedupClusters.keepOnePerCluster(docs, pairs)
+    // each pair collapses its cluster; kept = docs - (clusterSize-1) per cluster
+    assert(kept.count() < docs.count())
+    assert(kept.count() >= docs.count() - 2 * nPairs)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("LSH near-dup pairs find planted true near-duplicates") {
     // The fixture corpus has no true near-dups (max cosine ~0.5), so
     // plant some: 60 base vectors, 20 perturbed copies (cos > 0.99).
