@@ -186,7 +186,10 @@ object SparkEntry {
     // recursive CTE computing true components
     "ext_dedup_clusters" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      DedupClusters.clusters(docs, DedupOps.ngramJaccard(docs, numOverDen = (1, 3)))
+      // driver union-find + broadcast labels: pairs ≪ corpus here (and
+      // in any sane dedup run); exact for any graph diameter, where
+      // the iterative propagation pays O(diameter) shuffle rounds
+      DedupClusters.clustersLocal(docs, DedupOps.ngramJaccard(docs, numOverDen = (1, 3)))
     }),
 
     // MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify);

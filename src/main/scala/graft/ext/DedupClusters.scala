@@ -70,6 +70,55 @@ object DedupClusters {
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Exact connected components with the pair list collected to the
+    * driver (union-find with path compression, min-id
+    * representative), labels broadcast back.
+    *
+    * This is the right tool when pairs ≪ corpus — the normal dedup
+    * regime: a duplicate-pair list is bounded by the duplicate rate,
+    * not the corpus size, so even a 100 TB corpus with 1% near-dups
+    * yields a driver-manageable pair list. One shuffle-free broadcast
+    * join replaces O(diameter) iterative shuffle rounds (the
+    * distributed [[clusters]] above stays for adversarial pair sets
+    * too large to collect). Exact for any graph shape — no diameter
+    * bound.
+    */
+  def clustersLocal(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val edgeList = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min-id root ⇒ cluster_id = component minimum, matching
+        // the label-propagation fixpoint
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = parent.keys.map(n => (n, find(n))).toSeq
+
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val labelDf = broadcast(labels.toDF(idCol, "__cl"))
+    nodes.select(col(idCol))
+      .join(labelDf, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__cl"), col(idCol)).as("cluster_id"))
+  }
+
   /** Corpus dedup, end to end: near-dup pairs → clusters → keep the
     * min-id document of every cluster. `pairs` from any detector
     * (MinHashLSH, SimHash, ngram, embedding). */

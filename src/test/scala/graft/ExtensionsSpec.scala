@@ -122,12 +122,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall $recall too low")
   }
 
+  test("exactKeepRows keeps the full min-id row per fingerprint") {
+    val df = Seq(
+      (2L, "same  text", "x"),
+      (1L, "same text", "y"), // same canonical form, lower id wins
+      (3L, "other", "z")
+    ).toDF("doc_id", "text", "extra")
+    val out = DedupOps.exactKeepRows(df).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("extra"))).toSet
+    assert(out == Set((1L, "y"), (3L, "z")))
+  }
+
   test("cluster labels propagate transitively and keep singletons") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
-    val out = DedupClusters.clusters(nodes, pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+    val dist = DedupClusters.clusters(nodes, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    assert(dist == expected)
+    val local = DedupClusters.clustersLocal(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
+  }
+
+  test("local and distributed clustering agree on a real pair graph") {
+    val pairs = DedupOps.ngramJaccard(docs, numOverDen = (1, 3))
+    val a = DedupClusters.clusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = DedupClusters.clustersLocal(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
   }
 
   test("keepOnePerCluster collapses planted near-dup clusters") {
