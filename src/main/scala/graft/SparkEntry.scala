@@ -149,6 +149,36 @@ object SparkEntry {
         .select(orders.columns.map(col).toSeq: _*)
     }),
 
+    // ── general analytics capability demos ──────────────────────────
+    // (the reference never joins/groups/sorts — SURVEY.md §2.8 — but
+    // the engine naturally supports the classic shapes; sums use
+    // DECIMAL so aggregation order can't break cross-engine equality)
+
+    // grouped event-time bucketing (batch analog of the streaming
+    // windowed aggregation)
+    "cap_events_hourly" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("total"))),
+
+    // top-k with a total order (sort + limit)
+    "cap_top_orders" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // broadcast dimension join + grouped aggregation
+    "cap_segment_revenue" -> ((s, dir) => {
+      val cust = broadcast(tbl(s, dir, "customer"))
+      tbl(s, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).as("revenue"))
+    }),
+
     // ── §7.4 training-data pipeline extensions ──────────────────────
 
     // Text analysis: sizes, token counts, punctuation, fingerprints
@@ -310,6 +340,21 @@ object SparkEntry {
          |UNION ALL SELECT * FROM u""".stripMargin,
 
     "d9_chunk_invariance" -> "SELECT * FROM orders",
+
+    "cap_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cap_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "cap_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "ext_text_stats" ->
       s"""SELECT doc_id,
