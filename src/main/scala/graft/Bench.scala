@@ -26,8 +26,8 @@ object Bench {
     val flowTimes: Seq[(String, Double)] = {
       import graft.app.ResyncJob
       import graft.core.{Clock, DatasetRef, LakePaths}
-      val lake = LakePaths(
-        java.nio.file.Files.createTempDirectory("graft-bench-lake").toString)
+      val lakeRoot = java.nio.file.Files.createTempDirectory("graft-bench-lake")
+      val lake = LakePaths(lakeRoot.toString)
       val ref = DatasetRef("bench", "tpch", "lineitem")
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime()
@@ -54,6 +54,9 @@ object Bench {
           skIds = Seq("l_orderkey", "l_linenumber"), hyphen = true,
           clock = Clock.ForOracle)
       }
+      // repeated bench runs must not accumulate staged copies in /tmp
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(lakeRoot.toString)
       Seq("flow_ingest_lineitem" -> ingest, "flow_promote_merge" -> promote)
     }
     val all = results ++ flowTimes

@@ -294,6 +294,29 @@ object SparkEntry {
        |    w -> length(w) * ascii(substring(w, 1, 1))),
        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
+  /** Shared ngram-Jaccard pair CTEs — used by both the ext_dedup_ngram
+    * oracle and the ext_dedup_clusters oracle (the Spark side shares
+    * DedupOps.ngramJaccard the same way; two hand-kept SQL copies
+    * would drift). The `uni > 0` guard mirrors the token-join
+    * engine formulation, which can never pair two zero-token docs
+    * (0 ≥ 0 would otherwise pass the threshold in SQL). */
+  private val ngramPairCtes =
+    s"""prep AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+       |    list_distinct($wordsSql) AS toks
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.toks, b.toks)) AS inter,
+       |    len(list_distinct(list_concat(a.toks, b.toks))) AS uni
+       |  FROM prep a JOIN prep b
+       |    ON a.source = b.source AND a.len_bucket = b.len_bucket
+       |    AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.toks, b.toks)) * 3
+       |     >= len(list_distinct(list_concat(a.toks, b.toks))) * 1
+       |    AND len(list_distinct(list_concat(a.toks, b.toks))) > 0)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -401,33 +424,11 @@ object SparkEntry {
          |GROUP BY fp""".stripMargin,
 
     "ext_dedup_ngram" ->
-      s"""WITH prep AS (
-         |  SELECT doc_id, source,
-         |    CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
-         |    list_distinct($wordsSql) AS toks
-         |  FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  len(list_intersect(a.toks, b.toks)) AS inter,
-         |  len(list_distinct(list_concat(a.toks, b.toks))) AS uni
-         |FROM prep a JOIN prep b
-         |  ON a.source = b.source AND a.len_bucket = b.len_bucket
-         |  AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.toks, b.toks)) * 3
-         |   >= len(list_distinct(list_concat(a.toks, b.toks))) * 1""".stripMargin,
+      s"""WITH $ngramPairCtes
+         |SELECT doc_a, doc_b, inter, uni FROM pairs""".stripMargin,
 
     "ext_dedup_clusters" ->
-      s"""WITH RECURSIVE prep AS (
-         |  SELECT doc_id, source,
-         |    CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
-         |    list_distinct($wordsSql) AS toks
-         |  FROM documents),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM prep a JOIN prep b
-         |    ON a.source = b.source AND a.len_bucket = b.len_bucket
-         |    AND a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.toks, b.toks)) * 3
-         |     >= len(list_distinct(list_concat(a.toks, b.toks))) * 1),
+      s"""WITH RECURSIVE $ngramPairCtes,
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),

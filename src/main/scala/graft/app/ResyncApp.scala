@@ -57,9 +57,9 @@ object ResyncJob {
       schema: Option[org.apache.spark.sql.types.StructType] = None) extends RangedSource {
     def readRange(spark: SparkSession, pc: String, startIncl: String, endExcl: String): DataFrame =
       src.readRange(spark, pc, startIncl, endExcl, schema)
-    def minValue(spark: SparkSession, pc: String): Any = src.minValue(spark, pc)
+    def minValue(spark: SparkSession, pc: String): Any = src.minValue(spark, pc, schema)
     def maxIntWithMargin(spark: SparkSession, pc: String): Long =
-      src.maxIntWithMargin(spark, pc)
+      src.maxIntWithMargin(spark, pc, schema)
   }
 
   /** §1.4 resolution for the document flows: registry file → existing

@@ -49,6 +49,9 @@ object DedupClusters {
     var converged = false
     var i = 0
     while (i < maxIterations && !converged) {
+      // (loop body below; non-convergence is an ERROR at the end —
+      // silently returning split clusters would make downstream
+      // keep-one-per-cluster emit duplicate "representatives")
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
@@ -67,6 +70,15 @@ object DedupClusters {
       i += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      sys.error(
+        s"label propagation did not converge in $maxIterations rounds — a " +
+          "component's diameter exceeds the bound. Raise maxIterations, or " +
+          "use clustersLocal (exact for any diameter when pairs fit the driver).")
+    }
+    // NOTE: the returned labels are backed by the last round's cache;
+    // callers holding it long-term should .unpersist() when done.
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 
@@ -89,6 +101,15 @@ object DedupClusters {
       idCol: String = "doc_id",
       aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
+    // integral ids only — a silent cast of string ids to long would
+    // null out and NPE; the distributed clusters() is type-generic
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+        s"clustersLocal needs integral ids; $c is $dt — use clusters() for other id types")
+    }
     val edgeList = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
 
@@ -126,7 +147,16 @@ object DedupClusters {
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val cl = clusters(docs, pairs, idCol)
+    // exact driver union-find when the id type allows it (the normal
+    // pairs ≪ corpus regime: one broadcast join, any graph diameter);
+    // iterative propagation otherwise
+    val idType = docs.schema(idCol).dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.ShortType
+    val cl =
+      if (integral) clustersLocal(docs, pairs, idCol)
+      else clusters(docs, pairs, idCol)
     val w = Window.partitionBy(col("cluster_id")).orderBy(col(idCol))
     docs.join(cl, Seq(idCol))
       .withColumn("__rn", row_number().over(w))

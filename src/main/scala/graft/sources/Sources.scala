@@ -122,15 +122,18 @@ final case class MongoLikeSource(path: String) {
       schema: Option[StructType] = None): DataFrame =
     base(spark, schema).filter(col(pc).between(lit(start), lit(end)))
 
-  /** S5 — `df.agg(min(pc))` collected to the driver
-    * (reference `load_utils.py:283-299`). */
-  def minValue(spark: SparkSession, pc: String): Any =
-    base(spark, None).agg(min(col(pc))).head().get(0)
+  /** S5 — `df.agg(min(pc))` collected to the driver (reference
+    * `load_utils.py:283-299`). A resolved schema disables inference
+    * here too (`load_utils.py:289`) — otherwise every boundary probe
+    * pays an inference scan and may type the partition column
+    * differently than the ranged reads. */
+  def minValue(spark: SparkSession, pc: String, schema: Option[StructType] = None): Any =
+    base(spark, schema).agg(min(col(pc))).head().get(0)
 
   /** S6 — `df.select(max(pc))` + the +300000 margin
-    * (reference `load_utils.py:419-445`). */
-  def maxIntWithMargin(spark: SparkSession, pc: String): Long = {
-    val v = base(spark, None).select(max(col(pc))).head().getLong(0)
+    * (reference `load_utils.py:419-445`, schema at `:425`). */
+  def maxIntWithMargin(spark: SparkSession, pc: String, schema: Option[StructType] = None): Long = {
+    val v = base(spark, schema).select(max(col(pc))).head().getLong(0)
     v + Boundaries.SecurityMargin
   }
 }

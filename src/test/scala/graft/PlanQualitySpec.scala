@@ -11,11 +11,12 @@ class PlanQualitySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
-    df.count() // materialize so AQE's FINAL plan (with codegen spans) is inspectable
-    df.queryExecution.executedPlan.toString
-  }
+  // The INITIAL physical plan (pre-AQE-execution) — the assertions
+  // below target properties visible there (pushed filters, codegen
+  // star markers, exchange count). Post-AQE-final-plan assertions
+  // would need the plan from an executed QueryExecution instead.
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("d1: range predicate is pushed into the parquet scan") {
     val plan = planOf("d1_ranged_extract")
