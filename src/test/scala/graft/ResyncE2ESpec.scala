@@ -131,6 +131,36 @@ class ResyncE2ESpec extends AnyFunSuite {
     assert(replaced == updates.count(), "updated rows must win the merge")
   }
 
+  test("incremental promote processes only new WORK files") {
+    import org.apache.spark.sql.functions._
+    val lake = freshLake()
+    val iref = DatasetRef("test", "tpch", "orders_inc")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+    val batch1 = orders.where(col("o_orderkey") % 2 === 0)
+    graft.sinks.ParquetAppend.write(batch1, lake.work(iref))
+    val r1 = graft.operators.IncrementalPromote.run(
+      spark, iref, lake, Seq("o_orderkey"), clock = Clock.ForOracle)
+    assert(r1.filesProcessed > 0)
+    assert(spark.read.parquet(lake.trusted(iref)).count() == batch1.count())
+
+    Thread.sleep(20) // distinct mtimes for the second batch
+    val batch2 = orders.where(col("o_orderkey") % 2 === 1)
+    graft.sinks.ParquetAppend.write(batch2, lake.work(iref))
+    val allFiles = new java.io.File(lake.work(iref))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val r2 = graft.operators.IncrementalPromote.run(
+      spark, iref, lake, Seq("o_orderkey"), clock = Clock.ForOracle)
+    assert(r2.filesProcessed > 0 && r2.filesProcessed < allFiles,
+      s"second promote must touch only batch-2 files (${r2.filesProcessed} of $allFiles)")
+    assert(spark.read.parquet(lake.trusted(iref)).count() == orders.count())
+
+    // nothing new → no-op
+    val r3 = graft.operators.IncrementalPromote.run(
+      spark, iref, lake, Seq("o_orderkey"), clock = Clock.ForOracle)
+    assert(r3.filesProcessed == 0)
+  }
+
   test("JDBC resync end-to-end against embedded Derby") {
     val url = "jdbc:derby:memory:graftresync;create=true"
     val conn = DriverManager.getConnection(url)
