@@ -176,6 +176,41 @@ object ResyncJob {
       replan = cp => Intervals.ints(cp, bounds.end, width))
   }
 
+  /** Throughput variant of the int resync for JDBC sources: ONE
+    * parallel read over all planner chunks (each chunk a JDBC
+    * partition predicate — one DB cursor per executor slot) and one
+    * K1 append, instead of the reference's sequential
+    * chunk-at-a-time loop. Trades P5's per-chunk retry/checkpoint for
+    * pull throughput; on failure the whole load re-runs (K3 truncate
+    * + K2 upsert make that safe). Use when the source DB tolerates
+    * concurrent cursors and the window is large.
+    */
+  def runIntParallel(
+      spark: SparkSession,
+      source: JdbcSource,
+      dataset: String,
+      pc: String,
+      ref: DatasetRef,
+      lake: LakePaths,
+      cliStart: Option[Long] = None,
+      cliEnd: Option[Long] = None,
+      estimatedRows: Long,
+      truncateFirst: Boolean = true): Unit = {
+    val workPath = lake.work(ref)
+    if (truncateFirst) LakeStorage(spark).clearOrCreate(workPath)
+    val jdbc = JdbcRanged(source, dataset)
+    val bounds = Boundaries.resolveInts(
+      cliStart, cliEnd,
+      sourceMin = toLong(jdbc.minValue(spark, pc)),
+      sourceMax = jdbc.maxIntWithMargin(spark, pc) - Boundaries.SecurityMargin)
+    val chunks = Intervals.ints(bounds.start, bounds.end,
+      ChunkWidth.intChunkWidth(estimatedRows))
+      .map(Intervals.halfOpenInts)
+      .map { case (a, b) => (a.toString, b.toString) }
+    ParquetAppend.write(
+      source.readChunksParallel(spark, dataset, pc, chunks), workPath)
+  }
+
   /** Promote flow (§3.4): WORK → T1 sk → T2 → T3 → T4 → K2 MERGE. */
   def promote(
       spark: SparkSession,

@@ -35,6 +35,10 @@ object IvfSearch {
     val withVec = corpus.withColumn("__vec", array_to_vector(col("embedding")))
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__vec").setPredictionCol("__cell")
+      // coarse cells only need rough geometry — each extra iteration
+      // is a full corpus pass, and recall comes from nProbe, not from
+      // perfectly-converged centroids
+      .setMaxIter(8)
       .fit(withVec)
     val assigned = model.transform(withVec).drop("__vec")
     val centroids = model.clusterCenters.zipWithIndex.toSeq

@@ -131,6 +131,27 @@ class ResyncE2ESpec extends AnyFunSuite {
     assert(replaced == updates.count(), "updated rows must win the merge")
   }
 
+  test("parallel JDBC resync matches the sequential loop's result") {
+    val url = "jdbc:derby:memory:graftpar2;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE par2_t (id INT NOT NULL, payload VARCHAR(20))")
+    val ins = conn.prepareStatement("INSERT INTO par2_t VALUES (?, ?)")
+    for (i <- 1 to 3000) { ins.setInt(1, i); ins.setString(2, s"p$i"); ins.executeUpdate() }
+    conn.close()
+
+    val lake = freshLake()
+    val pref = DatasetRef("test", "db", "par2_t")
+    ResyncJob.runIntParallel(
+      spark,
+      JdbcSource(url, "", "", Some("org.apache.derby.iapi.jdbc.AutoloadedDriver")),
+      dataset = "par2_t", pc = "id", ref = pref, lake = lake,
+      cliEnd = Some(3000L), estimatedRows = 3000)
+    val work = spark.read.parquet(lake.work(pref))
+    assert(work.count() == 3000)
+    assert(work.select("ID").distinct().count() == 3000)
+  }
+
   test("incremental promote processes only new WORK files") {
     import org.apache.spark.sql.functions._
     val lake = freshLake()
