@@ -193,6 +193,14 @@ object SparkEntry {
     "ext_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(tbl(s, dir, "documents"))),
 
+    // PII scrub: email/phone patterns → typed placeholders + audit counts
+    "ext_text_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubPii(tbl(s, dir, "documents"))),
+
+    // Quality filter: the corpus keep/drop decision
+    "ext_text_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(tbl(s, dir, "documents"))),
+
     // Exact dedup: hash-groupBy on the canonical-text fingerprint
     "ext_dedup_exact" -> ((s, dir) =>
       DedupOps.exact(tbl(s, dir, "documents"))),
@@ -412,6 +420,21 @@ object SparkEntry {
          |  ${hitsSql("fr")} AS hits_fr, ${hitsSql("de")} AS hits_de,
          |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
          |FROM documents)""".stripMargin,
+
+    "ext_text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones
+        |FROM documents""".stripMargin,
+
+    "ext_text_filter" ->
+      s"""SELECT * FROM documents
+         |WHERE len($wordsSql) >= 5 AND len($wordsSql) <= 100000
+         |  AND CAST(length(regexp_replace($normSql, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) <= 0.3""".stripMargin,
 
     "ext_dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies

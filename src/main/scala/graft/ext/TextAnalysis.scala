@@ -44,6 +44,41 @@ object TextAnalysis {
       (en.cast("double") / nWords.cast("double")).as("stopword_ratio"))
   }
 
+  /** PII scrubbing: email / phone-number / long-digit-run patterns
+    * replaced with typed placeholder tokens, with per-document match
+    * counts kept for audit. Patterns stay in the portable regex
+    * subset (no lookarounds) so the exact same expressions run under
+    * Java regex and RE2-based engines. Shuffle-free projection. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+        .as("text_scrubbed"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+  }
+
+  /** Heuristic quality FILTER — the keep/drop decision a training-
+    * data pipeline applies before tokenization: document length in
+    * range, plausible word density, not punctuation soup. Integer/
+    * ratio thresholds mirror exactly in SQL. */
+  def qualityFilter(
+      docs: DataFrame,
+      textCol: String = "text",
+      minWords: Int = 5,
+      maxWords: Int = 100000,
+      maxPunctRatio: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val nWords = wordCount(t)
+    val nChars = length(t).cast("long")
+    docs.where(
+      nWords >= minWords && nWords <= maxWords &&
+        punctCount(t).cast("double") / nChars.cast("double") <= maxPunctRatio)
+  }
+
   /** Language-ID heuristic: stopword-marker occurrence counting per
     * candidate language + CJK codepoint detection; argmax with a fixed
     * tie-break order (en > es > fr > de > und). */

@@ -243,6 +243,30 @@ class ExtensionsSpec extends AnyFunSuite {
     frames.foreach(f => assert(f.byte_offset == f.frame_idx * 4096))
   }
 
+  test("PII scrub replaces emails and phone numbers with typed placeholders") {
+    val df = Seq(
+      (1L, "contact bob@example.com or +1 (555) 123-4567 today"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val (scrubbed, emails, phones) = out(1L)
+    assert(scrubbed == "contact <EMAIL> or <PHONE> today")
+    assert(emails == 1 && phones == 1)
+    assert(out(2L) == (("no pii here at all", 0L, 0L)))
+  }
+
+  test("quality filter drops short docs and punctuation soup") {
+    val df = Seq(
+      (1L, "this is a perfectly reasonable document with enough words"),
+      (2L, "too short"),
+      (3L, "a b c d e !!!! ???? ;;;; %%%% &&&& #### @@@@ ^^^^ ****")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityFilter(df).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("language-id picks argmax with fixed tie-break") {
     val df = Seq(
       (1L, "the cat and the dog is a pet"),
