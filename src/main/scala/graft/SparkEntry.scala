@@ -193,6 +193,14 @@ object SparkEntry {
     "ext_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(tbl(s, dir, "documents"))),
 
+    // Corpus-frequency boilerplate line removal (CCNet-style)
+    "ext_text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.removeBoilerplateLines(tbl(s, dir, "documents"), maxDocs = 1)),
+
+    // Corpus vocabulary (tokenizer prep): top-100 tokens by frequency
+    "ext_text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(tbl(s, dir, "documents"), topK = 100)),
+
     // PII scrub: email/phone patterns → typed placeholders + audit counts
     "ext_text_scrub" -> ((s, dir) =>
       TextAnalysis.scrubPii(tbl(s, dir, "documents"))),
@@ -420,6 +428,23 @@ object SparkEntry {
          |  ${hitsSql("fr")} AS hits_fr, ${hitsSql("de")} AS hits_de,
          |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
          |FROM documents)""".stripMargin,
+
+    "ext_text_boilerplate" ->
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)),
+        |common AS (
+        |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_cleaned
+        |FROM lines WHERE line NOT IN (SELECT line FROM common)
+        |GROUP BY doc_id""".stripMargin,
+
+    "ext_text_vocab" ->
+      s"""SELECT token, count(*) AS n FROM (
+         |  SELECT unnest(list_filter(
+         |    regexp_split_to_array($normSql, ' '), w -> w != '')) AS token
+         |  FROM documents)
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
 
     "ext_text_scrub" ->
       """SELECT doc_id,

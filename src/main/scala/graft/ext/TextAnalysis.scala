@@ -79,6 +79,49 @@ object TextAnalysis {
         punctCount(t).cast("double") / nChars.cast("double") <= maxPunctRatio)
   }
 
+  /** Boilerplate line removal: a line that appears in more than
+    * `maxDocs` distinct documents is boilerplate (headers, footers,
+    * nav text) and is dropped from every document; each document is
+    * reassembled from its surviving lines in original order.
+    *
+    * Shape: explode lines with position → count distinct docs per
+    * line (one hash-shuffle on the line hash, map-side combined) →
+    * broadcast-join the common-line set back → re-aggregate by doc.
+    * The common-line set is tiny by construction (only lines crossing
+    * the threshold), so the rebuild join is broadcast, not shuffled.
+    */
+  def removeBoilerplateLines(
+      docs: DataFrame,
+      maxDocs: Long = 1,
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(
+      col("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val common = lines
+      .groupBy(col("__line"))
+      .agg(countDistinct(col("doc_id")).as("__docs"))
+      .where(col("__docs") > maxDocs)
+      .select(col("__line"))
+    val kept = lines.join(broadcast(common), Seq("__line"), "left_anti")
+    kept
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        array_sort(collect_list(struct(col("__pos"), col("__line"))))
+          .getField("__line"), "\n").as("text_cleaned"))
+  }
+
+  /** Corpus vocabulary: the `topK` most frequent word tokens with
+    * counts — tokenizer-prep over the whole corpus. One shuffle on
+    * the token (map-side combined), then a global top-k. */
+  def vocabulary(docs: DataFrame, topK: Int = 1000, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      explode(words(normalized(col(textCol)))).as("token"))
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Language-ID heuristic: stopword-marker occurrence counting per
     * candidate language + CJK codepoint detection; argmax with a fixed
     * tie-break order (en > es > fr > de > und). */

@@ -243,6 +243,26 @@ class ExtensionsSpec extends AnyFunSuite {
     frames.foreach(f => assert(f.byte_offset == f.frame_idx * 4096))
   }
 
+  test("boilerplate line removal drops cross-document lines, keeps order") {
+    val df = Seq(
+      (1L, "unique one\nCOPYRIGHT FOOTER\nunique two"),
+      (2L, "other text\nCOPYRIGHT FOOTER"),
+      (3L, "standalone doc")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(df, maxDocs = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one\nunique two")
+    assert(out(2L) == "other text")
+    assert(out(3L) == "standalone doc")
+  }
+
+  test("vocabulary ranks tokens by corpus frequency with a total order") {
+    val df = Seq((1L, "a b b c c c"), (2L, "c b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(df, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("c", 4L), ("b", 3L)))
+  }
+
   test("PII scrub replaces emails and phone numbers with typed placeholders") {
     val df = Seq(
       (1L, "contact bob@example.com or +1 (555) 123-4567 today"),
