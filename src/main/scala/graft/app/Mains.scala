@@ -35,6 +35,12 @@ private[app] object Common {
   def ref(m: Map[String, String]) = DatasetRef(
     m.getOrElse("environment", "production"),
     Args.req(m, "namespace"), Args.req(m, "dataset"))
+  /** `--status_endpoint http://…` wires the reference's HTTP status
+    * callback (`utils.py:14-27`); absent → no-op reporter. */
+  def reporter(m: Map[String, String]): graft.ingest.StatusReporter =
+    m.get("status_endpoint")
+      .map(new graft.ingest.HttpStatusReporter(_))
+      .getOrElse(graft.ingest.StatusReporter.Noop)
 }
 
 /** JDBC source, date partition column (carga_date.py archetype). */
@@ -50,7 +56,8 @@ object CargaDate {
       ref = Common.ref(m), lake = Common.lake(m),
       cliStart = m.get("start_date").map(LocalDate.parse),
       cliEnd = m.get("end_date").map(LocalDate.parse),
-      estimatedRows = m.getOrElse("estimated_rows", "0").toLong)
+      estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
+      reporter = Common.reporter(m))
   }
 }
 
@@ -67,7 +74,8 @@ object CargaInt {
       ref = Common.ref(m), lake = Common.lake(m),
       cliStart = m.get("start_id").map(_.toLong),
       cliEnd = m.get("end_id").map(_.toLong),
-      estimatedRows = m.getOrElse("estimated_rows", "0").toLong)
+      estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
+      reporter = Common.reporter(m))
   }
 }
 
@@ -87,7 +95,8 @@ object CargaMongoDate {
       cliStart = m.get("start_date").map(LocalDate.parse),
       cliEnd = m.get("end_date").map(LocalDate.parse),
       estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
-      withRecovery = false)
+      withRecovery = false,
+      reporter = Common.reporter(m))
   }
 }
 
@@ -106,7 +115,8 @@ object CargaMongoInt {
       cliStart = m.get("start_id").map(_.toLong),
       cliEnd = m.get("end_id").map(_.toLong),
       estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
-      withRecovery = false)
+      withRecovery = false,
+      reporter = Common.reporter(m))
   }
 }
 

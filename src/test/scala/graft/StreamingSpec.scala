@@ -52,6 +52,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("workStream discovers WORK files incrementally and feeds streaming promote") {
+    val workDir = java.nio.file.Files.createTempDirectory("graft-workstream").toString + "/work"
+    val batch1 = Seq(ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 00:02:00", 1, "view", 2.0)).toDF()
+    graft.sinks.ParquetAppend.write(batch1, workDir)
+
+    val stream = StreamingOps.workStream(spark, workDir, batch1.schema)
+    val q = StreamingOps.streamingPromote(stream, skIds = Seq("event_id"), eventTimeCol = "ts")
+      .writeStream.format("memory").queryName("workstream_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("workstream_out").count() == 2)
+      // a second file landing in WORK is picked up incrementally
+      val batch2 = Seq(ev(3, "2024-01-01 00:03:00", 2, "click", 3.0)).toDF()
+      graft.sinks.ParquetAppend.write(batch2, workDir)
+      q.processAllAvailable()
+      assert(spark.table("workstream_out").count() == 3)
+      assert(spark.table("workstream_out").select("sk").distinct().count() == 3)
+    } finally q.stop()
+  }
+
   test("stateful running user stats accumulate across micro-batches") {
     val input = MemoryStream[Event](spark)
     val q = StreamingOps.runningUserStats(spark, input.toDS())
