@@ -434,10 +434,13 @@ object SparkEntry {
         |  SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)),
         |common AS (
-        |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 1)
-        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_cleaned
-        |FROM lines WHERE line NOT IN (SELECT line FROM common)
-        |GROUP BY doc_id""".stripMargin,
+        |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_cleaned
+        |  FROM lines WHERE line NOT IN (SELECT line FROM common)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_cleaned, '') AS text_cleaned
+        |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
 
     "ext_text_vocab" ->
       s"""SELECT token, count(*) AS n FROM (
@@ -452,7 +455,9 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones
+        |  len(regexp_extract_all(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones
         |FROM documents""".stripMargin,
 
     "ext_text_filter" ->

@@ -129,6 +129,25 @@ object ResyncJob {
       replan = cp => Intervals.dates(cp, bounds.end, width))
   }
 
+  /** Shared int-flow planning: P4 boundaries (note the margin
+    * round-trip — `maxIntWithMargin` already adds the +300000 margin
+    * the resolver re-applies, so it is subtracted here once) + P2
+    * width + P3 intervals. */
+  private def planIntChunks(
+      spark: SparkSession,
+      source: RangedSource,
+      pc: String,
+      cliStart: Option[Long],
+      cliEnd: Option[Long],
+      estimatedRows: Long): (Boundaries.Range[Long], List[Interval[Long]]) = {
+    val bounds = Boundaries.resolveInts(
+      cliStart, cliEnd,
+      sourceMin = toLong(source.minValue(spark, pc)),
+      sourceMax = source.maxIntWithMargin(spark, pc) - Boundaries.SecurityMargin)
+    (bounds, Intervals.ints(bounds.start, bounds.end,
+      ChunkWidth.intChunkWidth(estimatedRows)))
+  }
+
   /** Integer-partitioned resync (carga_int flow, §3.2). */
   def runInt(
       spark: SparkSession,
@@ -148,13 +167,8 @@ object ResyncJob {
     val storage = LakeStorage(spark)
     if (truncateFirst) storage.clearOrCreate(workPath)
 
-    val bounds = Boundaries.resolveInts(
-      cliStart, cliEnd,
-      sourceMin = toLong(source.minValue(spark, pc)),
-      sourceMax = source.maxIntWithMargin(spark, pc) - Boundaries.SecurityMargin)
-
+    val (bounds, plan) = planIntChunks(spark, source, pc, cliStart, cliEnd, estimatedRows)
     val width = ChunkWidth.intChunkWidth(estimatedRows)
-    val plan = Intervals.ints(bounds.start, bounds.end, width)
 
     def extract(iv: Interval[Long]): Unit = {
       val (s, e) = Intervals.halfOpenInts(iv)
@@ -199,12 +213,8 @@ object ResyncJob {
     val workPath = lake.work(ref)
     if (truncateFirst) LakeStorage(spark).clearOrCreate(workPath)
     val jdbc = JdbcRanged(source, dataset)
-    val bounds = Boundaries.resolveInts(
-      cliStart, cliEnd,
-      sourceMin = toLong(jdbc.minValue(spark, pc)),
-      sourceMax = jdbc.maxIntWithMargin(spark, pc) - Boundaries.SecurityMargin)
-    val chunks = Intervals.ints(bounds.start, bounds.end,
-      ChunkWidth.intChunkWidth(estimatedRows))
+    val (_, plan) = planIntChunks(spark, jdbc, pc, cliStart, cliEnd, estimatedRows)
+    val chunks = plan
       .map(Intervals.halfOpenInts)
       .map { case (a, b) => (a.toString, b.toString) }
     ParquetAppend.write(

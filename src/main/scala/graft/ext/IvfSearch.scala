@@ -29,16 +29,20 @@ object IvfSearch {
 
   /** Index build: fit seeded KMeans on the corpus embeddings, assign
     * every corpus vector to its cell. */
-  def buildIndex(corpus: DataFrame, nCells: Int = 16, seed: Long = 42L): IvfIndex = {
+  def buildIndex(
+      corpus: DataFrame,
+      nCells: Int = 16,
+      seed: Long = 42L,
+      kmeansIterations: Int = 8): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val withVec = corpus.withColumn("__vec", array_to_vector(col("embedding")))
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__vec").setPredictionCol("__cell")
-      // coarse cells only need rough geometry — each extra iteration
-      // is a full corpus pass, and recall comes from nProbe, not from
-      // perfectly-converged centroids
-      .setMaxIter(8)
+      // coarse cells only need rough geometry by default — each extra
+      // iteration is a full corpus pass, and recall comes from nProbe,
+      // not perfectly-converged centroids; raise for small corpora
+      .setMaxIter(kmeansIterations)
       .fit(withVec)
     val assigned = model.transform(withVec).drop("__vec")
     val centroids = model.clusterCenters.zipWithIndex.toSeq

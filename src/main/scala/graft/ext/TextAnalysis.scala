@@ -53,12 +53,16 @@ object TextAnalysis {
   val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val emailScrubbed = regexp_replace(t, EmailRe, "<EMAIL>")
     docs.select(
       col("doc_id"),
-      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
-        .as("text_scrubbed"),
+      regexp_replace(emailScrubbed, PhoneRe, "<PHONE>").as("text_scrubbed"),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+      // phones counted on the email-scrubbed text — the same input the
+      // replacement runs on, so the audit count always equals the
+      // number of <PHONE> tokens inserted (a digit run inside an email
+      // address is consumed by the email pass, not double-counted)
+      size(regexp_extract_all(emailScrubbed, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
   }
 
   /** Heuristic quality FILTER — the keep/drop decision a training-
@@ -102,12 +106,20 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("__docs"))
       .where(col("__docs") > maxDocs)
       .select(col("__line"))
-    val kept = lines.join(broadcast(common), Seq("__line"), "left_anti")
-    kept
+    // no broadcast hint: on a web-scale corpus the common-line set can
+    // be arbitrarily large (every shared sentence) — AQE broadcasts it
+    // when it is actually small and shuffles when it isn't
+    val kept = lines.join(common, Seq("__line"), "left_anti")
+    val rebuilt = kept
       .groupBy(col("doc_id"))
       .agg(array_join(
         array_sort(collect_list(struct(col("__pos"), col("__line"))))
           .getField("__line"), "\n").as("text_cleaned"))
+    // documents whose EVERY line was boilerplate still come back —
+    // with empty text — so downstream doc_id joins don't lose rows
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text_cleaned"), lit("")).as("text_cleaned"))
   }
 
   /** Corpus vocabulary: the `topK` most frequent word tokens with

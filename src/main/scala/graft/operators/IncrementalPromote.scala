@@ -34,20 +34,38 @@ object IncrementalPromote {
   private def watermarkPath(lake: LakePaths, ref: DatasetRef): Path =
     new Path(lake.trusted(ref) + "__promote_watermark")
 
-  private def readWatermark(spark: SparkSession, p: Path): Long = {
+  /** Watermark state: the max promoted mtime plus the NAMES of the
+    * files at exactly that tick. mtime alone cannot draw an exact
+    * boundary — `>` loses same-tick late files, `>=` reprocesses the
+    * boundary forever; mtime + boundary names is exact. */
+  private final case class Watermark(mtime: Long, boundaryFiles: Set[String])
+  private val NoWatermark = Watermark(Long.MinValue, Set.empty)
+
+  private def readWatermark(spark: SparkSession, p: Path): Watermark = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Long.MinValue
+    if (!fs.exists(p)) NoWatermark
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+      val raw = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
+      val lines = raw.split("\n").toList
+      // A torn/empty watermark write (create+write is not atomic) must
+      // degrade to reprocessing — idempotent by K2 — not brick every
+      // future promote with a parse error.
+      lines.headOption.flatMap(_.trim.toLongOption) match {
+        case Some(wm) => Watermark(wm, lines.drop(1).map(_.trim).filter(_.nonEmpty).toSet)
+        case None =>
+          System.err.println(s"[promote] unreadable watermark at $p — reprocessing")
+          NoWatermark
+      }
     }
   }
 
-  private def writeWatermark(spark: SparkSession, p: Path, v: Long): Unit = {
+  private def writeWatermark(spark: SparkSession, p: Path, wm: Watermark): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write((wm.mtime.toString +: wm.boundaryFiles.toSeq.sorted)
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     ()
   }
@@ -63,19 +81,45 @@ object IncrementalPromote {
     val workPath = new Path(lake.work(ref))
     val fs = workPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val wmPath = watermarkPath(lake, ref)
-    val watermark = readWatermark(spark, wmPath)
+    // A watermark without a trusted table is stale state from a
+    // rebuilt/truncated table — honoring it would skip the whole zone.
+    val trustedExists = fs.exists(new Path(lake.trusted(ref)))
+    val wm = if (trustedExists) readWatermark(spark, wmPath) else NoWatermark
 
-    val newFiles = fs.listStatus(workPath)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .filter(_.getModificationTime > watermark)
-    if (newFiles.isEmpty) return Result(0, 0L, watermark)
+    // recursive listing: WORK may be hive-partitioned (writePartitioned)
+    val newFiles = {
+      val it = fs.listFiles(workPath, true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val t = st.getModificationTime
+        // same-tick files not yet promoted are included (two batches
+        // can share an mtime on coarse-granularity stores); already-
+        // promoted boundary files are excluded by name — exact, no
+        // lost rows and no perpetual reprocessing.
+        val fresh = t > wm.mtime ||
+          (t == wm.mtime && !wm.boundaryFiles.contains(st.getPath.getName))
+        if (st.getPath.getName.endsWith(".parquet") && fresh) buf += st
+      }
+      buf.result()
+    }
+    if (newFiles.isEmpty) return Result(0, 0L, wm.mtime)
 
-    val batch = spark.read.parquet(newFiles.map(_.getPath.toString).toIndexedSeq: _*)
-    val curated = Promote.transform(batch, skIds, hyphen, clock, deterministic)
-    MergeUpsert.mergeInto(spark, lake.trusted(ref), curated)
-
-    val newWm = newFiles.map(_.getModificationTime).max
-    writeWatermark(spark, wmPath, newWm)
-    Result(newFiles.length, curated.count(), newWm)
+    val batch = spark.read.parquet(newFiles.map(_.getPath.toString): _*)
+    val curated =
+      Promote.transform(batch, skIds, hyphen, clock, deterministic).persist()
+    try {
+      val rows = curated.count() // materializes the cache the merge reuses
+      MergeUpsert.mergeInto(spark, lake.trusted(ref), curated)
+      val newMtime = newFiles.map(_.getModificationTime).max
+      val boundary = newFiles.filter(_.getModificationTime == newMtime)
+        .map(_.getPath.getName).toSet ++
+        (if (newMtime == wm.mtime) wm.boundaryFiles else Set.empty)
+      writeWatermark(spark, wmPath, Watermark(newMtime, boundary))
+      Result(newFiles.length, rows, newMtime)
+    } finally {
+      curated.unpersist()
+      ()
+    }
   }
 }
