@@ -182,6 +182,57 @@ class ResyncE2ESpec extends AnyFunSuite {
     assert(r3.filesProcessed == 0)
   }
 
+  test("incremental promote: same-mtime-tick batches are neither lost nor reprocessed") {
+    import org.apache.spark.sql.functions._
+    val lake = freshLake()
+    val iref = DatasetRef("test", "tpch", "orders_tick")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    def setAllMtimes(t: Long): Unit =
+      new java.io.File(lake.work(iref)).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(t))
+
+    val tick = (System.currentTimeMillis() / 1000) * 1000
+    graft.sinks.ParquetAppend.write(orders.where(col("o_orderkey") % 2 === 0), lake.work(iref))
+    setAllMtimes(tick)
+    val r1 = graft.operators.IncrementalPromote.run(
+      spark, iref, lake, Seq("o_orderkey"), clock = Clock.ForOracle)
+    assert(r1.filesProcessed > 0)
+
+    // a second batch lands with the SAME mtime tick (coarse store)
+    val before = new java.io.File(lake.work(iref)).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    graft.sinks.ParquetAppend.write(orders.where(col("o_orderkey") % 2 === 1), lake.work(iref))
+    setAllMtimes(tick)
+    val added = new java.io.File(lake.work(iref)).listFiles()
+      .filter(_.getName.endsWith(".parquet")).count(f => !before(f.getName))
+    val r2 = graft.operators.IncrementalPromote.run(
+      spark, iref, lake, Seq("o_orderkey"), clock = Clock.ForOracle)
+    assert(r2.filesProcessed == added, "same-tick late files must be promoted exactly once")
+    assert(spark.read.parquet(lake.trusted(iref)).count() == orders.count())
+
+    val r3 = graft.operators.IncrementalPromote.run(
+      spark, iref, lake, Seq("o_orderkey"), clock = Clock.ForOracle)
+    assert(r3.filesProcessed == 0, "boundary files must not reprocess forever")
+  }
+
+  test("incremental promote: rebuilt trusted table invalidates the stale watermark") {
+    import org.apache.spark.sql.functions._
+    val lake = freshLake()
+    val iref = DatasetRef("test", "tpch", "orders_rebuild")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    graft.sinks.ParquetAppend.write(orders, lake.work(iref))
+    val r1 = graft.operators.IncrementalPromote.run(
+      spark, iref, lake, Seq("o_orderkey"), clock = Clock.ForOracle)
+    assert(r1.rowsMerged > 0)
+    // operator wipes TRUSTED for a rebuild; the watermark file survives
+    graft.core.LakeStorage(spark).truncate(lake.trusted(iref))
+    val r2 = graft.operators.IncrementalPromote.run(
+      spark, iref, lake, Seq("o_orderkey"), clock = Clock.ForOracle)
+    assert(r2.filesProcessed > 0, "stale watermark must not starve the rebuild")
+    assert(spark.read.parquet(lake.trusted(iref)).count() ==
+      orders.select("o_orderkey").distinct().count())
+  }
+
   test("JDBC resync end-to-end against embedded Derby") {
     val url = "jdbc:derby:memory:graftresync;create=true"
     val conn = DriverManager.getConnection(url)
