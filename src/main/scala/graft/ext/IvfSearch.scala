@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *
   * KMeans is seeded for reproducibility (no RNG state beyond the
   * fixed seed).
+  *
+  * Background: the inverted-file coarse-quantizer design follows
+  * Jégou, Douze & Schmid ("Product quantization for nearest neighbor
+  * search", TPAMI 2011 — IVF without the PQ compression stage, which
+  * would slot into the cell re-rank).
   */
 object IvfSearch {
 

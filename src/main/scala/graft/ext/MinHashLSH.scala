@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   * no RNG state shipped to executors. Documents with fewer than
   * `shingleSize` words produce one shingle of all their words
   * (matching `TextFunctions.shingles`); empty documents produce none.
+  *
+  * Background: minwise hashing estimates resemblance (Broder, "On the
+  * resemblance and containment of documents", SEQUENCES 1997); banded
+  * bucketing is the standard LSH amplification (Indyk & Motwani, STOC
+  * 1998; the band/row trade-off as popularized by Mining of Massive
+  * Datasets ch. 3).
   */
 object MinHashLSH {
 

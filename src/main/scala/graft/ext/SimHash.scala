@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * With `maxHamming` = 3 and 4 chunks of 16 bits, any pair within
   * distance 3 shares at least one whole chunk (pigeonhole), so the
   * block join loses nothing.
+  *
+  * Background: random-hyperplane similarity fingerprints are
+  * Charikar's simhash ("Similarity estimation techniques from
+  * rounding algorithms", STOC 2002); the chunked pigeonhole lookup is
+  * the web-dedup scheme of Manku, Jain & Das Sarma ("Detecting
+  * near-duplicates for web crawling", WWW 2007).
   */
 object SimHash {
 

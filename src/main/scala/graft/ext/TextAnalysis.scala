@@ -86,7 +86,9 @@ object TextAnalysis {
   /** Boilerplate line removal: a line that appears in more than
     * `maxDocs` distinct documents is boilerplate (headers, footers,
     * nav text) and is dropped from every document; each document is
-    * reassembled from its surviving lines in original order.
+    * reassembled from its surviving lines in original order — the
+    * cross-document line dedup used by large web-corpus pipelines
+    * (CCNet, Wenzek et al. LREC 2020; RefinedWeb, Penedo et al. 2023).
     *
     * Shape: explode lines with position → count distinct docs per
     * line (one hash-shuffle on the line hash, map-side combined) →
