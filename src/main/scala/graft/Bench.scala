@@ -63,7 +63,14 @@ object Bench {
     val qs = all.map { case (k, v) => graft.core.Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt's logger wraps stdout in [info]/[success] decoration, which
+    // made round 1's bench line unparseable ("parsed": null). Persist
+    // the metric to a stable file the harness can read directly, then
+    // print it bare as the final stdout line for log-scraping parsers.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -26,9 +26,13 @@ object SparkEntry {
     */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
+    // timestamp_micros() yields TIMESTAMP_LTZ; the fixtures' own
+    // parquet timestamps (and the DuckDB oracle) are naive. Session is
+    // UTC, so the NTZ cast is lossless and makes the rebuilt column
+    // indistinguishable from a parquet-sourced one at the arrow level.
     if (df.schema.fields.exists(f =>
         f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
     else df
   }
 
@@ -158,9 +162,13 @@ object SparkEntry {
     // windowed aggregation)
     "cap_events_hourly" -> ((s, dir) =>
       tbl(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
+        // date_trunc always yields LTZ even over NTZ input — cast back
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("win"),
+          col("event_type"))
+        // Spark widens sum(decimal(18,6)) to (28,6), DuckDB to (38,6);
+        // values are identical — pin (38,6) for arrow-schema parity.
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).as("total"))),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total"))),
 
     // top-k with a total order (sort + limit)
     "cap_top_orders" -> ((s, dir) =>
@@ -176,7 +184,7 @@ object SparkEntry {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,6)")).as("revenue"))
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
     }),
 
     // ── §7.4 training-data pipeline extensions ──────────────────────

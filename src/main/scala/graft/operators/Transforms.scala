@@ -4,7 +4,7 @@ import graft.core.Clock
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** T1 — surrogate key (reference `shared_etls/etls/utils.py:659-701`).
   *
@@ -34,8 +34,11 @@ object SurrogateKey {
   */
 object IngestTimestamp {
   val ColumnName = "timestamp_kafka"
+  // NTZ, not LTZ: the stamp is a wall-clock string with no zone, and
+  // every other timestamp in the lake (parquet-sourced or oracle-side)
+  // is naive — a zoned stamp here is the one arrow-level type outlier.
   def add(df: DataFrame, clock: Clock = Clock.System): DataFrame =
-    df.withColumn(ColumnName, lit(clock.nowString).cast(TimestampType))
+    df.withColumn(ColumnName, lit(clock.nowString).cast(TimestampNTZType))
 }
 
 /** T3 — date-quality repair (reference `utils.py:722-751`): for every
@@ -48,7 +51,8 @@ object IngestTimestamp {
 object DateQuality {
   def repair(df: DataFrame): DataFrame = {
     val dateCols = df.schema.fields.collect {
-      case f if f.dataType == DateType || f.dataType == TimestampType => f.name
+      case f if f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType => f.name
     }
     dateCols.foldLeft(df) { (d, c) =>
       d.withColumn(c, when(year(col(c)) >= 10, col(c)))

@@ -49,13 +49,17 @@ class TransformSpec extends AnyFunSuite {
   }
 
   // T2 (utils.py:704-719): one literal for the whole batch, second
-  // precision, cast to timestamp.
+  // precision, cast to timestamp (NTZ — the lake's timestamps are all
+  // naive, so Row.get yields LocalDateTime).
   test("T2 fixed-clock timestamp") {
     val df = Seq(1, 2, 3).toDF("x")
     val out = IngestTimestamp.add(df, Clock.Fixed("2024-06-01 12:34:56"))
+    assert(out.schema("timestamp_kafka").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
     val vals = out.select("timestamp_kafka").distinct().collect()
     assert(vals.length == 1)
-    assert(vals(0).getTimestamp(0) == Timestamp.valueOf("2024-06-01 12:34:56"))
+    assert(vals(0).getAs[java.time.LocalDateTime](0) ==
+      java.time.LocalDateTime.parse("2024-06-01T12:34:56"))
   }
 
   // T3 (utils.py:722-751): years 0000-0009 → NULL, 0010+ kept; only
