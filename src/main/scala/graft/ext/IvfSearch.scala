@@ -32,23 +32,33 @@ object IvfSearch {
 
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
-  /** Index build: fit seeded KMeans on the corpus embeddings, assign
-    * every corpus vector to its cell. */
+  /** Index build: fit seeded KMeans on a bounded SAMPLE of the corpus
+    * embeddings (coarse cells only need rough geometry, and every
+    * KMeans iteration is a full pass over its input — on a 100 TB
+    * corpus an unsampled fit would cost `kmeansIterations` extra full
+    * scans), then assign every corpus vector to its cell in one
+    * full-corpus transform pass. Corpora at or under
+    * `maxFitSamplePoints` fit on everything — sampling only engages
+    * at scale, so small-fixture behavior (and the recall tests) are
+    * unchanged. */
   def buildIndex(
       corpus: DataFrame,
       nCells: Int = 16,
       seed: Long = 42L,
-      kmeansIterations: Int = 8): IvfIndex = {
+      kmeansIterations: Int = 8,
+      maxFitSamplePoints: Long = 100000L): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val withVec = corpus.withColumn("__vec", array_to_vector(col("embedding")))
+    val n = withVec.count()
+    val fitInput =
+      if (n <= maxFitSamplePoints) withVec
+      else withVec.sample(withReplacement = false,
+        fraction = maxFitSamplePoints.toDouble / n, seed = seed)
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__vec").setPredictionCol("__cell")
-      // coarse cells only need rough geometry by default — each extra
-      // iteration is a full corpus pass, and recall comes from nProbe,
-      // not perfectly-converged centroids; raise for small corpora
       .setMaxIter(kmeansIterations)
-      .fit(withVec)
+      .fit(fitInput)
     val assigned = model.transform(withVec).drop("__vec")
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }

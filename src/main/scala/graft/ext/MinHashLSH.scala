@@ -77,11 +77,18 @@ object MinHashLSH {
       .groupBy(col("doc_id"))
       .agg(graft.functions.MinHashSketch.sketch(col("__h"), numHashes).as("sig"))
 
-  /** Candidate pairs from banded bucketing (no verification). */
+  /** Candidate pairs from banded bucketing (no verification).
+    * `bands * rowsPerBand` must not exceed the signature length:
+    * `slice()` past the array end returns an empty slice, which would
+    * silently hash every document into ONE bucket for the overflowing
+    * bands and degenerate the self-join toward O(n²). */
   def candidatePairs(
       sigs: DataFrame,
       bands: Int = 32,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      numHashes: Int = 128): DataFrame = {
+    require(bands * rowsPerBand <= numHashes,
+      s"bands ($bands) * rowsPerBand ($rowsPerBand) exceeds signature length ($numHashes)")
     val banded = sigs
       .select(col("doc_id"), col("sig"))
       .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
@@ -104,29 +111,43 @@ object MinHashLSH {
       shingleSize: Int = 3,
       bands: Int = 32,
       jaccard: (Int, Int) = (4, 5)): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     val (num, den) = jaccard
-    // cache: the candidate set (tiny — pairs, not documents) feeds
-    // both the verification join and the broadcast id list below;
-    // uncached, the whole signature+banding subtree would run twice.
-    val cands = candidatePairs(
-      signatures(docs, numHashes, shingleSize), bands, numHashes / bands)
-      .cache()
-    // shingle sets only for docs that appear in some candidate pair
-    val candIds = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val shingleSets = shingleRows(docs, shingleSize)
-      .join(broadcast(candIds), Seq("doc_id"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("__sh")).as("sset"))
-    cands
-      .join(shingleSets.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sset", "sset_a"), Seq("doc_a"))
-      .join(shingleSets.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sset", "sset_b"), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sset_a"), col("sset_b"))).cast("long"))
-      .withColumn("uni", size(array_union(col("sset_a"), col("sset_b"))).cast("long"))
-      .where(col("inter") * den >= col("uni") * num)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+    // The shingle subtree feeds BOTH the signature pipeline and the
+    // verification join. Persist it so the CPU-heavy shingling runs
+    // exactly once (round-1 bench showed the recompute dominating this
+    // operator), then cut each stage's lineage with an eager local
+    // checkpoint so the cache can be released before returning —
+    // nothing big stays pinned on the executors. The checkpointed
+    // sets are pairs-sized, not corpus-sized.
+    val shingles = shingleRows(docs, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = shingles
+        .select(col("doc_id"), xxhash64(col("__sh")).as("__h"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashSketch.sketch(col("__h"), numHashes).as("sig"))
+      val cands = candidatePairs(sigs, bands, numHashes / bands, numHashes)
+        .localCheckpoint(true)
+      // shingle sets only for docs that appear in some candidate pair
+      val candIds = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val shingleSets = shingles
+        .join(broadcast(candIds), Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("__sh")).as("sset"))
+      cands
+        .join(shingleSets.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("sset", "sset_a"), Seq("doc_a"))
+        .join(shingleSets.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("sset", "sset_b"), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sset_a"), col("sset_b"))).cast("long"))
+        .withColumn("uni", size(array_union(col("sset_a"), col("sset_b"))).cast("long"))
+        .where(col("inter") * den >= col("uni") * num)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+        .localCheckpoint(true)
+    } finally shingles.unpersist()
   }
 
   /** Reference (built-ins-only, interpreted-HOF) shingling — the

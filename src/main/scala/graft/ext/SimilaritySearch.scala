@@ -61,49 +61,78 @@ object SimilaritySearch {
     * never paired. Near-duplicate vectors (cosine ≈ 1) land in the
     * same bucket with probability (1 − θ/π)^planes, so recall stays
     * high exactly where a dedup threshold lives, while candidate
-    * count drops from O(n²) to Σ bucket². */
+    * count drops from O(n²) to Σ bucket².
+    *
+    * `tables` adds standard OR-amplification: `tables` independent
+    * hyperplane sets, a pair is a candidate if it collides in ANY
+    * table — miss probability (1 − (1 − θ/π)^planes)^tables. More
+    * tables buy recall at linear candidate-generation cost; the
+    * verification stage dedups pairs before the exact cosine, so a
+    * pair colliding in many tables is verified once. */
   def lshNearDupPairs(
       embeddings: DataFrame,
       threshold: Double,
-      planes: Int = 8): DataFrame = {
-    val sig = VectorFunctions.hyperplaneSignature("embedding", planes)
+      planes: Int = 8,
+      tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    val tableSigs = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        VectorFunctions.hyperplaneSignature("embedding", planes, seed = t.toLong)
+          .as("sig"))): _*)
     val bucketed = embeddings
-      .withColumn("bucket", sig)
-      .select(col("vec_id"), col("embedding"), col("bucket"),
-        VectorFunctions.norm(col("embedding")).as("nrm"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"),
+        explode(tableSigs).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.t").as("t"), col("tb.sig").as("bucket"))
+    val a = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+    val b = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b"))
+    // candidate ids first, exact cosine once per DISTINCT pair
+    val cands = a.join(b, Seq("t", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"))
+    cands
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
       .withColumn("cos",
         VectorFunctions.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
-      .distinct()
   }
 
   /** LSH-bucketed ANN: exact re-rank within the query's hyperplane
     * bucket. `planes` controls the bucket count (2^planes);
-    * multi-probe (flipping each signature bit once) widens recall at
-    * planes× candidate cost. */
+    * multi-probe widens recall by also searching every bucket within
+    * Hamming distance `probeRadius` of the query's signature —
+    * radius 0 probes only the home bucket, radius 1 adds each one-bit
+    * flip (the classic multi-probe), radius = planes probes every
+    * bucket (exhaustive: the bucketing partitions the corpus, so the
+    * result is exact brute force evaluated through the LSH machinery). */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       planes: Int = 4,
-      multiProbe: Boolean = true): DataFrame = {
+      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= planes,
+      s"probeRadius ($probeRadius) must be in [0, planes=$planes]")
     val sig = VectorFunctions.hyperplaneSignature("embedding", planes)
     val c = corpus
       .withColumn("bucket", sig)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"), col("bucket"))
     val qBase = queries.withColumn("sig0", sig)
-    // probe set: own bucket + (optionally) each one-bit flip
-    val probes =
-      if (multiProbe)
-        expr(s"array_union(array(sig0), transform(sequence(0, ${planes - 1}), p -> sig0 ^ shiftleft(1L, p)))")
-      else expr("array(sig0)")
+    // probe set: every signature within the Hamming ball — the XOR
+    // masks are enumerated driver-side (there are C(planes, ≤r) of
+    // them, a handful) and broadcast inside the literal array
+    val masks = (0 until (1 << planes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
+    val probes = expr(
+      s"transform(array(${masks.mkString(",")}), m -> sig0 ^ CAST(m AS BIGINT))")
     val q = broadcast(qBase
       .withColumn("bucket", explode(probes))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket")))

@@ -51,11 +51,13 @@ object VectorFunctions {
       (acc, x) => acc + x)
 
   /** Deterministic random-hyperplane signature for LSH bucketing:
-    * bit p = sign(Σᵢ vᵢ · h(p,i)) where h is a hash-derived
+    * bit p = sign(Σᵢ vᵢ · h(seed,p,i)) where h is a hash-derived
     * pseudo-random weight in [-0.5, 0.5). Seeded by construction
     * (xxhash64), so the same signature plan runs identically on every
-    * executor and every run — no RNG state to ship. */
-  def hyperplaneSignature(vecCol: String, planes: Int): Column =
+    * executor and every run — no RNG state to ship. Distinct `seed`
+    * values give independent hyperplane sets (OR-amplification
+    * tables). */
+  def hyperplaneSignature(vecCol: String, planes: Int, seed: Long = 0L): Column =
     expr(
       s"""aggregate(
          |  sequence(0, ${planes - 1}),
@@ -63,7 +65,7 @@ object VectorFunctions {
          |  (acc, p) -> acc + shiftleft(
          |    CASE WHEN aggregate(
          |      zip_with($vecCol, sequence(0, size($vecCol) - 1),
-         |        (v, i) -> CAST(v AS DOUBLE) * ((pmod(xxhash64(p, i), 1000L) / 1000.0) - 0.5)),
+         |        (v, i) -> CAST(v AS DOUBLE) * ((pmod(xxhash64(${seed}L, p, i), 1000L) / 1000.0) - 0.5)),
          |      0.0D, (a, x) -> a + x) > 0.0D THEN 1L ELSE 0L END, p)
          |)""".stripMargin)
 }
