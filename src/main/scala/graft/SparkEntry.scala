@@ -137,19 +137,26 @@ object SparkEntry {
       val width = ChunkWidth.dateChunkDays(n, span)
       val chunks = Intervals.dates(mn, mx, width).map(Intervals.halfOpenDates)
       // The union of per-interval half-open extracts over a TILING
-      // plan is, row-for-row, the single scan range-joined against
-      // the interval list (each row falls in exactly one chunk). The
-      // join form evaluates the whole chunk plan in ONE pass with the
-      // intervals broadcast — a ~200-branch union of the same scans
-      // spends more time in the planner and scheduler than in the
-      // data. Same P1/P3/P6 plan, same result, 100 TB-viable shape.
+      // plan is, row-for-row, the single scan joined against the
+      // interval list (each row falls in exactly one chunk). Because
+      // P3 chunks tile at a FIXED width from mn, each row's chunk id
+      // is arithmetic — floor(datediff(row, mn) / width) — so the
+      // interval lookup is an EQUI-join (BroadcastHashJoin), not the
+      // O(rows × chunks) range-condition BNLJ: a 10-year daily-grain
+      // plan (~1,800 chunks) stays one hash probe per row. The
+      // residual half-open range filter re-checks the tiling: if the
+      // planner's intervals ever failed to tile, rows would drop here
+      // and the full-scan oracle would catch it.
       import s.implicits._
-      val ivs = broadcast(chunks.map { case (a, b) =>
-        (ts(s"$a 00:00:00"), ts(s"$b 00:00:00"))
-      }.toDF("__start", "__end"))
+      val ivs = broadcast(chunks.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, ts(s"$a 00:00:00"), ts(s"$b 00:00:00"))
+      }.toDF("__cid", "__start", "__end"))
       orders
-        .join(ivs,
-          col("o_orderdate") >= col("__start") && col("o_orderdate") < col("__end"))
+        .withColumn("__cid",
+          floor(datediff(col("o_orderdate"), lit(java.sql.Date.valueOf(mn))) / width)
+            .cast("long"))
+        .join(ivs, Seq("__cid"))
+        .where(col("o_orderdate") >= col("__start") && col("o_orderdate") < col("__end"))
         .select(orders.columns.map(col).toSeq: _*)
     }),
 
@@ -332,11 +339,15 @@ object SparkEntry {
   private def hitsSql(lang: String): String =
     graft.functions.TextFunctions.StopwordMarkers(lang).map(occSql).mkString("(", " + ", ")")
 
+  // DuckDB list_reduce has no initial accumulator and ERRORS on an
+  // empty list — the prepended 0 seeds the fold exactly like Spark's
+  // aggregate(…, 0L, …), so empty/whitespace-only docs yield 0 on
+  // both sides instead of crashing the oracle.
   private val rollingSql =
     s"""list_reduce(
-       |  list_transform(
+       |  list_prepend(CAST(0 AS BIGINT), list_transform(
        |    list_filter(regexp_split_to_array($normSql, ' '), w -> w != ''),
-       |    w -> length(w) * ascii(substring(w, 1, 1))),
+       |    w -> CAST(length(w) * ascii(substring(w, 1, 1)) AS BIGINT))),
        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
   /** Shared ngram-Jaccard pair CTEs — used by both the ext_dedup_ngram

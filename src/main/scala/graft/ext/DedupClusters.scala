@@ -112,7 +112,14 @@ object DedupClusters {
     }
     val edgeList = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    clustersFromEdges(nodes, edgeList, idCol)
+  }
 
+  /** Driver union-find over an already-collected edge list. */
+  private def clustersFromEdges(
+      nodes: DataFrame,
+      edgeList: Array[(Long, Long)],
+      idCol: String): DataFrame = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       var root = x
@@ -143,20 +150,39 @@ object DedupClusters {
   /** Corpus dedup, end to end: near-dup pairs → clusters → keep the
     * min-id document of every cluster. `pairs` from any detector
     * (MinHashLSH, SimHash, ngram, embedding). */
+  /** Pair-count cap above which [[keepOnePerCluster]] refuses the
+    * driver-collect path. Collecting is only safe when pairs ≪ corpus;
+    * an adversarial corpus (e.g. boilerplate-heavy crawl deduped
+    * before boilerplate removal) can emit near-quadratic pair lists
+    * that would OOM the driver. */
+  val LocalPairLimit: Long = 2000000L
+
   def keepOnePerCluster(
       docs: DataFrame,
       pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    // exact driver union-find when the id type allows it (the normal
-    // pairs ≪ corpus regime: one broadcast join, any graph diameter);
-    // iterative propagation otherwise
+      idCol: String = "doc_id",
+      localPairLimit: Long = LocalPairLimit): DataFrame = {
+    // exact driver union-find when the id type allows it AND the pair
+    // volume is provably bounded (the normal pairs ≪ corpus regime:
+    // one broadcast join, any graph diameter); iterative propagation
+    // otherwise. The volume probe IS the collect — limit(N+1) stops
+    // the scan at N+1 rows, so an adversarial near-quadratic pair set
+    // costs one O(N) probe pass before falling back, and the normal
+    // case pays a single pass total.
     val idType = docs.schema(idCol).dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType ||
       idType == org.apache.spark.sql.types.ShortType
+    val cap = math.min(localPairLimit, (Int.MaxValue - 1).toLong).toInt
     val cl =
-      if (integral) clustersLocal(docs, pairs, idCol)
-      else clusters(docs, pairs, idCol)
+      if (integral) {
+        val probed = pairs
+          .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .limit(cap + 1).collect()
+        if (probed.length <= cap)
+          clustersFromEdges(docs, probed.map(r => (r.getLong(0), r.getLong(1))), idCol)
+        else clusters(docs, pairs, idCol)
+      } else clusters(docs, pairs, idCol)
     val w = Window.partitionBy(col("cluster_id")).orderBy(col(idCol))
     docs.join(cl, Seq(idCol))
       .withColumn("__rn", row_number().over(w))

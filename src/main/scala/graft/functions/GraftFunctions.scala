@@ -19,7 +19,15 @@ object GraftFunctions {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sketch", exprs => {
       require(exprs.length == 2, "minhash_sketch(hash, numHashes)")
-      val n = exprs(1).eval(null).asInstanceOf[Number].intValue()
+      // a non-literal numHashes (e.g. a column reference) would make
+      // eval(null) throw an opaque NPE — fail with the actual contract
+      require(exprs(1).foldable,
+        s"minhash_sketch numHashes must be a constant integer, got ${exprs(1).sql}")
+      val n = exprs(1).eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"minhash_sketch numHashes must be a constant integer, got $other")
+      }
       MinHashSketch(exprs(0), n).toAggregateExpression()
     }, "scala_udf")
   }

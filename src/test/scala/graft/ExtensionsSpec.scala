@@ -165,6 +165,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(kept.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("keepOnePerCluster routes past the driver-collect path when pairs exceed the cap") {
+    val docs5 = Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain graph: diameter 4, one component — exercises the iterative
+    // propagation the fallback must use
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val viaLocal = DedupClusters.keepOnePerCluster(docs5, chain)
+      .collect().map(_.getLong(0)).toSet
+    // 4 pairs > cap 1 → distributed label propagation; same answer
+    val viaDist = DedupClusters.keepOnePerCluster(docs5, chain, localPairLimit = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaLocal == Set(1L))
+    assert(viaDist == viaLocal)
+  }
+
   test("LSH near-dup pairs find planted true near-duplicates") {
     // The fixture corpus has no true near-dups (max cosine ~0.5), so
     // plant some: 60 base vectors, 20 perturbed copies (cos > 0.99).

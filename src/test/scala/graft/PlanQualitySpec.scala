@@ -52,6 +52,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rank-limit pushdown (partial WindowGroupLimit) missing:\n$plan")
   }
 
+  test("d9 chunk lookup is a hash join on the arithmetic chunk id, not a BNLJ") {
+    val plan = planOf("d9_chunk_invariance")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"chunk-interval lookup degenerated to O(rows × chunks):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the computed chunk id:\n$plan")
+  }
+
   test("exact dedup aggregates map-side before the shuffle") {
     val plan = planOf("ext_dedup_exact")
     // partial aggregation appears as two HashAggregate nodes around
