@@ -263,9 +263,15 @@ object SparkEntry {
     "ext_dedup_minhash" -> ((s, dir) =>
       MinHashLSH.nearDupPairs(tbl(s, dir, "documents"), jaccard = (1, 3))),
 
-    // SimHash near-dup (64-bit fingerprints, pigeonhole block join)
+    // SimHash near-dup (pigeonhole block join). Declared with the
+    // engine-portable md5-derived 60-bit token hash so the whole
+    // pipeline is oracle-exact against an all-pairs DuckDB rebuild
+    // (the pigeonhole blocking is lossless for hamming ≤ 3 by
+    // construction, so blocked Spark == all-pairs SQL). The xxhash64
+    // default stays the fast path for library users.
     "ext_dedup_simhash" -> ((s, dir) =>
-      SimHash.nearDupPairs(tbl(s, dir, "documents"), maxHamming = 3)),
+      SimHash.nearDupPairs(tbl(s, dir, "documents"), maxHamming = 3,
+        bits = 60, tokenHash = SimHash.portableTokenHash)),
 
     // Embedding-cosine near-dup pairs above a threshold
     "ext_dedup_embedding" -> ((s, dir) =>
@@ -561,6 +567,32 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+
+    // Portable-hash simhash rebuilt in pure SQL: per-token 60-bit
+    // md5-derived hash, per-bit ±1 votes with multiplicity, sign →
+    // signature bit; pairs = all-pairs hamming ≤ 3 (the Spark side's
+    // pigeonhole blocking is lossless at that distance).
+    "ext_dedup_simhash" -> {
+      val voteBit = (b: Int) =>
+        s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+          s"THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+      val sigExpr = (0 until 60).map(voteBit).mkString(" +\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array($normSql, ' '), w -> w != '')) AS t
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(t), 1, 15))::UBIGINT::BIGINT AS h
+         |  FROM toks),
+         |sig AS (
+         |  SELECT doc_id, $sigExpr AS simhash
+         |  FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+    },
 
     // OR-amplified LSH at fixture params has recall 1.0 and exact
     // cosine verification — output equals the all-pairs truth.

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate detection: 64-bit locality-sensitive
@@ -29,21 +29,37 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
+  /** Default token hash: seeded xxhash64 — the fast JVM path. */
+  def xxTokenHash(t: Column): Column = xxhash64(t)
+
+  /** Engine-portable token hash: the top 15 hex chars of md5 parsed
+    * as a 60-bit integer. Any engine with md5 can reproduce it
+    * (DuckDB: `('0x' || substring(md5(t), 1, 15))::UBIGINT`), which
+    * makes the whole simhash pipeline oracle-checkable; 60 bits keeps
+    * the value ANSI-safe in a signed long. Use with `bits = 60`. */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** (doc_id, simhash) — bit b of the signature is the sign of the
-    * vote sum Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1). */
-  def signatures(docs: DataFrame): DataFrame = {
-    // Spread a narrow input before the 64-votes-per-token stage
+    * vote sum Σ_tokens (bit_b(hash(token)) ? +1 : -1). Tokens vote
+    * with multiplicity (Charikar's frequency weighting). */
+  def signatures(
+      docs: DataFrame,
+      bits: Int = 64,
+      tokenHash: Column => Column = xxTokenHash): DataFrame = {
+    require(bits >= 4 && bits <= 64, s"bits must be in [4, 64], got $bits")
+    // Spread a narrow input before the bits-votes-per-token stage
     // (same reasoning as MinHashLSH.signatures).
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism)
     val exploded = spread
       .withColumn("__toks", words(normalized(col("text"))))
       .select(col("doc_id"), explode(col("__toks")).as("__t"))
-      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
-    val votes = (0 until 64).map { b =>
+      .select(col("doc_id"), tokenHash(col("__t")).as("__h"))
+    val votes = (0 until bits).map { b =>
       sum(when(expr(s"(shiftright(__h, $b) & 1L) = 1L"), 1L).otherwise(-1L)).as(s"__v$b")
     }
-    val sig = (0 until 64)
+    val sig = (0 until bits)
       .map(b => shiftleft(when(col(s"__v$b") > 0, 1L).otherwise(0L), b))
       .reduce(_ + _)
     exploded
@@ -58,13 +74,20 @@ object SimHash {
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming (pigeonhole
     * blocking with 4 chunks covers distance ≤ 3). */
-  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def nearDupPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      tokenHash: Column => Column = xxTokenHash): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole blocking covers distance <= 3")
-    val sigs = signatures(docs)
+    require(bits % 4 == 0, s"bits must split into 4 equal pigeonhole chunks, got $bits")
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    val sigs = signatures(docs, bits, tokenHash)
     val chunked = sigs
       .withColumn("chunk", explode(expr("sequence(0, 3)")))
       .withColumn("chunk_val",
-        expr("shiftright(simhash, chunk * 16) & 65535L"))
+        expr(s"shiftright(simhash, chunk * $chunkBits) & ${chunkMask}L"))
     val l = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val r = chunked.select(col("chunk"), col("chunk_val"),
