@@ -41,6 +41,27 @@ private[app] object Common {
     m.get("status_endpoint")
       .map(new graft.ingest.HttpStatusReporter(_))
       .getOrElse(graft.ingest.StatusReporter.Noop)
+
+  /** `--log_dir <lake path>` wires the §2.6 dual logging sink
+    * (console echo + batched log objects, [[graft.core.LakeLogger]]);
+    * absent → console only. Start/finish/failure bracket the run and
+    * the buffer always flushes, success or not. */
+  def runLogged(
+      m: Map[String, String],
+      spark: org.apache.spark.sql.SparkSession,
+      job: String)(body: => Unit): Unit = {
+    val logger = m.get("log_dir").map(d =>
+      new graft.core.LakeLogger(spark.sparkContext.hadoopConfiguration, d, job))
+    try {
+      logger.foreach(_.info(s"$job started"))
+      body
+      logger.foreach(_.info(s"$job finished"))
+    } catch {
+      case e: Throwable =>
+        logger.foreach(_.error(s"$job failed: ${e.getMessage}"))
+        throw e
+    } finally logger.foreach(_.close())
+  }
 }
 
 /** JDBC source, date partition column (carga_date.py archetype). */
@@ -49,15 +70,18 @@ object CargaDate {
     val m = Args.parse(args)
     val url = ConnStrings.withSslDisabled(Args.req(m, "url")) // P7
     val src = JdbcSource(url, m.getOrElse("user", ""), m.getOrElse("password", ""))
-    ResyncJob.runDate(
-      Common.spark(),
-      ResyncJob.JdbcRanged(src, Args.req(m, "dataset")),
-      pc = Args.req(m, "partition_column"),
-      ref = Common.ref(m), lake = Common.lake(m),
-      cliStart = m.get("start_date").map(LocalDate.parse),
-      cliEnd = m.get("end_date").map(LocalDate.parse),
-      estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
-      reporter = Common.reporter(m))
+    val spark = Common.spark()
+    Common.runLogged(m, spark, "carga_date") {
+      ResyncJob.runDate(
+        spark,
+        ResyncJob.JdbcRanged(src, Args.req(m, "dataset")),
+        pc = Args.req(m, "partition_column"),
+        ref = Common.ref(m), lake = Common.lake(m),
+        cliStart = m.get("start_date").map(LocalDate.parse),
+        cliEnd = m.get("end_date").map(LocalDate.parse),
+        estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
+        reporter = Common.reporter(m))
+    }
   }
 }
 
@@ -67,15 +91,18 @@ object CargaInt {
     val m = Args.parse(args)
     val url = ConnStrings.withSslDisabled(Args.req(m, "url"))
     val src = JdbcSource(url, m.getOrElse("user", ""), m.getOrElse("password", ""))
-    ResyncJob.runInt(
-      Common.spark(),
-      ResyncJob.JdbcRanged(src, Args.req(m, "dataset")),
-      pc = Args.req(m, "partition_column"),
-      ref = Common.ref(m), lake = Common.lake(m),
-      cliStart = m.get("start_id").map(_.toLong),
-      cliEnd = m.get("end_id").map(_.toLong),
-      estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
-      reporter = Common.reporter(m))
+    val spark = Common.spark()
+    Common.runLogged(m, spark, "carga_int") {
+      ResyncJob.runInt(
+        spark,
+        ResyncJob.JdbcRanged(src, Args.req(m, "dataset")),
+        pc = Args.req(m, "partition_column"),
+        ref = Common.ref(m), lake = Common.lake(m),
+        cliStart = m.get("start_id").map(_.toLong),
+        cliEnd = m.get("end_id").map(_.toLong),
+        estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
+        reporter = Common.reporter(m))
+    }
   }
 }
 
@@ -87,16 +114,18 @@ object CargaMongoDate {
     val spark = Common.spark()
     val schema = ResyncJob.resolveSchema(
       spark, Common.lake(m), Common.ref(m), m.get("schema_registry_dir"))
-    ResyncJob.runDate(
-      spark,
-      ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path")), schema),
-      pc = Args.req(m, "partition_column"),
-      ref = Common.ref(m), lake = Common.lake(m),
-      cliStart = m.get("start_date").map(LocalDate.parse),
-      cliEnd = m.get("end_date").map(LocalDate.parse),
-      estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
-      withRecovery = false,
-      reporter = Common.reporter(m))
+    Common.runLogged(m, spark, "mongodb_carga_date") {
+      ResyncJob.runDate(
+        spark,
+        ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path")), schema),
+        pc = Args.req(m, "partition_column"),
+        ref = Common.ref(m), lake = Common.lake(m),
+        cliStart = m.get("start_date").map(LocalDate.parse),
+        cliEnd = m.get("end_date").map(LocalDate.parse),
+        estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
+        withRecovery = false,
+        reporter = Common.reporter(m))
+    }
   }
 }
 
@@ -107,16 +136,18 @@ object CargaMongoInt {
     val spark = Common.spark()
     val schema = ResyncJob.resolveSchema(
       spark, Common.lake(m), Common.ref(m), m.get("schema_registry_dir"))
-    ResyncJob.runInt(
-      spark,
-      ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path")), schema),
-      pc = Args.req(m, "partition_column"),
-      ref = Common.ref(m), lake = Common.lake(m),
-      cliStart = m.get("start_id").map(_.toLong),
-      cliEnd = m.get("end_id").map(_.toLong),
-      estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
-      withRecovery = false,
-      reporter = Common.reporter(m))
+    Common.runLogged(m, spark, "mongodb_carga_int") {
+      ResyncJob.runInt(
+        spark,
+        ResyncJob.MongoRanged(MongoLikeSource(Args.req(m, "source_path")), schema),
+        pc = Args.req(m, "partition_column"),
+        ref = Common.ref(m), lake = Common.lake(m),
+        cliStart = m.get("start_id").map(_.toLong),
+        cliEnd = m.get("end_id").map(_.toLong),
+        estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
+        withRecovery = false,
+        reporter = Common.reporter(m))
+    }
   }
 }
 
@@ -124,10 +155,13 @@ object CargaMongoInt {
 object PromoteApp {
   def main(args: Array[String]): Unit = {
     val m = Args.parse(args)
-    ResyncJob.promote(
-      Common.spark(),
-      ref = Common.ref(m), lake = Common.lake(m),
-      skIds = Args.req(m, "sk_keys").split(",").toSeq,
-      hyphen = m.get("hyphen").exists(_.toBoolean))
+    val spark = Common.spark()
+    Common.runLogged(m, spark, "promote") {
+      ResyncJob.promote(
+        spark,
+        ref = Common.ref(m), lake = Common.lake(m),
+        skIds = Args.req(m, "sk_keys").split(",").toSeq,
+        hyphen = m.get("hyphen").exists(_.toBoolean))
+    }
   }
 }

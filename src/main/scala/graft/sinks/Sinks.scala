@@ -151,6 +151,11 @@ object MergeUpsert {
     ()
   }
 
+  /** Suffix infix for retained pre-merge snapshots:
+    * `<trusted>__prev_<epochMillis>`. Like `__staging`/`__prev`, these
+    * are SIBLINGS of the table directory, never inside it. */
+  val PrevSnapshotInfix = "__prev_"
+
   /** Full K2: read trusted (if present), merge, write-new-then-swap.
     *
     * Atomicity protocol (SURVEY.md §7.5 #3): write the merged result
@@ -161,13 +166,24 @@ object MergeUpsert {
     * leaves the table recoverable and the NEXT merge sees a complete
     * table, never an empty target that would make it mistake the
     * update batch for the whole dataset.
+    *
+    * Retention (reference `cloud_utils.py:523`,
+    * `delta_retention_hours=72`): with `retainPrevHours` set, the
+    * pre-merge table survives the swap as a timestamped
+    * `<trusted>__prev_<millis>` snapshot instead of being deleted —
+    * a rollback window after a bad merge ([[rollbackToPrev]]).
+    * Snapshots older than the window are GC'd at the start of the
+    * next retained merge. A crash between the promote and the
+    * snapshot rename loses only that one snapshot (recovery deletes
+    * a stale `__prev` once the target exists) — never table data.
     */
   def mergeInto(
       spark: SparkSession,
       trustedPath: String,
       updates: DataFrame,
       key: String = "sk",
-      broadcastUpdates: Boolean = false): Unit = {
+      broadcastUpdates: Boolean = false,
+      retainPrevHours: Option[Double] = None): Unit = {
     val storage = LakeStorage(spark)
     val fs = new Path(trustedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -176,6 +192,7 @@ object MergeUpsert {
     val target = new Path(trustedPath)
 
     recoverSwap(fs, target, staging, prev)
+    retainPrevHours.foreach(gcPrevSnapshots(fs, trustedPath, _))
 
     val result =
       if (storage.exists(trustedPath)) {
@@ -193,7 +210,78 @@ object MergeUpsert {
     }
     if (!fs.rename(staging, target))
       sys.error(s"merge swap failed: could not promote $staging")
-    if (fs.exists(prev)) fs.delete(prev, true)
+    if (fs.exists(prev)) {
+      if (retainPrevHours.isDefined) {
+        val snap = new Path(
+          trustedPath + PrevSnapshotInfix + System.currentTimeMillis())
+        if (!fs.rename(prev, snap))
+          sys.error(s"merge retention failed: could not snapshot $prev")
+      } else fs.delete(prev, true)
+    }
+  }
+
+  /** (epochMillis, path) of retained pre-merge snapshots, newest
+    * first. */
+  def prevSnapshots(
+      fs: org.apache.hadoop.fs.FileSystem,
+      trustedPath: String): Seq[(Long, Path)] = {
+    val table = new Path(trustedPath)
+    val parent = table.getParent
+    val prefix = table.getName + PrevSnapshotInfix
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).toSeq
+      .filter(_.getPath.getName.startsWith(prefix))
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix(prefix).toLongOption
+          .map(ts => (ts, st.getPath))
+      }
+      .sortBy(-_._1)
+  }
+
+  private def gcPrevSnapshots(
+      fs: org.apache.hadoop.fs.FileSystem,
+      trustedPath: String,
+      retainHours: Double): Unit = {
+    val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+    prevSnapshots(fs, trustedPath)
+      .filter(_._1 < cutoff)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** Roll the table back to its newest retained pre-merge snapshot
+    * (undo of the last bad merge). Runs through the same
+    * write-then-swap protocol as the merge itself — the snapshot is
+    * staged (it already carries the parquet `_SUCCESS` commit marker)
+    * and promoted with [[recoverSwap]] covering every crash point.
+    * The rolled-back-FROM state is itself retained as a new snapshot,
+    * so a mistaken rollback is also undoable. (A crash in the narrow
+    * window after the snapshot is staged but before the table moves
+    * aside consumes that snapshot without effect — recovery keeps the
+    * intact table and deletes the stage; older snapshots remain.) */
+  def rollbackToPrev(spark: SparkSession, trustedPath: String): Unit = {
+    val fs = new Path(trustedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(trustedPath + "__staging")
+    val prev = new Path(trustedPath + "__prev")
+    val target = new Path(trustedPath)
+    recoverSwap(fs, target, staging, prev)
+    val snaps = prevSnapshots(fs, trustedPath)
+    require(snaps.nonEmpty, s"no retained __prev_ snapshot beside $trustedPath")
+    val (_, newest) = snaps.head
+    if (fs.exists(staging)) fs.delete(staging, true)
+    if (!fs.rename(newest, staging))
+      sys.error(s"rollback failed: could not stage $newest")
+    if (fs.exists(target)) {
+      if (!fs.rename(target, prev))
+        sys.error(s"rollback swap failed: could not move $target aside")
+    }
+    if (!fs.rename(staging, target))
+      sys.error(s"rollback swap failed: could not promote $staging")
+    if (fs.exists(prev)) {
+      val snap = new Path(trustedPath + PrevSnapshotInfix + System.currentTimeMillis())
+      if (!fs.rename(prev, snap))
+        sys.error(s"rollback retention failed: could not snapshot $prev")
+    }
   }
 
   /** Crash recovery for the write-then-swap protocol. Interrupted

@@ -135,6 +135,57 @@ class MergeSpec extends AnyFunSuite {
   }
 
   // K1 (cloud_utils.py:438-475): append accumulates
+  // Merge retention (reference delta_retention_hours=72,
+  // cloud_utils.py:523): the pre-merge table survives as a
+  // timestamped snapshot; rollback undoes a bad merge; GC drops
+  // snapshots past the window.
+  test("retained merge keeps a rollback window; rollback undoes a bad merge") {
+    val dir = Files.createTempDirectory("graft-retain").toString
+    val trustedPath = s"$dir/trusted"
+    val fs = new org.apache.hadoop.fs.Path(trustedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeUpsert.mergeInto(spark, trustedPath,
+      Seq(("a", 1), ("b", 2)).toDF("sk", "v"), retainPrevHours = Some(72.0))
+    // bootstrap has no pre-state to snapshot
+    assert(MergeUpsert.prevSnapshots(fs, trustedPath).isEmpty)
+    // a "bad" merge clobbers b
+    MergeUpsert.mergeInto(spark, trustedPath,
+      Seq(("b", -999)).toDF("sk", "v"), retainPrevHours = Some(72.0))
+    assert(collectAll(trustedPath) == Set(("a", 1), ("b", -999)))
+    assert(MergeUpsert.prevSnapshots(fs, trustedPath).size == 1)
+    // rollback restores the pre-merge table…
+    MergeUpsert.rollbackToPrev(spark, trustedPath)
+    assert(collectAll(trustedPath) == Set(("a", 1), ("b", 2)))
+    // …and retains the rolled-back-FROM state, so rollback is undoable
+    assert(MergeUpsert.prevSnapshots(fs, trustedPath).size == 1)
+    MergeUpsert.rollbackToPrev(spark, trustedPath)
+    assert(collectAll(trustedPath) == Set(("a", 1), ("b", -999)))
+  }
+
+  test("retention GC drops snapshots older than the window, keeps recent ones") {
+    val dir = Files.createTempDirectory("graft-retain-gc").toString
+    val trustedPath = s"$dir/trusted"
+    val fs = new org.apache.hadoop.fs.Path(trustedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MergeUpsert.mergeInto(spark, trustedPath,
+      Seq(("a", 1)).toDF("sk", "v"), retainPrevHours = Some(72.0))
+    MergeUpsert.mergeInto(spark, trustedPath,
+      Seq(("a", 2)).toDF("sk", "v"), retainPrevHours = Some(72.0))
+    // plant an ancient snapshot (epoch 1000) beside the fresh one
+    val ancient = new org.apache.hadoop.fs.Path(
+      trustedPath + MergeUpsert.PrevSnapshotInfix + "1000")
+    fs.mkdirs(ancient)
+    assert(MergeUpsert.prevSnapshots(fs, trustedPath).size == 2)
+    MergeUpsert.mergeInto(spark, trustedPath,
+      Seq(("a", 3)).toDF("sk", "v"), retainPrevHours = Some(72.0))
+    val left = MergeUpsert.prevSnapshots(fs, trustedPath)
+    assert(!left.exists(_._1 == 1000L), "ancient snapshot must be GC'd")
+    assert(left.size == 2, "both in-window snapshots must survive")
+    // unretained merges never snapshot (and never GC others' snapshots)
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("a", 4)).toDF("sk", "v"))
+    assert(MergeUpsert.prevSnapshots(fs, trustedPath).size == 2)
+  }
+
   test("K1 parquet append accumulates batches") {
     val dir = Files.createTempDirectory("graft-append").toString + "/work"
     ParquetAppend.write(Seq(("a", 1)).toDF("sk", "v"), dir)
