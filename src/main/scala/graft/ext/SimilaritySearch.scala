@@ -66,9 +66,16 @@ object SimilaritySearch {
     * `tables` adds standard OR-amplification: `tables` independent
     * hyperplane sets, a pair is a candidate if it collides in ANY
     * table — miss probability (1 − (1 − θ/π)^planes)^tables. More
-    * tables buy recall at linear candidate-generation cost; the
-    * verification stage dedups pairs before the exact cosine, so a
-    * pair colliding in many tables is verified once. */
+    * tables buy recall at linear candidate-generation cost. A pair
+    * colliding in many tables is still verified once. When
+    * planes × tables ≤ 62, every table signature packs into ONE long
+    * per vector and the pair is emitted only from the FIRST table in
+    * which it collides — a codegen-friendly bit-arithmetic filter on
+    * the collision row itself, so duplicate candidates die before
+    * anything shuffles (the naive union-of-tables `distinct()` is a
+    * shuffle of ~tables × Σ bucket² narrow rows — at 16 tables that
+    * exchange dominated this operator's runtime). Wider configs fall
+    * back to that distinct. */
   def lshNearDupPairs(
       embeddings: DataFrame,
       threshold: Double,
@@ -79,19 +86,40 @@ object SimilaritySearch {
       struct(lit(t).as("t"),
         VectorFunctions.hyperplaneSignature("embedding", planes, seed = t.toLong)
           .as("sig"))): _*)
+    val packable = planes * tables <= 62
+    // packed = sig_0 | sig_1 << planes | … — one long carries the
+    // whole signature family through the candidate join
+    val packedCol =
+      if (!packable) lit(0L)
+      else (0 until tables).map(t =>
+        shiftleft(
+          VectorFunctions.hyperplaneSignature("embedding", planes, seed = t.toLong),
+          planes * t))
+        .reduce(_ bitwiseOR _)
     val bucketed = embeddings
-      .select(col("vec_id"), col("embedding"),
-        VectorFunctions.norm(col("embedding")).as("nrm"),
-        explode(tableSigs).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("tb.t").as("t"), col("tb.sig").as("bucket"))
-    val a = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
-    val b = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b"))
-    // candidate ids first, exact cosine once per DISTINCT pair
-    val cands = a.join(b, Seq("t", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+      .select(col("vec_id"), explode(tableSigs).as("tb"), packedCol.as("packed"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.sig").as("bucket"),
+        col("packed"))
+    val a = bucketed.select(col("t"), col("bucket"),
+      col("vec_id").as("id_a"), col("packed").as("packed_a"))
+    val b = bucketed.select(col("t"), col("bucket"),
+      col("vec_id").as("id_b"), col("packed").as("packed_b"))
+    val joined = a.join(b, Seq("t", "bucket")).where(col("id_a") < col("id_b"))
+    // first-collision filter: collapse each planes-wide group of the
+    // signature XOR to its lowest bit (nonzero group ⇒ bit set); the
+    // pair is emitted at table t iff every group before t is nonzero
+    val cands = if (packable) {
+      val groupMask = (0 until tables).map(t => 1L << (planes * t)).reduce(_ | _)
+      val xorSql = "(packed_a ^ packed_b)"
+      val collapsed = (0 until planes)
+        .map(s => if (s == 0) xorSql else s"shiftright($xorSql, $s)")
+        .mkString("(", " | ", ")")
+      joined.where(expr(
+        s"(~$collapsed & ($groupMask & (shiftleft(CAST(1 AS BIGINT), $planes * t) - 1))) = 0"))
+        .select(col("id_a"), col("id_b"))
+    } else {
+      joined.select(col("id_a"), col("id_b")).distinct()
+    }
     val vecs = embeddings.select(col("vec_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("nrm"))
     cands
