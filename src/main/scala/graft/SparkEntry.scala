@@ -172,10 +172,14 @@ object SparkEntry {
         // date_trunc always yields LTZ even over NTZ input — cast back
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("win"),
           col("event_type"))
-        // Spark widens sum(decimal(18,6)) to (28,6), DuckDB to (38,6);
-        // values are identical — pin (38,6) for arrow-schema parity.
+        // DECIMAL accumulation keeps the sum order-insensitive, but the
+        // RESULT must leave as DOUBLE: DuckDB's DECIMAL(38,6) is
+        // hugeint-backed and surfaces as float64 in arrow-level value
+        // hashing while Spark's stays decimal128 — bit-identical values,
+        // different hashed representation (round-2 lesson). decimal →
+        // double of equal decimals is bit-identical on both engines.
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total"))),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))),
 
     // top-k with a total order (sort + limit)
     "cap_top_orders" -> ((s, dir) =>
@@ -190,8 +194,10 @@ object SparkEntry {
       tbl(s, dir, "orders")
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
+        // decimal-accumulate, double-emit — same rationale as
+        // cap_events_hourly's `total`
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
     }),
 
     // ── §7.4 training-data pipeline extensions ──────────────────────
@@ -277,17 +283,26 @@ object SparkEntry {
     "ext_dedup_embedding" -> ((s, dir) =>
       DedupOps.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = 0.4)),
 
-    // LSH-bucketed embedding near-dup (sub-quadratic scale path;
-    // recall-tested on planted true near-dups in ScalaTest). planes=2
-    // here because the fixture's 0.4 threshold is a loose 66° cone —
-    // real dedup thresholds (≥0.9) support many more planes. 16
-    // OR-tables push fixture recall to 1.0 (verified at sf0.001 and
-    // sf0.01), making the output oracle-equal to the exact all-pairs
-    // SQL; each table still blocks pairs, so the plan shape stays the
-    // sub-quadratic one.
-    "ext_dedup_embedding_lsh" -> ((s, dir) =>
-      SimilaritySearch.lshNearDupPairs(tbl(s, dir, "embeddings"),
-        threshold = 0.4, planes = 2, tables = 16)),
+    // LSH-bucketed embedding near-dup (sub-quadratic scale path) at a
+    // REALISTIC dedup threshold (0.9): the fixture's max natural
+    // pairwise cosine is 0.60, so the true ≥0.9 pair set is exactly
+    // the planted duplicates — each vector unioned back in under
+    // vec_id+1e6. Identical vectors get identical signatures in EVERY
+    // table, so recall is 1.0 by construction at ANY plane count and
+    // the oracle checks the bucket/candidate/verify machinery loses
+    // and fabricates nothing (natural pairs that share a bucket are
+    // candidates and must die at the exact-cosine verify). planes=12 →
+    // 4096 buckets/table scales the bucket count with the corpus
+    // (SimilaritySearch.planesFor) instead of round 2's constant-4-
+    // bucket config whose candidate volume was Θ(n²). Approximate-
+    // regime recall on perturbed near-dups is ScalaTest-gated.
+    "ext_dedup_embedding_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val planted = e.unionByName(
+        e.withColumn("vec_id", col("vec_id") + lit(1000000)))
+      SimilaritySearch.lshNearDupPairs(planted, threshold = 0.9,
+        planes = 12, tables = 2)
+    }),
 
     // Brute-force cosine top-k (exact ANN baseline)
     "ext_ann_bruteforce" -> ((s, dir) => {
@@ -428,7 +443,7 @@ object SparkEntry {
 
     "cap_events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS total
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "cap_top_orders" ->
@@ -437,7 +452,7 @@ object SparkEntry {
 
     "cap_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
@@ -594,13 +609,18 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     },
 
-    // OR-amplified LSH at fixture params has recall 1.0 and exact
-    // cosine verification — output equals the all-pairs truth.
+    // Planted-duplicate corpus at a realistic 0.9 threshold: identical
+    // vectors collide in every LSH table (recall 1.0 by construction),
+    // so the bucketed pipeline equals this all-pairs truth exactly.
     "ext_dedup_embedding_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
 
     "ext_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
+  /** Plane count whose 2^planes buckets keep the expected bucket size
+    * near `targetBucketSize`: planes ≈ log₂(n / targetBucketSize),
+    * clamped to [1, 20]. Candidate volume is Σ bucket² ≈
+    * n · targetBucketSize — LINEAR in the corpus when the bucket
+    * count scales with it; a constant plane count makes it Θ(n²)
+    * (round 2 measured that 48× regression first-hand). Callers at
+    * scale usually know `n` from pipeline stats; pass it here rather
+    * than hardcoding planes. */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val buckets = math.max(2.0, corpusSize.toDouble / targetBucketSize)
+    math.min(20, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** Exact cosine top-k per query vector.
     * Output: (q_id, neighbor_id, rank), rank 1..k by (cos desc,
     * neighbor_id asc) — a total order, so results are deterministic
@@ -82,21 +96,24 @@ object SimilaritySearch {
       planes: Int = 8,
       tables: Int = 1): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
-    val tableSigs = array((0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        VectorFunctions.hyperplaneSignature("embedding", planes, seed = t.toLong)
-          .as("sig"))): _*)
+    // Each table signature is computed exactly ONCE per vector (the
+    // projection below), then reused by both the per-table explode and
+    // the packed family column — the signature is the inner loop of
+    // this operator, and round 2 paid for it twice.
+    val sigCols = (0 until tables).map(t =>
+      VectorFunctions.hyperplaneSignature(col("embedding"), planes, seed = t.toLong)
+        .as(s"__sig_$t"))
+    val withSigs = embeddings.select(col("vec_id") +: sigCols: _*)
     val packable = planes * tables <= 62
     // packed = sig_0 | sig_1 << planes | … — one long carries the
     // whole signature family through the candidate join
     val packedCol =
       if (!packable) lit(0L)
-      else (0 until tables).map(t =>
-        shiftleft(
-          VectorFunctions.hyperplaneSignature("embedding", planes, seed = t.toLong),
-          planes * t))
+      else (0 until tables).map(t => shiftleft(col(s"__sig_$t"), planes * t))
         .reduce(_ bitwiseOR _)
-    val bucketed = embeddings
+    val tableSigs = array((0 until tables).map(t =>
+      struct(lit(t).as("t"), col(s"__sig_$t").as("sig"))): _*)
+    val bucketed = withSigs
       .select(col("vec_id"), explode(tableSigs).as("tb"), packedCol.as("packed"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.sig").as("bucket"),
         col("packed"))
@@ -149,7 +166,7 @@ object SimilaritySearch {
       probeRadius: Int = 1): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= planes,
       s"probeRadius ($probeRadius) must be in [0, planes=$planes]")
-    val sig = VectorFunctions.hyperplaneSignature("embedding", planes)
+    val sig = VectorFunctions.hyperplaneSignature(col("embedding"), planes)
     val c = corpus
       .withColumn("bucket", sig)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"), col("bucket"))

@@ -56,8 +56,17 @@ object VectorFunctions {
     * (xxhash64), so the same signature plan runs identically on every
     * executor and every run — no RNG state to ship. Distinct `seed`
     * values give independent hyperplane sets (OR-amplification
-    * tables). */
-  def hyperplaneSignature(vecCol: String, planes: Int, seed: Long = 0L): Column =
+    * tables). Backed by the codegen'd [[HyperplaneSignature]]
+    * expression; the spec asserts bit-equality with
+    * [[hyperplaneSignatureHof]]. */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long = 0L): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(HyperplaneSignature(ColumnGlue.expression(vec), planes, seed))
+  }
+
+  /** Built-ins-only formulation of [[hyperplaneSignature]]
+    * (interpreted nested HOFs); kept as the semantic reference. */
+  def hyperplaneSignatureHof(vecCol: String, planes: Int, seed: Long = 0L): Column =
     expr(
       s"""aggregate(
          |  sequence(0, ${planes - 1}),

@@ -25,6 +25,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("codegen hyperplane signature is bit-identical to the HOF fold") {
+    val e = embeddings.limit(200)
+    for ((planes, seed) <- Seq((2, 0L), (12, 0L), (12, 1L), (20, 7L))) {
+      val diff = e.select(
+        VectorFunctions.hyperplaneSignature(col("embedding"), planes, seed).as("fast"),
+        VectorFunctions.hyperplaneSignatureHof("embedding", planes, seed).as("ref"))
+        .where(col("fast") =!= col("ref"))
+      assert(diff.count() == 0, s"planes=$planes seed=$seed")
+    }
+  }
+
+  test("lsh near-dup candidate volume stays near-linear at the declared config") {
+    // Round 2's planes=2/tables=16 config had 4 buckets per table —
+    // Θ(n²) candidates through a 64-value join key. The declared
+    // round-3 config (planes=12, tables=2, planted-duplicate corpus)
+    // must keep bucket count scaling with the corpus: candidate pairs
+    // ≤ c·n and join-key cardinality well beyond the table count.
+    val planted = embeddings.unionByName(
+      embeddings.withColumn("vec_id", col("vec_id") + lit(1000000)))
+    val n = planted.count()
+    val buckets = (0 until 2).map(t =>
+      planted.select(lit(t).as("t"),
+        VectorFunctions.hyperplaneSignature(col("embedding"), 12, t.toLong).as("b")))
+      .reduce(_ unionByName _)
+      .groupBy("t", "b").count()
+    val stats = buckets.agg(
+      sum(col("count") * (col("count") - 1) / 2).as("cands"),
+      count(lit(1)).as("keys")).head()
+    val (cands, keys) = (stats.getDouble(0).toLong, stats.getLong(1))
+    assert(cands <= 20 * n, s"candidate pairs $cands vs n=$n — quadratic blow-up")
+    assert(keys > 64, s"join-key cardinality $keys caps shuffle parallelism")
+  }
+
+  test("planesFor scales bucket count with the corpus") {
+    assert(SimilaritySearch.planesFor(1000L, 1L) == 10)
+    assert(SimilaritySearch.planesFor(1L << 40, 1024L) == 20) // clamp
+    assert(SimilaritySearch.planesFor(10L, 1024L) == 1)
+    // candidate volume target: buckets ≈ n / targetBucketSize
+    assert(SimilaritySearch.planesFor(1L << 20, 1024L) == 10)
+  }
+
   test("vector functions: cosine identities") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),

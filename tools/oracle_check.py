@@ -9,12 +9,15 @@ by all columns), and compares values.
 
 Usage: python3 tools/oracle_check.py <sfDir> <outDir>
 """
+import datetime
+import decimal
 import glob
 import json
 import os
 import sys
 
 import duckdb
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -22,11 +25,66 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(con, rel_sql):
-    df = con.execute(rel_sql).fetchdf()
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+def canon_val(v):
+    """Type-TAGGED canonical value string. The tag is the point: the
+    driver hashes typed values, so a DuckDB decimal that its pandas
+    fetch path degraded to float64 must hash differently from a Spark
+    decimal128 even when numerically equal (round-2 lesson: the lax
+    pandas compare here green-lit exactly what the driver failed)."""
+    if v is None or v is pa.NA:
+        return "∅"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"  # keeps scale: Decimal('1.500000') != float 1.5
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "∅" if f != f else f"f:{f!r}"  # NaN ≡ null (both engines)
+    if isinstance(v, datetime.datetime):  # before date (datetime is a date)
+        return f"t:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"D:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}={canon_val(v[k])}" for k in sorted(v)) + "}"
+    if hasattr(v, "isoformat"):  # pandas Timestamp and friends
+        return f"t:{v.isoformat()}"
+    if v != v:  # pandas NaT
+        return "∅"
+    return f"?{type(v).__name__}:{v!r}"
+
+
+def canon_rows(columns, row_iter):
+    """Sorted list of canonical row tuples, columns sorted by name."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(canon_val(row[i]) for i in order) for row in row_iter)
+
+
+def spark_rows(result_dir):
+    """Engine side: read the result parquet with pyarrow so types
+    survive exactly as Spark wrote them (decimal128 stays Decimal)."""
+    files = sorted(glob.glob(os.path.join(result_dir, "*.parquet")))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    return tbl.schema.names, canon_rows(
+        tbl.schema.names, zip(*cols) if cols else iter(()))
+
+
+def oracle_rows(con, sql):
+    """Oracle side: DuckDB through the pandas fetch path — the same
+    degradation layer the driver's hash sees (decimals → float64)."""
+    df = con.execute(sql).fetchdf()
+    names = list(df.columns)
+    return names, canon_rows(
+        names, (tuple(rec) for rec in df.itertuples(index=False, name=None)))
 
 
 def norm_type(t):
@@ -85,7 +143,7 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            got = canon(con, f"SELECT * FROM '{d}/*.parquet'")
+            got_cols, got = spark_rows(d)
         except Exception as e:
             print(f"FAIL {name}: no result parquet ({str(e)[:120]})")
             n_fail += 1
@@ -93,7 +151,7 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(got)} rows")
             continue
-        want = canon(con, oracle[name])
+        want_cols, want = oracle_rows(con, oracle[name])
         # Arrow-level type strictness FIRST — the driver hashes the
         # TYPED values, so LTZ-vs-NTZ or decimal(28,6)-vs-(38,6) drift
         # fails there even when every value matches (round-1 lesson).
@@ -105,18 +163,17 @@ def main(sf_dir, out_dir):
                      for k in set(got_types) | set(want_types)
                      if got_types.get(k) != want_types.get(k)}
             print(f"FAIL {name}: arrow type drift {drift}")
-        elif list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+        elif sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
         elif len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+        elif got != want:
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(got, want))
+                        if a != b)
+            print(f"FAIL {name}: value drift at sorted row {diff[0]}:\n"
+                  f"  spark : {diff[1]}\n  oracle: {diff[2]}")
         else:
-            try:
-                import pandas.testing as pt
-                pt.assert_frame_equal(got, want, check_dtype=False,
-                                      check_exact=True)
-                ok = True
-            except AssertionError as e:
-                print(f"FAIL {name}: {str(e)[:500]}")
+            ok = True
         if ok:
             n_pass += 1
             print(f"PASS {name} ({len(got)} rows)")
