@@ -42,6 +42,17 @@ private[app] object Common {
       .map(new graft.ingest.HttpStatusReporter(_))
       .getOrElse(graft.ingest.StatusReporter.Noop)
 
+  /** `--id_request <id>` — the explicit request id the reference's
+    * scheduler threads through every status POST (`carga_date.py:43`,
+    * `utils.py:14-27`); absent → namespace.dataset. */
+  def idRequest(m: Map[String, String]): Option[String] = m.get("id_request")
+
+  /** P7-derived JDBC source: the driver class is routed from the URL
+    * (`utils.py:253-267`) unless `--driver` overrides it. */
+  def jdbcSource(m: Map[String, String], url: String): JdbcSource =
+    JdbcSource(url, m.getOrElse("user", ""), m.getOrElse("password", ""),
+      driver = m.get("driver").orElse(ConnStrings.jdbcDriverClass(url)))
+
   /** `--log_dir <lake path>` wires the §2.6 dual logging sink
     * (console echo + batched log objects, [[graft.core.LakeLogger]]);
     * absent → console only. Start/finish/failure bracket the run and
@@ -69,7 +80,7 @@ object CargaDate {
   def main(args: Array[String]): Unit = {
     val m = Args.parse(args)
     val url = ConnStrings.withSslDisabled(Args.req(m, "url")) // P7
-    val src = JdbcSource(url, m.getOrElse("user", ""), m.getOrElse("password", ""))
+    val src = Common.jdbcSource(m, url)
     val spark = Common.spark()
     Common.runLogged(m, spark, "carga_date") {
       ResyncJob.runDate(
@@ -80,7 +91,8 @@ object CargaDate {
         cliStart = m.get("start_date").map(LocalDate.parse),
         cliEnd = m.get("end_date").map(LocalDate.parse),
         estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
-        reporter = Common.reporter(m))
+        reporter = Common.reporter(m),
+        idRequest = Common.idRequest(m))
     }
   }
 }
@@ -90,7 +102,7 @@ object CargaInt {
   def main(args: Array[String]): Unit = {
     val m = Args.parse(args)
     val url = ConnStrings.withSslDisabled(Args.req(m, "url"))
-    val src = JdbcSource(url, m.getOrElse("user", ""), m.getOrElse("password", ""))
+    val src = Common.jdbcSource(m, url)
     val spark = Common.spark()
     Common.runLogged(m, spark, "carga_int") {
       ResyncJob.runInt(
@@ -101,7 +113,8 @@ object CargaInt {
         cliStart = m.get("start_id").map(_.toLong),
         cliEnd = m.get("end_id").map(_.toLong),
         estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
-        reporter = Common.reporter(m))
+        reporter = Common.reporter(m),
+        idRequest = Common.idRequest(m))
     }
   }
 }
@@ -124,7 +137,8 @@ object CargaMongoDate {
         cliEnd = m.get("end_date").map(LocalDate.parse),
         estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
         withRecovery = false,
-        reporter = Common.reporter(m))
+        reporter = Common.reporter(m),
+        idRequest = Common.idRequest(m))
     }
   }
 }
@@ -146,7 +160,8 @@ object CargaMongoInt {
         cliEnd = m.get("end_id").map(_.toLong),
         estimatedRows = m.getOrElse("estimated_rows", "0").toLong,
         withRecovery = false,
-        reporter = Common.reporter(m))
+        reporter = Common.reporter(m),
+        idRequest = Common.idRequest(m))
     }
   }
 }

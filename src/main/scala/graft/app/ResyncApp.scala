@@ -88,6 +88,7 @@ object ResyncJob {
       truncateFirst: Boolean = true,
       withRecovery: Boolean = true,
       reporter: StatusReporter = StatusReporter.Noop,
+      idRequest: Option[String] = None,
       sleep: Long => Unit = Thread.sleep): Unit = {
 
     val workPath = lake.work(ref)
@@ -122,7 +123,11 @@ object ResyncJob {
       else None
 
     new IngestLoop[LocalDate](reporter = reporter, sleep = sleep).run(
-      idRequest = s"${ref.namespace}.${ref.dataset}",
+      // The reference threads an explicit request id through every
+      // status POST (`carga_date.py:43`, `utils.py:14-27`); the
+      // namespace.dataset default covers runs not driven by a
+      // scheduler that assigns ids.
+      idRequest = idRequest.getOrElse(s"${ref.namespace}.${ref.dataset}"),
       plan = plan,
       extract = extract,
       recover = recover,
@@ -161,6 +166,7 @@ object ResyncJob {
       truncateFirst: Boolean = true,
       withRecovery: Boolean = true,
       reporter: StatusReporter = StatusReporter.Noop,
+      idRequest: Option[String] = None,
       sleep: Long => Unit = Thread.sleep): Unit = {
 
     val workPath = lake.work(ref)
@@ -183,7 +189,7 @@ object ResyncJob {
       else None
 
     new IngestLoop[Long](reporter = reporter, sleep = sleep).run(
-      idRequest = s"${ref.namespace}.${ref.dataset}",
+      idRequest = idRequest.getOrElse(s"${ref.namespace}.${ref.dataset}"),
       plan = plan,
       extract = extract,
       recover = recover,

@@ -37,10 +37,18 @@ object IvfSearch {
     * KMeans iteration is a full pass over its input — on a 100 TB
     * corpus an unsampled fit would cost `kmeansIterations` extra full
     * scans), then assign every corpus vector to its cell in one
-    * full-corpus transform pass. Corpora at or under
-    * `maxFitSamplePoints` fit on everything — sampling only engages
-    * at scale, so small-fixture behavior (and the recall tests) are
-    * unchanged. */
+    * full-corpus transform pass.
+    *
+    * The sample is bounded WITHOUT a counting pass (round 2 spent a
+    * full corpus scan on `count()` solely to decide whether to
+    * sample): up to `maxFitSamplePoints / numPartitions` vectors are
+    * taken from the head of each partition — early-terminating per
+    * partition, spread across every partition of the corpus. Head-of-
+    * partition is acceptable for a COARSE quantizer (cells only need
+    * rough geometry; the probed re-rank is exact regardless); corpora
+    * whose partitions hold fewer rows than the per-partition quota —
+    * every test fixture — still fit on everything, so recall specs
+    * are unchanged. */
   def buildIndex(
       corpus: DataFrame,
       nCells: Int = 16,
@@ -50,11 +58,11 @@ object IvfSearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val withVec = corpus.withColumn("__vec", array_to_vector(col("embedding")))
-    val n = withVec.count()
-    val fitInput =
-      if (n <= maxFitSamplePoints) withVec
-      else withVec.sample(withReplacement = false,
-        fraction = maxFitSamplePoints.toDouble / n, seed = seed)
+    val vecOnly = withVec.select(col("__vec"))
+    val perPart = math.max(1L,
+      maxFitSamplePoints / math.max(1, vecOnly.rdd.getNumPartitions)).toInt
+    val fitInput = spark.createDataFrame(
+      vecOnly.rdd.mapPartitions(_.take(perPart)), vecOnly.schema)
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__vec").setPredictionCol("__cell")
       .setMaxIter(kmeansIterations)

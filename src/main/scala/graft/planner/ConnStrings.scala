@@ -14,6 +14,20 @@ object ConnStrings {
     if (url.contains("mongodb")) "mongodb"
     else url.split("/")(0).split(":")(1)
 
+  /** JDBC driver class for a P7 [[driverName]], for routing the
+    * reference derives from the URL (`utils.py:253-267` feeds the
+    * reader's driver option). Unknown schemes → None (Spark falls
+    * back to `DriverManager` auto-resolution from the URL). */
+  def jdbcDriverClass(url: String): Option[String] =
+    driverName(url) match {
+      case "mysql" => Some("com.mysql.cj.jdbc.Driver")
+      case "postgresql" => Some("org.postgresql.Driver")
+      case "sqlserver" => Some("com.microsoft.sqlserver.jdbc.SQLServerDriver")
+      case "oracle" => Some("oracle.jdbc.OracleDriver")
+      case "derby" => Some("org.apache.derby.jdbc.EmbeddedDriver")
+      case _ => None
+    }
+
   /** MySQL `useSSL=false` appender (reference `utils.py:629-656`):
     * only for mysql URLs; `&`-aware when a query string exists, `?`
     * otherwise; idempotent when the flag is already present. */

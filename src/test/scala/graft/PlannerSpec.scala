@@ -108,4 +108,15 @@ class PlannerSpec extends AnyFunSuite {
     assert(ConnStrings.mongoDatabaseName("mongodb://h/?database=foo_bar", "ns") == "foo_bar")
     assert(ConnStrings.mongoDatabaseName("mongodb://h/", "ns") == "ns")
   }
+
+  test("P7 driver name routes to a JDBC driver class (CLI wiring)") {
+    assert(ConnStrings.jdbcDriverClass("jdbc:mysql://h:3306/db")
+      .contains("com.mysql.cj.jdbc.Driver"))
+    assert(ConnStrings.jdbcDriverClass("jdbc:postgresql://h/db")
+      .contains("org.postgresql.Driver"))
+    assert(ConnStrings.jdbcDriverClass("jdbc:derby:memory:db")
+      .contains("org.apache.derby.jdbc.EmbeddedDriver"))
+    // unknown scheme → None → DriverManager auto-resolution
+    assert(ConnStrings.jdbcDriverClass("jdbc:exotic://h/db").isEmpty)
+  }
 }

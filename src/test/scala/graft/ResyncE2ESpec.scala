@@ -46,6 +46,13 @@ class ResyncE2ESpec extends AnyFunSuite {
   test("date resync over a document source, then promote, heals boundary overlap") {
     val lake = freshLake()
     val expected = rowsInWindow
+    // --id_request threading: the explicit id must reach every status
+    // report (reference carga_date.py:43 → utils.py:14-27)
+    var reported = List.empty[(String, String)]
+    val recorder = new graft.ingest.StatusReporter {
+      def report(id: String, process: String, value: String): Unit =
+        reported ::= (id, value)
+    }
     ResyncJob.runDate(
       spark,
       ResyncJob.MongoRanged(MongoLikeSource(s"$sf/orders.parquet")),
@@ -54,7 +61,10 @@ class ResyncE2ESpec extends AnyFunSuite {
       cliStart = Some(winStart), cliEnd = Some(winEnd),
       estimatedRows = sourceRows,
       withRecovery = false,
+      reporter = recorder,
+      idRequest = Some("req-42"),
       sleep = _ => ())
+    assert(reported == List(("req-42", "success")))
 
     val work = spark.read.parquet(lake.work(ref))
     assert(work.count() >= expected,

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Bench regression gate: compare a fresh bench_out.json against the
+committed BENCH_BASELINE.json and fail on per-query regressions.
+
+Round 2 bought a correctness fix with a silent 48x slowdown on one
+query (ext_dedup_embedding_lsh, 1.9s -> 92.3s); this gate makes that
+class of trade impossible to commit unnoticed.
+
+Usage: python3 tools/bench_gate.py [bench_out.json] [baseline.json]
+  exit 0: no query regressed beyond the threshold
+  exit 1: regressions listed on stdout
+
+A query missing from the baseline is informational (new query); a
+query missing from the fresh run FAILS (a query was dropped or died —
+Bench reports crashed queries as -1, which also fails here).
+"""
+import json
+import sys
+
+THRESHOLD = 1.5     # per-query regression factor that fails the gate
+MIN_SECONDS = 1.0   # ignore sub-second jitter: both sides under this pass
+
+
+def main(fresh_path, base_path):
+    fresh = json.load(open(fresh_path))["queries"]
+    base = json.load(open(base_path))["queries"]
+    failures, notes = [], []
+    for name, b in sorted(base.items()):
+        f = fresh.get(name)
+        if f is None:
+            failures.append(f"{name}: present in baseline but missing from run")
+            continue
+        if f < 0:
+            failures.append(f"{name}: query failed in bench (reported {f})")
+            continue
+        if b <= 0:
+            notes.append(f"{name}: no usable baseline ({b})")
+            continue
+        if f <= MIN_SECONDS and b <= MIN_SECONDS:
+            continue
+        if f > b * THRESHOLD:
+            failures.append(f"{name}: {b:.2f}s -> {f:.2f}s ({f / b:.1f}x)")
+    for name in sorted(set(fresh) - set(base)):
+        notes.append(f"{name}: new query ({fresh[name]:.2f}s), no baseline")
+    for n in notes:
+        print(f"  [note] {n}")
+    if failures:
+        print(f"== BENCH GATE FAILED ({len(failures)} regressions > "
+              f"{THRESHOLD}x) ==")
+        for f in failures:
+            print(f"  {f}")
+        return 1
+    print(f"== bench gate ok: {len(base)} queries within {THRESHOLD}x "
+          f"of baseline ==")
+    return 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:] or []
+    fresh = args[0] if len(args) > 0 else "bench_out.json"
+    base = args[1] if len(args) > 1 else "BENCH_BASELINE.json"
+    sys.exit(main(fresh, base))
