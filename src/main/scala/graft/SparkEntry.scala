@@ -230,6 +230,22 @@ object SparkEntry {
     "ext_text_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(tbl(s, dir, "documents"))),
 
+    // Repetition-quality signals (Gopher-rule family): dup-line /
+    // dup-word fractions + top-word concentration
+    "ext_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(tbl(s, dir, "documents"))),
+
+    // Per-doc top-k terms with corpus document frequency (the integer
+    // core of TF-IDF), float-free total order
+    "ext_text_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(tbl(s, dir, "documents"), k = 5)),
+
+    // Deterministic hash-bucket train/val/test split — stable under
+    // corpus growth, shuffle-free, portable arithmetic
+    "ext_split_assign" -> ((s, dir) =>
+      Sampling.assignSplit(
+        tbl(s, dir, "documents").select("doc_id", "source"))),
+
     // Exact dedup: hash-groupBy on the canonical-text fingerprint
     "ext_dedup_exact" -> ((s, dir) =>
       DedupOps.exact(tbl(s, dir, "documents"))),
@@ -352,6 +368,7 @@ object SparkEntry {
   // default. Counts are BIGINT on both sides.)
   private val normSql = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
   private val wordsSql = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')"
+  private val wordsNormSql = s"list_filter(regexp_split_to_array($normSql, ' '), w -> w != '')"
   private val paddedSql = s"(' ' || $normSql || ' ')"
 
   private def occSql(w: String): String =
@@ -526,6 +543,51 @@ object SparkEntry {
          |WHERE len($wordsSql) >= 5 AND len($wordsSql) <= 100000
          |  AND CAST(length(regexp_replace($normSql, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
          |    / CAST(length(text) AS DOUBLE) <= 0.3""".stripMargin,
+
+    "ext_text_repetition" ->
+      s"""WITH wc AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, count(*) AS n_distinct_words,
+         |    max(cnt) AS max_word_freq
+         |  FROM (
+         |    SELECT doc_id, w, count(*) AS cnt
+         |    FROM (SELECT doc_id, unnest($wordsNormSql) AS w FROM documents)
+         |    GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |l AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_distinct_lines
+         |  FROM documents)
+         |SELECT l.doc_id, n_lines, n_distinct_lines, n_words, n_distinct_words,
+         |  max_word_freq,
+         |  CAST(n_lines - n_distinct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_ratio,
+         |  CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_ratio,
+         |  CAST(max_word_freq AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_ratio
+         |FROM l JOIN wc ON l.doc_id = wc.doc_id""".stripMargin,
+
+    "ext_text_top_terms" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($wordsNormSql) AS w FROM documents)
+         |  GROUP BY doc_id, w),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, term, tf, df, rank FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rank
+         |  FROM tf JOIN df ON tf.term = df.term)
+         |WHERE rank <= 5""".stripMargin,
+
+    "ext_split_assign" ->
+      """SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::UBIGINT::BIGINT % 100 AS bucket
+        |  FROM documents)""".stripMargin,
 
     "ext_dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies

@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * fingerprints (per-bit token votes), candidate pairs via the
   * pigeonhole block trick, verified by Hamming distance.
   *
-  * Scale shape: tokens explode, each token is hashed ONCE, and the 64
-  * bit-votes are plain `sum` aggregates over bit-extractions of that
-  * hash — all inside codegen'd vectorized hash aggregation, with
-  * map-side partial aggregation collapsing each document to one row
-  * of 64 longs before the shuffle. (The interpreted nested-HOF
-  * formulation of the same math was an order of magnitude slower.)
-  * The block join then shuffles only (chunk, chunkValue, id, sig)
-  * tuples.
+  * Scale shape: tokens explode, each token is hashed ONCE, and the
+  * per-bit votes accumulate inside ONE [[graft.functions.SimHashVotes]]
+  * typed-imperative aggregate (primitive int-array update loop,
+  * map-side partial aggregation collapsing each document to one
+  * buffer before the shuffle). The earlier 64-separate-`sum(when)`
+  * formulation was semantically identical but generated a 64-field
+  * aggregate buffer whose whole-stage codegen cost seconds of Janino
+  * compilation per query. The block join then shuffles only
+  * (chunk, chunkValue, id, sig) tuples.
   *
   * With `maxHamming` = 3 and 4 chunks of 16 bits, any pair within
   * distance 3 shares at least one whole chunk (pigeonhole), so the
@@ -56,16 +57,9 @@ object SimHash {
       .withColumn("__toks", words(normalized(col("text"))))
       .select(col("doc_id"), explode(col("__toks")).as("__t"))
       .select(col("doc_id"), tokenHash(col("__t")).as("__h"))
-    val votes = (0 until bits).map { b =>
-      sum(when(expr(s"(shiftright(__h, $b) & 1L) = 1L"), 1L).otherwise(-1L)).as(s"__v$b")
-    }
-    val sig = (0 until bits)
-      .map(b => shiftleft(when(col(s"__v$b") > 0, 1L).otherwise(0L), b))
-      .reduce(_ + _)
     exploded
       .groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+      .agg(graft.functions.SimHashVotes.signature(col("__h"), bits).as("simhash"))
   }
 
   /** Backwards-compatible variant keeping the input columns. */

@@ -136,6 +136,65 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Repetition-quality signals (the Gopher-rule family — Rae et al.
+    * 2021 §A1.1: excessive within-document repetition marks low-
+    * quality text): duplicate-line and duplicate-word fractions plus
+    * the top-word concentration.
+    *
+    * Shape: line stats are a shuffle-free projection (array ops on the
+    * line split); word stats explode once and aggregate twice with
+    * map-side combining — (doc, word) counts, then per-doc
+    * sum/count/max — the same two-level shape a 100 TB corpus scan
+    * needs. Ratios are int/int → double divisions in fixed order, so
+    * an oracle replays them bit-exactly. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val lineStats = docs.select(
+      col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(array_distinct(lines)).cast("long").as("n_distinct_lines"))
+    val wordStats = docs
+      .select(col("doc_id"), explode(words(normalized(col(textCol)))).as("__w"))
+      .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("__cnt")).as("max_word_freq"))
+    lineStats.join(wordStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+        col("n_words"), col("n_distinct_words"), col("max_word_freq"),
+        ((col("n_lines") - col("n_distinct_lines")).cast("double") /
+          col("n_lines").cast("double")).as("dup_line_ratio"),
+        ((col("n_words") - col("n_distinct_words")).cast("double") /
+          col("n_words").cast("double")).as("dup_word_ratio"),
+        (col("max_word_freq").cast("double") /
+          col("n_words").cast("double")).as("top_word_ratio"))
+  }
+
+  /** Per-document top-`k` terms by frequency with corpus document
+    * frequency attached — the integer core of TF-IDF term weighting,
+    * ranked by the float-free total order (tf desc, df asc, term asc)
+    * so every engine agrees on the exact rows.
+    *
+    * Shape: one (doc, term) aggregation (map-side combined), a
+    * term-keyed document-frequency aggregation over those rows (far
+    * smaller than the token stream), an equi-join on term (AQE
+    * broadcasts the df side when small), and a rank-≤-k window that
+    * prunes map-side (WindowGroupLimit). */
+  def topTerms(docs: DataFrame, k: Int = 5, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(words(normalized(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   /** Language-ID heuristic: stopword-marker occurrence counting per
     * candidate language + CJK codepoint detection; argmax with a fixed
     * tie-break order (en > es > fr > de > und). */

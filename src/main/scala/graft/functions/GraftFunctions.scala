@@ -30,5 +30,16 @@ object GraftFunctions {
       }
       MinHashSketch(exprs(0), n).toAggregateExpression()
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_agg", exprs => {
+      require(exprs.length == 2, "simhash_agg(hash, bits)")
+      require(exprs(1).foldable,
+        s"simhash_agg bits must be a constant integer, got ${exprs(1).sql}")
+      val bits = exprs(1).eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"simhash_agg bits must be a constant integer, got $other")
+      }
+      SimHashVotes(exprs(0), bits).toAggregateExpression()
+    }, "scala_udf")
   }
 }

@@ -97,6 +97,56 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(4L) == 1)
   }
 
+  test("repetition stats flag duplicate lines and repeated words") {
+    val df = Seq(
+      (1L, "buy now\nbuy now\nbuy now"),          // 3 lines, 1 distinct
+      (2L, "the cat sat on the mat"),              // 'the' twice
+      (3L, "all unique words here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 1)  // lines
+    assert(out(1L).getDouble(6) == 2.0 / 3.0)                   // dup_line_ratio
+    assert(out(2L).getLong(3) == 6 && out(2L).getLong(4) == 5)  // words
+    assert(out(2L).getLong(5) == 2)                             // max freq: 'the'
+    assert(out(2L).getDouble(7) == 1.0 / 6.0)                   // dup_word_ratio
+    assert(out(3L).getDouble(8) == 0.25)                        // top_word_ratio
+  }
+
+  test("top terms rank by (tf desc, df asc, term asc) with df from the corpus") {
+    val df = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "beta beta common gamma")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out((1L, 1L)) == ("alpha", 2L, 1L)) // tf 2 wins
+    assert(out((2L, 1L)) == ("beta", 2L, 2L))
+    // doc 1 rank 2: beta vs common both tf=1 df=2 → term asc picks beta
+    assert(out((1L, 2L)) == ("beta", 1L, 2L))
+  }
+
+  test("split assignment is deterministic, stable under corpus growth, and complete") {
+    val base = docs.select("doc_id")
+    val a = Sampling.assignSplit(base).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // same ids re-assigned identically even with extra rows present
+    val grown = Sampling.assignSplit(
+      base.unionByName(Seq(999999L).toDF("doc_id"))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(a.forall { case (id, v) => grown(id) == v })
+    assert(a.values.forall { case (b, s) =>
+      b >= 0 && b < 100 &&
+        s == (if (b < 90) "train" else if (b < 95) "val" else "test") })
+    // all three splits materialize on 500 docs (sanity of the spread)
+    assert(a.values.map(_._2).toSet == Set("train", "val", "test"))
+    // different salt → different assignment for at least one doc
+    val salted = Sampling.assignSplit(base, salt = "other").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.exists { case (id, (b, _)) => salted(id) != b })
+  }
+
   test("exact dedup groups planted duplicates") {
     val df = Seq(
       (1L, "alpha beta gamma"),

@@ -18,7 +18,9 @@ import json
 import sys
 
 THRESHOLD = 1.5     # per-query regression factor that fails the gate
-MIN_SECONDS = 1.0   # ignore sub-second jitter: both sides under this pass
+MIN_DELTA = 2.0     # ...AND at least this many seconds slower: a 0.4s
+                    # query jittering to 1.2s is noise; 1.9s -> 92s is
+                    # the class this gate exists for
 
 
 def main(fresh_path, base_path):
@@ -36,9 +38,7 @@ def main(fresh_path, base_path):
         if b <= 0:
             notes.append(f"{name}: no usable baseline ({b})")
             continue
-        if f <= MIN_SECONDS and b <= MIN_SECONDS:
-            continue
-        if f > b * THRESHOLD:
+        if f > b * THRESHOLD and f - b > MIN_DELTA:
             failures.append(f"{name}: {b:.2f}s -> {f:.2f}s ({f / b:.1f}x)")
     for name in sorted(set(fresh) - set(base)):
         notes.append(f"{name}: new query ({fresh[name]:.2f}s), no baseline")
