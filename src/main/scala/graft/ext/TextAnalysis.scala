@@ -176,20 +176,23 @@ object TextAnalysis {
     * ranked by the float-free total order (tf desc, df asc, term asc)
     * so every engine agrees on the exact rows.
     *
-    * Shape: one (doc, term) aggregation (map-side combined), a
-    * term-keyed document-frequency aggregation over those rows (far
-    * smaller than the token stream), an equi-join on term (AQE
-    * broadcasts the df side when small), and a rank-≤-k window that
-    * prunes map-side (WindowGroupLimit). */
+    * Shape: ONE token-stream scan into the (doc, term) aggregation
+    * (map-side combined); document frequency is a count window over
+    * those tf rows partitioned by term — NOT a second aggregation of
+    * the token stream (a `tf.groupBy(term)` branch would recompute
+    * the explode+agg subtree from the scan: two full corpus passes at
+    * 100 TB). Everything after the first aggregation moves only
+    * distinct (doc, term) rows; the final rank-≤-k window prunes
+    * map-side (WindowGroupLimit). */
   def topTerms(docs: DataFrame, k: Int = 5, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col("doc_id"), explode(words(normalized(col(textCol)))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val byTerm = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(df, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(byTerm))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))

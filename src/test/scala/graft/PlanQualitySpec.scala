@@ -67,4 +67,19 @@ class PlanQualitySpec extends AnyFunSuite {
     val aggs = "HashAggregate".r.findAllIn(plan).length
     assert(aggs >= 2, s"expected partial+final hash aggregation:\n$plan")
   }
+
+  test("top terms scan the corpus exactly once and prune the rank window map-side") {
+    val plan = planOf("ext_text_top_terms")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"df-via-window must not recompute the token aggregation from a second scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing:\n$plan")
+  }
+
+  test("split assignment is a shuffle-free codegen'd projection") {
+    val plan = planOf("ext_split_assign")
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+    assert(plan.contains("*(1)"), s"split must stay in whole-stage codegen:\n$plan")
+  }
 }
