@@ -246,6 +246,20 @@ object SparkEntry {
       Sampling.assignSplit(
         tbl(s, dir, "documents").select("doc_id", "source"))),
 
+    // Deterministic source-weighted corpus mixing (shuffle-free,
+    // growth-stable downsampling)
+    "ext_mix_sources" -> ((s, dir) =>
+      Sampling.sampleBySourceWeight(tbl(s, dir, "documents"),
+        weights = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 0.25))),
+
+    // Shard-local greedy sequence packing (concat-and-chunk token
+    // budgeting; per-shard running-sum window — shards-way parallel)
+    "ext_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+        tbl(s, dir, "documents").withColumn(
+          "n_tokens", graft.functions.TextFunctions.wordCount(col("text"))),
+        capacity = 256, shards = 8)),
+
     // Exact dedup: hash-groupBy on the canonical-text fingerprint
     "ext_dedup_exact" -> ((s, dir) =>
       DedupOps.exact(tbl(s, dir, "documents"))),
@@ -588,6 +602,26 @@ object SparkEntry {
         |    ('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15))
         |      ::UBIGINT::BIGINT % 100 AS bucket
         |  FROM documents)""".stripMargin,
+
+    "ext_mix_sources" ->
+      """SELECT * FROM documents
+        |WHERE ('0x' || substring(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::UBIGINT::BIGINT % 10000
+        |  < CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 5000
+        |                WHEN 'src2' THEN 2500 ELSE 10000 END""".stripMargin,
+
+    "ext_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len($wordsSql) AS BIGINT) AS n_toks,
+         |    ('0x' || substring(md5('graft-pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |      ::UBIGINT::BIGINT % 8 AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard, n_toks,
+         |  CAST(sum(n_toks) OVER w - n_toks AS BIGINT) AS toks_before,
+         |  CAST(floor((sum(n_toks) OVER w - n_toks) / 256) AS BIGINT) AS pack_id
+         |FROM d
+         |WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin,
 
     "ext_dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies

@@ -45,4 +45,68 @@ object Sampling {
           .when(col("bucket") < pctTrain + pctVal, "val")
           .otherwise("test"))
   }
+
+  /** Deterministic per-source downsampling — corpus MIXING by weight
+    * (e.g. Wikipedia ×1.0, CommonCrawl ×0.3, the standard pretraining
+    * recipe knob): a row survives iff its finer-grained hash bucket
+    * (out of 10,000) falls below `weight × 10000` for its source.
+    * Same stability/portability properties as [[assignSplit]]; sources
+    * absent from `weights` keep everything (weight 1.0). Shuffle-free. */
+  def sampleBySourceWeight(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      salt: String = "graft-mix"): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be fractions in [0, 1]: $weights")
+    val fine = pmod(
+      conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long"),
+      lit(10000L))
+    // integer thresholds (weight pre-scaled on the driver) — the
+    // comparison is long < long on every engine, no float rounding
+    val threshold = weights.foldLeft(lit(10000L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(math.round(w * 10000).toLong)).otherwise(acc)
+    }
+    docs.where(fine < threshold)
+  }
+
+  /** Shard-local greedy sequence PACKING — the concat-and-chunk token
+    * budgeting step before LLM training: documents are dealt to
+    * `shards` by a stable hash of their id, ordered within the shard
+    * by id, and assigned `pack_id = floor(tokens_before / capacity)`
+    * (the pack their first token lands in when the shard's documents
+    * are concatenated and chopped every `capacity` tokens).
+    *
+    * Sharding is what makes this scale: a single global running sum
+    * would be one unpartitioned window (one task no matter the
+    * cluster); per-shard running sums are `shards`-way parallel and
+    * each pack still fills to capacity. The whole computation is one
+    * hash shuffle + a window — and every step (md5 bucket, running
+    * sum, floor division) replays exactly in ANSI SQL. */
+  def packSequences(
+      docs: DataFrame,
+      capacity: Long,
+      shards: Int = 64,
+      idCol: String = "doc_id",
+      tokensCol: String = "n_tokens",
+      salt: String = "graft-pack"): DataFrame = {
+    require(capacity > 0 && shards > 0)
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(
+      conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long"),
+      lit(shards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(tokensCol).cast("long").as("n_toks"))
+      .withColumn("shard", shard)
+      .withColumn("toks_before",
+        sum(col("n_toks")).over(w) - col("n_toks"))
+      .withColumn("pack_id", floor(col("toks_before") / capacity))
+      .select(col(idCol), col("shard"), col("n_toks"),
+        col("toks_before"), col("pack_id"))
+  }
 }

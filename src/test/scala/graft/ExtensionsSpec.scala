@@ -147,6 +147,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.exists { case (id, (b, _)) => salted(id) != b })
   }
 
+  test("source-weighted mixing drops exactly the weighted fraction class, stably") {
+    val out = Sampling.sampleBySourceWeight(docs,
+      Map("src0" -> 0.0, "src1" -> 0.5)).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("src0"), "weight 0.0 must drop the whole source")
+    assert(bySrc("src1") > 0 && bySrc("src1") < 25, "weight 0.5 keeps a strict subset")
+    assert(bySrc("src2") == 25, "unlisted sources keep everything")
+    // survivors are a stable subset: same ids survive on the doubled corpus
+    val ids = out.map(_.getLong(0)).toSet
+    val grownIds = Sampling.sampleBySourceWeight(
+      docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000)),
+      Map("src0" -> 0.0, "src1" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(grownIds))
+  }
+
+  test("sequence packing: per-shard running budget, packs chunk at capacity") {
+    val df = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 100L)
+    ).toDF("doc_id", "n_tokens")
+    // one shard → a single running sum; capacity 256 chops at doc 3 and 5
+    val out = Sampling.packSequences(df, capacity = 256, shards = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (0L, 0L) && out(2L) == (100L, 0L) && out(3L) == (200L, 0L))
+    assert(out(4L) == (300L, 1L) && out(5L) == (400L, 1L))
+    // sharded: toks_before is the id-ordered prefix sum within each shard
+    val sharded = Sampling.packSequences(df, capacity = 256, shards = 4).collect()
+    val byShard = sharded.groupBy(_.getLong(1))
+    byShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(0))
+      var run = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) == run); run += r.getLong(2)
+      }
+    }
+  }
+
   test("exact dedup groups planted duplicates") {
     val df = Seq(
       (1L, "alpha beta gamma"),
