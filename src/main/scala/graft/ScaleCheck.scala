@@ -1,0 +1,77 @@
+package graft
+
+import graft.core.Clock
+import graft.ext._
+import graft.operators.Promote
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev harness: empirical scaling check. Self-unions the sf0.1
+  * fixtures `k`× (with disjoint id spaces) and times representative
+  * operators at 1× and k×, reporting the wall-clock ratio — the
+  * README's "no super-linear shuffle terms" evidence.
+  *
+  * Near-dup operators over replicated corpora inflate their TRUE pair
+  * sets quadratically in k (every document gains k−1 planted twins),
+  * so their ratios bound worst-case behavior, not typical growth.
+  *
+  * `runMain graft.ScaleCheck [k] [sfDir] [cpus]`
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.length > 0) args(0).toInt else 10
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 2) args(2).toInt else 32
+    val spark = graft.core.Sessions.local(cpus)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def grow(df: DataFrame, idCol: String): DataFrame =
+      (0 until k).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * 100000000L)))
+        .reduce(_ unionByName _)
+
+    val lineitem = SparkEntry.tbl(spark, sfDir, "lineitem")
+    val docs = SparkEntry.tbl(spark, sfDir, "documents")
+    val embs = SparkEntry.tbl(spark, sfDir, "embeddings")
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val cases: Seq[(String, DataFrame => Long, DataFrame, String)] = Seq(
+      ("promote_t1_t5", (df: DataFrame) =>
+        Promote.transform(df, Seq("l_orderkey", "l_linenumber"), hyphen = true,
+          clock = Clock.ForOracle, deterministic = true).count(),
+        lineitem, "l_orderkey"),
+      ("minhash_neardup", (df: DataFrame) =>
+        MinHashLSH.nearDupPairs(df, jaccard = (1, 3)).count(),
+        docs, "doc_id"),
+      ("embedding_lsh", (df: DataFrame) =>
+        SimilaritySearch.lshNearDupPairs(df, threshold = 0.9,
+          planes = 12, tables = 2).count(),
+        embs, "vec_id"),
+      ("top_terms", (df: DataFrame) =>
+        TextAnalysis.topTerms(df, k = 5).count(),
+        docs, "doc_id"),
+      ("repetition_stats", (df: DataFrame) =>
+        TextAnalysis.repetitionStats(df).count(),
+        docs, "doc_id"),
+      ("pack_sequences", (df: DataFrame) =>
+        Sampling.packSequences(
+          df.withColumn("n_tokens",
+            graft.functions.TextFunctions.wordCount(col("text"))),
+          capacity = 2048, shards = 64).count(),
+        docs, "doc_id"),
+    )
+
+    println(f"${"operator"}%-18s ${"t_1x"}%8s ${"t_${k}x"}%8s ${"ratio"}%7s  rows_1x -> rows_kx")
+    cases.foreach { case (name, run, base, idCol) =>
+      val (t1, n1) = timed(run(base))
+      val (tk, nk) = timed(run(grow(base, idCol)))
+      println(f"$name%-18s $t1%8.2f $tk%8.2f ${tk / t1}%7.2f  $n1 -> $nk")
+    }
+    spark.stop()
+  }
+}
