@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{Dedup, SurrogateKey}
+import graft.planner.Intervals
+import graft.sinks.MergeUpsert
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY.md §5.4): P3 chunk tiling, K2 merge
+  * idempotence + commutativity-with-dedup, T1 surrogate-key
+  * stability. Driver-side planners get wide random coverage; the
+  * Spark-backed properties run fewer, smaller cases. (Raw ScalaCheck
+  * runner — the scalatest bridge artifact isn't in the offline
+  * dependency set.)
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def check(cases: Int, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B], cases: Int)(
+      body: (A, B) => Unit): Unit =
+    check(cases, Prop.forAll(ga, gb) { (a, b) => body(a, b); true })
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C], cases: Int)(
+      body: (A, B, C) => Unit): Unit =
+    check(cases, Prop.forAll(ga, gb, gc) { (a, b, c) => body(a, b, c); true })
+
+  // ── P3: chunks tile [start, end] exactly — no gaps, no overlaps ──
+
+  test("P3 int chunks tile [start, end] for arbitrary bounds and widths") {
+    forAll(
+      Gen.chooseNum(-1000000L, 1000000L),
+      Gen.chooseNum(0L, 500000L),
+      Gen.chooseNum(1L, 100000L), cases = 200) { (start, span, step) =>
+      val end = start + span
+      val chunks = Intervals.ints(start, end, step)
+      assert(chunks.head.start == start && chunks.last.end == end)
+      chunks.foreach(iv => assert(iv.start <= iv.end))
+      // consecutive chunks: next starts exactly one past previous end
+      chunks.sliding(2).foreach {
+        case List(a, b) => assert(b.start == a.end + 1)
+        case _ =>
+      }
+      // every chunk except the last is exactly `step` wide
+      chunks.dropRight(1).foreach(iv => assert(iv.end - iv.start + 1 == step))
+      // half-open form tiles the same range
+      val ho = chunks.map(Intervals.halfOpenInts)
+      assert(ho.map { case (a, b) => b - a }.sum == span + 1)
+    }
+  }
+
+  test("P3 date chunks tile [start, end] for arbitrary bounds and widths") {
+    val base = LocalDate.of(2015, 1, 1)
+    forAll(
+      Gen.chooseNum(0L, 4000L),
+      Gen.chooseNum(0L, 1500L),
+      Gen.chooseNum(1, 400), cases = 200) { (off, span, days) =>
+      val start = base.plusDays(off)
+      val end = start.plusDays(span)
+      val chunks = Intervals.dates(start, end, days)
+      assert(chunks.head.start == start && chunks.last.end == end)
+      chunks.sliding(2).foreach {
+        case List(a, b) => assert(b.start == a.end.plusDays(1))
+        case _ =>
+      }
+      chunks.dropRight(1).foreach(iv =>
+        assert(java.time.temporal.ChronoUnit.DAYS.between(iv.start, iv.end) == days - 1))
+    }
+  }
+
+  // ── T1: surrogate key is a pure function of its inputs ──────────
+
+  test("T1 sk is stable across independent evaluations and input order") {
+    val rows = Gen.listOfN(40, Gen.zip(
+      Gen.option(Gen.alphaNumStr.map(_.take(8))),
+      Gen.option(Gen.alphaNumStr.map(_.take(8)))))
+    forAll(rows, Gen.const(()), cases = 5) { (data, _) =>
+      val df = data.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a.orNull, b.orNull) }
+        .toDF("id", "k1", "k2")
+      def skOf(d: org.apache.spark.sql.DataFrame, hyphen: Boolean) =
+        SurrogateKey.addSk(d, Seq("k1", "k2"), hyphen)
+          .select("id", "sk").collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      for (hyphen <- Seq(true, false)) {
+        val once = skOf(df, hyphen)
+        val again = skOf(df.orderBy(col("id").desc), hyphen)
+        assert(once == again, s"hyphen=$hyphen: sk must not depend on row order")
+        // plain concat propagates NULL; concat_ws skips it
+        data.zipWithIndex.foreach { case ((a, b), i) =>
+          if (!hyphen && (a.isEmpty || b.isEmpty))
+            assert(once(i.toLong).isEmpty, "concat branch must yield NULL sk")
+          if (hyphen)
+            assert(once(i.toLong).isDefined, "concat_ws branch never yields NULL sk")
+        }
+      }
+    }
+  }
+
+  // ── K2: merge idempotence + commutativity with dedup ────────────
+
+  private def mergeCase(trustedKeys: List[Int], updateKeys: List[Int]): Unit = {
+    val trusted = trustedKeys.distinct
+      .map(k => (s"sk$k", s"old$k")).toDF("sk", "payload")
+    val updates = updateKeys.distinct
+      .map(k => (s"sk$k", s"new$k")).toDF("sk", "payload")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val once = MergeUpsert.merged(trusted, updates)
+    val twice = MergeUpsert.merged(once, updates)
+    val onceRows = rows(once)
+    // idempotence: re-applying the same update batch changes nothing
+    assert(rows(twice) == onceRows)
+    // matched keys carry the update payload; unmatched trusted survive
+    val updated = updateKeys.distinct.map(k => (s"sk$k", s"new$k")).toSet
+    val survivors = trustedKeys.distinct.filterNot(updateKeys.contains)
+      .map(k => (s"sk$k", s"old$k")).toSet
+    assert(onceRows == updated ++ survivors)
+    // commutativity with dedup: merging pre-deduped duplicated updates
+    // equals merging the originals (T4 guarantees unique sk upstream)
+    val dupUpdates = updates.unionByName(updates)
+    val deduped = Dedup.bySkDeterministic(dupUpdates)
+    assert(rows(MergeUpsert.merged(trusted, deduped)) == onceRows)
+  }
+
+  test("K2 merge is idempotent and replaces matched rows exactly (random key sets)") {
+    forAll(
+      Gen.listOf(Gen.chooseNum(0, 30)),
+      Gen.listOf(Gen.chooseNum(0, 30)), cases = 8) { (t, u) => mergeCase(t, u) }
+    // the degenerate shapes property shrinking would find
+    mergeCase(Nil, List(1))
+    mergeCase(List(1), Nil)
+    mergeCase(Nil, Nil)
+  }
+}
