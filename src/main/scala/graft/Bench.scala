@@ -19,7 +19,17 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Queries that persist/localCheckpoint intermediates release
+      // their handles, but the blocks stay in the block manager until
+      // the ContextCleaner GCs the RDD object. Over a 40-query sweep
+      // sharing one session that accumulation caused 4x slowdowns on
+      // later memory-hungry queries (round-3 minhash: 43s in-sweep vs
+      // 2s isolated). Each query is an independent job in production;
+      // drop orphaned blocks before timing the next one.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> (if (ok) secs else -1.0)
     }
     // BASELINE.md protocol items (a)+(b): full chunked ingest of
     // lineitem into WORK staging, then promote T1-T5 + K2 merge.

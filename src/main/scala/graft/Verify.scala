@@ -16,6 +16,11 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // same block-manager hygiene as Bench: queries that persist or
+        // localCheckpoint would otherwise pin blocks for the rest of
+        // the 40-query sweep
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         name -> "ok"
       } catch {
         case e: Throwable =>
