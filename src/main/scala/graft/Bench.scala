@@ -26,9 +26,13 @@ object Bench {
       // sharing one session that accumulation caused 4x slowdowns on
       // later memory-hungry queries (round-3 minhash: 43s in-sweep vs
       // 2s isolated). Each query is an independent job in production;
-      // drop orphaned blocks before timing the next one.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // drop orphaned blocks before timing the next one. blocking=true
+      // so the drops COMPLETE before the next query's timer starts —
+      // non-blocking drops overlapped the next timed window and ~11
+      // small queries ran 2-6x slow in the round-4 driver sweep. The
+      // wait itself sits outside the timed region, so it costs the
+      // sweep honesty nothing.
+      graft.core.Sessions.settle(spark)
       name -> (if (ok) secs else -1.0)
     }
     // BASELINE.md protocol items (a)+(b): full chunked ingest of
@@ -44,7 +48,7 @@ object Bench {
         try { f; (System.nanoTime() - t0) / 1e9 } catch {
           case e: Throwable =>
             System.err.println(s"[bench] flow failed: ${e.getMessage}"); -1.0
-        }
+        } finally graft.core.Sessions.settle(spark)
       }
       val stats = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .agg(org.apache.spark.sql.functions.count(

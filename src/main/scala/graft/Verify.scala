@@ -16,16 +16,17 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // same block-manager hygiene as Bench: queries that persist or
-        // localCheckpoint would otherwise pin blocks for the rest of
-        // the 40-query sweep
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         name -> "ok"
       } catch {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           name -> s"failed: ${e.getMessage}"
+      } finally {
+        // same block-manager hygiene as Bench — in a finally so a
+        // query that persists intermediates and THEN throws still
+        // releases its blocks instead of leaking them into the
+        // remaining 40-query sweep
+        graft.core.Sessions.settle(spark)
       }
     }
     def obj(pairs: Seq[(String, String)]): String =

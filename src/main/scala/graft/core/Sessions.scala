@@ -35,4 +35,19 @@ object Sessions {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Deterministically release every cached/persisted block a query
+    * left behind — between-queries hygiene for the Bench/Verify
+    * sweeps, where 40 queries share one session but model independent
+    * production jobs. Both drops are BLOCKING: with `blocking=false`
+    * the next query's timed window overlaps the async removals and
+    * starts under leftover memory pressure (round 4 measured 2-6x
+    * inflation on small queries from exactly that). */
+  def settle(spark: SparkSession): Unit = {
+    // blocking unpersist FIRST: clearCache() drops its entries
+    // non-blockingly and removes them from the persistent-RDD map, so
+    // running it first would hide exactly the blocks this wait is for
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+  }
 }

@@ -114,18 +114,22 @@ object MinHashLSH {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     val (num, den) = jaccard
-    // The shingle subtree feeds BOTH the signature pipeline and the
-    // verification join. Persist it so the CPU-heavy shingling runs
-    // exactly once (round-1 bench showed the recompute dominating this
-    // operator), then cut each stage's lineage with an eager local
-    // checkpoint so the cache can be released before returning —
-    // nothing big stays pinned on the executors. The checkpointed
-    // sets are pairs-sized, not corpus-sized.
-    val shingles = shingleRows(docs, shingleSize)
+    // Only the 16-byte (doc_id, xxhash64(shingle)) projection is
+    // persisted — NOT the full shingle strings. The signature stage
+    // only ever consumes the hash, and at ~3 words per shingle the
+    // string rows are an order of magnitude wider than their hashes;
+    // round 4 measured that footprint making this operator the first
+    // victim of sweep-wide memory pressure (3.9s-43s spread across
+    // runs of identical code). Verification DOES need the strings,
+    // but only for docs that appear in some candidate pair — a
+    // pairs-bounded set — so shingling is recomputed behind the
+    // broadcast candIds semi-join on the RAW docs (filter before the
+    // posexplode: the recompute is O(candidate docs), not O(corpus)).
+    val hashed = shingleRows(docs, shingleSize)
+      .select(col("doc_id"), xxhash64(col("__sh")).as("__h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sigs = shingles
-        .select(col("doc_id"), xxhash64(col("__sh")).as("__h"))
+      val sigs = hashed
         .groupBy(col("doc_id"))
         .agg(graft.functions.MinHashSketch.sketch(col("__h"), numHashes).as("sig"))
       val cands = candidatePairs(sigs, bands, numHashes / bands, numHashes)
@@ -133,8 +137,8 @@ object MinHashLSH {
       // shingle sets only for docs that appear in some candidate pair
       val candIds = cands.select(col("doc_a").as("doc_id"))
         .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-      val shingleSets = shingles
-        .join(broadcast(candIds), Seq("doc_id"))
+      val shingleSets = shingleRows(
+          docs.join(broadcast(candIds), Seq("doc_id")), shingleSize)
         .groupBy(col("doc_id"))
         .agg(collect_set(col("__sh")).as("sset"))
       cands
@@ -147,7 +151,7 @@ object MinHashLSH {
         .where(col("inter") * den >= col("uni") * num)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
         .localCheckpoint(true)
-    } finally shingles.unpersist()
+    } finally hashed.unpersist()
   }
 
   /** Reference (built-ins-only, interpreted-HOF) shingling — the
