@@ -366,6 +366,21 @@ object SparkEntry {
         IvfSearch.buildIndex(e, nCells = 8), k = 10, nProbe = 8)
     }),
 
+    // PQ ANN (codebook train + codegen encode + ADC-scored candidates
+    // + exact re-rank; index built inside the query, so the bench
+    // number includes codebook training). candidateK = MaxValue
+    // considers every corpus vector: exact by construction — the same
+    // epistemics as ext_ann_lsh's exhaustive probe and ext_ann_ivf's
+    // nProbe = nCells — and the oracle gates that the encode → LUT →
+    // ADC → re-rank machinery loses and fabricates nothing.
+    // Partial-candidateK recall is ScalaTest-gated.
+    "ext_ann_pq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      PqSearch.topK(e.where(col("vec_id") < 5),
+        PqSearch.buildIndex(e, m = 8, ks = 16), k = 10,
+        candidateK = Int.MaxValue)
+    }),
+
     // Multimodal: binary payload column + partition-batched decode
     // (deterministic stub decoder; real plumbing)
     "ext_multimodal_meta" -> ((s, dir) =>
@@ -743,6 +758,19 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "ext_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    // candidateK = corpus (exhaustive) config: same truth as brute
+    // force — the exact re-rank sees every vector.
+    "ext_ann_pq" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

@@ -60,7 +60,11 @@ object PqCodebooks {
     var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     val n = math.sqrt(s)
-    if (n == 0.0) v else v.map(_ / n)
+    // multiply by the inverse, not divide: [[PqEncode.encode]] and
+    // [[PqLut.lut]] normalize that way in codegen, and the
+    // interpreted-vs-codegen specs assert BIT equality — a/n vs
+    // a*(1/n) differ in the last ulp
+    if (n == 0.0) v else { val inv = 1.0 / n; v.map(_ * inv) }
   }
 
   /** Seeded driver-side Lloyd's k-means over the `j`-th subvector
@@ -222,6 +226,91 @@ object PqEncode {
 
   def apply(vec: Column, codebooks: PqCodebooks): Column =
     ColumnGlue.column(PqEncode(ColumnGlue.expression(vec), codebooks))
+}
+
+/** Codegen'd ADC lookup-table builder: query array<float|double> →
+  * array<double> of `m·ks` query-subvector × centroid inner products.
+  * Computed ONCE per query row (O(m·ks·dsub)), so every corpus pair
+  * afterwards scores in `m` table lookups — the whole point of
+  * asymmetric distance computation. Matches
+  * [[PqCodebooks.lookupTable]] bit-for-bit (spec-enforced). */
+case class PqLut(child: Expression, codebooks: PqCodebooks)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"pq_lut expects array<float> or array<double>, got $other")
+  }
+
+  @transient private lazy val isF = elemIsFloat
+
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(PqLut.lut(v.asInstanceOf[ArrayData],
+      isF, codebooks.m, codebooks.ks, codebooks.dsub, codebooks.flat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqFlat", codebooks.flat, "double[]")
+    val helper = PqLut.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $helper.lut($a, ${isF}, ${codebooks.m}, ${codebooks.ks},
+         |    ${codebooks.dsub}, $cbRef));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut"
+}
+
+object PqLut {
+  /** Shared by interpreted eval and generated code. Normalization
+    * mirrors [[PqEncode.encode]]: zero-norm vectors stay zero, and
+    * query dims past the array end read as 0 — both sides of the
+    * asymmetric distance see the same conventions. */
+  def lut(
+      arr: ArrayData, isF: Boolean, m: Int, ks: Int, dsub: Int,
+      flat: Array[Double]): Array[Double] = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+      s += x * x; i += 1
+    }
+    val nrm = math.sqrt(s)
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / nrm
+    val lut = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ks) {
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          val qi = j * dsub + d
+          val x =
+            if (qi < n) (if (isF) arr.getFloat(qi).toDouble else arr.getDouble(qi)) * inv
+            else 0.0
+          acc += x * flat((j * ks + c) * dsub + d)
+          d += 1
+        }
+        lut(j * ks + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    lut
+  }
+
+  def apply(vec: Column, codebooks: PqCodebooks): Column =
+    ColumnGlue.column(PqLut(ColumnGlue.expression(vec), codebooks))
 }
 
 /** Codegen'd ADC score: Σⱼ lut[j·ks + codes[j]] — the approximate
