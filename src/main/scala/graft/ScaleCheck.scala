@@ -15,13 +15,18 @@ import org.apache.spark.sql.functions._
   * sets quadratically in k (every document gains k−1 planted twins),
   * so their ratios bound worst-case behavior, not typical growth.
   *
-  * `runMain graft.ScaleCheck [k] [sfDir] [cpus]`
+  * `runMain graft.ScaleCheck [k] [sfDir] [cpus] [op1,op2,...]`
+  * (the optional 4th arg restricts to named operators, so a deep —
+  * e.g. 30× — run can target just the scale-marketed paths without
+  * paying for the whole suite at that multiple)
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val k = if (args.length > 0) args(0).toInt else 10
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = if (args.length > 2) args(2).toInt else 32
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = graft.core.Sessions.local(cpus)
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
@@ -67,10 +72,13 @@ object ScaleCheck {
     )
 
     println(f"${"operator"}%-18s ${"t_1x"}%8s ${"t_${k}x"}%8s ${"ratio"}%7s  rows_1x -> rows_kx")
-    cases.foreach { case (name, run, base, idCol) =>
-      val (t1, n1) = timed(run(base))
-      val (tk, nk) = timed(run(grow(base, idCol)))
-      println(f"$name%-18s $t1%8.2f $tk%8.2f ${tk / t1}%7.2f  $n1 -> $nk")
+    cases.filter(c => only.forall(_.contains(c._1))).foreach {
+      case (name, run, base, idCol) =>
+        val (t1, n1) = timed(run(base))
+        graft.core.Sessions.settle(spark)
+        val (tk, nk) = timed(run(grow(base, idCol)))
+        graft.core.Sessions.settle(spark)
+        println(f"$name%-18s $t1%8.2f $tk%8.2f ${tk / t1}%7.2f  $n1 -> $nk")
     }
     spark.stop()
   }

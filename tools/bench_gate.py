@@ -10,12 +10,46 @@ Usage: python3 tools/bench_gate.py [bench_out.json] [baseline.json]
   exit 0: no query regressed beyond the threshold
   exit 1: regressions listed on stdout
 
+Either argument may be a raw Bench stdout line ({"metric":...,
+"queries":{...}}) or a driver round artifact (BENCH_r0N.json, whose
+"tail" field embeds that line in captured sbt output) — so the gate
+runs on exactly the file the judge grades, not only the builder's
+standalone run.
+
 A query missing from the baseline is informational (new query); a
 query missing from the fresh run FAILS (a query was dropped or died —
 Bench reports crashed queries as -1, which also fails here).
 """
 import json
 import sys
+
+
+def load_bench(path):
+    obj = json.load(open(path))
+    if "queries" in obj:
+        return obj["queries"]
+    tail = obj.get("tail")
+    if isinstance(tail, str):
+        # driver format: find the Bench JSON line inside the stdout
+        # tail (usually prefixed with sbt's "[info] "); take the LAST
+        # parseable one in case a partial line was cut at the tail edge
+        found = None
+        for line in tail.splitlines():
+            i = line.find('{"metric"')
+            if i < 0:
+                continue
+            try:
+                cand = json.loads(line[i:])
+            except json.JSONDecodeError:
+                continue
+            if "queries" in cand:
+                found = cand["queries"]
+        if found is not None:
+            return found
+        sys.exit(f"{path}: driver-format file but no complete bench "
+                 f"JSON line in its tail (run truncated or crashed?)")
+    sys.exit(f"{path}: unrecognized bench format "
+             f"(need \"queries\" or a driver \"tail\")")
 
 THRESHOLD = 1.5     # per-query regression factor that fails the gate
 MIN_DELTA = 2.0     # ...AND at least this many seconds slower: a 0.4s
@@ -24,8 +58,8 @@ MIN_DELTA = 2.0     # ...AND at least this many seconds slower: a 0.4s
 
 
 def main(fresh_path, base_path):
-    fresh = json.load(open(fresh_path))["queries"]
-    base = json.load(open(base_path))["queries"]
+    fresh = load_bench(fresh_path)
+    base = load_bench(base_path)
     failures, notes = [], []
     for name, b in sorted(base.items()):
         f = fresh.get(name)
