@@ -21,22 +21,21 @@ import org.apache.spark.sql.functions._
   *    [[IvfSearch.buildIndex]] — no extra corpus scan just to decide
   *    whether to sample); encoding is ONE codegen'd map pass over the
   *    corpus, no shuffle.
-  *  - query: queries broadcast with their precomputed LUTs; the
-  *    corpus is scanned once, ADC-scored in whole-stage codegen, and
-  *    reduced by a partition-local top-`candidateK` window (keyed by
-  *    `spark_partition_id` — no shuffle) before the global
-  *    top-`candidateK` cut, mirroring
-  *    [[SimilaritySearch.bruteForceTopK]]'s two-phase shape: the full
-  *    corpus never shuffles.
-  *  - re-rank: exact cosine runs while corpus vectors are still
-  *    co-located with the scan (map-side, before any exchange), so
-  *    only narrow `(q_id, neighbor_id, adc, cos)` rows enter the
-  *    ranking shuffles — `queries × candidateK × partitions` rows,
-  *    never vectors. The extra exact distances this computes (on
-  *    per-partition survivors that miss the global cut) are
-  *    partition-local arithmetic; shipping embeddings through two
-  *    window exchanges — or re-scanning the corpus to join vectors
-  *    back by id — would cost more at any scale.
+  *  - candidate cut: queries broadcast carrying only their
+  *    precomputed LUTs (not their vectors); the corpus is scanned
+  *    once, ADC-scored in whole-stage codegen, and rank-limited by a
+  *    single `row_number <= candidateK` window on `q_id` —
+  *    Catalyst's InferWindowGroupLimit plants a PARTIAL (map-side)
+  *    top-`candidateK` below the exchange, so at most
+  *    `candidateK × partitions` rows per query are shuffled, each
+  *    carrying one corpus vector for the re-rank; the LUT and query
+  *    vectors never cross a shuffle.
+  *  - re-rank: survivors broadcast-join back to the (small) query
+  *    side to fetch `q_vec`, exact cosine is computed on candidates
+  *    only, and the final top-`k` window reuses the `q_id` hash
+  *    partitioning already in place — the whole operator plans with
+  *    ONE exchange (PlanQualitySpec pins this and the map-side
+  *    WindowGroupLimit).
   *
   * `candidateK >= corpus size` degenerates to exact brute force
   * evaluated through the full PQ machinery (encode → LUT → ADC →
@@ -82,36 +81,41 @@ object PqSearch {
       candidateK: Int): DataFrame = {
     require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
     val ks = index.codebooks.ks
-    val q = broadcast(queries.select(
+    // ADC side of the broadcast carries ONLY (q_id, lut): the query
+    // vectors rejoin after the candidate cut, so neither they nor the
+    // m*ks-double LUTs ride along into the shuffle
+    val qLut = broadcast(queries.select(
+      col("vec_id").as("q_id"),
+      PqLut(col("embedding"), index.codebooks).as("__lut")))
+    val qVec = broadcast(queries.select(
       col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-      PqLut(col("embedding"), index.codebooks).as("__lut"),
       VectorFunctions.norm(col("embedding")).as("q_nrm")))
     val c = index.encoded.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
       VectorFunctions.norm(col("embedding")).as("c_nrm"), col("__codes"))
-    val scored = c.crossJoin(q)
+    val scored = c.crossJoin(qLut)
       .where(col("q_id") =!= col("neighbor_id"))
       .withColumn("__adc", PqAdcScore(col("__codes"), col("__lut"), ks))
-    // phase 1: partition-local ADC top-candidateK — no shuffle; the
-    // global ADC top-candidateK is a subset of the per-partition ones
-    val wLocal = Window.partitionBy(col("q_id"), spark_partition_id())
+      .select(col("q_id"), col("neighbor_id"), col("__adc"),
+        col("c_vec"), col("c_nrm"))
+    // ADC candidate cut: InferWindowGroupLimit plants the map-side
+    // partial top-candidateK below this window's exchange (the same
+    // rank-limit pushdown PlanQualitySpec pins for d5/top_terms), so
+    // the shuffle moves candidates, not the corpus
+    val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
-    val local = scored.withColumn("__lr", row_number().over(wLocal))
-      .where(col("__lr") <= candidateK)
-      // exact cosine while vectors are still co-located (see scaladoc)
+    val cands = scored.withColumn("__ar", row_number().over(wAdc))
+      .where(col("__ar") <= candidateK)
+    // exact re-rank of the candidate set: q_vec fetched back from the
+    // broadcast query side (BroadcastHashJoin — no exchange), and the
+    // top-k window reuses the q_id hash partitioning already in place
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(qVec, Seq("q_id"))
       .withColumn("cos",
         VectorFunctions.dot(col("q_vec"), col("c_vec"))
           / (col("q_nrm") * col("c_nrm")))
-      .select(col("q_id"), col("neighbor_id"), col("__adc"), col("cos"))
-    // phase 2: global ADC top-candidateK over the narrow survivors
-    val wAdc = Window.partitionBy(col("q_id"))
-      .orderBy(col("__adc").desc, col("neighbor_id").asc)
-    val cands = local.withColumn("__ar", row_number().over(wAdc))
-      .where(col("__ar") <= candidateK)
-    // exact re-rank of the candidate set
-    val wCos = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(wCos).cast("long"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
       .where(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("rank"))
   }

@@ -55,16 +55,16 @@ object SimilaritySearch {
       .withColumn("cos",
         VectorFunctions.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
       .select(col("q_id"), col("neighbor_id"), col("cos"))
-    // Phase 1: partition-local top-k (no shuffle — spark_partition_id
-    // keys the window to data already in place).
-    val wLocal = Window.partitionBy(col("q_id"), spark_partition_id())
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val local = scored.withColumn("__lr", row_number().over(wLocal))
-      .where(col("__lr") <= k).drop("__lr")
-    // Phase 2: global top-k over the surviving candidates.
+    // One rank-limited window: InferWindowGroupLimit inserts a PARTIAL
+    // (map-side) top-k below the exchange, so only <= k rows per query
+    // per input partition are shuffled — the partition-local/global
+    // two-phase merge, expressed declaratively so Catalyst plans it
+    // with a single exchange of narrow (q_id, neighbor_id, cos) rows.
+    // The corpus vectors never cross a shuffle. (PlanQualitySpec pins
+    // the WindowGroupLimit and the single-exchange shape.)
     val wGlobal = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    local.withColumn("rank", row_number().over(wGlobal).cast("long"))
+    scored.withColumn("rank", row_number().over(wGlobal).cast("long"))
       .where(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("rank"))
   }

@@ -82,4 +82,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
     assert(plan.contains("*(1)"), s"split must stay in whole-stage codegen:\n$plan")
   }
+
+  test("brute-force ANN shuffles once, rank-limited map-side") {
+    val plan = planOf("ext_ann_bruteforce")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"top-k must plan as ONE rank-limited window exchange:\n$plan")
+    // partial (below the exchange) + final WindowGroupLimit
+    val limits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(limits == 2,
+      s"map-side partial rank limit missing — the shuffle would move all pairs:\n$plan")
+  }
+
+  test("PQ ANN: one exchange, broadcast re-rank join, no vectors from the query side in the shuffle") {
+    val plan = planOf("ext_ann_pq")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"ADC cut + re-rank must reuse one q_id partitioning:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_vec must rejoin from the broadcast query side, not ride the shuffle:\n$plan")
+  }
+
+  test("PQ ANN partial candidateK prunes map-side before the shuffle") {
+    import graft.ext.PqSearch
+    import org.apache.spark.sql.functions.col
+    val e = SparkEntry.tbl(spark, sf, "embeddings")
+    val plan = PqSearch.topK(e.where(col("vec_id") < 5),
+      PqSearch.buildIndex(e, m = 8, ks = 16), k = 10, candidateK = 50)
+      .queryExecution.executedPlan.toString
+    // adc-cut partial + adc-cut final + top-k limits
+    val limits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(limits >= 3,
+      s"candidateK cut must get a map-side WindowGroupLimit (only $limits found):\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"still one exchange with pruning on:\n$plan")
+  }
 }
