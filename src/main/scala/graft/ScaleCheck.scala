@@ -57,6 +57,13 @@ object ScaleCheck {
         SimilaritySearch.lshNearDupPairs(df, threshold = 0.9,
           planes = 12, tables = 2).count(),
         embs, "vec_id"),
+      // fixed query set, growing corpus; candidateK held at 256 so the
+      // ADC cut (not the exact re-rank) is what scales
+      ("ann_pq", (df: DataFrame) =>
+        PqSearch.topK(df.where(col("vec_id") < 5),
+          PqSearch.buildIndex(df, m = 8, ks = 16), k = 10,
+          candidateK = 256).count(),
+        embs, "vec_id"),
       ("top_terms", (df: DataFrame) =>
         TextAnalysis.topTerms(df, k = 5).count(),
         docs, "doc_id"),

@@ -390,6 +390,14 @@ object SparkEntry {
     // video-extractor shape), arithmetic-replayable stub geometry
     "ext_multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.asMedia(tbl(s, dir, "documents")), everyN = 2).toDF()),
+
+    // Streaming surface, oracle-graded: the events fixture replayed as
+    // an AvailableNow stream through the watermarked windowed
+    // aggregation — the DuckDB oracle grades the STREAMING engine's
+    // final table against the equivalent batch SQL (complete-mode +
+    // decimal-accumulate choices documented on the helper)
+    "ext_stream_hourly" -> ((s, dir) =>
+      graft.streaming.StreamingOps.availableNowHourly(s, s"$dir/events.parquet")),
   )
 
   // ── DuckDB fragments mirroring TextFunctions bit-exactly ─────────
@@ -495,6 +503,14 @@ object SparkEntry {
     "cap_top_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    // same truth as cap_events_hourly (1-hour tumbling windows are
+    // epoch-aligned, so win.start == date_trunc) — the engine side
+    // computes it through the streaming path
+    "ext_stream_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "cap_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

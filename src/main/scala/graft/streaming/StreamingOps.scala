@@ -61,6 +61,55 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
   }
 
+  /** Declared-query harness for the streaming surface: run
+    * [[windowedEventStats]] over a static parquet directory as an
+    * `AvailableNow` stream into a memory sink and return the final
+    * table, so the driver's DuckDB oracle grades the STREAMING
+    * engine's answer against the equivalent batch SQL — the other
+    * streaming operators are spec-tested, this one is oracle-graded.
+    *
+    * Choices that make the result batch-identical:
+    *  - complete output mode: a bounded input never advances the
+    *    watermark past its own last event, so append mode would hold
+    *    back the final windows forever;
+    *  - `value` pre-cast to DECIMAL(18,6): sum stays
+    *    order-insensitive across micro-batch/task orderings (double
+    *    emission at the end, the engine-wide convention);
+    *  - 1-hour tumbling windows are epoch-aligned, so `win.start`
+    *    equals the oracle's `date_trunc('hour', ts)`.
+    *
+    * The memory sink collects to the driver — correct for the
+    * declared-query harness (windows × types rows, not events); a
+    * production deployment points the same writeStream at a lake
+    * sink. */
+  def availableNowHourly(spark: SparkSession, eventsPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    // the streaming file source only monitors DIRECTORIES; the
+    // fixture is a single file, so stream its parent with a glob
+    // filter pinned to it (a production deployment points at the
+    // landing directory and drops the filter)
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    // the watermark clock only accepts TIMESTAMP (LTZ) — stream in
+    // LTZ (session is UTC, so values are identical) and cast the
+    // window edge back to NTZ on the way out, the same LTZ→NTZ exit
+    // cast the batch cap_events_hourly query uses
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("value", col("value").cast("decimal(18,6)"))
+    val agg = windowedEventStats(stream, windowLength = "1 hour")
+    val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      col("win.start").cast("timestamp_ntz").as("win"), col("event_type"),
+      col("n"), col("total_value").cast("double").as("total"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -89,4 +89,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest.contains((7L, 2L, 5.0)))
     } finally q.stop()
   }
+
+  test("availableNow hourly stream equals the batch aggregation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.availableNowHourly(spark, s"$sf/events.parquet")
+      .collect().map(r => (r.getAs[Any](0).toString, r.getString(1),
+        r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val batch = SparkEntry.tbl(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .collect().map(r => (r.getAs[Any](0).toString, r.getString(1),
+        r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(streamed == batch,
+      s"streaming result diverged from batch: ${streamed.size} vs ${batch.size} rows")
+  }
 }
