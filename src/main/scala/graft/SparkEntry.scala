@@ -278,6 +278,14 @@ object SparkEntry {
     "ext_dedup_ngram" -> ((s, dir) =>
       DedupOps.ngramJaccard(tbl(s, dir, "documents"), numOverDen = (1, 3))),
 
+    // Train/eval decontamination: training docs sharing any 13-token
+    // n-gram with the (deterministic doc_id % 97 subset) eval set.
+    // Eval shingles broadcast; the corpus never shuffles.
+    "ext_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Decontaminate.contamination(docs, docs.where(col("doc_id") % 97 === 0))
+    }),
+
     // Near-dup clustering: connected components over the (oracle-
     // checked) ngram pair list via min-label propagation; oracle is a
     // recursive CTE computing true components
@@ -692,6 +700,26 @@ object SparkEntry {
          |WHERE len(list_intersect(a.sset, b.sset)) * 3
          |    >= len(list_distinct(list_concat(a.sset, b.sset))) * 1
          |  AND len(list_distinct(list_concat(a.sset, b.sset))) > 0""".stripMargin,
+
+    // 13-gram shingle CTE mirrors the minhash oracle's 3-gram one,
+    // including the short-doc whole-text shingle rule
+    "ext_decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array($normSql, ' '), w -> w != '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, list_distinct(CASE
+         |    WHEN len(toks) = 0 THEN []
+         |    WHEN len(toks) <= 13 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 11),
+         |      i -> concat_ws(' ', ${(0 until 13).map(j => s"toks[i+$j]").mkString(", ")})) END) AS sset
+         |  FROM t),
+         |tr AS (SELECT doc_id, unnest(sset) AS sh FROM s),
+         |ev AS (SELECT doc_id AS eval_id, unnest(sset) AS sh FROM s WHERE doc_id % 97 = 0)
+         |SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_hits,
+         |  count(DISTINCT ev.eval_id) AS n_eval_docs
+         |FROM tr JOIN ev ON tr.sh = ev.sh
+         |GROUP BY tr.doc_id""".stripMargin,
 
     "ext_dedup_clusters" ->
       s"""WITH RECURSIVE $ngramPairCtes,

@@ -1,15 +1,18 @@
 package graft.app
 
-import graft.ext.{DedupClusters, DedupOps, MinHashLSH, SimHash}
+import graft.ext.{Decontaminate, DedupClusters, DedupOps, MinHashLSH, SimHash}
 import org.apache.spark.sql.DataFrame
 
 /** Corpus deduplication as a command: detector → clustering →
-  * keep-one-per-cluster → parquet.
+  * keep-one-per-cluster → (optional eval-set decontamination) →
+  * parquet.
   *
   * {{{
   * runMain graft.app.DedupCorpusApp \
   *   --input /data/docs.parquet --output /data/docs_dedup.parquet \
-  *   --method minhash            # exact | minhash | simhash | ngram
+  *   --method minhash \          # exact | minhash | simhash | ngram
+  *   --decontaminate /data/benchmarks.parquet   # optional: drop docs
+  *                                              # sharing a 13-gram
   * }}}
   */
 object DedupCorpusApp {
@@ -18,7 +21,7 @@ object DedupCorpusApp {
     val spark = Common.spark()
     val docs = spark.read.parquet(Args.req(m, "input"))
 
-    val deduped: DataFrame = m.getOrElse("method", "minhash") match {
+    val deduped0: DataFrame = m.getOrElse("method", "minhash") match {
       case "exact" =>
         DedupOps.exactKeepRows(docs).drop("fp")
       case "minhash" =>
@@ -28,6 +31,14 @@ object DedupCorpusApp {
       case "ngram" =>
         DedupClusters.keepOnePerCluster(docs, DedupOps.ngramJaccard(docs))
       case other => sys.error(s"unknown --method $other (exact|minhash|simhash|ngram)")
+    }
+
+    // decontamination runs AFTER dedup: the contaminated set is a
+    // vanishing fraction, so dedup first avoids shingling duplicates
+    val deduped: DataFrame = m.get("decontaminate").fold(deduped0) { evalPath =>
+      val eval = spark.read.parquet(evalPath)
+      deduped0.join(Decontaminate.contamination(deduped0, eval),
+        Seq("doc_id"), "left_anti")
     }
 
     deduped.write.mode("overwrite").parquet(Args.req(m, "output"))

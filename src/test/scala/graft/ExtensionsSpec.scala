@@ -36,6 +36,35 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination flags planted 13-gram overlap and nothing else") {
+    val words13 = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, s"leading filler words here $words13 trailing filler", "en", "web", 0L),
+      (2L, "completely unrelated text with no overlap at all whatsoever in any window", "en", "web", 0L),
+      (3L, words13, "en", "web", 0L) // verbatim short doc
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eval = Seq((100L, s"$words13", "en", "bench", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flagged = Decontaminate.contamination(train, eval)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(flagged.keySet == Set(1L, 3L), s"got $flagged")
+    assert(flagged(1L) == (1L, 1L)) // exactly the planted shingle, one eval doc
+  }
+
+  test("decontamination always flags eval docs present in the corpus") {
+    // eval ⊂ train: every eval doc with at least one token must flag
+    // itself (the short-doc whole-text shingle rule guarantees a
+    // shingle exists)
+    val eval = docs.where(col("doc_id") % 97 === 0)
+    val evalWithTokens = eval
+      .where(size(graft.functions.TextFunctions.words(graft.functions.TextFunctions.normalized(col("text")))) > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = Decontaminate.contamination(docs, eval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(evalWithTokens.subsetOf(flagged),
+      s"unflagged eval docs: ${evalWithTokens -- flagged}")
+  }
+
   test("lsh near-dup candidate volume stays near-linear at the declared config") {
     // Round 2's planes=2/tables=16 config had 4 buckets per table —
     // Θ(n²) candidates through a 64-value join key. The declared
