@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * scale path for corpus dedup with no blocking key.
   *
   * Pipeline (all stages sized for a 100 TB corpus):
-  *  1. shingling: words posexplode and word n-grams form via `lead`
-  *     window functions over (doc, position). Everything stays in
-  *     whole-stage codegen — the natural higher-order-function
+  *  1. shingling: one codegen'd [[graft.functions.WordShingles]]
+  *     expression per document, exploded to (doc_id, shingle) rows —
+  *     entirely map-side. The natural higher-order-function
   *     formulation (`transform` + `slice` + `array_join`) is
-  *     interpreted per-lambda and benchmarked ~5× slower end-to-end.
-  *     The window sort is partition-local per document (rows of one
-  *     document are already co-located after posexplode).
+  *     interpreted per-lambda and benchmarked ~5× slower end-to-end;
+  *     the earlier windowed-`lead` formulation was codegen'd but paid
+  *     a hash-partition exchange of one row per word before any
+  *     shingle existed — re-shuffling the corpus as token rows.
   *  2. signature: each shingle string is hashed ONCE; the `numHashes`
   *     minhash values derive by cheap re-hashing of that 64-bit value
   *     — `numHashes` `min` aggregates in one codegen'd hash
@@ -44,24 +45,22 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** (doc_id, __sh) — one row per word n-gram shingle, codegen path. */
+  /** (doc_id, __sh) — one row per word n-gram shingle, codegen path,
+    * no shuffle. */
   def shingleRows(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
     require(shingleSize >= 2, "shingleSize must be at least 2")
-    // Spread before the CPU-heavy stages: a small corpus file arrives
-    // as one input partition, which would serialize hashing onto a
-    // single core. On a wide 100 TB scan this is a cheap no-op.
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
-    val leads = (1 until shingleSize).map(i => lead(col("__w"), i).over(w).as(s"__w$i"))
-    val shingleParts = col("__w") +: (1 until shingleSize).map(i => col(s"__w$i"))
-    spread
-      .withColumn("__words", words(normalized(col("text"))))
-      .select(col("doc_id"), posexplode(col("__words")).as(Seq("__pos", "__w")))
-      .select(Seq(col("doc_id"), col("__pos"), col("__w")) ++ leads: _*)
-      // full shingles, plus the single short-doc shingle at pos 0
-      .where(col(s"__w${shingleSize - 1}").isNotNull || col("__pos") === 0)
-      .select(col("doc_id"), concat_ws(" ", shingleParts: _*).as("__sh"))
+    // Spread ONLY when the input arrives under-partitioned: a small
+    // corpus file lands as one partition, which would serialize the
+    // CPU-heavy shingle/hash work onto a single core. A wide
+    // production scan already has the parallelism and must not pay a
+    // corpus reshuffle here.
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
+      else docs
+    spread.select(col("doc_id"),
+      explode(graft.functions.WordShingles(
+        words(normalized(col("text"))), shingleSize)).as("__sh"))
   }
 
   /** (doc_id, sig: array<bigint>) minhash signatures — one
