@@ -64,6 +64,12 @@ object ScaleCheck {
           PqSearch.buildIndex(df, m = 8, ks = 16), k = 10,
           candidateK = 256).count(),
         embs, "vec_id"),
+      // eval set fixed (a benchmark doesn't grow with the corpus);
+      // corpus grows k× — the scan+shingle term is the scale path
+      ("decontaminate", (df: DataFrame) =>
+        Decontaminate.contamination(df,
+          docs.where(col("doc_id") % 97 === 0)).count(),
+        docs, "doc_id"),
       ("top_terms", (df: DataFrame) =>
         TextAnalysis.topTerms(df, k = 5).count(),
         docs, "doc_id"),

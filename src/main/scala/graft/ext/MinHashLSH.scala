@@ -49,16 +49,10 @@ object MinHashLSH {
     * no shuffle. */
   def shingleRows(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
     require(shingleSize >= 2, "shingleSize must be at least 2")
-    // Spread ONLY when the input arrives under-partitioned: a small
-    // corpus file lands as one partition, which would serialize the
-    // CPU-heavy shingle/hash work onto a single core. A wide
-    // production scan already has the parallelism and must not pay a
+    // Spread ONLY when the input arrives under-partitioned (see
+    // [[Spread.ifNarrow]]) — a wide production scan must not pay a
     // corpus reshuffle here.
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
-      else docs
-    spread.select(col("doc_id"),
+    Spread.ifNarrow(docs).select(col("doc_id"),
       explode(graft.functions.WordShingles(
         words(normalized(col("text"))), shingleSize)).as("__sh"))
   }

@@ -50,9 +50,8 @@ object SimHash {
       tokenHash: Column => Column = xxTokenHash): DataFrame = {
     require(bits >= 4 && bits <= 64, s"bits must be in [4, 64], got $bits")
     // Spread a narrow input before the bits-votes-per-token stage
-    // (same reasoning as MinHashLSH.signatures).
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism)
+    // (same reasoning as MinHashLSH.shingleRows; no-op on wide scans).
+    val spread = Spread.ifNarrow(docs)
     val exploded = spread
       .withColumn("__toks", words(normalized(col("text"))))
       .select(col("doc_id"), explode(col("__toks")).as("__t"))

@@ -1,0 +1,16 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Conditional pre-spread for CPU-heavy per-row stages (shingling,
+  * token voting): a small corpus file arrives as one input partition,
+  * which would serialize the work onto a single core — but a wide
+  * production scan already has the parallelism, and an unconditional
+  * `repartition` there is a full corpus reshuffle for nothing. */
+object Spread {
+  def ifNarrow(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+    else df
+  }
+}

@@ -30,6 +30,17 @@ object GraftFunctions {
       }
       MinHashSketch(exprs(0), n).toAggregateExpression()
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles", exprs => {
+      require(exprs.length == 2, "word_shingles(words, n)")
+      require(exprs(1).foldable,
+        s"word_shingles n must be a constant integer, got ${exprs(1).sql}")
+      val n = exprs(1).eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"word_shingles n must be a constant integer, got $other")
+      }
+      WordShingles(exprs(0), n)
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash_agg", exprs => {
       require(exprs.length == 2, "simhash_agg(hash, bits)")
       require(exprs(1).foldable,

@@ -398,6 +398,10 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT minhash_sketch(h, 8) AS sig FROM (SELECT xxhash64(x) AS h FROM VALUES ('a'), ('b'), ('c') AS t(x))")
       .head().getSeq[Long](0)
     assert(sig.length == 8)
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a', 'b', 'c', 'd'), 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
   }
 
   test("frame sampling emits every Nth frame with stub geometry") {
