@@ -399,6 +399,15 @@ object SparkEntry {
     "ext_multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.asMedia(tbl(s, dir, "documents")), everyN = 2).toDF()),
 
+    // Repeated-span detection (exact-substring-dedup approximation):
+    // 20-token spans occurring in 2+ documents, counted per doc
+    "ext_span_dedup" -> ((s, dir) =>
+      DedupOps.repeatedSpans(tbl(s, dir, "documents"), n = 20)),
+
+    // Corpus card: per-source volume/language rollup
+    "ext_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(tbl(s, dir, "documents"))),
+
     // Streaming surface, oracle-graded: the events fixture replayed as
     // an AvailableNow stream through the watermarked windowed
     // aggregation — the DuckDB oracle grades the STREAMING engine's
@@ -700,6 +709,32 @@ object SparkEntry {
          |WHERE len(list_intersect(a.sset, b.sset)) * 3
          |    >= len(list_distinct(list_concat(a.sset, b.sset))) * 1
          |  AND len(list_distinct(list_concat(a.sset, b.sset))) > 0""".stripMargin,
+
+    // 20-gram span CTE (same construction as ext_decontaminate's):
+    // spans in 2+ docs, counted per doc
+    "ext_span_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array($normSql, ' '), w -> w != '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, list_distinct(CASE
+         |    WHEN len(toks) = 0 THEN []
+         |    WHEN len(toks) <= 20 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 18),
+         |      i -> concat_ws(' ', ${(0 until 20).map(j => s"toks[i+$j]").mkString(", ")})) END) AS sset
+         |  FROM t),
+         |spans AS (SELECT doc_id, unnest(sset) AS sh FROM s),
+         |shared AS (SELECT sh FROM spans GROUP BY sh HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, count(*) AS n_repeated_spans
+         |FROM spans JOIN shared USING (sh)
+         |GROUP BY doc_id""".stripMargin,
+
+    "ext_corpus_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM documents GROUP BY source""".stripMargin,
 
     // 13-gram shingle CTE mirrors the minhash oracle's 3-gram one,
     // including the short-doc whole-text shingle rule

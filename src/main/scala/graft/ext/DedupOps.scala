@@ -91,6 +91,36 @@ object DedupOps {
     * (one self-join); the LSH-bucketed variant in SimilaritySearch is
     * the scale path. Cosine computes in double with sequential
     * summation for oracle parity. */
+  /** Repeated-span detection — the practical approximation of exact
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022, find 50-token repeats with a
+    * suffix array; here: n-token spans repeated across documents,
+    * found with the same shingle machinery the near-dup family uses).
+    * Output: (doc_id, n_repeated_spans) — how many of the document's
+    * distinct n-token spans also occur in at least one OTHER
+    * document. Zero-hit documents don't appear.
+    *
+    * Scale shape: spans come from the shuffle-free codegen
+    * [[MinHashLSH.shingleRows]]; the repeated-span set forms in ONE
+    * hash aggregation over (span, doc) rows with map-side partials,
+    * and rejoins the per-doc span rows by span key. The span STRING
+    * is the key (oracle-exact, no hash-collision caveat); a corpus
+    * where span-string shuffle width dominates can switch the
+    * group/join key to `xxhash64(__sh)` and accept 2⁻⁶⁴ collisions.
+    * Documents shorter than `n` tokens contribute their whole text as
+    * one span, so verbatim short-doc copies count. */
+  def repeatedSpans(docs: DataFrame, n: Int = 20): DataFrame = {
+    val spans = MinHashLSH.shingleRows(docs, n)
+      .select(col("doc_id"), col("__sh")).distinct()
+    val shared = spans.groupBy(col("__sh"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select(col("__sh"))
+    spans.join(shared, Seq("__sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_repeated_spans"))
+  }
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     // Norms are computed once per vector, not once per pair (the
     // pair-level expression stays dot/(normA*normB) — identical IEEE

@@ -25,6 +25,17 @@ object TextAnalysis {
       rollingHash(textCol).as("rolling_fp"))
   }
 
+  /** Corpus card: per-source rollup (doc/token/char volume, language
+    * spread) — the summary table every pretraining-mix decision reads.
+    * One hash aggregation with map-side partials; count-distinct adds
+    * the standard expand, everything else is a plain sum. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wordCount(col("text"))).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+
   /** Quality scoring: length/punctuation/stopword signals in [0,1]
     * combined into a single score. The formula is deliberately simple
     * arithmetic (no branching on floats) so an oracle replays it

@@ -51,6 +51,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(flagged(1L) == (1L, 1L)) // exactly the planted shingle, one eval doc
   }
 
+  test("repeated spans count cross-document 20-token repeats, nothing else") {
+    val span20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$span20 unique tail one", "en", "web", 0L),
+      (2L, s"prefix words then $span20", "en", "web", 0L),
+      (3L, "totally different content with no twenty token window repeated anywhere at all", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.repeatedSpans(df, n = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 2 share exactly the planted w1..w20 span; doc 3 clean
+    assert(out == Map(1L -> 1L, 2L -> 1L), s"got $out")
+  }
+
   test("decontamination always flags eval docs present in the corpus") {
     // eval ⊂ train: every eval doc with at least one token must flag
     // itself (the short-doc whole-text shingle rule guarantees a
