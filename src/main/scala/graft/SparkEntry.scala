@@ -408,6 +408,12 @@ object SparkEntry {
     "ext_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(tbl(s, dir, "documents"))),
 
+    // Streaming dedup path, oracle-graded on the deterministic
+    // surviving-row COUNT (which duplicate survives is
+    // arrival-order-dependent; how many is not)
+    "ext_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.availableNowDedupCount(s, s"$dir/lineitem.parquet")),
+
     // Streaming surface, oracle-graded: the events fixture replayed as
     // an AvailableNow stream through the watermarked windowed
     // aggregation — the DuckDB oracle grades the STREAMING engine's
@@ -520,6 +526,12 @@ object SparkEntry {
     "cap_top_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    // streaming dedup keeps exactly one row per sk (sk over
+    // l_orderkey alone — the d5 duplicate-bearing convention)
+    "ext_stream_dedup" ->
+      """SELECT CAST(count(DISTINCT md5(CAST(l_orderkey AS VARCHAR))) AS BIGINT) AS n_unique
+        |FROM lineitem""".stripMargin,
 
     // same truth as cap_events_hourly (1-hour tumbling windows are
     // epoch-aligned, so win.start == date_trunc) — the engine side
