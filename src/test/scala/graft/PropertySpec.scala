@@ -140,4 +140,29 @@ class PropertySpec extends AnyFunSuite {
     mergeCase(List(1), Nil)
     mergeCase(Nil, Nil)
   }
+
+  // ── WordShingles: structural invariants for arbitrary word lists ──
+
+  test("WordShingles yields max(1, len-n+1) shingles of exactly min(n, len) words each") {
+    val word = Gen.chooseNum('a', 'z').flatMap(c =>
+      Gen.chooseNum(1, 6).map(len => c.toString * len))
+    forAll(
+      Gen.chooseNum(0, 40).flatMap(k => Gen.listOfN(k, word)),
+      Gen.chooseNum(2, 15), cases = 30) { (ws, n) =>
+      val df = Seq(Tuple1(ws)).toDF("w")
+        .select(graft.functions.WordShingles(col("w"), n).as("sh"))
+      val sh = df.head().getSeq[String](0)
+      if (ws.isEmpty) assert(sh.isEmpty)
+      else {
+        assert(sh.length == math.max(1, ws.length - n + 1))
+        sh.foreach(s =>
+          assert(s.split(" ").length == math.min(n, ws.length), s"bad shingle '$s'"))
+        // positional reconstruction: shingle i is words i..i+n-1
+        if (ws.length > n)
+          sh.zipWithIndex.foreach { case (s, i) =>
+            assert(s == ws.slice(i, i + n).mkString(" ")) }
+        else assert(sh.head == ws.mkString(" "))
+      }
+    }
+  }
 }
