@@ -749,20 +749,34 @@ object SparkEntry {
          |FROM documents GROUP BY source""".stripMargin,
 
     // 13-gram shingle CTE mirrors the minhash oracle's 3-gram one,
-    // including the short-doc whole-text shingle rule
+    // including the short-doc whole-text shingle rule. The train side
+    // is additionally shingled at each distinct token length of a
+    // short (< 13 tokens) eval doc, so a short benchmark answer
+    // quoted verbatim inside a long training doc still collides —
+    // same lens set the engine computes on the driver.
     "ext_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(regexp_split_to_array($normSql, ' '), w -> w != '') AS toks
          |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, list_distinct(CASE
+         |lens AS (
+         |  SELECT 13 AS l
+         |  UNION SELECT DISTINCT len(toks) FROM t
+         |  WHERE doc_id % 97 = 0 AND len(toks) > 0 AND len(toks) < 13),
+         |tr AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT t.doc_id, unnest(CASE
+         |      WHEN len(toks) = 0 THEN []
+         |      WHEN len(toks) <= l THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - l + 2),
+         |        i -> array_to_string(toks[i:i+l-1], ' ')) END) AS sh
+         |    FROM t CROSS JOIN lens)),
+         |ev AS (
+         |  SELECT DISTINCT doc_id AS eval_id, unnest(CASE
          |    WHEN len(toks) = 0 THEN []
          |    WHEN len(toks) <= 13 THEN [array_to_string(toks, ' ')]
          |    ELSE list_transform(range(1, len(toks) - 11),
-         |      i -> concat_ws(' ', ${(0 until 13).map(j => s"toks[i+$j]").mkString(", ")})) END) AS sset
-         |  FROM t),
-         |tr AS (SELECT doc_id, unnest(sset) AS sh FROM s),
-         |ev AS (SELECT doc_id AS eval_id, unnest(sset) AS sh FROM s WHERE doc_id % 97 = 0)
+         |      i -> concat_ws(' ', ${(0 until 13).map(j => s"toks[i+$j]").mkString(", ")})) END) AS sh
+         |  FROM t WHERE doc_id % 97 = 0)
          |SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_hits,
          |  count(DISTINCT ev.eval_id) AS n_eval_docs
          |FROM tr JOIN ev ON tr.sh = ev.sh

@@ -37,7 +37,11 @@ object DedupCorpusApp {
     // vanishing fraction, so dedup first avoids shingling duplicates
     val deduped: DataFrame = m.get("decontaminate").fold(deduped0) { evalPath =>
       val eval = spark.read.parquet(evalPath)
-      deduped0.join(Decontaminate.contamination(deduped0, eval),
+      // spreadTrain = false: deduped0 is a post-dedup (wide, shuffled)
+      // subtree — the narrow-input probe would re-execute the whole
+      // dedup pipeline just to read its partition count
+      deduped0.join(
+        Decontaminate.contamination(deduped0, eval, spreadTrain = false),
         Seq("doc_id"), "left_anti")
     }
 

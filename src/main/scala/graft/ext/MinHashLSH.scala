@@ -46,13 +46,21 @@ import org.apache.spark.sql.functions._
 object MinHashLSH {
 
   /** (doc_id, __sh) — one row per word n-gram shingle, codegen path,
-    * no shuffle. */
-  def shingleRows(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    * no shuffle.
+    *
+    * `spread = false` skips the narrow-input probe entirely: the
+    * probe reads `df.rdd.getNumPartitions`, which forces physical
+    * planning (and under AQE can run the upstream jobs), so call
+    * sites that KNOW their input is already wide — a post-shuffle or
+    * post-broadcast-join subtree — must opt out rather than pay an
+    * extra execution of that subtree just to learn its width. */
+  def shingleRows(docs: DataFrame, shingleSize: Int = 3, spread: Boolean = true): DataFrame = {
     require(shingleSize >= 2, "shingleSize must be at least 2")
     // Spread ONLY when the input arrives under-partitioned (see
     // [[Spread.ifNarrow]]) — a wide production scan must not pay a
     // corpus reshuffle here.
-    Spread.ifNarrow(docs).select(col("doc_id"),
+    val base = if (spread) Spread.ifNarrow(docs) else docs
+    base.select(col("doc_id"),
       explode(graft.functions.WordShingles(
         words(normalized(col("text"))), shingleSize)).as("__sh"))
   }
@@ -130,8 +138,11 @@ object MinHashLSH {
       // shingle sets only for docs that appear in some candidate pair
       val candIds = cands.select(col("doc_a").as("doc_id"))
         .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      // spread = false: the broadcast-join input embeds the whole
+      // candidate pipeline, so the narrow-probe would execute it an
+      // extra time; the join inherits the corpus scan's width anyway
       val shingleSets = shingleRows(
-          docs.join(broadcast(candIds), Seq("doc_id")), shingleSize)
+          docs.join(broadcast(candIds), Seq("doc_id")), shingleSize, spread = false)
         .groupBy(col("doc_id"))
         .agg(collect_set(col("__sh")).as("sset"))
       cands

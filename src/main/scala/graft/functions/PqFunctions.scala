@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -155,6 +156,15 @@ case class PqEncode(child: Expression, codebooks: PqCodebooks)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // analysis-time rejection (same pattern as WordShingles): a bad
+  // element type must fail the query plan, not surface as an executor
+  // exception from elemIsFloat during codegen/eval
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float> or array<double>, got $other")
+  }
+
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -239,6 +249,13 @@ case class PqLut(child: Expression, codebooks: PqCodebooks)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // analysis-time rejection, matching WordShingles / PqEncode
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut expects array<float> or array<double>, got $other")
+  }
+
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -319,6 +336,13 @@ case class PqAdcScore(left: Expression, right: Expression, ks: Int)
     extends BinaryExpression {
   // left = codes array<int>, right = lut array<double>
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score expects (array<int>, array<double>), got ($l, $r)")
+  }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val codes = l.asInstanceOf[ArrayData]

@@ -93,11 +93,18 @@ object StreamingOps {
     // LTZ (session is UTC, so values are identical) and cast the
     // window edge back to NTZ on the way out, the same LTZ→NTZ exit
     // cast the batch cap_events_hourly query uses
-    val stream = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", p.getName)
       .parquet(p.getParent.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withColumn("value", col("value").cast("decimal(18,6)"))
+    // rebuild the event-time clock ONLY when the fixture stores ts as
+    // a nanos long (same guard as the batch tbl() helper) — a fixture
+    // written with a real parquet timestamp passes through unchanged
+    val timed =
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    val stream = timed.withColumn("value", col("value").cast("decimal(18,6)"))
     val agg = windowedEventStats(stream, windowLength = "1 hour")
     val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = agg.writeStream.format("memory").queryName(sink)
@@ -105,9 +112,27 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink).select(
-      col("win.start").cast("timestamp_ntz").as("win"), col("event_type"),
-      col("n"), col("total_value").cast("double").as("total"))
+    drainMemorySink(spark, sink) { t =>
+      t.select(
+        col("win.start").cast("timestamp_ntz").as("win"), col("event_type"),
+        col("n"), col("total_value").cast("double").as("total"))
+    }
+  }
+
+  /** Collect a memory-sink table into a local DataFrame and DROP the
+    * temp view: the memory sink registers a session-lifetime temp
+    * table per query, so a long-lived session (a Bench/Verify sweep)
+    * would otherwise accumulate every collected result in the driver
+    * for the session's lifetime. The result is bounded by contract
+    * (aggregates — windows × types rows, not events). */
+  private def drainMemorySink(spark: SparkSession, sink: String)(
+      shape: DataFrame => DataFrame): DataFrame = {
+    val shaped = shape(spark.table(sink))
+    val rows = shaped.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), shaped.schema)
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   /** Second oracle-graded streaming harness, covering the DEDUP path
@@ -138,7 +163,7 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink).agg(count(lit(1)).as("n_unique"))
+    drainMemorySink(spark, sink)(_.agg(count(lit(1)).as("n_unique")))
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)

@@ -64,6 +64,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L), s"got $out")
   }
 
+  test("decontamination flags a SHORT eval doc quoted inside a long train doc") {
+    // an eval doc with fewer than n tokens emits one whole-text
+    // shingle; the train side must be shingled at that length too or
+    // the quote is invisible (round-5 advisor finding)
+    val quote = "the quick brown fox jumps" // 5 tokens < 13
+    val train = Seq(
+      (1L, s"lots of leading context here so this doc is long $quote and trailing words follow after it too", "en", "web", 0L),
+      (2L, "entirely unrelated content with no overlap at all in any window of any length", "en", "web", 0L),
+      (3L, "the quick brown dog jumps", "en", "web", 0L) // near miss, one token off
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eval = Seq((100L, quote, "en", "bench", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flagged = Decontaminate.contamination(train, eval)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(flagged.keySet == Set(1L), s"got $flagged")
+    assert(flagged(1L) == (1L, 1L)) // exactly the quoted whole-text shingle
+  }
+
   test("decontamination always flags eval docs present in the corpus") {
     // eval ⊂ train: every eval doc with at least one token must flag
     // itself (the short-doc whole-text shingle rule guarantees a
