@@ -63,10 +63,19 @@ object IvfSearch {
       maxFitSamplePoints / math.max(1, vecOnly.rdd.getNumPartitions)).toInt
     val fitInput = spark.createDataFrame(
       vecOnly.rdd.mapPartitions(_.take(perPart)), vecOnly.schema)
+    // PERSIST the bounded sample for the duration of the fit: k-means||
+    // init (~2 rounds) plus every Lloyd iteration is a pass over the
+    // fit input, and without this each pass re-derives the full
+    // scan → array_to_vector → row-conversion chain (mllib only caches
+    // its internal norm-zipped RDD, not the parent). The sample is
+    // ≤ maxFitSamplePoints vectors by construction, so the footprint
+    // is bounded regardless of corpus size.
+    fitInput.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__vec").setPredictionCol("__cell")
       .setMaxIter(kmeansIterations)
       .fit(fitInput)
+    fitInput.unpersist(blocking = false)
     val assigned = model.transform(withVec).drop("__vec")
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }
