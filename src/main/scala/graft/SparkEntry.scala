@@ -421,6 +421,80 @@ object SparkEntry {
     // decimal-accumulate choices documented on the helper)
     "ext_stream_hourly" -> ((s, dir) =>
       graft.streaming.StreamingOps.availableNowHourly(s, s"$dir/events.parquet")),
+
+    // As-of join (union-and-carry, one shuffle): each purchase picks
+    // up the most recent click by the same user at-or-before it. The
+    // right side is pre-reduced per (user, ts) — max_by(event_id) —
+    // so the match is deterministic; the oracle is DuckDB's native
+    // ASOF LEFT JOIN, an entirely independent formulation.
+    "ext_asof_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      // payload is (click_ts, click_value) only: a nullable BIGINT id
+      // column would degrade to float64 on the oracle's pandas fetch
+      // path (LEFT ASOF misses → NULLs) and hash-mismatch on the tag
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+        .withColumnRenamed("ts", "click_ts")
+      // no-match sentinel: a NULL timestamp would come back as pandas
+      // NaT on the oracle fetch path, which canonicalizes as a
+      // datetime ('t:NaT'), not as null — coalesce on BOTH sides so
+      // the declared column stays hash-comparable
+      Temporal.asOfJoin(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "click_ts")
+        .withColumn("click_ts",
+          expr("coalesce(click_ts, TIMESTAMP_NTZ '1900-01-01 00:00:00')"))
+    }),
+
+    // Range join with NO equi-key (bin-bucketed interval join):
+    // shipping activity during each sampled order's first week —
+    // lineitems (any order's) shipped in [o_orderdate, +7d). The
+    // orderkey sample keeps the true pair count ~interval_len·|points|
+    // /8; counts stay integer-exact, max is order-insensitive.
+    "ext_range_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .where(col("o_orderkey") % 8 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_shipdate")
+      val agg = Temporal
+        .rangeJoinBinned(o, li, "o_orderdate", "o_end", "l_shipdate",
+          binSeconds = 7L * 86400)
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_ship"),
+          max(col("l_extendedprice")).as("max_price"))
+      o.select("o_orderkey").join(agg, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_ship"), lit(0L)).as("n_ship"), col("max_price"))
+    }),
+
+    // Gap sessionization (2h inactivity cut per user) + session
+    // rollup; decimal-accumulate / double-emit for the value sum
+    // (same rationale as cap_events_hourly)
+    "ext_sessionize" -> ((s, dir) =>
+      Temporal.sessionize(
+        tbl(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
+        tieCol = "event_id", gapSeconds = 7200)
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("total_value"))),
+
+    // KMV distinct sketch at k = 1024 > |user space| (150): below
+    // saturation the buffer IS the distinct hash set, so the COUNT
+    // (DISTINCT) oracle gates the full update → merge → eval
+    // machinery — same provably-exact-config epistemics as
+    // ext_ann_ivf / ext_ann_pq. Approximate regime is ScalaTest-gated.
+    "ext_distinct_kmv" -> ((s, dir) =>
+      tbl(s, dir, "events").groupBy("event_type")
+        .agg(graft.functions.KmvSketch
+          .approxCountDistinct(col("user_id"), k = 1024)
+          .as("distinct_users"))),
   )
 
   // ── DuckDB fragments mirroring TextFunctions bit-exactly ─────────
@@ -897,5 +971,61 @@ object SparkEntry {
     "ext_multimodal_frames" ->
       """SELECT doc_id, f AS frame_idx, f * 4096 AS byte_offset
         |FROM documents, UNNEST(range(0, CAST(strlen(text) % 16 AS BIGINT), 2)) AS t(f)""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — independent of the engine's
+    // union-and-carry formulation (inclusive: p.ts >= c.ts)
+    "ext_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts,
+        |    max_by(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  coalesce(c.click_ts, TIMESTAMP '1900-01-01') AS click_ts,
+        |  c.click_value
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin,
+
+    // plain θ-join — DuckDB plans it as an IEJoin; the engine side
+    // must reproduce it through the bin-bucketed equi-join
+    "ext_range_join" ->
+      """SELECT o.o_orderkey,
+        |  count(l.l_orderkey) AS n_ship,
+        |  max(l.l_extendedprice) AS max_price
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderkey % 8 = 0
+        |GROUP BY o.o_orderkey""".stripMargin,
+
+    "ext_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // k = 1024 > 150 distinct users: the sketch is below saturation,
+    // so exact COUNT(DISTINCT) is the right truth for the full
+    // sketch pipeline
+    "ext_distinct_kmv" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

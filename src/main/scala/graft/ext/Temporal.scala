@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, TimestampNTZType}
+
+/** Temporal relational operators Spark lacks as built-ins — as-of
+  * join, interval (range) join, gap sessionization — each expressed
+  * as one hash shuffle plus window/join built-ins. None of them
+  * enumerates candidate pairs beyond what the output needs: the
+  * naive formulations (join-then-argmax for as-of, θ-join for range)
+  * are quadratic per key and die at scale; these are the standard
+  * linear-shuffle forms (pandas `merge_asof` / Flink temporal join
+  * for as-of; bin-bucketed interval join as in Spark's own
+  * range-join hints on Databricks runtime, rebuilt here on open
+  * Spark).
+  */
+object Temporal {
+
+  /** Micros-since-epoch of a timestamp column. `unix_micros` only
+    * accepts TIMESTAMP_LTZ; the fixtures' parquet timestamps read as
+    * NTZ, where the LTZ cast is lossless because the engine pins the
+    * session to UTC (`Sessions.local`). */
+  private def micros(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampNTZType => unix_micros(expr(s"cast(`$c` as timestamp)"))
+      case _ => unix_micros(col(c))
+    }
+
+  /** As-of join: for every left row, the single most recent right
+    * row with the same key and `right.time <= left.time` (inclusive;
+    * `strict = true` uses `<`). Left rows with no candidate keep
+    * null payload columns (LEFT ASOF semantics).
+    *
+    * Union-and-carry implementation: tag both inputs, union them,
+    * and run one running `last(payload, ignoreNulls)` window per key
+    * ordered by (time, side). For the inclusive variant right rows
+    * sort *before* left rows at equal timestamps (so an exactly
+    * concurrent right row is visible); strict flips the tie order.
+    * Cost: ONE hash shuffle on the key + a per-partition sort —
+    * what any sort-merge join pays — with no candidate explosion.
+    *
+    * 100 TB posture: scales like sort-merge join; WindowExec spills,
+    * so a key's history need not fit in memory, but one hot key
+    * serializes within its partition — pre-reduce the right side per
+    * (key, time) to bound it. The right side MUST be unique per
+    * (keys, timeCol): with duplicates, which payload survives would
+    * depend on shuffle order (callers reduce first, e.g.
+    * `groupBy(key, ts).agg(max_by(…))`). Right rows with a null key
+    * or time are dropped (they can never be a most-recent match);
+    * left rows with a null time match nothing.
+    *
+    * Right payload column names (everything except the keys) must
+    * not collide with left column names — rename on the right input.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      strict: Boolean = false): DataFrame = {
+    val payloadCols = right.columns.filterNot(keys.contains(_)).toSeq
+    val clash = payloadCols.filter(left.columns.contains(_))
+    require(clash.isEmpty,
+      s"right payload columns collide with left: ${clash.mkString(", ")}")
+
+    // At equal time the lower __ord is seen first by the running
+    // window; inclusive wants the right row visible to a concurrent
+    // left row, strict wants it hidden.
+    val (rightOrd, leftOrd) = if (strict) (1, 0) else (0, 1)
+    val lrowType = StructType(left.schema.fields)
+    val rpayType = StructType(
+      right.schema.fields.filterNot(f => keys.contains(f.name)))
+
+    val taggedRight = right
+      .where(keys.foldLeft(col(rightTime).isNotNull)(_ && col(_).isNotNull))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTime).as("__t"),
+          lit(rightOrd).as("__ord"),
+          lit(false).as("__is_left"),
+          lit(null).cast(lrowType).as("__lrow"),
+          struct(payloadCols.map(col): _*).as("__rpay")): _*)
+
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(leftOrd).as("__ord"),
+        lit(true).as("__is_left"),
+        struct(left.columns.map(col).toSeq: _*).as("__lrow"),
+        lit(null).cast(rpayType).as("__rpay")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .where(col("__is_left"))
+      .select(
+        left.columns.toSeq.map(c => col(s"__lrow.`$c`").as(c)) ++
+          payloadCols.map(c => col(s"__match.`$c`").as(c)): _*)
+  }
+
+  /** Interval × point range join with NO equi-key: emits every
+    * (interval row, point row) pair with `point ∈ [start, end)`.
+    *
+    * Bin-bucketed: time is cut into fixed `binSeconds` bins; each
+    * interval registers in every bin it overlaps (≤ len/bin + 1
+    * entries — callers pick binSeconds ≈ the typical interval length
+    * so the fan-out stays ~2), each point lands in exactly ONE bin,
+    * so the bin equi-join emits every containing pair exactly once —
+    * no post-join dedup — and the containment predicate only prunes.
+    * A θ-join (what the naive SQL plans as: nested-loop over the
+    * cross product) touches |intervals|·|points| pairs; this touches
+    * only same-bin pairs, shuffles both sides once on the bin key,
+    * and AQE's skew split handles hot bins.
+    *
+    * Bin ids use truncating `div`, which is monotone over the whole
+    * long range, so containment never crosses outside the listed bin
+    * span even for pre-1970 timestamps. Intervals with end ≤ start
+    * are empty under half-open semantics and are dropped.
+    */
+  def rangeJoinBinned(
+      intervals: DataFrame,
+      points: DataFrame,
+      startCol: String,
+      endCol: String,
+      pointCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val binMicros = binSeconds * 1000000L
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__us_s", micros(intervals, startCol))
+      .withColumn("__us_e", micros(intervals, endCol))
+      .withColumn("__bin", explode(sequence(
+        expr(s"__us_s div $binMicros"),
+        expr(s"(__us_e - 1) div $binMicros"))))
+      .drop("__us_s", "__us_e")
+    val pt = points
+      .where(col(pointCol).isNotNull)
+      .withColumn("__us_p", micros(points, pointCol))
+      .withColumn("__bin", expr(s"__us_p div $binMicros"))
+      .drop("__us_p")
+    iv.join(pt, Seq("__bin"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+
+  /** Gap sessionization: per key, events ordered by (time, tie) are
+    * cut into sessions wherever the gap since the previous event
+    * exceeds `gapSeconds`; adds a 1-based `session_id` per key.
+    * `tieCol` makes the cut deterministic when timestamps collide
+    * (gap 0 ⇒ same session, so ties only affect ordering inside a
+    * session, but a total order keeps downstream row-level output
+    * hash-stable).
+    *
+    * One hash shuffle on the key + one per-partition sort; both
+    * window frames share the same (partition, order) so Spark plans
+    * a single exchange. This is the batch form of what
+    * `session_window` does in streaming — kept as a window
+    * composition so the oracle can replay it in ANSI SQL.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 0, s"gapSeconds must be non-negative, got $gapSeconds")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("__us"), 1).over(w)
+    df
+      .withColumn("__us", micros(df, tsCol))
+      .withColumn("__new_session",
+        when(prev.isNull || col("__us") - prev > gapSeconds * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new_session")).over(run))
+      .drop("__new_session", "__us")
+  }
+}

@@ -41,6 +41,17 @@ object GraftFunctions {
       }
       WordShingles(exprs(0), n)
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_distinct", exprs => {
+      require(exprs.length == 2, "kmv_distinct(hash, k)")
+      require(exprs(1).foldable,
+        s"kmv_distinct k must be a constant integer, got ${exprs(1).sql}")
+      val k = exprs(1).eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"kmv_distinct k must be a constant integer, got $other")
+      }
+      KmvSketch(exprs(0), k).toAggregateExpression()
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash_agg", exprs => {
       require(exprs.length == 2, "simhash_agg(hash, bits)")
       require(exprs(1).foldable,

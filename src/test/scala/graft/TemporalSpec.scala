@@ -1,0 +1,197 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ext.Temporal
+import graft.functions.KmvSketch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ── as-of join ───────────────────────────────────────────────────
+
+  private def asofFixture: (DataFrame, DataFrame) = {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // equal-ts candidate exists
+      (2L, 10L, ts("2024-01-01 11:30:00")), // between two rights
+      (3L, 10L, ts("2024-01-01 08:00:00")), // before any right
+      (4L, 20L, ts("2024-01-01 12:00:00")), // key with no rights at all
+      (5L, 30L, ts("2024-01-01 12:00:00"))  // after its key's only right
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), "r1"),
+      (10L, ts("2024-01-01 11:00:00"), "r2"),
+      (10L, ts("2024-01-01 13:00:00"), "r3"),
+      (30L, ts("2024-01-01 00:00:00"), "r4")
+    ).toDF("user_id", "r_ts", "tag")
+    (left, right)
+  }
+
+  test("asOfJoin inclusive: equal-ts match, latest-before match, null when none") {
+    val (left, right) = asofFixture
+    val out = Temporal.asOfJoin(left, right,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "r_ts")
+      .select("event_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      1L -> Some("r1"), // inclusive: concurrent right row visible
+      2L -> Some("r2"), // most recent of r1/r2, r3 is in the future
+      3L -> None,
+      4L -> None,
+      5L -> Some("r4")))
+  }
+
+  test("asOfJoin strict: equal-ts candidate is excluded") {
+    val (left, right) = asofFixture
+    val out = Temporal.asOfJoin(left, right,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "r_ts", strict = true)
+      .select("event_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).isEmpty) // r1 is exactly concurrent → hidden
+    assert(out(2L).contains("r2"))
+  }
+
+  test("asOfJoin preserves every left row and column") {
+    val (left, right) = asofFixture
+    val out = Temporal.asOfJoin(left, right,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "r_ts")
+    assert(out.count() == left.count())
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "r_ts", "tag"))
+  }
+
+  test("asOfJoin matches the quadratic join-then-argmax oracle on random data") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+      .toDF("lid", "k", "t")
+    val right = (1 to 300).map(i =>
+      (rnd.nextInt(10).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "rt", "payload")
+      // unique per (k, rt): keep max payload (the tie rule callers use)
+      .groupBy("k", "rt").agg(max("payload").as("payload"))
+
+    val fast = Temporal.asOfJoin(left, right,
+      keys = Seq("k"), leftTime = "t", rightTime = "rt")
+      .select("lid", "payload").as[(Long, Option[Long])].collect().toMap
+
+    val w = Window.partitionBy("lid").orderBy(col("rt").desc)
+    val slow = left.join(right, left("k") === right("k") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("lid", "payload").as[(Long, Option[Long])].collect().toMap
+    val slowFull = left.select("lid").as[Long].collect()
+      .map(id => id -> slow.getOrElse(id, None)).toMap
+
+    assert(fast == slowFull)
+  }
+
+  // ── range join ───────────────────────────────────────────────────
+
+  test("rangeJoinBinned: half-open boundaries and bin-crossing intervals") {
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")), // 1 bin
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-03 12:00:00")), // crosses bins
+      (3L, ts("2024-01-05 00:00:00"), ts("2024-01-05 00:00:00"))  // empty → dropped
+    ).toDF("iv_id", "start", "end")
+    val pts = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // == start of iv1: included
+      (2L, ts("2024-01-02 00:00:00")), // == end of iv1: excluded; inside iv2
+      (3L, ts("2024-01-03 11:59:59")), // last second of iv2
+      (4L, ts("2024-01-03 12:00:00")), // == end of iv2: excluded
+      (5L, ts("2024-01-05 00:00:00"))  // inside nothing (iv3 empty)
+    ).toDF("pt_id", "p")
+    val got = Temporal
+      .rangeJoinBinned(iv, pts, "start", "end", "p", binSeconds = 86400)
+      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 2L), (2L, 3L)))
+  }
+
+  test("rangeJoinBinned matches the brute-force θ-join on random data") {
+    val rnd = new scala.util.Random(7)
+    val base = 1700000000000L
+    val iv = (1 to 200).map { i =>
+      val s = base + rnd.nextInt(500000) * 1000L
+      (i.toLong, new Timestamp(s), new Timestamp(s + (rnd.nextInt(90000) + 1) * 1000L))
+    }.toDF("iv_id", "start", "end")
+    val pts = (1 to 500).map(i =>
+      (i.toLong, new Timestamp(base + rnd.nextInt(600000) * 1000L)))
+      .toDF("pt_id", "p")
+
+    // bin deliberately smaller than max interval length → multi-bin fan-out
+    val fast = Temporal.rangeJoinBinned(iv, pts, "start", "end", "p", binSeconds = 30)
+      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+    val slow = iv.crossJoin(pts)
+      .where(col("p") >= col("start") && col("p") < col("end"))
+      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+    assert(fast == slow && fast.nonEmpty)
+  }
+
+  // ── sessionization ───────────────────────────────────────────────
+
+  test("sessionize cuts on gap > threshold and numbers sessions per key") {
+    val df = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 10:20:00")), // 20m gap → same session
+      (3L, 100L, ts("2024-01-01 11:00:00")), // 40m gap → new session
+      (4L, 100L, ts("2024-01-01 11:30:00")), // exactly 30m → NOT a cut (strict >)
+      (5L, 200L, ts("2024-01-01 10:00:00"))  // other key restarts at 1
+    ).toDF("event_id", "user_id", "ts")
+    val got = Temporal
+      .sessionize(df, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  // ── KMV sketch ───────────────────────────────────────────────────
+
+  test("kmv below saturation is exactly countDistinct, per group") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 5000).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(300).toLong))
+      .toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(KmvSketch.approxCountDistinct(col("v"), k = 512).as("kmv"))
+    val want = df.groupBy("g").agg(countDistinct(col("v")).as("exact"))
+    val joined = got.join(want, "g")
+      .where(col("kmv") =!= col("exact"))
+    assert(joined.count() == 0)
+  }
+
+  test("kmv ignores nulls like COUNT(DISTINCT)") {
+    val df = Seq(Some(1L), Some(2L), None, Some(2L), None)
+      .toDF("v")
+    val n = df.agg(KmvSketch.approxCountDistinct(col("v"), k = 16))
+      .as[Long].head()
+    assert(n == 2L)
+  }
+
+  test("kmv above saturation estimates within 20% (std err ~ 1/sqrt(k))") {
+    val df = (1L to 20000L).toDF("v") // 20k distinct, k = 256 → saturated
+    val est = df.agg(KmvSketch.approxCountDistinct(col("v"), k = 256))
+      .as[Long].head()
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.20, s"estimate $est")
+  }
+
+  test("kmv is invariant to partitioning (merge order)") {
+    val df = (1L to 10000L).map(i => i % 3000).toDF("v")
+    val results = Seq(1, 7, 32).map(p =>
+      df.repartition(p).agg(KmvSketch.approxCountDistinct(col("v"), k = 128))
+        .as[Long].head())
+    assert(results.distinct.size == 1, results.toString)
+  }
+
+  test("kmv rejects non-long input at analysis time") {
+    val df = Seq("a", "b").toDF("v")
+    val err = intercept[Exception] {
+      df.agg(KmvSketch.sketch(col("v"), k = 16)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}
