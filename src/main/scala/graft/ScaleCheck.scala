@@ -38,6 +38,8 @@ object ScaleCheck {
     val lineitem = SparkEntry.tbl(spark, sfDir, "lineitem")
     val docs = SparkEntry.tbl(spark, sfDir, "documents")
     val embs = SparkEntry.tbl(spark, sfDir, "embeddings")
+    val events = SparkEntry.tbl(spark, sfDir, "events")
+    val orders = SparkEntry.tbl(spark, sfDir, "orders")
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -82,6 +84,43 @@ object ScaleCheck {
             graft.functions.TextFunctions.wordCount(col("text"))),
           capacity = 2048, shards = 64).count(),
         docs, "doc_id"),
+      // key space fixed (150 users) while rows-per-key grow k× — the
+      // worst case for the per-key window sort, so the ratio bounds
+      // hot-key behavior; the right side collapses under the
+      // (user, ts) pre-reduce (replicas share timestamps)
+      ("asof_join", (df: DataFrame) => {
+        val p = df.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val c = df.where(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("click_value"))
+          .withColumnRenamed("ts", "click_ts")
+        Temporal.asOfJoin(p, c, Seq("user_id"), "ts", "click_ts").count()
+      }, events, "event_id"),
+      // audit intervals fixed, point stream grows k× — the honest
+      // scaling dimension (growing BOTH sides k× inflates true pairs
+      // k², which is output growth, not plan growth)
+      ("range_join", (df: DataFrame) => {
+        val iv = orders.where(col("o_orderkey") % 8 === 0)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+        Temporal.rangeJoinBinned(iv, df.select("l_orderkey", "l_shipdate"),
+          "o_orderdate", "o_end", "l_shipdate", binSeconds = 7L * 86400)
+          .groupBy("o_orderkey").count().count()
+      }, lineitem, "l_orderkey"),
+      ("sessionize", (df: DataFrame) =>
+        Temporal.sessionize(df, "user_id", "ts", "event_id",
+          gapSeconds = 7200)
+          .groupBy("user_id", "session_id").count().count(),
+        events, "event_id"),
+      // distinct count fixed while rows grow k× — the sketch's state
+      // stays ≤ k longs per group, so this should be ~scan-linear
+      ("kmv_distinct", (df: DataFrame) =>
+        df.groupBy("event_type")
+          .agg(graft.functions.KmvSketch
+            .approxCountDistinct(col("user_id"), k = 1024).as("d"))
+          .count(),
+        events, "event_id"),
     )
 
     println(f"${"operator"}%-18s ${"t_1x"}%8s ${"t_${k}x"}%8s ${"ratio"}%7s  rows_1x -> rows_kx")

@@ -117,4 +117,49 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"still one exchange with pruning on:\n$plan")
   }
+
+  test("as-of join: one window exchange + the right pre-reduce, no join operator at all") {
+    val plan = planOf("ext_asof_join")
+    // union-and-carry compiles to Union → Exchange → Sort → Window;
+    // a join-then-argmax formulation would show a Join + per-left-row
+    // candidate blowup instead
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"as-of must not plan a candidate-pair join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, // window on key + right-side (key, ts) pre-reduce
+      s"expected window exchange + pre-reduce exchange only:\n$plan")
+    assert("Window \\[last".r.findAllIn(plan).nonEmpty,
+      s"running last(ignoreNulls) window missing:\n$plan")
+  }
+
+  test("range join: bin equi-join, never a nested-loop theta join") {
+    val plan = planOf("ext_range_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay a bin equi-join (theta-join = |iv|*|pt| pairs):\n$plan")
+    // the containment predicate rides the hash join as its condition,
+    // and the per-order rollup is partially aggregated map-side
+    assert(plan.contains("HashJoin"), s"bin join missing:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"rollup must partial-aggregate before the shuffle:\n$plan")
+  }
+
+  test("sessionize: both windows and the rollup share ONE exchange") {
+    val plan = planOf("ext_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"lag-window, sum-window and session rollup all align on user_id:\n$plan")
+  }
+
+  test("kmv distinct: map-side partial sketch below the exchange") {
+    val plan = planOf("ext_distinct_kmv")
+    val partialIdx = plan.indexOf("partial_kmv_distinct")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      // plan strings print top-down, so the map-side partial must
+      // appear BELOW (after) the exchange line
+      s"partial sketch must merge map-side (COUNT DISTINCT would Expand + reshuffle rows):\n$plan")
+  }
 }
