@@ -108,6 +108,17 @@ object ScaleCheck {
           "o_orderdate", "o_end", "l_shipdate", binSeconds = 7L * 86400)
           .groupBy("o_orderkey").count().count()
       }, lineitem, "l_orderkey"),
+      // audit intervals fixed, b-side interval stream grows k×
+      ("interval_join", (df: DataFrame) => {
+        val a = orders.where(col("o_orderkey") % 8 === 0)
+          .select(col("o_orderkey"), col("o_orderdate").as("s"),
+            (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("e"))
+        val b = df.select(col("l_orderkey"), col("l_shipdate").as("s2"),
+          (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("e2"))
+        Temporal.intervalOverlapJoin(a, b, "s", "e", "s2", "e2",
+          binSeconds = 7L * 86400)
+          .groupBy("o_orderkey").count().count()
+      }, lineitem, "l_orderkey"),
       ("sessionize", (df: DataFrame) =>
         Temporal.sessionize(df, "user_id", "ts", "event_id",
           gapSeconds = 7200)

@@ -422,6 +422,13 @@ object SparkEntry {
     "ext_stream_hourly" -> ((s, dir) =>
       graft.streaming.StreamingOps.availableNowHourly(s, s"$dir/events.parquet")),
 
+    // Streaming session windows, oracle-graded: session_window state
+    // machinery vs the batch lag+running-sum sessionization SQL —
+    // two independent formulations of the same gap semantics
+    "ext_stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingOps.availableNowSessions(
+        s, s"$dir/events.parquet", gap = "2 hours")),
+
     // As-of join (union-and-carry, one shuffle): each purchase picks
     // up the most recent click by the same user at-or-before it. The
     // right side is pre-reduced per (user, ts) — max_by(event_id) —
@@ -471,6 +478,32 @@ object SparkEntry {
           coalesce(col("n_ship"), lit(0L)).as("n_ship"), col("max_price"))
     }),
 
+    // Interval×interval overlap join, no equi-key: order week-windows
+    // vs ship+3d windows. Both sides multi-bin, so the emit-at-first-
+    // shared-bin rule (not a distinct) is what the oracle's plain
+    // θ-join grades: any double- or zero-emission shifts a count.
+    "ext_interval_join" -> ((s, dir) => {
+      val a = tbl(s, dir, "orders")
+        .where(col("o_orderkey") % 8 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("s"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("e"))
+      val b = tbl(s, dir, "lineitem")
+        .where(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_shipdate").as("s2"),
+          (col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("e2"))
+      val agg = Temporal
+        .intervalOverlapJoin(a, b, "s", "e", "s2", "e2",
+          binSeconds = 7L * 86400)
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_overlap"),
+          max(col("l_extendedprice")).as("max_price"))
+      a.select("o_orderkey").join(agg, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          col("max_price"))
+    }),
+
     // Gap sessionization (2h inactivity cut per user) + session
     // rollup; decimal-accumulate / double-emit for the value sum
     // (same rationale as cap_events_hourly)
@@ -484,6 +517,17 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,6)")).cast("double")
             .as("total_value"))),
+
+    // Misra-Gries heavy hitters at k = 64 > |langs| (5): below
+    // capacity no decrement ever fires, so the sketch IS the exact
+    // GROUP BY histogram and the oracle gates the full
+    // update → merge → eval machinery; approximate-regime guarantees
+    // are ScalaTest-gated
+    "ext_heavy_hitters" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .agg(graft.functions.MgSketch.topK(col("lang"), k = 64).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.cnt").as("cnt"))),
 
     // KMV distinct sketch at k = 1024 > |user space| (150): below
     // saturation the buffer IS the distinct hash set, so the COUNT
@@ -1001,6 +1045,39 @@ object SparkEntry {
         |WHERE o.o_orderkey % 8 = 0
         |GROUP BY o.o_orderkey""".stripMargin,
 
+    // same session truth as ext_sessionize, rolled up per user — the
+    // engine side computes it through streaming session_window state
+    "ext_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, max(session_id) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin,
+
+    "ext_interval_join" ->
+      """SELECT a.o_orderkey,
+        |  count(b.l_orderkey) AS n_overlap,
+        |  max(b.l_extendedprice) AS max_price
+        |FROM (SELECT o_orderkey, o_orderdate AS s,
+        |        o_orderdate + INTERVAL 7 DAY AS e
+        |      FROM orders WHERE o_orderkey % 8 = 0) a
+        |LEFT JOIN (SELECT l_orderkey, l_extendedprice, l_shipdate AS s2,
+        |             l_shipdate + INTERVAL 3 DAY AS e2
+        |           FROM lineitem WHERE l_orderkey % 4 = 0) b
+        |  ON a.s < b.e2 AND b.s2 < a.e
+        |GROUP BY a.o_orderkey""".stripMargin,
+
     "ext_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,
@@ -1020,6 +1097,11 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // k = 64 > 5 distinct langs: exact histogram regime
+    "ext_heavy_hitters" ->
+      """SELECT lang AS item, count(*) AS cnt
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // k = 1024 > 150 distinct users: the sketch is below saturation,
     // so exact COUNT(DISTINCT) is the right truth for the full

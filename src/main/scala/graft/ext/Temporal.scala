@@ -150,6 +150,44 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** Interval × interval overlap join with NO equi-key: emits every
+    * (a row, b row) pair whose half-open intervals intersect
+    * (`aStart < bEnd && bStart < aEnd`).
+    *
+    * Same binning as [[rangeJoinBinned]], but BOTH sides register in
+    * every bin they overlap, so a pair can share several bins; the
+    * pair is emitted only in the FIRST bin both occupy —
+    * `bin == greatest(binOf(aStart), binOf(bStart))` — which any
+    * overlapping pair is guaranteed to share (it contains
+    * `max(aStart, bStart)`, which overlap places inside both
+    * intervals). That keeps the join duplicate-free without a
+    * distinct (which would shuffle the full pair set a second time).
+    * Work is same-bin pairs only; a θ-join touches |a|·|b|.
+    */
+  def intervalOverlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String, aEnd: String,
+      bStart: String, bEnd: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val binMicros = binSeconds * 1000000L
+    def binned(df: DataFrame, s: String, e: String, tag: String): DataFrame =
+      df.where(col(e) > col(s))
+        .withColumn("__us_s", micros(df, s))
+        .withColumn("__us_e", micros(df, e))
+        .withColumn(s"__sbin_$tag", expr(s"__us_s div $binMicros"))
+        .withColumn("__bin", explode(sequence(
+          col(s"__sbin_$tag"),
+          expr(s"(__us_e - 1) div $binMicros"))))
+        .drop("__us_s", "__us_e")
+    binned(a, aStart, aEnd, "a")
+      .join(binned(b, bStart, bEnd, "b"), Seq("__bin"))
+      .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__bin") === greatest(col("__sbin_a"), col("__sbin_b")))
+      .drop("__bin", "__sbin_a", "__sbin_b")
+  }
+
   /** Gap sessionization: per key, events ordered by (time, tie) are
     * cut into sessions wherever the gap since the previous event
     * exceeds `gapSeconds`; adds a 1-based `session_id` per key.

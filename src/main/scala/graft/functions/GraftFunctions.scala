@@ -52,6 +52,17 @@ object GraftFunctions {
       }
       KmvSketch(exprs(0), k).toAggregateExpression()
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("mg_topk", exprs => {
+      require(exprs.length == 2, "mg_topk(item, k)")
+      require(exprs(1).foldable,
+        s"mg_topk k must be a constant integer, got ${exprs(1).sql}")
+      val k = exprs(1).eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"mg_topk k must be a constant integer, got $other")
+      }
+      MgSketch(exprs(0), k).toAggregateExpression()
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash_agg", exprs => {
       require(exprs.length == 2, "simhash_agg(hash, bits)")
       require(exprs(1).foldable,

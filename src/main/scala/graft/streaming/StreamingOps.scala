@@ -166,6 +166,53 @@ object StreamingOps {
     drainMemorySink(spark, sink)(_.agg(count(lit(1)).as("n_unique")))
   }
 
+  /** Third oracle-graded streaming harness, covering SESSION-WINDOW
+    * state: replay the events fixture as an `AvailableNow` stream
+    * through `session_window(ts, gap)` and roll the final table up
+    * to per-user session/event counts — the DuckDB oracle computes
+    * the same truth from the batch sessionization SQL (lag +
+    * running-sum windows), so the streaming session-merge machinery
+    * is graded against an independent formulation.
+    *
+    * Batch-parity caveat: at a gap of EXACTLY the threshold,
+    * `session_window` opens a new session ([ts, ts+gap) windows
+    * merge only on strict overlap) where the batch operator's
+    * strict-`>` cut keeps one; the two agree on any input without an
+    * exact-threshold gap (the fixtures have none — microsecond event
+    * times make one vanishingly unlikely; align by changing the batch
+    * cut to `>=` if an upstream quantizes timestamps to the gap).
+    * Complete output mode for the same reason as
+    * [[availableNowHourly]]: bounded replay never advances the
+    * watermark past its last event. */
+  def availableNowSessions(
+      spark: SparkSession,
+      eventsPath: String,
+      gap: String = "2 hours"): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val timed =
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    val agg = timed
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainMemorySink(spark, sink) { t =>
+      t.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+    }
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -146,6 +146,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rollup must partial-aggregate before the shuffle:\n$plan")
   }
 
+  test("interval overlap join: bin equi-join with first-shared-bin dedup, no distinct") {
+    val plan = planOf("ext_interval_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must stay a bin equi-join:\n$plan")
+    // dedup is the greatest(sbin_a, sbin_b) predicate, not a
+    // re-shuffling Aggregate over the emitted pair set
+    assert(plan.contains("greatest("),
+      s"first-shared-bin emit rule missing:\n$plan")
+  }
+
   test("sessionize: both windows and the rollup share ONE exchange") {
     val plan = planOf("ext_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length

@@ -132,6 +132,43 @@ class TemporalSpec extends AnyFunSuite {
     assert(fast == slow && fast.nonEmpty)
   }
 
+  test("intervalOverlapJoin: each overlapping pair exactly once, touching intervals excluded") {
+    val a = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00")), // 9 days, many bins
+      (2L, ts("2024-01-20 00:00:00"), ts("2024-01-21 00:00:00"))
+    ).toDF("a_id", "s", "e")
+    val b = Seq(
+      (1L, ts("2024-01-05 00:00:00"), ts("2024-01-15 00:00:00")), // overlaps a1 across bins
+      (2L, ts("2024-01-10 00:00:00"), ts("2024-01-11 00:00:00")), // touches a1's end: NO overlap
+      (3L, ts("2023-12-30 00:00:00"), ts("2024-01-02 00:00:00")), // overlaps a1's start
+      (4L, ts("2024-01-20 12:00:00"), ts("2024-01-20 13:00:00"))  // inside a2
+    ).toDF("b_id", "s2", "e2")
+    val got = Temporal
+      .intervalOverlapJoin(a, b, "s", "e", "s2", "e2", binSeconds = 86400)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toList
+    // toList (not toSet) so a double emission from shared bins would fail
+    assert(got.sorted == List((1L, 1L), (1L, 3L), (2L, 4L)))
+  }
+
+  test("intervalOverlapJoin matches the brute-force θ-join on random data") {
+    val rnd = new scala.util.Random(13)
+    val base = 1700000000000L
+    def mk(n: Int, id: String) = (1 to n).map { i =>
+      val s = base + rnd.nextInt(400000) * 1000L
+      (i.toLong, new Timestamp(s), new Timestamp(s + (rnd.nextInt(120000) + 1) * 1000L))
+    }.toDF(id, s"s_$id", s"e_$id")
+    val a = mk(150, "a")
+    val b = mk(250, "b")
+    val fast = Temporal
+      .intervalOverlapJoin(a, b, "s_a", "e_a", "s_b", "e_b", binSeconds = 45)
+      .select("a", "b").as[(Long, Long)].collect().toList
+    val slow = a.crossJoin(b)
+      .where(col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      .select("a", "b").as[(Long, Long)].collect().toList
+    // list compare: any pair emitted twice (shared-bin dedup bug) fails
+    assert(fast.sorted == slow.sorted && fast.nonEmpty)
+  }
+
   // ── sessionization ───────────────────────────────────────────────
 
   test("sessionize cuts on gap > threshold and numbers sessions per key") {
@@ -184,6 +221,48 @@ class TemporalSpec extends AnyFunSuite {
       df.repartition(p).agg(KmvSketch.approxCountDistinct(col("v"), k = 128))
         .as[Long].head())
     assert(results.distinct.size == 1, results.toString)
+  }
+
+  // ── Misra-Gries sketch ───────────────────────────────────────────
+
+  test("mg below capacity is the exact per-item histogram") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 8000).map(_ => s"item${rnd.nextInt(40)}").toDF("v")
+    val got = df.repartition(16)
+      .agg(graft.functions.MgSketch.topK(col("v"), k = 64).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.cnt")).as[(String, Long)]
+      .collect().toMap
+    val want = df.groupBy("v").count().as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("mg above capacity keeps every item with frequency > n/(k+1)") {
+    // zipf-ish: one dominant item + a long tail of singletons
+    val rows = Seq.fill(3000)("whale") ++ (1 to 5000).map(i => s"tail$i")
+    val df = scala.util.Random.shuffle(rows).toDF("v")
+    val got = df.repartition(8)
+      .agg(graft.functions.MgSketch.topK(col("v"), k = 16).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.cnt")).as[(String, Long)]
+      .collect().toMap
+    val n = rows.size
+    // whale: true 3000 > n/(k+1) = 470 → must be kept, count within n/(k+1)
+    assert(got.contains("whale"), got.keys.take(5).toString)
+    assert(got("whale") <= 3000 && got("whale") >= 3000 - n / 17,
+      s"whale count ${got("whale")}")
+    assert(got.size <= 16)
+  }
+
+  test("mg is exact-regime invariant to partitioning") {
+    val df = (1 to 4000).map(i => s"g${i % 30}").toDF("v")
+    val results = Seq(1, 5, 32).map(p =>
+      df.repartition(p)
+        .agg(graft.functions.MgSketch.topK(col("v"), k = 50).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item"), col("h.cnt")).as[(String, Long)]
+        .collect().toMap)
+    assert(results.distinct.size == 1)
   }
 
   test("kmv rejects non-long input at analysis time") {
