@@ -108,6 +108,31 @@ object ScaleCheck {
           "o_orderdate", "o_end", "l_shipdate", binSeconds = 7L * 86400)
           .groupBy("o_orderkey").count().count()
       }, lineitem, "l_orderkey"),
+      // ONE key holds the whole stream (the skew worst case): the
+      // epoch-split variant parallelizes it across (key, epoch)
+      // partitions where the plain window serializes — compare
+      // against asof_join_hot below
+      ("asof_epochs_hot", (df: DataFrame) => {
+        val one = df.withColumn("user_id", lit(7L))
+        val p = one.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val c = one.where(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("click_value"))
+          .withColumnRenamed("ts", "click_ts")
+        Temporal.asOfJoinEpochs(p, c, Seq("user_id"), "ts", "click_ts",
+          epochSeconds = 3600).count()
+      }, events, "event_id"),
+      ("asof_join_hot", (df: DataFrame) => {
+        val one = df.withColumn("user_id", lit(7L))
+        val p = one.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val c = one.where(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("click_value"))
+          .withColumnRenamed("ts", "click_ts")
+        Temporal.asOfJoin(p, c, Seq("user_id"), "ts", "click_ts").count()
+      }, events, "event_id"),
       // audit intervals fixed, b-side interval stream grows k×
       ("interval_join", (df: DataFrame) => {
         val a = orders.where(col("o_orderkey") % 8 === 0)

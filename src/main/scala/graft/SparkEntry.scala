@@ -455,6 +455,26 @@ object SparkEntry {
           expr("coalesce(click_ts, TIMESTAMP_NTZ '1900-01-01 00:00:00')"))
     }),
 
+    // Same truth through the skew-robust epoch-split as-of (same
+    // DuckDB ASOF oracle): hot keys parallelize across (key, epoch)
+    // partitions, with an epoch-summary carry pass for cross-epoch
+    // matches — the oracle gates that the three passes compose to
+    // exactly as-of semantics
+    "ext_asof_join_epochs" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+        .withColumnRenamed("ts", "click_ts")
+      Temporal.asOfJoinEpochs(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "click_ts",
+        epochSeconds = 86400)
+        .withColumn("click_ts",
+          expr("coalesce(click_ts, TIMESTAMP_NTZ '1900-01-01 00:00:00')"))
+    }),
+
     // Range join with NO equi-key (bin-bucketed interval join):
     // shipping activity during each sampled order's first week —
     // lineitems (any order's) shipped in [o_orderdate, +7d). The
@@ -540,6 +560,24 @@ object SparkEntry {
           .approxCountDistinct(col("user_id"), k = 1024)
           .as("distinct_users"))),
   )
+
+  /** Shared by ext_asof_join / ext_asof_join_epochs — the two engine
+    * formulations (union-and-carry; epoch-split) must produce the
+    * same truth, so they share one oracle. */
+  private val asofOracleSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS click_ts,
+      |    max_by(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+      |), p AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  coalesce(c.click_ts, TIMESTAMP '1900-01-01') AS click_ts,
+      |  c.click_value
+      |FROM p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
 
   // ── DuckDB fragments mirroring TextFunctions bit-exactly ─────────
   // (DuckDB regexp_replace needs the 'g' flag; Spark's is global by
@@ -1018,20 +1056,11 @@ object SparkEntry {
 
     // DuckDB's native ASOF LEFT JOIN — independent of the engine's
     // union-and-carry formulation (inclusive: p.ts >= c.ts)
-    "ext_asof_join" ->
-      """WITH clicks AS (
-        |  SELECT user_id, ts AS click_ts,
-        |    max_by(value, event_id) AS click_value
-        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
-        |), p AS (
-        |  SELECT event_id, user_id, ts, value FROM events
-        |  WHERE event_type = 'purchase'
-        |)
-        |SELECT p.event_id, p.user_id, p.ts, p.value,
-        |  coalesce(c.click_ts, TIMESTAMP '1900-01-01') AS click_ts,
-        |  c.click_value
-        |FROM p ASOF LEFT JOIN clicks c
-        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin,
+    "ext_asof_join" -> asofOracleSql,
+
+    // identical truth: the epoch-split variant must compose to
+    // exactly as-of semantics
+    "ext_asof_join_epochs" -> asofOracleSql,
 
     // plain θ-join — DuckDB plans it as an IEJoin; the engine side
     // must reproduce it through the bin-bucketed equi-join

@@ -104,6 +104,84 @@ object Temporal {
           payloadCols.map(c => col(s"__match.`$c`").as(c)): _*)
   }
 
+  /** Skew-robust as-of join: same semantics as [[asOfJoin]]
+    * (inclusive variant), but a single hot key no longer serializes
+    * inside one window partition — time is cut into `epochSeconds`
+    * epochs and the key's history is processed per (key, epoch) in
+    * parallel:
+    *
+    *  1. same-epoch pass: [[asOfJoin]] keyed by (key, epoch) — right
+    *     rows only ever match left rows of their own epoch here, so
+    *     partitions are (key, epoch)-sized, not key-sized;
+    *  2. carry pass: the latest right row of each (key, epoch) is a
+    *     |keys|·|epochs|-sized summary; an epoch-level as-of join
+    *     (strict: a left row's own epoch is already covered by pass
+    *     1) assigns every left epoch the newest summary row from any
+    *     EARLIER epoch — the recursion bottoms out because the
+    *     summary is tiny;
+    *  3. coalesce: a left row takes its same-epoch match, falling
+    *     back to its epoch's carry.
+    *
+    * Correctness: the most recent right row at-or-before t is either
+    * in t's epoch (pass 1 finds exactly it) or is the globally
+    * latest right row of some earlier epoch (pass 2's summary
+    * retains per-epoch-latest rows, and the epoch-level as-of picks
+    * the newest among earlier epochs). Cost: two shuffles of the
+    * data (union + (key, epoch) window) plus window work over the
+    * small summary — the price of bounding partition size by epoch
+    * width instead of key history. Pick `epochSeconds` so a hot
+    * key's densest epoch fits a task comfortably.
+    */
+  def asOfJoinEpochs(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      epochSeconds: Long): DataFrame = {
+    require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
+    val epochMicros = epochSeconds * 1000000L
+    // the payload columns BESIDES rightTime — it is prepended
+    // explicitly wherever the full payload is named below
+    val payloadCols = right.columns
+      .filterNot(c => keys.contains(c) || c == rightTime).toSeq
+
+    val l = left
+      .withColumn("__us_l", micros(left, leftTime))
+      .withColumn("__epoch", expr(s"__us_l div $epochMicros"))
+      .drop("__us_l")
+    val r = right
+      .withColumn("__us_r", micros(right, rightTime))
+      .withColumn("__epoch", expr(s"__us_r div $epochMicros"))
+      .drop("__us_r")
+
+    // pass 1: same-epoch as-of, parallel across a key's epochs
+    val sameEpoch = asOfJoin(l, r, keys :+ "__epoch", leftTime, rightTime)
+
+    // pass 2: per-(key, epoch) latest right row (its max-time payload),
+    // then a strict epoch-level as-of to pull the newest earlier-epoch
+    // summary into every left epoch
+    val summary = r
+      .groupBy((keys :+ "__epoch").map(col): _*)
+      .agg(max_by(struct((rightTime +: payloadCols).map(col): _*), col(rightTime))
+        .as("__best"))
+      .select(keys.map(col) :+ col("__epoch").as("__repoch") :+ col("__best"): _*)
+    val leftEpochs = l.select(keys.map(col) :+ col("__epoch"): _*).distinct()
+    val carry = asOfJoin(
+      leftEpochs, summary,
+      keys, leftTime = "__epoch", rightTime = "__repoch", strict = true)
+      .select(keys.map(col) ++ Seq(col("__epoch"),
+        col("__best").as("__carry")): _*)
+
+    // pass 3: same-epoch match wins; else the carry
+    val joined = sameEpoch.join(carry, keys :+ "__epoch", "left")
+    val out = (rightTime +: payloadCols).foldLeft(joined) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), col(s"__carry.`$c`")))
+    }
+    out.drop("__carry", "__epoch")
+      .select((left.columns.toSeq ++ (rightTime +: payloadCols)).map(col): _*)
+  }
+
   /** Interval × point range join with NO equi-key: emits every
     * (interval row, point row) pair with `point ∈ [start, end)`.
     *

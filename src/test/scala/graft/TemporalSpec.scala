@@ -91,6 +91,33 @@ class TemporalSpec extends AnyFunSuite {
     assert(fast == slowFull)
   }
 
+  test("asOfJoinEpochs matches asOfJoin for every epoch width") {
+    val rnd = new scala.util.Random(99)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(200000) * 1000L)))
+      .toDF("lid", "k", "t")
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(6).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(200000) * 1000L), i.toLong))
+      .toDF("k", "rt", "payload")
+      .groupBy("k", "rt").agg(max("payload").as("payload"))
+    val want = Temporal.asOfJoin(left, right, Seq("k"), "t", "rt")
+      .select("lid", "rt", "payload")
+      .as[(Long, Option[Timestamp], Option[Long])].collect()
+      .map { case (k, v1, v2) => k -> (v1, v2) }.toMap
+    // widths spanning many-epochs → single-epoch regimes, including
+    // one that slices mid-second so carries cross epoch boundaries
+    for (w <- Seq(7L, 61L, 3600L, 1000000L)) {
+      val got = Temporal
+        .asOfJoinEpochs(left, right, Seq("k"), "t", "rt", epochSeconds = w)
+        .select("lid", "rt", "payload")
+        .as[(Long, Option[Timestamp], Option[Long])].collect()
+        .map { case (k, v1, v2) => k -> (v1, v2) }.toMap
+      assert(got == want, s"epochSeconds=$w")
+    }
+  }
+
   // ── range join ───────────────────────────────────────────────────
 
   test("rangeJoinBinned: half-open boundaries and bin-crossing intervals") {
