@@ -200,6 +200,42 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
     }),
 
+    // Frame-bounded window aggregation (rolling 4-event stats per
+    // user): the ROWS BETWEEN surface, decimal-accumulate for the
+    // order-sensitive running sum
+    "cap_rolling" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
+      tbl(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_window"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+          .as("sum_window"))
+    }),
+
+    // Pivot (dynamic-to-wide): per-user counts per event type. The
+    // pivot values are pinned so the output schema is static — the
+    // posture a 100 TB pipeline needs anyway (a discovery pass over
+    // the key space is its own scan)
+    "cap_pivot" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          Seq("click", "error", "purchase", "signup", "view")
+            .map(c => coalesce(col(c), lit(0L)).as(c)): _*)),
+
+    // Rollup (hierarchical subtotals): per (source, lang), per
+    // source, grand total — one pass, Expand feeds a single
+    // partial-aggregated shuffle
+    "cap_rollup" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))),
+
     // ── §7.4 training-data pipeline extensions ──────────────────────
 
     // Text analysis: sizes, token counts, punctuation, fingerprints
@@ -538,6 +574,18 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).cast("double")
             .as("total_value"))),
 
+    // KLL quantile sketch with capacity 65536 > any event_type group
+    // (20k at sf0.1): zero compactions fire, every item sits at
+    // level 0, so the selected element is the exact discrete
+    // quantile and DuckDB's quantile_disc gates the full
+    // update → merge → rank machinery. Approximate-regime rank error
+    // is ScalaTest-gated.
+    "ext_quantiles" -> ((s, dir) =>
+      tbl(s, dir, "events").groupBy("event_type")
+        .agg(
+          graft.functions.KllSketch.quantile(col("value"), 0.5, 65536).as("p50"),
+          graft.functions.KllSketch.quantile(col("value"), 0.9, 65536).as("p90"))),
+
     // Misra-Gries heavy hitters at k = 64 > |langs| (5): below
     // capacity no decrement ever fires, so the sketch IS the exact
     // GROUP BY histogram and the oracle gates the full
@@ -696,6 +744,30 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cap_rolling" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_window,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "cap_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // sum cast to BIGINT: DuckDB sums BIGINT into HUGEINT, which the
+    // pandas fetch path degrades (Spark's stays long)
+    "cap_rollup" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
 
     "cap_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
@@ -1126,6 +1198,13 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // capacity 65536 > group sizes: exact discrete-quantile regime
+    "ext_quantiles" ->
+      """SELECT event_type,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.9) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // k = 64 > 5 distinct langs: exact histogram regime
     "ext_heavy_hitters" ->

@@ -52,6 +52,22 @@ object GraftFunctions {
       }
       KmvSketch(exprs(0), k).toAggregateExpression()
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("kll_quantile", exprs => {
+      require(exprs.length == 3, "kll_quantile(value, q, capacity)")
+      require(exprs(1).foldable && exprs(2).foldable,
+        "kll_quantile q and capacity must be constants")
+      val q = exprs(1).eval(null) match {
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"kll_quantile q must be a constant double, got $other")
+      }
+      val cap = exprs(2).eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"kll_quantile capacity must be a constant integer, got $other")
+      }
+      KllSketch(exprs(0), cap, q).toAggregateExpression()
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("mg_topk", exprs => {
       require(exprs.length == 2, "mg_topk(item, k)")
       require(exprs(1).foldable,

@@ -292,6 +292,56 @@ class TemporalSpec extends AnyFunSuite {
     assert(results.distinct.size == 1)
   }
 
+  // ── KLL quantile sketch ──────────────────────────────────────────
+
+  private def discRank(vals: Seq[Double], q: Double): Double = {
+    val s = vals.sorted
+    s((math.max(1L, math.ceil(q * s.length - 1e-9).toLong) - 1).toInt)
+  }
+
+  test("kll below capacity is the exact discrete quantile, per group") {
+    val rnd = new scala.util.Random(21)
+    val data = (1 to 6000).map(_ => (s"g${rnd.nextInt(3)}", rnd.nextDouble() * 100))
+    val df = data.toDF("g", "v").repartition(16)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = df.groupBy("g")
+        .agg(graft.functions.KllSketch.quantile(col("v"), q, 8192).as("qv"))
+        .as[(String, Double)].collect().toMap
+      val want = data.groupBy(_._1).map { case (g, rows) =>
+        g -> discRank(rows.map(_._2), q) }
+      assert(got == want, s"q=$q")
+    }
+  }
+
+  test("kll above capacity: estimated quantile's true rank within 5%") {
+    val vals = scala.util.Random.shuffle((1 to 100000).map(_.toDouble)).toDF("v")
+    val est = vals.repartition(8)
+      .agg(graft.functions.KllSketch.quantile(col("v"), 0.5, 256))
+      .as[Double].head()
+    // value == its own rank here, so rank error reads off directly
+    assert(math.abs(est - 50000.0) / 100000.0 < 0.05, s"p50 estimate $est")
+  }
+
+  test("kll skips nulls and returns null for an all-null group") {
+    val df = Seq(Some(3.0), None, Some(1.0), None, Some(2.0)).toDF("v")
+    val got = df.agg(
+      graft.functions.KllSketch.quantile(col("v"), 0.5, 64)).as[Double].head()
+    assert(got == 2.0)
+    val empty = Seq[Option[Double]](None, None).toDF("v")
+      .agg(graft.functions.KllSketch.quantile(col("v"), 0.5, 64))
+      .as[Option[Double]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("kll exact regime is invariant to partitioning") {
+    val df = (1 to 5000).map(i => (i * 7 % 5000).toDouble).toDF("v")
+    val results = Seq(1, 7, 32).map(p =>
+      df.repartition(p)
+        .agg(graft.functions.KllSketch.quantile(col("v"), 0.75, 8192))
+        .as[Double].head())
+    assert(results.distinct.size == 1, results.toString)
+  }
+
   test("kmv rejects non-long input at analysis time") {
     val df = Seq("a", "b").toDF("v")
     val err = intercept[Exception] {
