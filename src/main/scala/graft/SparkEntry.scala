@@ -597,15 +597,18 @@ object SparkEntry {
         .select(explode(col("hh")).as("h"))
         .select(col("h.item").as("item"), col("h.cnt").as("cnt"))),
 
-    // KMV distinct sketch at k = 1024 > |user space| (150): below
-    // saturation the buffer IS the distinct hash set, so the COUNT
-    // (DISTINCT) oracle gates the full update → merge → eval
-    // machinery — same provably-exact-config epistemics as
-    // ext_ann_ivf / ext_ann_pq. Approximate regime is ScalaTest-gated.
+    // KMV distinct sketch at k = 8192 > |user space| (150 at sf0.01,
+    // 1500 at sf0.1 — k = 1024 silently saturated at sf0.1 and
+    // estimated 1492, a lesson in checking the exact-config bound at
+    // EVERY verified scale): below saturation the buffer IS the
+    // distinct hash set, so the COUNT(DISTINCT) oracle gates the
+    // full update → merge → eval machinery — same
+    // provably-exact-config epistemics as ext_ann_ivf / ext_ann_pq.
+    // Approximate regime is ScalaTest-gated.
     "ext_distinct_kmv" -> ((s, dir) =>
       tbl(s, dir, "events").groupBy("event_type")
         .agg(graft.functions.KmvSketch
-          .approxCountDistinct(col("user_id"), k = 1024)
+          .approxCountDistinct(col("user_id"), k = 8192)
           .as("distinct_users"))),
   )
 
@@ -1211,9 +1214,9 @@ object SparkEntry {
       """SELECT lang AS item, count(*) AS cnt
         |FROM documents GROUP BY lang""".stripMargin,
 
-    // k = 1024 > 150 distinct users: the sketch is below saturation,
-    // so exact COUNT(DISTINCT) is the right truth for the full
-    // sketch pipeline
+    // k = 8192 > distinct users at every verified scale: the sketch is
+    // below saturation, so exact COUNT(DISTINCT) is the right truth
+    // for the full sketch pipeline
     "ext_distinct_kmv" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type""".stripMargin,
