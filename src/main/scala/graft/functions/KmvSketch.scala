@@ -27,12 +27,26 @@ import org.apache.spark.sql.types._
   * collisions — the same birthday-bound caveat the md5 surrogate key
   * carries.)
   *
-  * Scale: the buffer is ≤ k longs regardless of input size, update
-  * is O(log k), merge is a bounded set union — so the plan is a
-  * map-side partial aggregate per group with k·8 bytes of state,
-  * where Spark's `COUNT(DISTINCT)` rewrites into an Expand + two
+  * Scale: the buffer is O(k) longs regardless of input size, update
+  * is amortized O(1), merge is a bounded set union — so the plan is
+  * a map-side partial aggregate per group with bounded state, where
+  * Spark's `COUNT(DISTINCT)` rewrites into an Expand + two
   * exchanges carrying every distinct value. At 100 TB the difference
   * is a full-data shuffle vs a fixed-size sketch per group.
+  *
+  * The buffer is a primitive open-addressing hash set with a lazy
+  * prune: elements ≥ θ (the running k-th-minimum bound) are
+  * rejected at the door, the set is allowed to grow to 2k, and a
+  * quickselect-style prune back to the k smallest re-tightens θ.
+  * The first cut used a boxed `java.util.TreeSet` and measured
+  * 1.6 µs/row in the 30× ScaleCheck (13.4× wall-clock growth —
+  * worse than the operators doing real shuffles); the primitive set
+  * is the classic measured-bottleneck replacement. Discard safety:
+  * θ is the k-th smallest seen so far, monotonically non-increasing,
+  * so an element rejected at ≥ θ can never re-enter the final k
+  * minima; on merge the tighter of the two θs applies (an element
+  * ≥ min(θa, θb) is outranked by k elements in that side's stream
+  * alone).
   *
   * Input is a 64-bit hash column (the house pattern —
   * `MinHashSketch` takes shingle hashes the same way); nulls are
@@ -46,7 +60,7 @@ case class KmvSketch(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  extends TypedImperativeAggregate[KmvSketch.Buf] {
 
   require(k >= 2, s"kmv_distinct needs k >= 2, got $k")
 
@@ -62,53 +76,33 @@ case class KmvSketch(
         s"kmv_distinct expects a BIGINT hash column, got ${other.sql}")
     }
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): KmvSketch.Buf = new KmvSketch.Buf(k)
 
-  override def update(
-      buf: java.util.TreeSet[java.lang.Long],
-      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+  override def update(buf: KmvSketch.Buf, input: InternalRow): KmvSketch.Buf = {
     val v = child.eval(input)
-    if (v != null) {
-      val d = MinHashSketch.fmix64(v.asInstanceOf[Long]) ^ Long.MinValue
-      if (buf.size < k) buf.add(d)
-      else if (d < buf.last) { buf.add(d); if (buf.size > k) buf.pollLast() }
-    }
+    if (v != null)
+      buf.insert(MinHashSketch.fmix64(v.asInstanceOf[Long]) ^ Long.MinValue)
     buf
   }
 
-  override def merge(
-      a: java.util.TreeSet[java.lang.Long],
-      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    a.addAll(b)
-    while (a.size > k) a.pollLast()
+  override def merge(a: KmvSketch.Buf, b: KmvSketch.Buf): KmvSketch.Buf = {
+    a.mergeIn(b)
     a
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toLong
+  override def eval(buf: KmvSketch.Buf): Any = {
+    val (n, kth) = buf.result()
+    if (n < k) n.toLong
     else {
       // k-th minimum as an unsigned fraction of the 2^64 hash space
-      val kth = buf.last.longValue
       val frac = (kth.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
       math.round((k - 1).toDouble / frac)
     }
-
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 8)
-    bb.putInt(buf.size)
-    buf.forEach(v => bb.putLong(v.longValue))
-    bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val out = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
-    out
-  }
+  override def serialize(buf: KmvSketch.Buf): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KmvSketch.Buf =
+    KmvSketch.Buf.fromBytes(k, bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): KmvSketch =
     copy(mutableAggBufferOffset = offset)
@@ -119,6 +113,133 @@ case class KmvSketch(
 }
 
 object KmvSketch {
+
+  /** Primitive open-addressing set of (flipped-to-signed-order)
+    * hashes, keeping at most 2k candidates below the running θ
+    * bound. 0L is the table's empty sentinel; a real 0 value is
+    * tracked by `hasZero`. */
+  final class Buf(k: Int) {
+    private val cap = Integer.highestOneBit(math.max(4 * k, 16) - 1) << 1 // ≥ 4k, power of 2
+    private val mask = cap - 1
+    private var table = new Array[Long](cap)
+    private var hasZero = false
+    private var n = 0 // elements in table (excluding the 0 sentinel slot)
+    var theta: Long = Long.MaxValue // exclusive admission bound
+
+    private def sizeAll: Int = n + (if (hasZero) 1 else 0)
+
+    def insert(v: Long): Unit = {
+      // the unsigned-max hash (v == MaxValue while θ is still
+      // unbounded) is rejected as if it collided — a 2^-64 event of
+      // the same class as the hash-collision caveat above
+      if (v >= theta) return
+      if (v == 0L) {
+        if (!hasZero) { hasZero = true; afterInsert() }
+        return
+      }
+      var i = (v ^ (v >>> 32)).toInt & mask
+      while (true) {
+        val cur = table(i)
+        if (cur == 0L) {
+          table(i) = v; n += 1; afterInsert(); return
+        }
+        if (cur == v) return
+        i = (i + 1) & mask
+      }
+    }
+
+    private def afterInsert(): Unit =
+      if (sizeAll > 2 * k) prune()
+
+    /** Keep the k smallest, set θ to the (k+1)-th smallest (anything
+      * ≥ it is outranked by k retained elements forever). */
+    private def prune(): Unit = {
+      val vals = new Array[Long](sizeAll)
+      var m = 0
+      if (hasZero) { vals(m) = 0L; m += 1 }
+      var i = 0
+      while (i < cap) {
+        if (table(i) != 0L) { vals(m) = table(i); m += 1 }
+        i += 1
+      }
+      java.util.Arrays.sort(vals)
+      theta = vals(k) // (k+1)-th smallest, exclusive bound
+      java.util.Arrays.fill(table, 0L)
+      hasZero = false
+      n = 0
+      var j = 0
+      while (j < k) { rawInsert(vals(j)); j += 1 }
+    }
+
+    private def rawInsert(v: Long): Unit = {
+      if (v == 0L) { hasZero = true; return }
+      var i = (v ^ (v >>> 32)).toInt & mask
+      while (table(i) != 0L) {
+        if (table(i) == v) return
+        i = (i + 1) & mask
+      }
+      table(i) = v
+      n += 1
+    }
+
+    def foreachValue(f: Long => Unit): Unit = {
+      if (hasZero) f(0L)
+      var i = 0
+      while (i < cap) { if (table(i) != 0L) f(table(i)); i += 1 }
+    }
+
+    def mergeIn(other: Buf): Unit = {
+      if (other.theta < theta) {
+        theta = other.theta
+        // evict own elements the tighter bound now rejects
+        val keep = new Array[Long](sizeAll)
+        var m = 0
+        foreachValue { v => if (v < theta) { keep(m) = v; m += 1 } }
+        java.util.Arrays.fill(table, 0L)
+        hasZero = false
+        n = 0
+        var j = 0
+        while (j < m) { rawInsert(keep(j)); j += 1 }
+      }
+      other.foreachValue(insert)
+    }
+
+    /** (distinct candidates ≤ θ, k-th smallest). The second value is
+      * only meaningful when the first is ≥ k. */
+    def result(): (Int, Long) = {
+      val vals = new Array[Long](sizeAll)
+      var m = 0
+      if (hasZero) { vals(m) = 0L; m += 1 }
+      var i = 0
+      while (i < cap) {
+        if (table(i) != 0L) { vals(m) = table(i); m += 1 }
+        i += 1
+      }
+      java.util.Arrays.sort(vals)
+      (m, if (m >= k) vals(k - 1) else Long.MaxValue)
+    }
+
+    def toBytes: Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + 4 + sizeAll * 8)
+      bb.putLong(theta)
+      bb.putInt(sizeAll)
+      foreachValue(v => bb.putLong(v))
+      bb.array()
+    }
+  }
+
+  object Buf {
+    def fromBytes(k: Int, bytes: Array[Byte]): Buf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val out = new Buf(k)
+      out.theta = bb.getLong
+      val m = bb.getInt
+      var i = 0
+      while (i < m) { out.insert(bb.getLong); i += 1 }
+      out
+    }
+  }
+
   /** Column API over a pre-hashed BIGINT column. */
   def sketch(hashCol: Column, k: Int): Column =
     ColumnGlue.column(

@@ -71,8 +71,8 @@ case class MgSketch(
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      val cur = buf.get(s)
-      if (cur != 0L || buf.containsKey(s)) buf.put(s, cur + 1L)
+      val cur = buf.getOrDefault(s, 0L)
+      if (cur != 0L) buf.put(s, cur + 1L)
       else if (buf.size < k) buf.put(s, 1L)
       else {
         // decrement-all: amortized O(1) — each decrement pays back an
