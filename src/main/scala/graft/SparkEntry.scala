@@ -458,6 +458,12 @@ object SparkEntry {
     "ext_stream_hourly" -> ((s, dir) =>
       graft.streaming.StreamingOps.availableNowHourly(s, s"$dir/events.parquet")),
 
+    // Custom keyed state (mapGroupsWithState), oracle-graded on the
+    // monotone per-user event counter's final value
+    "ext_stream_state" -> ((s, dir) =>
+      graft.streaming.StreamingOps.availableNowRunningCounts(
+        s, s"$dir/events.parquet")),
+
     // Streaming session windows, oracle-graded: session_window state
     // machinery vs the batch lag+running-sum sessionization SQL —
     // two independent formulations of the same gap semantics
@@ -1148,6 +1154,10 @@ object SparkEntry {
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
         |WHERE o.o_orderkey % 8 = 0
         |GROUP BY o.o_orderkey""".stripMargin,
+
+    "ext_stream_state" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // same session truth as ext_sessionize, rolled up per user — the
     // engine side computes it through streaming session_window state

@@ -242,6 +242,41 @@ object StreamingOps {
       }
   }
 
+  /** Fourth oracle-graded streaming harness, covering CUSTOM KEYED
+    * STATE ([[runningUserStats]]'s `mapGroupsWithState`): replay the
+    * events fixture as an `AvailableNow` stream through the running
+    * per-user aggregate and grade the FINAL state — update mode
+    * emits one row per (user, micro-batch the user appears in), and
+    * the running counter is monotone, so `max(n_events)` per user is
+    * the final state regardless of how the source batches the
+    * replay. Counts are the graded value (the running double sum is
+    * arrival-order-dependent in representation; the count is not) —
+    * oracle: plain `GROUP BY user_id` counts. */
+  def availableNowRunningCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsPath).schema
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val timed =
+      if (schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    val stats = runningUserStats(spark,
+      timed.select("event_id", "ts", "user_id", "event_type", "value").as[Event])
+    val sink = s"stream_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stats.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainMemorySink(spark, sink) { t =>
+      t.groupBy("user_id").agg(max(col("n_events")).as("n_events"))
+    }
+  }
+
   /** Streaming WORK-zone ingestion: the K1 append flow as a stream —
     * files landing in the WORK directory are discovered incrementally
     * (`maxFilesPerTrigger` paces recovery after downtime). */

@@ -165,4 +165,60 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ── Temporal: bin-width invariance against the θ-join truth ──────
+
+  test("rangeJoinBinned equals the θ-join for arbitrary data and bin widths") {
+    val base = 1700000000000L
+    val ivGen = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n,
+      for {
+        s <- Gen.chooseNum(0L, 50000L)
+        len <- Gen.chooseNum(1L, 20000L)
+      } yield (s, s + len)))
+    val ptGen = Gen.chooseNum(5, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 70000L)))
+    forAll(ivGen, ptGen, Gen.oneOf(1L, 7L, 60L, 3600L, 50000L), cases = 12) {
+      (ivs, pts, bin) =>
+        val iv = ivs.zipWithIndex.map { case ((s, e), i) =>
+          (i.toLong, new java.sql.Timestamp(base + s * 1000),
+            new java.sql.Timestamp(base + e * 1000)) }.toDF("iv_id", "s", "e")
+        val pt = pts.zipWithIndex.map { case (p, i) =>
+          (i.toLong, new java.sql.Timestamp(base + p * 1000)) }.toDF("pt_id", "p")
+        val fast = graft.ext.Temporal
+          .rangeJoinBinned(iv, pt, "s", "e", "p", binSeconds = bin)
+          .select("iv_id", "pt_id").as[(Long, Long)].collect().sorted.toList
+        val slow = iv.crossJoin(pt)
+          .where(col("p") >= col("s") && col("p") < col("e"))
+          .select("iv_id", "pt_id").as[(Long, Long)].collect().sorted.toList
+        assert(fast == slow, s"bin=$bin")
+    }
+  }
+
+  test("sessionize invariants: monotone ids, gap rule at every cut") {
+    val evGen = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n,
+      for {
+        k <- Gen.chooseNum(0L, 3L)
+        t <- Gen.chooseNum(0L, 5000L)
+      } yield (k, t)))
+    forAll(evGen, Gen.oneOf(1L, 30L, 600L), cases = 12) { (evs, gap) =>
+      val df = evs.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(1700000000000L + t * 1000)) }
+        .toDF("event_id", "user_id", "ts")
+      val rows = graft.ext.Temporal
+        .sessionize(df, "user_id", "ts", "event_id", gapSeconds = gap)
+        .select("user_id", "ts", "event_id", "session_id")
+        .as[(Long, java.sql.Timestamp, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2.getTime, r._3))
+      rows.groupBy(_._1).values.foreach { keyRows =>
+        assert(keyRows.head._4 == 1L) // sessions are 1-based per key
+        keyRows.sliding(2).foreach {
+          case Array(a, b) =>
+            val gapS = (b._2.getTime - a._2.getTime) / 1000.0
+            if (gapS > gap) assert(b._4 == a._4 + 1, s"cut expected at $gapS s")
+            else assert(b._4 == a._4, s"no cut expected at $gapS s")
+          case _ =>
+        }
+      }
+    }
+  }
 }
