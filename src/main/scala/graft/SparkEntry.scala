@@ -592,6 +592,13 @@ object SparkEntry {
           graft.functions.KllSketch.quantile(col("value"), 0.5, 65536).as("p50"),
           graft.functions.KllSketch.quantile(col("value"), 0.9, 65536).as("p90"))),
 
+    // Stratified sample: 10 docs per source by portable md5 order —
+    // deterministic uniform draw, map-side rank-limited
+    "ext_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        strataCol = "source", idCol = "doc_id", n = 10)),
+
     // Misra-Gries heavy hitters at k = 64 > |langs| (5): below
     // capacity no decrement ever fires, so the sketch IS the exact
     // GROUP BY histogram and the oracle gates the full
@@ -1211,6 +1218,14 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "ext_stratified_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5('graft-sample:' || CAST(doc_id AS VARCHAR)), doc_id
+        |  ) AS rk FROM documents
+        |) WHERE rk <= 10""".stripMargin,
 
     // capacity 65536 > group sizes: exact discrete-quantile regime
     "ext_quantiles" ->

@@ -109,4 +109,31 @@ object Sampling {
       .select(col(idCol), col("shard"), col("n_toks"),
         col("toks_before"), col("pack_id"))
   }
+
+  /** Stratified sample: per stratum, the `n` rows with the smallest
+    * `md5(salt:id)` — a uniform-but-deterministic draw (md5 because
+    * it replays bit-identically in ANSI SQL, the same portability
+    * choice as the surrogate key and the pack shards; the id
+    * tiebreak makes the order total even under md5 collisions).
+    * Strata with fewer than `n` rows keep everything.
+    *
+    * Plan shape: rank-filter windows compile to a map-side
+    * WindowGroupLimit + final — each task forwards at most `n` rows
+    * per stratum into the shuffle, so the exchange carries
+    * O(strata·n·tasks), not the corpus (pinned in PlanQualitySpec,
+    * like the deterministic dedup). */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      n: Int,
+      salt: String = "graft-sample"): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(strataCol).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
 }

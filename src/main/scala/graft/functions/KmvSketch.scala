@@ -119,14 +119,29 @@ object KmvSketch {
     * bound. 0L is the table's empty sentinel; a real 0 value is
     * tracked by `hasZero`. */
   final class Buf(k: Int) {
-    private val cap = Integer.highestOneBit(math.max(4 * k, 16) - 1) << 1 // ≥ 4k, power of 2
-    private val mask = cap - 1
+    // tables start tiny and double up to maxCap (≥ 4k, power of 2):
+    // a per-GROUP buffer sized for k up front would cost maxCap·8
+    // bytes on every group of a high-cardinality grouping, most of
+    // which never see k distinct values
+    private val maxCap = Integer.highestOneBit(math.max(4 * k, 16) - 1) << 1
+    private var cap = math.min(64, maxCap)
+    private var mask = cap - 1
     private var table = new Array[Long](cap)
     private var hasZero = false
     private var n = 0 // elements in table (excluding the 0 sentinel slot)
     var theta: Long = Long.MaxValue // exclusive admission bound
 
     private def sizeAll: Int = n + (if (hasZero) 1 else 0)
+
+    private def grow(): Unit = {
+      val old = table
+      cap = cap << 1
+      mask = cap - 1
+      table = new Array[Long](cap)
+      n = 0
+      var i = 0
+      while (i < old.length) { if (old(i) != 0L) rawInsert(old(i)); i += 1 }
+    }
 
     def insert(v: Long): Unit = {
       // the unsigned-max hash (v == MaxValue while θ is still
@@ -149,7 +164,8 @@ object KmvSketch {
     }
 
     private def afterInsert(): Unit =
-      if (sizeAll > 2 * k) prune()
+      if (sizeAll > 2 * k) prune() // cap == maxCap by then (growth below)
+      else if (n > cap / 2 && cap < maxCap) grow()
 
     /** Keep the k smallest, set θ to the (k+1)-th smallest (anything
       * ≥ it is outranked by k retained elements forever). */

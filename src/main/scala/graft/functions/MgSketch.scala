@@ -116,11 +116,19 @@ case class MgSketch(
     })
   }
 
+  // length-prefixed UTF-8, not writeUTF — items longer than the
+  // 64 KB modified-UTF-8 limit (a full document as the "item") must
+  // round-trip, not throw on the executor
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.forEach((s, c) => { out.writeUTF(s); out.writeLong(c) })
+    buf.forEach { (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -130,7 +138,13 @@ case class MgSketch(
     val n = in.readInt()
     val out = new java.util.HashMap[String, Long]()
     var i = 0
-    while (i < n) { out.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      out.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     out
   }
 

@@ -164,6 +164,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lag-window, sum-window and session rollup all align on user_id:\n$plan")
   }
 
+  test("stratified sample rank-limits map-side before the shuffle") {
+    val plan = planOf("ext_stratified_sample")
+    val limits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(limits == 2, // partial below the exchange + final above it
+      s"rank filter must prune per-task before shuffling:\n$plan")
+  }
+
   test("kmv distinct: map-side partial sketch below the exchange") {
     val plan = planOf("ext_distinct_kmv")
     val partialIdx = plan.indexOf("partial_kmv_distinct")

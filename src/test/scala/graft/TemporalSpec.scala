@@ -250,6 +250,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(results.distinct.size == 1, results.toString)
   }
 
+  // ── stratified sampling ──────────────────────────────────────────
+
+  test("stratifiedSample: exactly n per stratum, short strata kept whole, partition-invariant") {
+    val rnd = new scala.util.Random(31)
+    val df = ((1 to 500).map(i => (i.toLong, s"s${rnd.nextInt(8)}")) ++
+      Seq((9001L, "tiny"), (9002L, "tiny"))).toDF("id", "src")
+    val take = graft.ext.Sampling
+      .stratifiedSample(df, "src", "id", n = 12)
+      .as[(Long, String)].collect()
+    val bySrc = take.groupBy(_._2)
+    assert(bySrc("tiny").length == 2) // fewer than n → keep all
+    bySrc.filterNot(_._1 == "tiny").values.foreach(g => assert(g.length == 12))
+    val again = graft.ext.Sampling
+      .stratifiedSample(df.repartition(17), "src", "id", n = 12)
+      .as[(Long, String)].collect()
+    assert(take.toSet == again.toSet) // deterministic draw
+  }
+
   // ── Misra-Gries sketch ───────────────────────────────────────────
 
   test("mg below capacity is the exact per-item histogram") {
