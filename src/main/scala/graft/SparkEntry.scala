@@ -200,6 +200,18 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
     }),
 
+    // Sliding event-time windows (2h length, 1h slide): every event
+    // lands in exactly two windows; Spark's window() generator vs an
+    // explicit two-window UNNEST rebuild in the oracle
+    "cap_sliding" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        .select(col("win.start").as("win_start"), col("event_type"),
+          col("n"), col("total"))),
+
     // Frame-bounded window aggregation (rolling 4-event stats per
     // user): the ROWS BETWEEN surface, decimal-accumulate for the
     // order-sensitive running sum
@@ -760,6 +772,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // every event belongs to the hour-aligned window starting at its
+    // floor-hour and the one an hour earlier
+    "cap_sliding" ->
+      """SELECT win_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT value, event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) - h * INTERVAL 1 HOUR AS win_start
+        |  FROM events, UNNEST([0, 1]) AS t(h)
+        |)
+        |GROUP BY win_start, event_type""".stripMargin,
 
     "cap_rolling" ->
       """SELECT event_id, user_id, ts,
