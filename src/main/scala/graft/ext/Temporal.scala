@@ -209,6 +209,9 @@ object Temporal {
       pointCol: String,
       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val dup = intervals.columns.toSet intersect points.columns.toSet
+    require(dup.isEmpty, // fail with the contract, not a downstream ambiguity
+      s"interval and point columns collide: ${dup.mkString(", ")} — rename one side")
     val binMicros = binSeconds * 1000000L
     val iv = intervals
       .where(col(endCol) > col(startCol))
@@ -249,6 +252,9 @@ object Temporal {
       bStart: String, bEnd: String,
       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val dup = a.columns.toSet intersect b.columns.toSet
+    require(dup.isEmpty,
+      s"a and b columns collide: ${dup.mkString(", ")} — rename one side")
     val binMicros = binSeconds * 1000000L
     def binned(df: DataFrame, s: String, e: String, tag: String): DataFrame =
       df.where(col(e) > col(s))
