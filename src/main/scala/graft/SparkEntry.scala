@@ -604,6 +604,22 @@ object SparkEntry {
           graft.functions.KllSketch.quantile(col("value"), 0.5, 65536).as("p50"),
           graft.functions.KllSketch.quantile(col("value"), 0.9, 65536).as("p90"))),
 
+    // SCD2 historization: the events stream read as a per-user state
+    // change log → compressed validity intervals (K2's MERGE keeps
+    // only latest-per-sk; this keeps history queryable by as-of
+    // time). Sentinel for the open interval's valid_to — nullable
+    // timestamps NaT-drift on the oracle fetch path
+    "ext_scd2" -> ((s, dir) =>
+      graft.operators.Scd2.historize(
+        tbl(s, dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        stateCols = Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from"),
+          coalesce(col("valid_to"),
+            expr("TIMESTAMP_NTZ '9999-12-31 00:00:00'")).as("valid_to"),
+          col("is_current"))),
+
     // Stratified sample: 10 docs per source by portable md5 order —
     // deterministic uniform draw, map-side rank-limited
     "ext_stratified_sample" -> ((s, dir) =>
@@ -1242,6 +1258,22 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "ext_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), comp AS (
+        |  SELECT user_id, event_id, ts, event_type FROM c
+        |  WHERE prev_type IS NULL OR event_type IS DISTINCT FROM prev_type
+        |)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  coalesce(lead(ts) OVER w2, TIMESTAMP '9999-12-31') AS valid_to,
+        |  lead(ts) OVER w2 IS NULL AS is_current
+        |FROM comp
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "ext_stratified_sample" ->
       """SELECT doc_id, source, n_chars FROM (

@@ -164,6 +164,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lag-window, sum-window and session rollup all align on user_id:\n$plan")
   }
 
+  test("scd2: compression and interval windows share ONE exchange") {
+    val plan = planOf("ext_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"lag-compress and lead-interval windows both align on the key:\n$plan")
+  }
+
   test("stratified sample rank-limits map-side before the shuffle") {
     val plan = planOf("ext_stratified_sample")
     val limits = "WindowGroupLimit".r.findAllIn(plan).length

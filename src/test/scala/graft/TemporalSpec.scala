@@ -266,6 +266,59 @@ class TemporalSpec extends AnyFunSuite {
     assert(results.distinct.size == 1, results.toString)
   }
 
+  // ── SCD2 historization ───────────────────────────────────────────
+
+  test("scd2: compresses no-op changes, tiles intervals, marks current") {
+    val log = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00"), "bronze"),
+      (2L, 100L, ts("2024-01-02 00:00:00"), "bronze"), // no-op → dropped
+      (3L, 100L, ts("2024-01-03 00:00:00"), "silver"),
+      (4L, 100L, ts("2024-01-05 00:00:00"), "gold"),
+      (5L, 200L, ts("2024-01-04 00:00:00"), "bronze")
+    ).toDF("event_id", "user_id", "ts", "tier")
+    val h = graft.operators.Scd2
+      .historize(log, "user_id", "ts", "event_id", Seq("tier"))
+      .select("user_id", "tier", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    assert(h.map(r => (r._1, r._2)).toList ==
+      List((100L, "bronze"), (100L, "silver"), (100L, "gold"), (200L, "bronze")))
+    // intervals tile: each valid_to == next valid_from; open at the end
+    assert(h(0)._4.contains(ts("2024-01-03 00:00:00")) && !h(0)._5)
+    assert(h(1)._4.contains(ts("2024-01-05 00:00:00")) && !h(1)._5)
+    assert(h(2)._4.isEmpty && h(2)._5)
+    assert(h(3)._4.isEmpty && h(3)._5)
+  }
+
+  test("scd2: same-instant changes keep a zero-length audit row, last tie wins the instant") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val log = Seq(
+      (1L, 7L, t0, "a"),
+      (2L, 7L, t0, "b"), // same instant, higher tie → wins the instant
+      (3L, 7L, ts("2024-01-01 11:00:00"), "c")
+    ).toDF("event_id", "user_id", "ts", "st")
+    val h = graft.operators.Scd2
+      .historize(log, "user_id", "ts", "event_id", Seq("st"))
+      .select("st", "valid_from", "valid_to")
+      .as[(String, Timestamp, Option[Timestamp])].collect().sortBy(_._1)
+    assert(h.length == 3)
+    val a = h.find(_._1 == "a").get
+    assert(a._2 == t0 && a._3.contains(t0)) // zero-length audit row
+    val b = h.find(_._1 == "b").get
+    assert(b._2 == t0 && b._3.contains(ts("2024-01-01 11:00:00")))
+  }
+
+  test("scd2: null states compress null-safely") {
+    val log = Seq(
+      (1L, 9L, ts("2024-01-01 00:00:00"), None: Option[String]),
+      (2L, 9L, ts("2024-01-02 00:00:00"), None: Option[String]), // null==null → no-op
+      (3L, 9L, ts("2024-01-03 00:00:00"), Some("x"))
+    ).toDF("event_id", "user_id", "ts", "st")
+    val h = graft.operators.Scd2
+      .historize(log, "user_id", "ts", "event_id", Seq("st"))
+    assert(h.count() == 2)
+  }
+
   // ── stratified sampling ──────────────────────────────────────────
 
   test("stratifiedSample: exactly n per stratum, short strata kept whole, partition-invariant") {
