@@ -481,7 +481,7 @@ object SparkEntry {
     // two independent formulations of the same gap semantics
     "ext_stream_sessions" -> ((s, dir) =>
       graft.streaming.StreamingOps.availableNowSessions(
-        s, s"$dir/events.parquet", gap = "2 hours")),
+        s, s"$dir/events.parquet", gapSeconds = 7200L)),
 
     // As-of join (union-and-carry, one shuffle): each purchase picks
     // up the most recent click by the same user at-or-before it. The

@@ -65,6 +65,12 @@ object Temporal {
     val clash = payloadCols.filter(left.columns.contains(_))
     require(clash.isEmpty,
       s"right payload columns collide with left: ${clash.mkString(", ")}")
+    // fail with the contract, not a silent shadow: the union/window
+    // plumbing owns these names
+    val reserved = Set("__t", "__ord", "__is_left", "__lrow", "__rpay", "__match")
+    val resClash = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(resClash.isEmpty,
+      s"inputs use reserved internal column names: ${resClash.mkString(", ")}")
 
     // At equal time the lower __ord is seen first by the running
     // window; inclusive wants the right row visible to a concurrent
@@ -173,12 +179,19 @@ object Temporal {
       .select(keys.map(col) ++ Seq(col("__epoch"),
         col("__best").as("__carry")): _*)
 
-    // pass 3: same-epoch match wins; else the carry
+    // pass 3: same-epoch match wins; else the carry. The pick is at
+    // ROW granularity — rightTime is non-null for every real match
+    // (null-time right rows never match), so its nullness is the
+    // match flag; a per-column coalesce would blend a matched row's
+    // legitimately NULL payload field with the older carry row's
+    // value, diverging from asOfJoin.
     val joined = sameEpoch.join(carry, keys :+ "__epoch", "left")
+      .withColumn("__matched", col(rightTime).isNotNull)
     val out = (rightTime +: payloadCols).foldLeft(joined) { (df, c) =>
-      df.withColumn(c, coalesce(col(c), col(s"__carry.`$c`")))
+      df.withColumn(c,
+        when(col("__matched"), col(c)).otherwise(col(s"__carry.`$c`")))
     }
-    out.drop("__carry", "__epoch")
+    out.drop("__carry", "__epoch", "__matched")
       .select((left.columns.toSeq ++ (rightTime +: payloadCols)).map(col): _*)
   }
 

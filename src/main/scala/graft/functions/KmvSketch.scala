@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * minimum as a fraction of the 64-bit space (Bar-Yossef et al.,
   * "Counting distinct elements in a data stream", RANDOM 2002).
   *
-  * Below saturation (fewer than k distinct hashes) the buffer IS the
-  * distinct set and the sketch is exact — the same
+  * Below saturation the buffer IS the distinct set and the sketch is
+  * exact: eval returns the exact candidate count as long as θ is
+  * still unbounded (no discard has ever fired), which holds for up
+  * to 2k distinct hashes — the buffer's physical capacity — not just
+  * k. This is the same
   * provably-exact-configuration trick the IVF (nProbe = nCells) and
   * PQ (candidateK = ∞) queries use lets the DuckDB
   * `COUNT(DISTINCT …)` oracle gate the full sketch machinery
@@ -92,7 +95,11 @@ case class KmvSketch(
 
   override def eval(buf: KmvSketch.Buf): Any = {
     val (n, kth) = buf.result()
-    if (n < k) n.toLong
+    // While θ is still unbounded, no element has ever been discarded
+    // (by this buffer or any merged-in partial), so the buffer IS the
+    // complete distinct-hash set — exact up to its 2k capacity, twice
+    // the k the estimator-at-n≥k cutover would grant.
+    if (buf.theta == Long.MaxValue || n < k) n.toLong
     else {
       // k-th minimum as an unsigned fraction of the 2^64 hash space
       val frac = (kth.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)

@@ -174,20 +174,24 @@ object StreamingOps {
     * running-sum windows), so the streaming session-merge machinery
     * is graded against an independent formulation.
     *
-    * Batch-parity caveat: at a gap of EXACTLY the threshold,
-    * `session_window` opens a new session ([ts, ts+gap) windows
-    * merge only on strict overlap) where the batch operator's
-    * strict-`>` cut keeps one; the two agree on any input without an
-    * exact-threshold gap (the fixtures have none — microsecond event
-    * times make one vanishingly unlikely; align by changing the batch
-    * cut to `>=` if an upstream quantizes timestamps to the gap).
-    * Complete output mode for the same reason as
-    * [[availableNowHourly]]: bounded replay never advances the
-    * watermark past its last event. */
+    * Batch parity holds AT the threshold too: `session_window`'s
+    * [ts, ts+gap) windows merge only on strict overlap (same session
+    * iff delta < gap) where the batch operator's strict-`>` cut
+    * keeps a delta == gap pair together (same session iff
+    * delta ≤ gap) — so the streaming gap is widened by exactly one
+    * microsecond, which for integral-microsecond timestamps makes
+    * `delta < gap + 1 µs` coincide with `delta ≤ gap`. Without the
+    * widening, any upstream that quantizes timestamps to the gap
+    * (hourly-bucketed events with a 1 h gap) would diverge from the
+    * batch truth deterministically. Complete output mode for the
+    * same reason as [[availableNowHourly]]: bounded replay never
+    * advances the watermark past its last event. */
   def availableNowSessions(
       spark: SparkSession,
       eventsPath: String,
-      gap: String = "2 hours"): DataFrame = {
+      gapSeconds: Long = 7200L): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val gap = s"$gapSeconds seconds 1 microsecond"
     val schema = spark.read.parquet(eventsPath).schema
     val p = new org.apache.hadoop.fs.Path(eventsPath)
     val raw = spark.readStream.schema(schema)

@@ -90,6 +90,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessions agree with batch sessionize at gap == threshold exactly") {
+    // timestamps quantized to the gap — the boundary case where
+    // session_window's strict-overlap merge (delta < gap) and the
+    // batch cut (delta <= gap) disagree unless the streaming gap is
+    // widened by 1 µs. Batch truth: 10:00/11:00/12:00 are ONE session
+    // (each delta == gap, not > gap); 14:00 starts a second.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessboundary")
+    // the harness glob-filters on the fixture FILE name — write a
+    // single-file parquet like the testdata fixtures, not a directory
+    val stage = s"$dir/stage"
+    Seq(
+      (1L, 7L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 7L, Timestamp.valueOf("2024-01-01 11:00:00")),
+      (3L, 7L, Timestamp.valueOf("2024-01-01 12:00:00")),
+      (4L, 7L, Timestamp.valueOf("2024-01-01 14:00:00")),
+      (5L, 9L, Timestamp.valueOf("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts").coalesce(1).write.parquet(stage)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val path = s"$dir/events.parquet"
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(path))
+    val streamed = StreamingOps.availableNowSessions(spark, path, gapSeconds = 3600L)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.ext.Temporal
+      .sessionize(spark.read.parquet(path), "user_id", "ts", "event_id",
+        gapSeconds = 3600L)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("session_id"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == Set((7L, 2L, 4L), (9L, 1L, 1L)))
+    assert(streamed == batch)
+  }
+
   test("availableNow hourly stream equals the batch aggregation bit-for-bit") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

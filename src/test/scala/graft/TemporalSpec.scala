@@ -134,6 +134,69 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoinEpochs: a matched row's NULL payload field stays NULL (no carry blend)") {
+    // user 10: the carry row (09:00, value=77) precedes a same-epoch
+    // match (11:59:50, value=NULL). Per-column coalesce would blend
+    // the match's NULL value with the carry's 77; row-granularity
+    // semantics (what asOfJoin returns) keep the matched row whole.
+    val left = Seq((1L, 10L, ts("2024-01-01 11:59:55")))
+      .toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Some(77L), "carry"),
+      (10L, ts("2024-01-01 11:59:50"), None: Option[Long], "match")
+    ).toDF("user_id", "rt", "value", "tag")
+    val want = Temporal.asOfJoin(left, right, Seq("user_id"), "t", "rt")
+      .select("event_id", "rt", "value", "tag")
+      .as[(Long, Option[Timestamp], Option[Long], Option[String])].collect().toSet
+    assert(want == Set((1L, Some(ts("2024-01-01 11:59:50")), None, Some("match"))))
+    // epoch width chosen so the carry row is in an EARLIER epoch than
+    // the (left, match) pair — the blend bug's exact precondition
+    val got = Temporal
+      .asOfJoinEpochs(left, right, Seq("user_id"), "t", "rt", epochSeconds = 3600)
+      .select("event_id", "rt", "value", "tag")
+      .as[(Long, Option[Timestamp], Option[Long], Option[String])].collect().toSet
+    assert(got == want)
+  }
+
+  test("asOfJoinEpochs matches asOfJoin on random data with nullable payloads") {
+    val rnd = new scala.util.Random(123)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(200000) * 1000L)))
+      .toDF("lid", "k", "t")
+    val right = (1 to 200).map { i =>
+      val v = if (rnd.nextBoolean()) Some(i.toLong) else None
+      (rnd.nextInt(6).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(200000) * 1000L), v)
+    }.toDF("k", "rt", "payload")
+      .groupBy("k", "rt").agg(max("payload").as("payload"))
+    def key(df: DataFrame) = df
+      .select("lid", "rt", "payload")
+      .as[(Long, Option[Timestamp], Option[Long])].collect()
+      .map { case (a, b, c) => a -> (b, c) }.toMap
+    val want = key(Temporal.asOfJoin(left, right, Seq("k"), "t", "rt"))
+    for (w <- Seq(61L, 3600L)) {
+      val got = key(Temporal
+        .asOfJoinEpochs(left, right, Seq("k"), "t", "rt", epochSeconds = w))
+      assert(got == want, s"epochSeconds=$w")
+    }
+  }
+
+  test("asOfJoin rejects reserved internal column names in either input") {
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "t", "__lrow")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 2L)).toDF("k", "rt", "p")
+    val err = intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(left, right, Seq("k"), "t", "rt")
+    }
+    assert(err.getMessage.contains("__lrow"))
+    val right2 = Seq((1L, ts("2024-01-01 00:00:00"), 2L)).toDF("k", "rt", "__ord")
+    val err2 = intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(left.withColumnRenamed("__lrow", "tag"),
+        right2, Seq("k"), "t", "rt")
+    }
+    assert(err2.getMessage.contains("__ord"))
+  }
+
   // ── range join ───────────────────────────────────────────────────
 
   test("rangeJoinBinned: half-open boundaries and bin-crossing intervals") {
@@ -241,6 +304,15 @@ class TemporalSpec extends AnyFunSuite {
     val joined = got.join(want, "g")
       .where(col("kmv") =!= col("exact"))
     assert(joined.count() == 0)
+  }
+
+  test("kmv stays exact in [k, 2k] while no discard has fired") {
+    // 500 distinct ∈ (k=256, 2k=512]: the buffer never prunes (θ
+    // untouched), so the result is the exact count, not an estimate
+    val df = (1L to 500L).toDF("v").repartition(8)
+    val n = df.agg(KmvSketch.approxCountDistinct(col("v"), k = 256))
+      .as[Long].head()
+    assert(n == 500L)
   }
 
   test("kmv ignores nulls like COUNT(DISTINCT)") {
