@@ -149,6 +149,42 @@ object ScaleCheck {
           gapSeconds = 7200)
           .groupBy("user_id", "session_id").count().count(),
         events, "event_id"),
+      // ONE key holds the whole stream: the plain per-key window
+      // serializes; the epoch split parallelizes across (key, epoch)
+      ("sessionize_hot", (df: DataFrame) =>
+        Temporal.sessionize(df.withColumn("user_id", lit(7L)),
+          "user_id", "ts", "event_id", gapSeconds = 7200)
+          .groupBy("user_id", "session_id").count().count(),
+        events, "event_id"),
+      ("sessionize_epochs_hot", (df: DataFrame) =>
+        Temporal.sessionizeEpochs(df.withColumn("user_id", lit(7L)),
+          "user_id", "ts", "event_id", gapSeconds = 7200,
+          epochSeconds = 3600)
+          .groupBy("user_id", "session_id").count().count(),
+        events, "event_id"),
+      ("scd2_hot", (df: DataFrame) =>
+        graft.operators.Scd2.historize(
+          df.withColumn("user_id", lit(7L))
+            .select("user_id", "event_id", "ts", "event_type"),
+          "user_id", "ts", "event_id", Seq("event_type")).count(),
+        events, "event_id"),
+      ("scd2_epochs_hot", (df: DataFrame) =>
+        graft.operators.Scd2.historizeEpochs(
+          df.withColumn("user_id", lit(7L))
+            .select("user_id", "event_id", "ts", "event_type"),
+          "user_id", "ts", "event_id", Seq("event_type"),
+          epochSeconds = 3600).count(),
+        events, "event_id"),
+      // cap_rolling's shape — bounded ROWS frame per key — under the
+      // same one-key stress (measured bound; no epoch variant yet)
+      ("rolling_hot", (df: DataFrame) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, 0)
+        df.withColumn("user_id", lit(7L))
+          .withColumn("avg7", avg(col("value")).over(w))
+          .agg(count(lit(1))).collect().head.getLong(0)
+      }, events, "event_id"),
       // distinct count fixed while rows grow k× — the sketch's state
       // stays ≤ k longs per group, so this should be ~scan-linear
       ("kmv_distinct", (df: DataFrame) =>

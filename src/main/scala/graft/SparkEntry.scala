@@ -111,6 +111,34 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber"), hyphen = true,
         clock = Clock.ForOracle, deterministic = true)),
 
+    // Streaming lake flow e2e: the lineitem fixture lands as files in
+    // a source directory → checkpointed AvailableNow file stream
+    // appends them into WORK (K1 as a streaming write, one file per
+    // micro-batch) → IncrementalPromote merges WORK into TRUSTED —
+    // and the final TRUSTED table must equal the BATCH promote of the
+    // same fixture (d7's oracle): the stream changes how rows arrive,
+    // never what the promote computes. localCheckpoint detaches the
+    // result from the temp lake so the sweep can reclaim the disk.
+    "flow_stream_ingest" -> ((s, dir) => {
+      import graft.core.{Clock, DatasetRef, LakePaths}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-lake").toString
+      val lake = LakePaths(s"$root/lake")
+      val ref = DatasetRef("stream", "tpch", "lineitem")
+      val landing = s"$root/landing"
+      tbl(s, dir, "lineitem").repartition(4).write.parquet(landing)
+      graft.streaming.StreamingOps.streamIngestToWork(
+        s, landing, s.read.parquet(landing).schema,
+        lake.work(ref), s"$root/ckpt")
+      graft.operators.IncrementalPromote.run(
+        s, ref, lake, skIds = Seq("l_orderkey", "l_linenumber"),
+        hyphen = true, clock = Clock.ForOracle)
+      val out = s.read.parquet(lake.trusted(ref)).localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // D8 — K2 merge-upsert semantics: matched rows fully replaced,
     // unmatched trusted rows survive, new rows insert.
     "d8_merge" -> ((s, dir) => {
@@ -245,6 +273,15 @@ object SparkEntry {
     "cap_rollup" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))),
+
+    // Cube (all grouping-set combinations): adds the per-lang slice
+    // rollup lacks — same Expand + one partial-aggregated shuffle
+    // plan shape, one more replica in the Expand
+    "cap_cube" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .cube("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))),
 
@@ -592,6 +629,23 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).cast("double")
             .as("total_value"))),
 
+    // Same truth through the skew-robust epoch-split sessionization
+    // (same lag+running-sum oracle): hot keys parallelize across
+    // (key, epoch); epoch width 3600s < the 7200s gap, so sessions
+    // legitimately span EMPTY epochs and the boundary-merge carry is
+    // exercised for real — the oracle gates that local sessionize +
+    // summary merge + renumber compose to exactly gap semantics
+    "ext_sessionize_epochs" -> ((s, dir) =>
+      Temporal.sessionizeEpochs(
+        tbl(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
+        tieCol = "event_id", gapSeconds = 7200, epochSeconds = 3600)
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("total_value"))),
+
     // KLL quantile sketch with capacity 65536 > any event_type group
     // (20k at sf0.1): zero compactions fire, every item sits at
     // level 0, so the selected element is the exact discrete
@@ -603,6 +657,33 @@ object SparkEntry {
         .agg(
           graft.functions.KllSketch.quantile(col("value"), 0.5, 65536).as("p50"),
           graft.functions.KllSketch.quantile(col("value"), 0.9, 65536).as("p90"))),
+
+    // KLL in its APPROXIMATE regime, driver-graded against the
+    // sketch's bound: capacity 256 sits far below the event_type
+    // group sizes (2k rows at sf0.01, 20k at sf0.1), so compactions
+    // fire and the estimate is inexact AND merge-order-dependent —
+    // the engine therefore measures the TRUE rank of its own
+    // estimate with a second exact pass and declares whether the
+    // rank error is within 5% (comfortable for k=256; the ScalaTest
+    // regime test uses the same margin at 100k rows). The oracle
+    // states the group keys, exact counts, and the expected verdict:
+    // a compactor regression past the bound flips a boolean and
+    // fails the hash compare, for ANY merge order the cluster
+    // happens to pick. Complements ext_quantiles' exact-config gate.
+    "ext_quantiles_bound" -> ((s, dir) => {
+      val e = tbl(s, dir, "events").select(col("event_type"), col("value"))
+      val est = e.groupBy("event_type").agg(
+        graft.functions.KllSketch.quantile(col("value"), 0.5, 256).as("est50"),
+        graft.functions.KllSketch.quantile(col("value"), 0.9, 256).as("est90"))
+      e.join(broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("est50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("est90"), 1L).otherwise(0L)).as("r90"))
+        .select(col("event_type"), col("n"),
+          (abs(col("r50") / col("n") - 0.5) <= 0.05).as("ok50"),
+          (abs(col("r90") / col("n") - 0.9) <= 0.05).as("ok90"))
+    }),
 
     // SCD2 historization: the events stream read as a per-user state
     // change log → compressed validity intervals (K2's MERGE keeps
@@ -619,6 +700,48 @@ object SparkEntry {
           coalesce(col("valid_to"),
             expr("TIMESTAMP_NTZ '9999-12-31 00:00:00'")).as("valid_to"),
           col("is_current"))),
+
+    // Same truth through the skew-robust epoch-split SCD2 (same
+    // lag-compress + lead-interval oracle): hot keys parallelize
+    // across (key, epoch), with carried last-state for cross-epoch
+    // no-op compression and a reverse carry for cross-epoch valid_to
+    "ext_scd2_epochs" -> ((s, dir) =>
+      graft.operators.Scd2.historizeEpochs(
+        tbl(s, dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        stateCols = Seq("event_type"), epochSeconds = 86400)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from"),
+          coalesce(col("valid_to"),
+            expr("TIMESTAMP_NTZ '9999-12-31 00:00:00'")).as("valid_to"),
+          col("is_current"))),
+
+    // SCD2 × as-of composite — the documented Scd2 contract ("joins
+    // to facts ... directly via asOfJoin on valid_from"): purchases
+    // enriched with the as-of dimension state from the SCD2 history
+    // built over the user's non-purchase activity. Zero-length audit
+    // rows are dropped first so the history is unique per
+    // (user, valid_from) — the as-of right-side contract; the
+    // instant's tie winner keeps its non-zero interval. Sentinels on
+    // the nullable match columns for the oracle fetch path.
+    "ext_scd2_enrich" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val dimLog = e.where(col("event_type") =!= "purchase")
+        .select("user_id", "event_id", "ts", "event_type")
+      val hist = graft.operators.Scd2.historize(
+        dimLog, keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        stateCols = Seq("event_type"))
+        .where(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+        .select(col("user_id"), col("valid_from"),
+          col("event_type").as("state"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      Temporal.asOfJoin(purchases, hist,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "valid_from")
+        .withColumn("valid_from",
+          expr("coalesce(valid_from, TIMESTAMP_NTZ '1900-01-01 00:00:00')"))
+        .withColumn("state", coalesce(col("state"), lit("none")))
+    }),
 
     // Stratified sample: 10 docs per source by portable md5 order —
     // deterministic uniform draw, map-side rank-limited
@@ -652,6 +775,56 @@ object SparkEntry {
           .approxCountDistinct(col("user_id"), k = 8192)
           .as("distinct_users"))),
   )
+
+  /** Shared by d7_promote / flow_stream_ingest: the promoted lineitem
+    * fixture is the same truth whether staged by the batch resync or
+    * the streaming K1 write — the stream changes HOW rows reach WORK,
+    * never WHAT the promote computes. */
+  private lazy val promoteOracleSql: String = dedupSql(
+    """SELECT *, TIMESTAMP '2024-01-01 00:00:00' AS timestamp_kafka FROM (
+      |  SELECT *, md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS sk
+      |  FROM lineitem)""".stripMargin,
+    LineitemCols :+ "timestamp_kafka")
+
+  /** Shared by ext_sessionize / ext_sessionize_epochs — the plain
+    * and epoch-split engine formulations must produce the same
+    * truth, so they share one oracle. */
+  private val sessionizeOracleSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT *, CAST(sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g
+      |)
+      |SELECT user_id, session_id,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** Shared by ext_scd2 / ext_scd2_epochs, same rationale. */
+  private val scd2OracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type) OVER w AS prev_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), comp AS (
+      |  SELECT user_id, event_id, ts, event_type FROM c
+      |  WHERE prev_type IS NULL OR event_type IS DISTINCT FROM prev_type
+      |)
+      |SELECT user_id, event_type AS state, ts AS valid_from,
+      |  coalesce(lead(ts) OVER w2, TIMESTAMP '9999-12-31') AS valid_to,
+      |  lead(ts) OVER w2 IS NULL AS is_current
+      |FROM comp
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
   /** Shared by ext_asof_join / ext_asof_join_epochs — the two engine
     * formulations (union-and-carry; epoch-split) must produce the
@@ -751,11 +924,9 @@ object SparkEntry {
         |  user_id, event_type, value, props
         |FROM events""".stripMargin,
 
-    "d7_promote" -> dedupSql(
-      """SELECT *, TIMESTAMP '2024-01-01 00:00:00' AS timestamp_kafka FROM (
-        |  SELECT *, md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS sk
-        |  FROM lineitem)""".stripMargin,
-      LineitemCols :+ "timestamp_kafka"),
+    "d7_promote" -> promoteOracleSql,
+    // the streaming K1 staging must land the batch promote's truth
+    "flow_stream_ingest" -> promoteOracleSql,
 
     "d8_merge" ->
       s"""WITH base AS ($dedupBaseSql),
@@ -824,6 +995,11 @@ object SparkEntry {
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
+
+    "cap_cube" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE(source, lang)""".stripMargin,
 
     "cap_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
@@ -1239,41 +1415,43 @@ object SparkEntry {
         |  ON a.s < b.e2 AND b.s2 < a.e
         |GROUP BY a.o_orderkey""".stripMargin,
 
-    "ext_sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
-        |    THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), s AS (
-        |  SELECT *, CAST(sum(new_s) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM g
-        |)
-        |SELECT user_id, session_id,
-        |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "ext_sessionize" -> sessionizeOracleSql,
+    // the epoch-split engine formulation must land on the same truth
+    "ext_sessionize_epochs" -> sessionizeOracleSql,
 
-    "ext_scd2" ->
+    "ext_scd2" -> scd2OracleSql,
+    // the epoch-split engine formulation must land on the same truth
+    "ext_scd2_epochs" -> scd2OracleSql,
+
+    // independent composite truth: the scd2 CTE rebuilt over the
+    // non-purchase log, joined to purchases via DuckDB's NATIVE ASOF
+    // LEFT JOIN — both halves of the composition graded at once
+    "ext_scd2_enrich" ->
       """WITH c AS (
         |  SELECT user_id, event_id, ts, event_type,
         |    lag(event_type) OVER w AS prev_type
-        |  FROM events
+        |  FROM events WHERE event_type <> 'purchase'
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), comp AS (
         |  SELECT user_id, event_id, ts, event_type FROM c
         |  WHERE prev_type IS NULL OR event_type IS DISTINCT FROM prev_type
+        |), hist AS (
+        |  SELECT user_id, ts AS valid_from, event_type AS state,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM comp
+        |), h AS (
+        |  SELECT user_id, valid_from, state FROM hist
+        |  WHERE valid_to IS NULL OR valid_to > valid_from
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
         |)
-        |SELECT user_id, event_type AS state, ts AS valid_from,
-        |  coalesce(lead(ts) OVER w2, TIMESTAMP '9999-12-31') AS valid_to,
-        |  lead(ts) OVER w2 IS NULL AS is_current
-        |FROM comp
-        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  coalesce(h.valid_from, TIMESTAMP '1900-01-01') AS valid_from,
+        |  coalesce(h.state, 'none') AS state
+        |FROM p ASOF LEFT JOIN h
+        |  ON p.user_id = h.user_id AND p.ts >= h.valid_from""".stripMargin,
 
     "ext_stratified_sample" ->
       """SELECT doc_id, source, n_chars FROM (
@@ -1288,6 +1466,16 @@ object SparkEntry {
       """SELECT event_type,
         |  quantile_disc(value, 0.5) AS p50,
         |  quantile_disc(value, 0.9) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // approximate regime (capacity 256 << group sizes): the engine
+    // measures its own estimate's true rank exactly and reports the
+    // bound verdict; the oracle states the expected verdict — TRUE
+    // per group — so a compactor regression past the 5% rank bound
+    // hash-mismatches, independent of merge order
+    "ext_quantiles_bound" ->
+      """SELECT event_type, count(*) AS n,
+        |  TRUE AS ok50, TRUE AS ok90
         |FROM events GROUP BY event_type""".stripMargin,
 
     // k = 64 > 5 distinct langs: exact histogram regime

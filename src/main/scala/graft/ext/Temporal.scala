@@ -22,7 +22,7 @@ object Temporal {
     * accepts TIMESTAMP_LTZ; the fixtures' parquet timestamps read as
     * NTZ, where the LTZ cast is lossless because the engine pins the
     * session to UTC (`Sessions.local`). */
-  private def micros(df: DataFrame, c: String): Column =
+  private[graft] def micros(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case TimestampNTZType => unix_micros(expr(s"cast(`$c` as timestamp)"))
       case _ => unix_micros(col(c))
@@ -283,6 +283,83 @@ object Temporal {
       .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
         col("__bin") === greatest(col("__sbin_a"), col("__sbin_b")))
       .drop("__bin", "__sbin_a", "__sbin_b")
+  }
+
+  /** Skew-robust gap sessionization: same semantics as
+    * [[sessionize]], but a single hot key no longer serializes inside
+    * one window partition — the same epoch decomposition as
+    * [[asOfJoinEpochs]]:
+    *
+    *  1. local pass: sessionize within (key, epoch) — window
+    *     partitions are (key, epoch)-sized, not key-sized;
+    *  2. summary pass: per (key, epoch) the first/last event times
+    *     and local session count form a |keys|·|epochs|-sized
+    *     summary; a per-key window over THAT (ordered by epoch)
+    *     decides for each epoch whether its first local session
+    *     merges with the previous nonempty epoch's last session
+    *     (boundary gap ≤ threshold — note "previous NONEMPTY": when
+    *     `epochSeconds < gapSeconds` a session legitimately spans
+    *     entirely empty epochs, and the lag skips them), and
+    *     accumulates the global session-id offset
+    *     Σ new-sessions-contributed = Σ (localCount − merged);
+    *  3. renumber: join the per-epoch offset back and shift local
+    *     ids. A session spanning many epochs telescopes: a fully
+    *     bridged epoch contributes localCount − merged = 0 new
+    *     sessions.
+    *
+    * Event times must be non-null (same contract as [[asOfJoin]]'s
+    * time columns). Cost: one (key, epoch) shuffle of the data + a
+    * tiny per-key summary window + one join back — vs [[sessionize]]'s
+    * single key shuffle; pay it when a key's history outgrows a task.
+    */
+  def sessionizeEpochs(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSeconds: Long,
+      epochSeconds: Long): DataFrame = {
+    require(gapSeconds >= 0, s"gapSeconds must be non-negative, got $gapSeconds")
+    require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
+    val gm = gapSeconds * 1000000L
+    val em = epochSeconds * 1000000L
+    val l = df
+      .withColumn("__us", micros(df, tsCol))
+      .withColumn("__epoch", expr(s"__us div $em"))
+
+    // 1. local sessionization within (key, epoch)
+    val w = Window.partitionBy(col(keyCol), col("__epoch"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("__us"), 1).over(w)
+    val local = l
+      .withColumn("__new_s",
+        when(prev.isNull || col("__us") - prev > gm, 1L).otherwise(0L))
+      .withColumn("__ls", sum(col("__new_s")).over(run))
+
+    // 2. per-(key, epoch) summary; per-key window over the summary
+    val summary = local.groupBy(col(keyCol), col("__epoch"))
+      .agg(min(col("__us")).as("__first_us"),
+        max(col("__us")).as("__last_us"),
+        max(col("__ls")).as("__n_sessions"))
+    val wk = Window.partitionBy(keyCol).orderBy(col("__epoch").asc)
+    val runk = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevLast = lag(col("__last_us"), 1).over(wk)
+    val adj = summary
+      .withColumn("__merge",
+        when(prevLast.isNotNull && col("__first_us") - prevLast <= gm, 1L)
+          .otherwise(0L))
+      .withColumn("__adj", col("__n_sessions") - col("__merge"))
+      // global id of local session ls = Σ_{f<e} adj_f + ls − merge_e
+      .withColumn("__delta",
+        sum(col("__adj")).over(runk) - col("__adj") - col("__merge"))
+
+    // 3. renumber
+    local
+      .join(adj.select(col(keyCol), col("__epoch"), col("__delta")),
+        Seq(keyCol, "__epoch"))
+      .withColumn("session_id", col("__ls") + col("__delta"))
+      .select((df.columns.toSeq :+ "session_id").map(col): _*)
   }
 
   /** Gap sessionization: per key, events ordered by (time, tie) are

@@ -38,6 +38,84 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
+  /** Skew-robust SCD2: same semantics as [[historize]], but a single
+    * hot key no longer serializes inside one window partition — the
+    * epoch decomposition of [[graft.ext.Temporal.asOfJoinEpochs]]:
+    *
+    *  1. local compression within (key, epoch), with each epoch's
+    *     FIRST row additionally compared against the previous
+    *     nonempty epoch's carried last state (a dropped no-op run can
+    *     span the boundary) — the carry is a per-(key, epoch) lag
+    *     over a |keys|·|epochs|-sized summary, exactly how
+    *     asOfJoinEpochs carries per-epoch latest rows;
+    *  2. interval build: `valid_to` is the next surviving change's
+    *     time — the local lead within (key, epoch) where one exists,
+    *     else the next SURVIVING epoch's first surviving change time
+    *     (a reverse carry over the tiny summary; epochs whose every
+    *     row compressed away are skipped because they never enter
+    *     the summary).
+    *
+    * Change times must be non-null. Cost: one (key, epoch) shuffle
+    * + two tiny per-key summary windows + joins back — vs
+    * [[historize]]'s single key shuffle; pay it when a key's change
+    * log outgrows a task (SCD2 keys change rarely, so this matters
+    * for event-sourced logs read as change streams, not for classic
+    * dimensions).
+    */
+  def historizeEpochs(
+      changeLog: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      stateCols: Seq[String],
+      epochSeconds: Long): DataFrame = {
+    require(stateCols.nonEmpty, "SCD2 needs at least one state column")
+    require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
+    val em = epochSeconds * 1000000L
+    val state: Column = struct(stateCols.map(col): _*)
+    val l = changeLog
+      .withColumn("__us", graft.ext.Temporal.micros(changeLog, tsCol))
+      .withColumn("__epoch", expr(s"__us div $em"))
+
+    // carry: previous nonempty epoch's last raw state (== its last
+    // surviving state: compression only drops state-preserving rows)
+    val wk = Window.partitionBy(keyCol).orderBy(col("__epoch").asc)
+    val carry = l.groupBy(col(keyCol), col("__epoch"))
+      .agg(max_by(state, struct(col("__us"), col(tieCol))).as("__last_state"))
+      .withColumn("__carry_state", lag(col("__last_state"), 1).over(wk))
+      .select(col(keyCol), col("__epoch"), col("__carry_state"))
+
+    // 1. compression: local lag for non-first rows; the carried
+    // state for each epoch's first row (null carry = first epoch of
+    // the key → always survives, like historize's first row)
+    val w = Window.partitionBy(col(keyCol), col("__epoch"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val survivors = l
+      .withColumn("__prev_state", lag(state, 1).over(w))
+      .join(carry, Seq(keyCol, "__epoch"), "left")
+      .where(
+        when(col("__prev_state").isNotNull, !(state <=> col("__prev_state")))
+          .otherwise(col("__carry_state").isNull ||
+            !(state <=> col("__carry_state"))))
+      .drop("__prev_state", "__carry_state")
+
+    // 2. reverse carry: next surviving epoch's first surviving time
+    val nextFirst = survivors.groupBy(col(keyCol), col("__epoch"))
+      .agg(min(col(tsCol)).as("__first_ts"))
+      .withColumn("__next_epoch_first", lead(col("__first_ts"), 1).over(wk))
+      .select(col(keyCol), col("__epoch"), col("__next_epoch_first"))
+
+    survivors
+      .withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+      .join(nextFirst, Seq(keyCol, "__epoch"), "left")
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to",
+        coalesce(col("__next_ts"), col("__next_epoch_first")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((changeLog.columns.toSeq ++
+        Seq("valid_from", "valid_to", "is_current")).map(col): _*)
+  }
+
   def historize(
       changeLog: DataFrame,
       keyCol: String,

@@ -281,6 +281,39 @@ object StreamingOps {
     }
   }
 
+  /** K1 as a STREAMING WRITE: an `AvailableNow` file stream over a
+    * landing directory appended into the WORK zone as parquet, with a
+    * checkpoint. Exactly-once across restarts and crashes: the
+    * checkpoint's file-source log skips inputs committed by any prior
+    * run, and the parquet sink's `_spark_metadata` log commits output
+    * files atomically per micro-batch (readers ignore orphans from a
+    * batch that died mid-write). `maxFilesPerTrigger` bounds a
+    * micro-batch, so recovery after downtime is paced instead of one
+    * giant batch. Returns once every currently-available file is
+    * committed; the caller then promotes WORK → TRUSTED (e.g.
+    * [[graft.operators.IncrementalPromote]], whose K2 upsert makes
+    * the promote leg idempotent too). */
+  def streamIngestToWork(
+      spark: SparkSession,
+      landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      workPath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .format("parquet")
+      .option("path", workPath)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming WORK-zone ingestion: the K1 append flow as a stream —
     * files landing in the WORK directory are discovered incrementally
     * (`maxFilesPerTrigger` paces recovery after downtime). */

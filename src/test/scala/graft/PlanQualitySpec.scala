@@ -171,6 +171,37 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lag-compress and lead-interval windows both align on the key:\n$plan")
   }
 
+  // The epoch-split pins target the serialization hazard itself: a
+  // window over the EVENT STREAM partitioned by the bare key and
+  // ordered by event time (windowspecdefinition(user_id, ts …)) is
+  // exactly the shape that pins a hot key's whole history to one
+  // task. The epoch forms may window on user_id alone only over the
+  // per-(key, epoch) SUMMARIES, which order by __epoch, never ts.
+  private def assertNoBareKeyTimeWindow(name: String): Unit = {
+    val plan = planOf(name)
+    assert(!"windowspecdefinition\\(user_id#\\d+L, ts#".r
+      .findFirstIn(plan).isDefined,
+      s"full-data window on the bare key defeats the epoch split:\n$plan")
+    assert(plan.contains("__epoch"),
+      s"(key, epoch) partitioning missing:\n$plan")
+  }
+
+  test("sessionize epochs: no event-stream window on the bare key") {
+    assertNoBareKeyTimeWindow("ext_sessionize_epochs")
+  }
+
+  test("scd2 epochs: no event-stream window on the bare key") {
+    assertNoBareKeyTimeWindow("ext_scd2_epochs")
+  }
+
+  test("scd2 enrich composite: no candidate-pair join (union-and-carry as-of)") {
+    val plan = planOf("ext_scd2_enrich")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of enrichment must stay the union-and-carry window form:\n$plan")
+    assert(plan.contains("Union"), s"union-and-carry missing:\n$plan")
+  }
+
   test("stratified sample rank-limits map-side before the shuffle") {
     val plan = planOf("ext_stratified_sample")
     val limits = "WindowGroupLimit".r.findAllIn(plan).length

@@ -90,6 +90,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming lake ingest: checkpoint restart processes each landed file exactly once") {
+    import graft.core.{Clock, DatasetRef, LakePaths}
+    import graft.operators.IncrementalPromote
+    import graft.streaming.StreamingOps
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamflow").toString
+    val lake = LakePaths(s"$root/lake")
+    val ref = DatasetRef("spec", "stream", "events")
+    val landing = s"$root/landing"
+    val ckpt = s"$root/ckpt"
+
+    val batch1 = Seq(
+      ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 00:02:00", 1, "view", 2.0)).toDF()
+    graft.sinks.ParquetAppend.write(batch1, landing)
+    StreamingOps.streamIngestToWork(
+      spark, landing, batch1.schema, lake.work(ref), ckpt)
+    val r1 = IncrementalPromote.run(spark, ref, lake,
+      skIds = Seq("event_id"), clock = Clock.ForOracle)
+    assert(r1.rowsMerged == 2)
+    assert(spark.read.parquet(lake.trusted(ref)).count() == 2)
+
+    // "crash": the first streaming query is gone. New files land; a
+    // NEW query on the SAME checkpoint must pick up only the unseen
+    // file — batch1's file is in the checkpoint's source log — and
+    // the K2 upsert replaces the overlapping sk instead of duplicating
+    val batch2 = Seq(
+      ev(2, "2024-01-01 00:02:00", 1, "view", 99.0), // same sk, new value
+      ev(3, "2024-01-01 00:03:00", 2, "click", 3.0)).toDF()
+    graft.sinks.ParquetAppend.write(batch2, landing)
+    StreamingOps.streamIngestToWork(
+      spark, landing, batch1.schema, lake.work(ref), ckpt)
+    val r2 = IncrementalPromote.run(spark, ref, lake,
+      skIds = Seq("event_id"), clock = Clock.ForOracle)
+    assert(r2.rowsMerged == 2) // only batch2's rows re-promoted
+    val trusted = spark.read.parquet(lake.trusted(ref))
+    assert(trusted.count() == 3) // no duplicate of event 2
+    assert(trusted.where($"event_id" === 2).select("value")
+      .as[Double].head() == 99.0) // upsert took the newer row
+    // WORK holds each landed row exactly once (no batch1 re-ingest)
+    assert(spark.read.parquet(lake.work(ref)).count() == 4)
+  }
+
   test("streaming sessions agree with batch sessionize at gap == threshold exactly") {
     // timestamps quantized to the gap — the boundary case where
     // session_window's strict-overlap merge (delta < gap) and the

@@ -291,6 +291,86 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("sessionizeEpochs matches sessionize for every epoch width") {
+    val rnd = new scala.util.Random(77)
+    // bursty: clustered timestamps so sessions span epoch cuts, plus
+    // long dead stretches so sessions also span EMPTY epochs when the
+    // width is below the gap
+    val rows = (1 to 600).map { i =>
+      val burst = rnd.nextInt(20)
+      (i.toLong, rnd.nextInt(5).toLong,
+        new Timestamp(1700000000000L + burst * 50000000L + rnd.nextInt(7200) * 1000L))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts")
+    def roll(out: DataFrame) = out
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n"))
+      .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+    val want = roll(Temporal.sessionize(df, "user_id", "ts", "event_id", 1800))
+    // widths below the gap (empty-epoch spanning), near it, far above
+    for (w <- Seq(600L, 1801L, 86400L)) {
+      val got = roll(Temporal.sessionizeEpochs(
+        df, "user_id", "ts", "event_id", gapSeconds = 1800, epochSeconds = w))
+      assert(got == want, s"epochSeconds=$w")
+    }
+  }
+
+  test("sessionizeEpochs: a session fully bridging several epochs telescopes to one id") {
+    val df = (0 until 50).map(i =>
+      (i.toLong, 1L, new Timestamp(1700000000000L + i * 60000L)))
+      .toDF("event_id", "user_id", "ts") // 1-min cadence, 50 min span
+    val out = Temporal.sessionizeEpochs(
+      df, "user_id", "ts", "event_id", gapSeconds = 120, epochSeconds = 300)
+      .select("session_id").as[Long].collect().toSet
+    assert(out == Set(1L)) // 10 epochs, every boundary bridged
+  }
+
+  test("historizeEpochs matches historize for every epoch width") {
+    val rnd = new scala.util.Random(55)
+    // few states → long no-op runs that cross epoch cuts; some
+    // same-instant ties; nullable states
+    val rows = (1 to 500).map { i =>
+      val st = rnd.nextInt(4) match {
+        case 0 => None
+        case s => Some(s"st$s")
+      }
+      (i.toLong, rnd.nextInt(4).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(300) * 977000L), st)
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "st")
+    def canon(out: DataFrame) = out
+      .select("event_id", "user_id", "ts", "st", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Timestamp, Option[String], Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSet
+    val want = canon(graft.operators.Scd2
+      .historize(df, "user_id", "ts", "event_id", Seq("st")))
+    for (w <- Seq(3600L, 86400L, 10000000L)) {
+      val got = canon(graft.operators.Scd2
+        .historizeEpochs(df, "user_id", "ts", "event_id", Seq("st"), epochSeconds = w))
+      assert(got == want, s"epochSeconds=$w")
+    }
+  }
+
+  test("historizeEpochs: no-op run spanning a whole epoch compresses across it") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 12:00:00"), "a"), // no-op
+      (3L, 1L, ts("2024-01-02 12:00:00"), "a"), // no-op, next epoch
+      (4L, 1L, ts("2024-01-03 06:00:00"), "b")  // real change, 2 epochs later
+    ).toDF("event_id", "user_id", "ts", "st")
+    val h = graft.operators.Scd2
+      .historizeEpochs(df, "user_id", "ts", "event_id", Seq("st"),
+        epochSeconds = 86400)
+      .select("st", "valid_from", "valid_to", "is_current")
+      .as[(String, Timestamp, Option[Timestamp], Boolean)].collect().sortBy(_._2.getTime)
+    assert(h.length == 2)
+    // a's interval runs to b's change time ACROSS the empty middle
+    // epoch (days 1-2 compressed away entirely)
+    assert(h(0) == (("a", ts("2024-01-01 00:00:00"),
+      Some(ts("2024-01-03 06:00:00")), false)))
+    assert(h(1) == (("b", ts("2024-01-03 06:00:00"), None, true)))
+  }
+
   // ── KMV sketch ───────────────────────────────────────────────────
 
   test("kmv below saturation is exactly countDistinct, per group") {
