@@ -176,7 +176,7 @@ object ScaleCheck {
           epochSeconds = 3600).count(),
         events, "event_id"),
       // cap_rolling's shape — bounded ROWS frame per key — under the
-      // same one-key stress (measured bound; no epoch variant yet)
+      // same one-key stress, plain vs last-W-context epoch split
       ("rolling_hot", (df: DataFrame) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -185,6 +185,12 @@ object ScaleCheck {
           .withColumn("avg7", avg(col("value")).over(w))
           .agg(count(lit(1))).collect().head.getLong(0)
       }, events, "event_id"),
+      ("rolling_epochs_hot", (df: DataFrame) =>
+        Temporal.rollingEpochs(df.withColumn("user_id", lit(7L)),
+          "user_id", "ts", "event_id", lookback = 6,
+          epochSeconds = 3600)(w => Seq(avg(col("value")).over(w).as("avg7")))
+          .agg(count(lit(1))).collect().head.getLong(0),
+        events, "event_id"),
       // distinct count fixed while rows grow k× — the sketch's state
       // stays ≤ k longs per group, so this should be ~scan-linear
       ("kmv_distinct", (df: DataFrame) =>

@@ -254,6 +254,19 @@ object SparkEntry {
           .as("sum_window"))
     }),
 
+    // Same truth through the skew-robust epoch-split rolling window
+    // (same frame oracle): hot keys parallelize across (key, epoch)
+    // with a last-W-rows context carry for cross-boundary frames
+    "cap_rolling_epochs" -> ((s, dir) =>
+      Temporal.rollingEpochs(
+        tbl(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        lookback = 3, epochSeconds = 86400)(w => Seq(
+        count(lit(1)).over(w).as("n_window"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+          .as("sum_window")))
+        .select("event_id", "user_id", "ts", "n_window", "sum_window")),
+
     // Pivot (dynamic-to-wide): per-user counts per event type. The
     // pivot values are pinned so the output schema is static — the
     // posture a 100 TB pipeline needs anyway (a discovery pass over
@@ -786,6 +799,16 @@ object SparkEntry {
       |  FROM lineitem)""".stripMargin,
     LineitemCols :+ "timestamp_kafka")
 
+  /** Shared by cap_rolling / cap_rolling_epochs — the plain and
+    * epoch-split frame windows must produce the same truth. */
+  private val rollingOracleSql: String =
+    """SELECT event_id, user_id, ts,
+      |  count(*) OVER w AS n_window,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_window
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Shared by ext_sessionize / ext_sessionize_epochs — the plain
     * and epoch-split engine formulations must produce the same
     * truth, so they share one oracle. */
@@ -972,13 +995,9 @@ object SparkEntry {
         |)
         |GROUP BY win_start, event_type""".stripMargin,
 
-    "cap_rolling" ->
-      """SELECT event_id, user_id, ts,
-        |  count(*) OVER w AS n_window,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_window
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "cap_rolling" -> rollingOracleSql,
+    // the epoch-split engine formulation must land on the same truth
+    "cap_rolling_epochs" -> rollingOracleSql,
 
     "cap_pivot" ->
       """SELECT user_id,

@@ -28,6 +28,14 @@ object Temporal {
       case _ => unix_micros(col(c))
     }
 
+  /** Fail with the contract, not a silent shadow: the epoch
+    * operators' internal plumbing owns these column names. */
+  private[graft] def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.filter(reserved.contains(_))
+    require(clash.isEmpty,
+      s"input uses reserved internal column names: ${clash.mkString(", ")}")
+  }
+
   /** As-of join: for every left row, the single most recent right
     * row with the same key and `right.time <= left.time` (inclusive;
     * `strict = true` uses `<`). Left rows with no candidate keep
@@ -321,6 +329,8 @@ object Temporal {
       epochSeconds: Long): DataFrame = {
     require(gapSeconds >= 0, s"gapSeconds must be non-negative, got $gapSeconds")
     require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
+    requireNoReserved(df, Seq("__us", "__epoch", "__new_s", "__ls",
+      "__first_us", "__last_us", "__n_sessions", "__merge", "__adj", "__delta"))
     val gm = gapSeconds * 1000000L
     val em = epochSeconds * 1000000L
     val l = df
@@ -360,6 +370,93 @@ object Temporal {
         Seq(keyCol, "__epoch"))
       .withColumn("session_id", col("__ls") + col("__delta"))
       .select((df.columns.toSeq :+ "session_id").map(col): _*)
+  }
+
+  /** Skew-robust frame-bounded rolling window: same semantics as a
+    * per-key `ROWS BETWEEN lookback PRECEDING AND CURRENT ROW` frame
+    * (`aggs` receives the WindowSpec and returns the aliased frame
+    * aggregates), but a single hot key no longer serializes inside
+    * one window partition — the epoch decomposition with a
+    * LAST-W-ROWS CONTEXT CARRY (W = lookback + 1):
+    *
+    *  1. candidate set: only the last W rows of each (key, epoch)
+    *     can appear in any later epoch's frames (a row with ≥ W
+    *     successors inside its own epoch is out of every later
+    *     frame) — extracted with a rank-limit the planner prunes
+    *     map-side (`WindowGroupLimit`);
+    *  2. context assignment: per key the candidates get a global
+    *     (time, tie) index — a bare-key window, but over ≤ W rows
+    *     per nonempty epoch, the summary scale every epoch operator
+    *     here uses — and epoch e's context is the index interval
+    *     (B_e − W, B_e], where B_e = candidates in epochs < e
+    *     (epochs sort by time, so the index interval IS the last W
+    *     rows before e); the interval explodes into W equi-join keys,
+    *     never a range join;
+    *  3. evaluate: union context copies (tagged, re-epoched to their
+    *     target) with the data, run the frame window per (key,
+    *     epoch), keep only real rows.
+    *
+    * Every row's frame then holds exactly its last `lookback`
+    * predecessors: in-epoch predecessors directly, cross-boundary
+    * ones via the carried context. Event times must be non-null.
+    */
+  def rollingEpochs(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      lookback: Int,
+      epochSeconds: Long)(
+      aggs: org.apache.spark.sql.expressions.WindowSpec => Seq[Column]): DataFrame = {
+    require(lookback >= 0, s"lookback must be non-negative, got $lookback")
+    require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
+    requireNoReserved(df, Seq("__us", "__epoch", "__ctx", "__rk", "__idx",
+      "__cnt", "__b", "__tgt"))
+    val w = lookback + 1
+    val em = epochSeconds * 1000000L
+    val l = df
+      .withColumn("__us", micros(df, tsCol))
+      .withColumn("__epoch", expr(s"__us div $em"))
+      .withColumn("__ctx", lit(false))
+
+    // 1. last W rows per (key, epoch) — map-side rank-limited
+    val wDesc = Window.partitionBy(col(keyCol), col("__epoch"))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val cand = l.withColumn("__rk", row_number().over(wDesc))
+      .where(col("__rk") <= w).drop("__rk")
+
+    // 2. global candidate index per key (tiny input); epoch bounds
+    val wkIdx = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val candIdx = cand.withColumn("__idx",
+      row_number().over(wkIdx).cast("long"))
+    val wk = Window.partitionBy(keyCol).orderBy(col("__epoch").asc)
+    val runk = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ctxKeys = candIdx.groupBy(col(keyCol), col("__epoch"))
+      .agg(count(lit(1)).as("__cnt"))
+      // B_e: candidates strictly before epoch e, in (time, tie) order
+      .withColumn("__b", sum(col("__cnt")).over(runk) - col("__cnt"))
+      .where(col("__b") > 0)
+      .select(col(keyCol), col("__epoch").as("__tgt"),
+        explode(sequence(greatest(col("__b") - w + 1, lit(1L)), col("__b")))
+          .as("__idx"))
+    val ctx = ctxKeys
+      .join(candIdx.drop("__epoch", "__ctx"), Seq(keyCol, "__idx"))
+      .drop("__idx")
+      .withColumnRenamed("__tgt", "__epoch")
+      .withColumn("__ctx", lit(true))
+
+    // 3. frame window per (key, epoch) over data + carried context
+    val unioned = l.unionByName(ctx.select(l.columns.map(col).toSeq: _*))
+    val frame = Window.partitionBy(col(keyCol), col("__epoch"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-lookback, Window.currentRow)
+    val aggCols = aggs(frame)
+    val withAggs = unioned.select(
+      unioned.columns.toSeq.map(col) ++ aggCols: _*)
+    val aggNames = withAggs.columns.takeRight(aggCols.length).toSeq
+    withAggs.where(!col("__ctx"))
+      .select((df.columns.toSeq ++ aggNames).map(col): _*)
   }
 
   /** Gap sessionization: per key, events ordered by (time, tie) are

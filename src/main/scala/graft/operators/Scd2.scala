@@ -71,6 +71,9 @@ object Scd2 {
       epochSeconds: Long): DataFrame = {
     require(stateCols.nonEmpty, "SCD2 needs at least one state column")
     require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
+    graft.ext.Temporal.requireNoReserved(changeLog, Seq("__us", "__epoch",
+      "__last_state", "__carry_state", "__prev_state", "__first_ts",
+      "__next_epoch_first", "__next_ts"))
     val em = epochSeconds * 1000000L
     val state: Column = struct(stateCols.map(col): _*)
     val l = changeLog

@@ -202,6 +202,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Union"), s"union-and-carry missing:\n$plan")
   }
 
+  test("rolling epochs: frame window carries __epoch; candidate cut is rank-limited") {
+    val plan = planOf("cap_rolling_epochs")
+    // the frame evaluation over the full data must partition by
+    // (key, epoch); the only bare-key ts-ordered window allowed is
+    // the candidate index, whose input the planner prunes to the
+    // last W rows per (key, epoch) map-side
+    assert(plan.contains("WindowGroupLimit"),
+      s"last-W candidate cut must rank-limit map-side:\n$plan")
+    assert("windowspecdefinition\\(user_id#\\d+L, __epoch#\\d+L, ts#".r
+      .findFirstIn(plan).isDefined,
+      s"frame window must partition on (key, epoch):\n$plan")
+  }
+
   test("stratified sample rank-limits map-side before the shuffle") {
     val plan = planOf("ext_stratified_sample")
     val limits = "WindowGroupLimit".r.findAllIn(plan).length

@@ -325,6 +325,46 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Set(1L)) // 10 epochs, every boundary bridged
   }
 
+  test("rollingEpochs matches the plain frame window for every epoch width") {
+    val rnd = new scala.util.Random(66)
+    val df = (1 to 800).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        rnd.nextInt(1000) / 10.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    def frameAggs(w: org.apache.spark.sql.expressions.WindowSpec) = Seq(
+      count(lit(1)).over(w).as("n_window"),
+      sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+        .as("sum_window"))
+    val plain = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-3, Window.currentRow)
+    val want = df.select(col("event_id") +: frameAggs(plain): _*)
+      .as[(Long, Long, Double)].collect().toSet
+    // widths: many rows per epoch; sparse epochs (some with < W rows,
+    // so context spans several epochs back); one epoch for everything
+    for (w <- Seq(120L, 3600L, 1000000L)) {
+      val got = Temporal.rollingEpochs(df, "user_id", "ts", "event_id",
+        lookback = 3, epochSeconds = w)(frameAggs)
+        .select("event_id", "n_window", "sum_window")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"epochSeconds=$w")
+    }
+  }
+
+  test("rollingEpochs: context reaches across epochs sparser than the frame") {
+    // one row per epoch — every frame must chain context through
+    // THREE distinct earlier epochs
+    val df = (0 until 10).map(i =>
+      (i.toLong, 1L, new Timestamp(1700000000000L + i * 3600000L), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.rollingEpochs(df, "user_id", "ts", "event_id",
+      lookback = 3, epochSeconds = 3600)(w =>
+      Seq(count(lit(1)).over(w).as("n_window")))
+      .select("event_id", "n_window").as[(Long, Long)].collect().toMap
+    assert(got == (0 until 10).map(i => i.toLong -> math.min(i + 1, 4).toLong).toMap)
+  }
+
   test("historizeEpochs matches historize for every epoch width") {
     val rnd = new scala.util.Random(55)
     // few states → long no-op runs that cross epoch cuts; some
