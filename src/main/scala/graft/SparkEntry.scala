@@ -149,6 +149,39 @@ object SparkEntry {
       MergeUpsert.merged(trusted, updates)
     }),
 
+    // Streaming MERGE into TRUSTED (foreachBatch): d8's update set
+    // replayed as a checkpointed multi-micro-batch stream, each batch
+    // K2-upserted into the trusted table — the final table must equal
+    // the batch merge truth (d8's oracle). Update sks are unique, so
+    // any file→batch split lands the same final state, and a
+    // re-delivered batch re-upserts identical rows (idempotent) —
+    // the exactly-once story a streaming CDC apply needs.
+    "flow_stream_merge" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-merge").toString
+      val base = dedupBase(s, dir)
+      val trustedPath = s"$root/trusted"
+      graft.sinks.MergeUpsert.mergeInto(
+        s, trustedPath, base.where(col("l_orderkey") % 2 === 0))
+      val landing = s"$root/landing"
+      base.where(col("l_orderkey") % 3 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 1000)
+        .repartition(3).write.parquet(landing)
+      val q = s.readStream.schema(s.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.sinks.MergeUpsert.mergeInto(s, trustedPath, batch))
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.read.parquet(trustedPath).localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // D9 — P1/P3/P6 chunk-tiling invariance: the union of per-interval
     // half-open extracts over the planner's chunk plan equals one full
     // scan. Boundary resolution (P4) and width selection (P1) run
@@ -297,6 +330,18 @@ object SparkEntry {
         .cube("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))),
+
+    // Explicit GROUPING SETS (the generalization rollup/cube
+    // specialize) — a non-hierarchical set list the DataFrame API
+    // doesn't expose, so it goes through the SQL surface like a user
+    // would; same Expand plan family
+    "cap_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "documents").createOrReplaceTempView("gs_documents")
+      s.sql("""SELECT source, lang, count(1) AS n_docs,
+              |  sum(n_chars) AS total_chars
+              |FROM gs_documents
+              |GROUP BY GROUPING SETS ((source), (lang))""".stripMargin)
+    }),
 
     // ── §7.4 training-data pipeline extensions ──────────────────────
 
@@ -763,6 +808,35 @@ object SparkEntry {
         tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
         strataCol = "source", idCol = "doc_id", n = 10)),
 
+    // Misra-Gries in its APPROXIMATE regime (k = 8 << 20 sources, so
+    // decrements fire), graded against the sketch's own guarantees:
+    // the engine joins its summary to the exact per-source counts and
+    // reports (a) every source with frequency > n/(k+1) survived and
+    // (b) every kept counter undercounts by at most n/(k+1); the
+    // oracle states the exact total and the expected verdicts — TRUE
+    // — so a decrement-logic regression past either bound flips a
+    // boolean and fails the hash compare, for any merge order.
+    // Same pattern as ext_quantiles_bound.
+    "ext_heavy_hitters_bound" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val hh = docs
+        .agg(graft.functions.MgSketch.topK(col("source"), k = 8).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("source"), col("h.cnt").as("mg_cnt"))
+      val exact = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      exact.join(hh, Seq("source"), "left").crossJoin(broadcast(tot))
+        .agg(
+          max(col("n")).as("n"),
+          // integer forms of cnt > n/9 and diff <= n/9 (k+1 = 9)
+          coalesce(min(when(col("cnt") * 9 > col("n"),
+            col("mg_cnt").isNotNull)), lit(true)).as("all_frequent_kept"),
+          coalesce(min(when(col("mg_cnt").isNotNull,
+            col("cnt") - col("mg_cnt") >= 0 &&
+              (col("cnt") - col("mg_cnt")) * 9 <= col("n"))), lit(true))
+            .as("counts_within_bound"))
+    }),
+
     // Misra-Gries heavy hitters at k = 64 > |langs| (5): below
     // capacity no decrement ever fires, so the sketch IS the exact
     // GROUP BY histogram and the oracle gates the full
@@ -798,6 +872,16 @@ object SparkEntry {
       |  SELECT *, md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS sk
       |  FROM lineitem)""".stripMargin,
     LineitemCols :+ "timestamp_kafka")
+
+  /** Shared by d8_merge / flow_stream_merge: the K2 upsert lands the
+    * same truth whether the update set arrives as one batch or as a
+    * checkpointed stream of micro-batches. */
+  private lazy val mergeOracleSql: String =
+    s"""WITH base AS ($dedupBaseSql),
+       |t AS (SELECT * FROM base WHERE l_orderkey % 2 = 0),
+       |u AS (SELECT * REPLACE (l_quantity + 1000 AS l_quantity) FROM base WHERE l_orderkey % 3 = 0)
+       |SELECT * FROM t WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.sk = t.sk)
+       |UNION ALL SELECT * FROM u""".stripMargin
 
   /** Shared by cap_rolling / cap_rolling_epochs — the plain and
     * epoch-split frame windows must produce the same truth. */
@@ -951,12 +1035,9 @@ object SparkEntry {
     // the streaming K1 staging must land the batch promote's truth
     "flow_stream_ingest" -> promoteOracleSql,
 
-    "d8_merge" ->
-      s"""WITH base AS ($dedupBaseSql),
-         |t AS (SELECT * FROM base WHERE l_orderkey % 2 = 0),
-         |u AS (SELECT * REPLACE (l_quantity + 1000 AS l_quantity) FROM base WHERE l_orderkey % 3 = 0)
-         |SELECT * FROM t WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.sk = t.sk)
-         |UNION ALL SELECT * FROM u""".stripMargin,
+    "d8_merge" -> mergeOracleSql,
+    // the streaming foreachBatch merge must land the batch K2 truth
+    "flow_stream_merge" -> mergeOracleSql,
 
     "d9_chunk_invariance" -> "SELECT * FROM orders",
 
@@ -1019,6 +1100,18 @@ object SparkEntry {
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY CUBE(source, lang)""".stripMargin,
+
+    "cap_grouping_sets" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY GROUPING SETS ((source), (lang))""".stripMargin,
+
+    // approximate-regime MG: oracle states the exact total and the
+    // expected bound verdicts (see engine-side comment)
+    "ext_heavy_hitters_bound" ->
+      """SELECT count(*) AS n,
+        |  TRUE AS all_frequent_kept, TRUE AS counts_within_bound
+        |FROM documents""".stripMargin,
 
     "cap_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
