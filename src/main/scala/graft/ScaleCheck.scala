@@ -149,6 +149,26 @@ object ScaleCheck {
           gapSeconds = 7200)
           .groupBy("user_id", "session_id").count().count(),
         events, "event_id"),
+      // uniform-key growth of the epoch escape hatches (their
+      // absolute overhead vs the plain forms is in BENCH_BASELINE;
+      // this pins that the DECOMPOSITION itself scales linearly)
+      ("sessionize_epochs", (df: DataFrame) =>
+        Temporal.sessionizeEpochs(df, "user_id", "ts", "event_id",
+          gapSeconds = 7200, epochSeconds = 3600)
+          .groupBy("user_id", "session_id").count().count(),
+        events, "event_id"),
+      ("scd2_epochs", (df: DataFrame) =>
+        graft.operators.Scd2.historizeEpochs(
+          df.select("user_id", "event_id", "ts", "event_type"),
+          "user_id", "ts", "event_id", Seq("event_type"),
+          epochSeconds = 86400).count(),
+        events, "event_id"),
+      ("rolling_epochs", (df: DataFrame) =>
+        Temporal.rollingEpochs(df, "user_id", "ts", "event_id",
+          lookback = 6, epochSeconds = 86400)(w =>
+          Seq(avg(col("value")).over(w).as("avg7")))
+          .agg(count(lit(1))).collect().head.getLong(0),
+        events, "event_id"),
       // ONE key holds the whole stream: the plain per-key window
       // serializes; the epoch split parallelizes across (key, epoch)
       ("sessionize_hot", (df: DataFrame) =>
