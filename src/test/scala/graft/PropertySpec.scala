@@ -194,6 +194,86 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ── epoch-split ≡ plain, for ARBITRARY data / gaps / widths ──────
+  // The fixed-seed TemporalSpec parity tests pin known edge shapes
+  // (boundary merges, empty-epoch spans, compression runs); these
+  // sweep the parameter space so an epoch-arithmetic off-by-one that
+  // happens to miss those seeds still gets caught.
+
+  test("sessionizeEpochs equals sessionize for arbitrary data, gaps and widths") {
+    val evGen = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n,
+      for {
+        k <- Gen.chooseNum(0L, 3L)
+        t <- Gen.chooseNum(0L, 50000L)
+      } yield (k, t)))
+    forAll(evGen, Gen.oneOf((30L, 7L), (30L, 600L), (600L, 40L), (600L, 86400L)),
+      cases = 10) { (evs, gw) =>
+      val (gap, width) = gw
+      val df = evs.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(1700000000000L + t * 1000)) }
+        .toDF("event_id", "user_id", "ts")
+      def canon(out: org.apache.spark.sql.DataFrame) = out
+        .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+      val want = canon(graft.ext.Temporal
+        .sessionize(df, "user_id", "ts", "event_id", gapSeconds = gap))
+      val got = canon(graft.ext.Temporal.sessionizeEpochs(
+        df, "user_id", "ts", "event_id", gapSeconds = gap, epochSeconds = width))
+      assert(got == want, s"gap=$gap width=$width")
+    }
+  }
+
+  test("historizeEpochs equals historize for arbitrary change logs and widths") {
+    val logGen = Gen.chooseNum(2, 50).flatMap(n => Gen.listOfN(n,
+      for {
+        k <- Gen.chooseNum(0L, 2L)
+        t <- Gen.chooseNum(0L, 40000L)
+        st <- Gen.oneOf(Some("a"), Some("b"), None) // few states → long runs
+      } yield (k, t, st)))
+    forAll(logGen, Gen.oneOf(13L, 900L, 86400L), cases = 10) { (log, width) =>
+      val df = log.zipWithIndex.map { case ((k, t, st), i) =>
+        (i.toLong, k, new java.sql.Timestamp(1700000000000L + t * 1000), st) }
+        .toDF("event_id", "user_id", "ts", "st")
+      def canon(out: org.apache.spark.sql.DataFrame) = out
+        .select("event_id", "valid_from", "valid_to", "is_current")
+        .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+        .collect().toSet
+      val want = canon(graft.operators.Scd2
+        .historize(df, "user_id", "ts", "event_id", Seq("st")))
+      val got = canon(graft.operators.Scd2
+        .historizeEpochs(df, "user_id", "ts", "event_id", Seq("st"), width))
+      assert(got == want, s"width=$width")
+    }
+  }
+
+  test("rollingEpochs equals the plain frame window for arbitrary data, frames and widths") {
+    val evGen = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n,
+      for {
+        k <- Gen.chooseNum(0L, 2L)
+        t <- Gen.chooseNum(0L, 50000L)
+        v <- Gen.chooseNum(0, 1000)
+      } yield (k, t, v)))
+    forAll(evGen, Gen.oneOf((0, 60L), (2, 13L), (5, 900L), (3, 86400L)),
+      cases = 10) { (evs, fw) =>
+      val (lookback, width) = fw
+      val df = evs.zipWithIndex.map { case ((k, t, v), i) =>
+        (i.toLong, k, new java.sql.Timestamp(1700000000000L + t * 1000), v / 10.0) }
+        .toDF("event_id", "user_id", "ts", "value")
+      def frameAggs(w: org.apache.spark.sql.expressions.WindowSpec) = Seq(
+        count(lit(1)).over(w).as("n_w"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("s_w"))
+      val plain = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-lookback, org.apache.spark.sql.expressions.Window.currentRow)
+      val want = df.select(col("event_id") +: frameAggs(plain): _*)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = graft.ext.Temporal.rollingEpochs(
+        df, "user_id", "ts", "event_id", lookback, width)(frameAggs)
+        .select("event_id", "n_w", "s_w")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"lookback=$lookback width=$width")
+    }
+  }
+
   test("sessionize invariants: monotone ids, gap rule at every cut") {
     val evGen = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n,
       for {
