@@ -411,6 +411,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(h(1) == (("b", ts("2024-01-03 06:00:00"), None, true)))
   }
 
+  test("epoch-split operators accept empty inputs") {
+    val emptyEv = Seq.empty[(Long, Long, Timestamp)]
+      .toDF("event_id", "user_id", "ts")
+    assert(Temporal.sessionizeEpochs(
+      emptyEv, "user_id", "ts", "event_id", 1800, 3600).count() == 0)
+    val emptyLog = Seq.empty[(Long, Long, Timestamp, String)]
+      .toDF("event_id", "user_id", "ts", "st")
+    assert(graft.operators.Scd2.historizeEpochs(
+      emptyLog, "user_id", "ts", "event_id", Seq("st"), 3600).count() == 0)
+    assert(Temporal.rollingEpochs(
+      emptyEv.withColumn("value", lit(0.0)),
+      "user_id", "ts", "event_id", 3, 3600)(w =>
+      Seq(count(lit(1)).over(w).as("n"))).count() == 0)
+  }
+
   // ── KMV sketch ───────────────────────────────────────────────────
 
   test("kmv below saturation is exactly countDistinct, per group") {
