@@ -345,6 +345,25 @@ object SparkEntry {
 
     // ── §7.4 training-data pipeline extensions ──────────────────────
 
+    // JSONL corpus round-trip: the documents table exported to
+    // gzipped JSONL (the interchange format corpora arrive in) and
+    // read back through the schema-enforced, quarantine-not-crash
+    // reader — must hash-match the parquet truth exactly (JSON
+    // string escaping, unicode, BIGINT fidelity, null fields).
+    "ext_jsonl_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-jsonl").toString
+      val docs = tbl(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      graft.sources.CorpusIO.writeJsonl(docs.repartition(4), s"$root/docs")
+      val out = graft.sources.CorpusIO.clean(
+        graft.sources.CorpusIO.readJsonl(s, s"$root/docs", docs.schema))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Text analysis: sizes, token counts, punctuation, fingerprints
     "ext_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(tbl(s, dir, "documents"))),
@@ -1118,6 +1137,9 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "ext_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "ext_text_stats" ->
       s"""SELECT doc_id,

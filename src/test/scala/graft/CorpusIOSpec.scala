@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.CorpusIO
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusIOSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  test("JSONL round-trip preserves escapes, unicode and nulls exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpusio").toString
+    val docs = Seq(
+      (1L, "plain text", Some("en")),
+      (2L, "line\nbreak \"quoted\" tab\there", Some("en")),
+      (3L, "ünïcödé — 中文 🙂", None),
+      (4L, "", Some("fr"))
+    ).toDF("doc_id", "text", "lang")
+    CorpusIO.writeJsonl(docs, s"$dir/out")
+    val back = CorpusIO.clean(CorpusIO.readJsonl(spark, s"$dir/out", schema))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(back == docs.as[(Long, String, Option[String])].collect().toSet)
+  }
+
+  test("malformed lines quarantine into _corrupt instead of failing the read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpusio2")
+    val f = dir.resolve("part.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "good", "lang": "en"}
+        |this is not json at all
+        |{"doc_id": 2, "text": "also good", "lang": "de"}
+        |""".stripMargin)
+    // cache before splitting: corrupt-only-pruned plans over a RAW
+    // json scan are disallowed (see readJsonl doc)
+    val raw = CorpusIO.readJsonl(spark, f.toString, schema).cache()
+    try {
+      assert(CorpusIO.clean(raw).count() == 2)
+      val bad = CorpusIO.corrupt(raw).collect()
+        .map(_.getAs[String](CorpusIO.CorruptColumn))
+      assert(bad.toSeq == Seq("this is not json at all"))
+    } finally {
+      raw.unpersist()
+      ()
+    }
+  }
+
+  test("a schema already containing the audit column is rejected up front") {
+    val err = intercept[IllegalArgumentException] {
+      CorpusIO.readJsonl(spark, "/nonexistent",
+        schema.add(CorpusIO.CorruptColumn, StringType))
+    }
+    assert(err.getMessage.contains(CorpusIO.CorruptColumn))
+  }
+}
