@@ -364,6 +364,23 @@ object SparkEntry {
       out
     }),
 
+    // CSV tabular round-trip: the full lineitem table exported to
+    // gzipped CSV and read back through the schema-enforced reader —
+    // must hash-match the parquet truth (quoting, \N null sentinel,
+    // double shortest-round-trip repr, NTZ timestamp format).
+    "ext_csv_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-csv").toString
+      val li = tbl(s, dir, "lineitem")
+      graft.sources.CorpusIO.writeCsv(li.repartition(4), s"$root/li")
+      val out = graft.sources.CorpusIO.clean(
+        graft.sources.CorpusIO.readCsv(s, s"$root/li", li.schema))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Text analysis: sizes, token counts, punctuation, fingerprints
     "ext_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(tbl(s, dir, "documents"))),
@@ -1140,6 +1157,8 @@ object SparkEntry {
 
     "ext_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "ext_csv_roundtrip" -> "SELECT * FROM lineitem",
 
     "ext_text_stats" ->
       s"""SELECT doc_id,

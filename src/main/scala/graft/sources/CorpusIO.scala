@@ -67,4 +67,35 @@ object CorpusIO {
   def writeJsonl(df: DataFrame, path: String, compression: String = "gzip"): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("compression", compression).json(path)
+
+  /** CSV sentinel for NULL: an unquoted `\N` (the classic
+    * mysqldump/Hive convention) disambiguates NULL from the empty
+    * string, which CSV otherwise conflates. */
+  private val NullToken = "\\N"
+
+  /** CSV read with the same posture as [[readJsonl]]: explicit
+    * schema, PERMISSIVE quarantine into `_corrupt` (a row with the
+    * wrong shape or an unparseable field degrades to an auditable
+    * row), `\N` as the NULL sentinel. Headers are validated against
+    * the schema by position (enforceSchema default) — CSV is for
+    * TABULAR interchange; corpora with embedded newlines belong in
+    * JSONL. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptColumn),
+      s"schema already contains the $CorruptColumn audit column")
+    spark.read
+      .schema(schema.add(CorruptColumn, StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptColumn)
+      .option("nullValue", NullToken)
+      .csv(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, compression: String = "gzip"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("compression", compression)
+      .option("nullValue", NullToken)
+      .csv(path)
 }

@@ -49,6 +49,50 @@ class CorpusIOSpec extends AnyFunSuite {
     }
   }
 
+  test("CSV round-trip preserves quoting, the null sentinel, and numeric fidelity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpusio3").toString
+    val rows = Seq(
+      (1L, Some("has,comma"), Some(1.5)),
+      (2L, Some("has \"quotes\" inside"), Some(0.1 + 0.2)), // non-representable double
+      (3L, None, None),
+      (4L, Some(""), Some(-0.0))                             // empty string ≠ NULL
+    ).toDF("id", "s", "v")
+    CorpusIO.writeCsv(rows, s"$dir/out")
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val back = CorpusIO.clean(CorpusIO.readCsv(spark, s"$dir/out", sch))
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    val want = rows.as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(back == want) // bit-exact doubles incl. -0.0; "" stays "" and null stays null
+  }
+
+  test("malformed CSV rows quarantine into _corrupt") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpusio4")
+    val f = dir.resolve("part.csv")
+    java.nio.file.Files.writeString(f,
+      """id,s,v
+        |1,good,2.5
+        |not-a-long,bad,xyz
+        |3,fine,\N
+        |""".stripMargin)
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val raw = CorpusIO.readCsv(spark, f.toString, sch).cache()
+    try {
+      assert(CorpusIO.clean(raw).count() == 2)
+      val bad = CorpusIO.corrupt(raw).collect()
+        .map(_.getAs[String](CorpusIO.CorruptColumn))
+      assert(bad.toSeq == Seq("not-a-long,bad,xyz"))
+    } finally {
+      raw.unpersist()
+      ()
+    }
+  }
+
   test("a schema already containing the audit column is rejected up front") {
     val err = intercept[IllegalArgumentException] {
       CorpusIO.readJsonl(spark, "/nonexistent",
