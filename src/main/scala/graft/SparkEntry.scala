@@ -381,6 +381,23 @@ object SparkEntry {
       out
     }),
 
+    // ORC lake-format interop: the other columnar format a migrating
+    // lake holds data in (the ORC jars ship with the runtime; Avro's
+    // connector module does not). Full lineitem written to ORC and
+    // read back with the explicit schema must hash-match the parquet
+    // truth — NTZ timestamps, doubles, decimals-as-doubles.
+    "ext_orc_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-orc").toString
+      val li = tbl(s, dir, "lineitem")
+      li.repartition(4).write.orc(s"$root/li")
+      val out = s.read.schema(li.schema).orc(s"$root/li")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Text analysis: sizes, token counts, punctuation, fingerprints
     "ext_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(tbl(s, dir, "documents"))),
@@ -1159,6 +1176,7 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "ext_csv_roundtrip" -> "SELECT * FROM lineitem",
+    "ext_orc_roundtrip" -> "SELECT * FROM lineitem",
 
     "ext_text_stats" ->
       s"""SELECT doc_id,
