@@ -154,6 +154,12 @@ object Temporal {
       rightTime: String,
       epochSeconds: Long): DataFrame = {
     require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
+    // fail with the contract, not a silent shadow (asOfJoin itself
+    // guards its own __t/__ord/… names on the pass-1 call)
+    val reserved = Seq("__epoch", "__best", "__carry", "__matched",
+      "__us_l", "__us_r", "__repoch")
+    requireNoReserved(left, reserved)
+    requireNoReserved(right, reserved)
     val epochMicros = epochSeconds * 1000000L
     // the payload columns BESIDES rightTime — it is prepended
     // explicitly wherever the full payload is named below
@@ -330,7 +336,8 @@ object Temporal {
     require(gapSeconds >= 0, s"gapSeconds must be non-negative, got $gapSeconds")
     require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
     requireNoReserved(df, Seq("__us", "__epoch", "__new_s", "__ls",
-      "__first_us", "__last_us", "__n_sessions", "__merge", "__adj", "__delta"))
+      "__first_us", "__last_us", "__n_sessions", "__merge", "__adj", "__delta",
+      "__k", "__e"))
     val gm = gapSeconds * 1000000L
     val em = epochSeconds * 1000000L
     val l = df
@@ -364,10 +371,13 @@ object Temporal {
       .withColumn("__delta",
         sum(col("__adj")).over(runk) - col("__adj") - col("__merge"))
 
-    // 3. renumber
+    // 3. renumber — null-safe on the key: Window.partitionBy groups
+    // NULL keys together (the plain form sessionizes them), so the
+    // join back must match them too or they'd silently vanish
     local
-      .join(adj.select(col(keyCol), col("__epoch"), col("__delta")),
-        Seq(keyCol, "__epoch"))
+      .join(adj.select(col(keyCol).as("__k"), col("__epoch").as("__e"),
+          col("__delta")),
+        col(keyCol) <=> col("__k") && col("__epoch") === col("__e"))
       .withColumn("session_id", col("__ls") + col("__delta"))
       .select((df.columns.toSeq :+ "session_id").map(col): _*)
   }
@@ -411,7 +421,7 @@ object Temporal {
     require(lookback >= 0, s"lookback must be non-negative, got $lookback")
     require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
     requireNoReserved(df, Seq("__us", "__epoch", "__ctx", "__rk", "__idx",
-      "__cnt", "__b", "__tgt"))
+      "__cnt", "__b", "__tgt", "__k", "__i"))
     val w = lookback + 1
     val em = epochSeconds * 1000000L
     val l = df
@@ -440,9 +450,13 @@ object Temporal {
       .select(col(keyCol), col("__epoch").as("__tgt"),
         explode(sequence(greatest(col("__b") - w + 1, lit(1L)), col("__b")))
           .as("__idx"))
+    // null-safe on the key: the plain frame window treats NULL keys
+    // as one group, so carried context must reach them too
     val ctx = ctxKeys
-      .join(candIdx.drop("__epoch", "__ctx"), Seq(keyCol, "__idx"))
-      .drop("__idx")
+      .join(candIdx.drop("__epoch", "__ctx")
+          .withColumnRenamed(keyCol, "__k").withColumnRenamed("__idx", "__i"),
+        col(keyCol) <=> col("__k") && col("__idx") === col("__i"))
+      .drop("__idx", "__i", "__k")
       .withColumnRenamed("__tgt", "__epoch")
       .withColumn("__ctx", lit(true))
 

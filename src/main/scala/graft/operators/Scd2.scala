@@ -73,7 +73,7 @@ object Scd2 {
     require(epochSeconds > 0, s"epochSeconds must be positive, got $epochSeconds")
     graft.ext.Temporal.requireNoReserved(changeLog, Seq("__us", "__epoch",
       "__last_state", "__carry_state", "__prev_state", "__first_ts",
-      "__next_epoch_first", "__next_ts"))
+      "__next_epoch_first", "__next_ts", "__k", "__e"))
     val em = epochSeconds * 1000000L
     val state: Column = struct(stateCols.map(col): _*)
     val l = changeLog
@@ -83,10 +83,15 @@ object Scd2 {
     // carry: previous nonempty epoch's last raw state (== its last
     // surviving state: compression only drops state-preserving rows)
     val wk = Window.partitionBy(keyCol).orderBy(col("__epoch").asc)
+    // key columns renamed in the summaries so the joins back can be
+    // null-safe: Window.partitionBy groups NULL keys together (the
+    // plain historize compresses them as one key), so the carry must
+    // reach them too
     val carry = l.groupBy(col(keyCol), col("__epoch"))
       .agg(max_by(state, struct(col("__us"), col(tieCol))).as("__last_state"))
       .withColumn("__carry_state", lag(col("__last_state"), 1).over(wk))
-      .select(col(keyCol), col("__epoch"), col("__carry_state"))
+      .select(col(keyCol).as("__k"), col("__epoch").as("__e"),
+        col("__carry_state"))
 
     // 1. compression: local lag for non-first rows; the carried
     // state for each epoch's first row (null carry = first epoch of
@@ -95,22 +100,25 @@ object Scd2 {
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     val survivors = l
       .withColumn("__prev_state", lag(state, 1).over(w))
-      .join(carry, Seq(keyCol, "__epoch"), "left")
+      .join(carry, col(keyCol) <=> col("__k") && col("__epoch") === col("__e"),
+        "left")
       .where(
         when(col("__prev_state").isNotNull, !(state <=> col("__prev_state")))
           .otherwise(col("__carry_state").isNull ||
             !(state <=> col("__carry_state"))))
-      .drop("__prev_state", "__carry_state")
+      .drop("__prev_state", "__carry_state", "__k", "__e")
 
     // 2. reverse carry: next surviving epoch's first surviving time
     val nextFirst = survivors.groupBy(col(keyCol), col("__epoch"))
       .agg(min(col(tsCol)).as("__first_ts"))
       .withColumn("__next_epoch_first", lead(col("__first_ts"), 1).over(wk))
-      .select(col(keyCol), col("__epoch"), col("__next_epoch_first"))
+      .select(col(keyCol).as("__k"), col("__epoch").as("__e"),
+        col("__next_epoch_first"))
 
     survivors
       .withColumn("__next_ts", lead(col(tsCol), 1).over(w))
-      .join(nextFirst, Seq(keyCol, "__epoch"), "left")
+      .join(nextFirst,
+        col(keyCol) <=> col("__k") && col("__epoch") === col("__e"), "left")
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to",
         coalesce(col("__next_ts"), col("__next_epoch_first")))

@@ -76,16 +76,19 @@ object CorpusIO {
   /** CSV read with the same posture as [[readJsonl]]: explicit
     * schema, PERMISSIVE quarantine into `_corrupt` (a row with the
     * wrong shape or an unparseable field degrades to an auditable
-    * row), `\N` as the NULL sentinel. Headers are validated against
-    * the schema by position (enforceSchema default) — CSV is for
-    * TABULAR interchange; corpora with embedded newlines belong in
-    * JSONL. */
+    * row), `\N` as the NULL sentinel. `enforceSchema=false` makes
+    * Spark actually CHECK each file's header names against the schema
+    * (the default merely skips the header and binds columns strictly
+    * by position, silently misreading a column-reordered file) — CSV
+    * is for TABULAR interchange; corpora with embedded newlines
+    * belong in JSONL. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptColumn),
       s"schema already contains the $CorruptColumn audit column")
     spark.read
       .schema(schema.add(CorruptColumn, StringType))
       .option("header", "true")
+      .option("enforceSchema", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptColumn)
       .option("nullValue", NullToken)

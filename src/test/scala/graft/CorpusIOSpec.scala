@@ -65,7 +65,36 @@ class CorpusIOSpec extends AnyFunSuite {
     val back = CorpusIO.clean(CorpusIO.readCsv(spark, s"$dir/out", sch))
       .as[(Long, Option[String], Option[Double])].collect().toSet
     val want = rows.as[(Long, Option[String], Option[Double])].collect().toSet
-    assert(back == want) // bit-exact doubles incl. -0.0; "" stays "" and null stays null
+    assert(back == want) // "" stays "" and null stays null
+    // pin the SIGN of zero explicitly: boxed-Double == (what Set
+    // equality above uses) treats -0.0 == 0.0, so only the raw bits
+    // prove the round-trip kept the negative zero
+    val v4 = CorpusIO.clean(CorpusIO.readCsv(spark, s"$dir/out", sch))
+      .where($"id" === 4L).as[(Long, Option[String], Option[Double])]
+      .collect().head._3.get
+    assert(java.lang.Double.doubleToLongBits(v4) ==
+      java.lang.Double.doubleToLongBits(-0.0))
+  }
+
+  test("readCsv verifies each file's header names against the schema") {
+    // enforceSchema=false: a column-reordered file must FAIL, not be
+    // silently misread by position
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpusio5")
+    val f = dir.resolve("part.csv")
+    java.nio.file.Files.writeString(f,
+      """s,id,v
+        |good,1,2.5
+        |""".stripMargin)
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val err = intercept[Exception] {
+      CorpusIO.readCsv(spark, f.toString, sch).collect()
+    }
+    val all = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => String.valueOf(e.getMessage)).mkString(" ")
+    assert(all.toLowerCase.contains("header"))
   }
 
   test("malformed CSV rows quarantine into _corrupt") {

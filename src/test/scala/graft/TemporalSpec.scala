@@ -182,6 +182,21 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoinEpochs rejects reserved internal column names in either input") {
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "t", "__epoch")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), 2L)).toDF("k", "rt", "p")
+    val err = intercept[IllegalArgumentException] {
+      Temporal.asOfJoinEpochs(left, right, Seq("k"), "t", "rt", 3600)
+    }
+    assert(err.getMessage.contains("__epoch"))
+    val right2 = Seq((1L, ts("2024-01-01 00:00:00"), 2L)).toDF("k", "rt", "__carry")
+    val err2 = intercept[IllegalArgumentException] {
+      Temporal.asOfJoinEpochs(left.withColumnRenamed("__epoch", "tag"),
+        right2, Seq("k"), "t", "rt", 3600)
+    }
+    assert(err2.getMessage.contains("__carry"))
+  }
+
   test("asOfJoin rejects reserved internal column names in either input") {
     val left = Seq((1L, ts("2024-01-01 00:00:00"), "x")).toDF("k", "t", "__lrow")
     val right = Seq((1L, ts("2024-01-01 00:00:00"), 2L)).toDF("k", "rt", "p")
@@ -409,6 +424,58 @@ class TemporalSpec extends AnyFunSuite {
     assert(h(0) == (("a", ts("2024-01-01 00:00:00"),
       Some(ts("2024-01-03 06:00:00")), false)))
     assert(h(1) == (("b", ts("2024-01-03 06:00:00"), None, true)))
+  }
+
+  test("epoch-split operators keep NULL-key rows, matching their plain forms") {
+    // Window.partitionBy treats NULL as a group, so the plain forms
+    // sessionize/frame/compress null-key rows as one key; the epoch
+    // forms' join-backs are null-safe (<=>) so they must agree.
+    val rnd = new scala.util.Random(31)
+    val ev = (1 to 300).map { i =>
+      val k = if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(3).toLong)
+      (i.toLong, k, new Timestamp(1700000000000L + rnd.nextInt(50000) * 1000L))
+    }.toDF("event_id", "user_id", "ts")
+
+    // sessionize: null-key rows must appear AND session-number together
+    val sessWant = Temporal.sessionize(ev, "user_id", "ts", "event_id", 1800)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    val sessGot = Temporal.sessionizeEpochs(
+      ev, "user_id", "ts", "event_id", gapSeconds = 1800, epochSeconds = 600)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(sessGot == sessWant)
+    assert(sessGot.size == 300) // nothing vanished
+
+    // rolling frame: cross-epoch context must reach null-key rows
+    val evv = ev.withColumn("value", col("event_id").cast("double"))
+    def frameAggs(w: org.apache.spark.sql.expressions.WindowSpec) =
+      Seq(count(lit(1)).over(w).as("n_window"))
+    val plain = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-3, Window.currentRow)
+    val rollWant = evv.select(col("event_id") +: frameAggs(plain): _*)
+      .as[(Long, Long)].collect().toMap
+    val rollGot = Temporal.rollingEpochs(evv, "user_id", "ts", "event_id",
+      lookback = 3, epochSeconds = 600)(frameAggs)
+      .select("event_id", "n_window").as[(Long, Long)].collect().toMap
+    assert(rollGot == rollWant)
+
+    // SCD2: null-key change log compresses and terminates identically
+    val log = (1 to 200).map { i =>
+      val k = if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(2).toLong)
+      (i.toLong, k, new Timestamp(1700000000000L + rnd.nextInt(200) * 977000L),
+        s"st${rnd.nextInt(3)}")
+    }.toDF("event_id", "user_id", "ts", "st")
+    def canon(out: DataFrame) = out
+      .select("event_id", "user_id", "st", "valid_from", "valid_to", "is_current")
+      .as[(Long, Option[Long], String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSet
+    val scdWant = canon(graft.operators.Scd2
+      .historize(log, "user_id", "ts", "event_id", Seq("st")))
+    val scdGot = canon(graft.operators.Scd2
+      .historizeEpochs(log, "user_id", "ts", "event_id", Seq("st"),
+        epochSeconds = 86400))
+    assert(scdGot == scdWant)
+    assert(scdGot.exists(_._2.isEmpty)) // null-key intervals present
   }
 
   test("epoch-split operators accept empty inputs") {
