@@ -95,10 +95,16 @@ object Bench {
       require(n1 == n2, s"sweep order mismatch: $n1 vs $n2")
       n1 -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
-    val qs = all.map { case (k, v) => graft.core.Json.quote(k) + ":" + v }
+    // ms precision keeps the line compact enough that tail-capturing
+    // log scrapers (the driver keeps a bounded tail buffer) never
+    // truncate the per-query map — r7's full-precision doubles pushed
+    // the line past the buffer and lost the first 16 entries.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = all.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}"""
     // sbt's logger wraps stdout in [info]/[success] decoration, which
     // made round 1's bench line unparseable ("parsed": null). Persist
     // the metric to a stable file the harness can read directly, then

@@ -585,6 +585,40 @@ object SparkEntry {
         candidateK = Int.MaxValue)
     }),
 
+    // IVF in its APPROXIMATE regime (nProbe = 8 of 16 cells), driver-
+    // graded against the engine's own exact brute-force truth — the
+    // ext_quantiles_bound pattern for the ANN family: the engine joins
+    // its partial-probe top-k to the exact top-k, counts per-query
+    // hits, and declares (a) exactly n_exact rows came back per query
+    // (the bucket machinery loses and fabricates nothing) and (b)
+    // recall@10 >= 0.6 per query. The oracle states the query ids, the
+    // exact-side counts, and the expected verdicts — all TRUE — so a
+    // regression in cell assignment, centroid ranking, or probe
+    // selection flips a boolean and fails the hash compare. The bound:
+    // probing half the cells blind would land ~0.5 recall on the
+    // near-isotropic fixture; centroid-ranked probes measure 0.7–1.0
+    // per query at sf0.001/0.01/0.1 (min 7 hits), so >= 6 separates
+    // the geometry-aware regime from a broken probe order at every
+    // verified scale. Everything is seeded/deterministic, so the
+    // verdicts are stable for any partition or merge order.
+    "ext_ann_ivf_bound" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val ivf = IvfSearch.topK(q,
+        IvfSearch.buildIndex(e, nCells = 16), k = 10, nProbe = 8)
+      val exact = SimilaritySearch.bruteForceTopK(q, e, k = 10)
+      val perQ = exact
+        .join(ivf.select(col("q_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__hits"))
+      val returned = ivf.groupBy("q_id").agg(count(lit(1)).as("__n_ret"))
+      perQ.join(returned, Seq("q_id"))
+        .select(col("q_id"), col("n_exact"),
+          (col("__n_ret") === col("n_exact")).as("returned_ok"),
+          (col("__hits") >= 6).as("recall_ok"))
+    }),
+
     // Multimodal: binary payload column + partition-batched decode
     // (deterministic stub decoder; real plumbing)
     "ext_multimodal_meta" -> ((s, dir) =>
@@ -1503,6 +1537,24 @@ object SparkEntry {
         |SELECT q_id, neighbor_id,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    // Approximate-regime verdicts: the oracle derives the exact-side
+    // counts from the same brute-force truth and states the expected
+    // booleans; the engine side computes them from its partial-probe
+    // run, so a probe/assignment regression fails the hash.
+    "ext_ann_ivf_bound" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id),
+        |t AS (SELECT q_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS returned_ok, TRUE AS recall_ok
+        |FROM t GROUP BY q_id""".stripMargin,
 
     // candidateK = corpus (exhaustive) config: same truth as brute
     // force — the exact re-rank sees every vector.
