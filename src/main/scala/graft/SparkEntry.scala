@@ -139,6 +139,37 @@ object SparkEntry {
       out
     }),
 
+    // Streaming lake flow WITH small-file compaction: the same landing
+    // → checkpointed stream → WORK leg as flow_stream_ingest, but the
+    // per-micro-batch small files are bin-packed by
+    // [[graft.sinks.Compaction.compactWork]] (sink-log-aware atomic
+    // swap) BEFORE the promote — the operational order a long-running
+    // 100 TB ingest needs. The promote over the compacted zone must
+    // still equal the batch d7 truth: compaction moves bytes between
+    // files, never rows between results. maxFilesPerTrigger=2 over 8
+    // landed files exercises multi-batch sink-log rewriting.
+    "flow_stream_compact" -> ((s, dir) => {
+      import graft.core.{Clock, DatasetRef, LakePaths}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-compact").toString
+      val lake = LakePaths(s"$root/lake")
+      val ref = DatasetRef("stream", "tpch", "lineitem")
+      val landing = s"$root/landing"
+      tbl(s, dir, "lineitem").repartition(8).write.parquet(landing)
+      graft.streaming.StreamingOps.streamIngestToWork(
+        s, landing, s.read.parquet(landing).schema,
+        lake.work(ref), s"$root/ckpt", maxFilesPerTrigger = 2)
+      val nFiles = graft.sinks.Compaction.compactWork(s, lake.work(ref))
+      require(nFiles >= 1, "compaction produced no files")
+      graft.operators.IncrementalPromote.run(
+        s, ref, lake, skIds = Seq("l_orderkey", "l_linenumber"),
+        hyphen = true, clock = Clock.ForOracle)
+      val out = s.read.parquet(lake.trusted(ref)).localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // D8 — K2 merge-upsert semantics: matched rows fully replaced,
     // unmatched trusted rows survive, new rows insert.
     "d8_merge" -> ((s, dir) => {
@@ -1121,6 +1152,9 @@ object SparkEntry {
     "d7_promote" -> promoteOracleSql,
     // the streaming K1 staging must land the batch promote's truth
     "flow_stream_ingest" -> promoteOracleSql,
+    // compaction is a byte-layout operation: the stream-ingested,
+    // compacted, promoted table equals the same batch d7 truth
+    "flow_stream_compact" -> promoteOracleSql,
 
     "d8_merge" -> mergeOracleSql,
     // the streaming foreachBatch merge must land the batch K2 truth
