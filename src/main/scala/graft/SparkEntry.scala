@@ -395,6 +395,42 @@ object SparkEntry {
       out
     }),
 
+    // Quarantine persistence flow — the CorpusIO read contract's
+    // "callers split and persist the quarantine next to the table",
+    // actually done: the documents corpus exported to JSONL, seven
+    // deterministic garbage lines planted among the shards, then
+    // quarantineSplit lands parsed rows at WORK and the malformed
+    // full rows at the __quarantine sibling. The flow REQUIREs the
+    // persisted quarantine to hold exactly the planted raw lines (a
+    // lost or mangled line fails the query, not just a count); the
+    // oracle grades the clean side against the parquet truth — one
+    // bad line in a corpus must cost an audit row, never a row of
+    // good data.
+    "flow_quarantine" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-quarantine").toString
+      val docs = tbl(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      graft.sources.CorpusIO.writeJsonl(docs.repartition(4), s"$root/raw")
+      val planted = (1 to 7).map(i => s"<<not json line $i>>")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/raw/planted-garbage.txt"),
+        planted.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val (_, nBad) = graft.sources.CorpusIO.quarantineSplit(
+        s, s"$root/raw", docs.schema,
+        cleanPath = s"$root/work", quarantinePath = s"$root/work__quarantine")
+      require(nBad == planted.size, s"quarantined $nBad of ${planted.size} planted lines")
+      val kept = s.read.parquet(s"$root/work__quarantine")
+        .select(col(graft.sources.CorpusIO.CorruptColumn))
+        .collect().map(_.getString(0)).toSet // bounded: |planted| rows
+      require(kept == planted.toSet,
+        s"quarantine did not preserve the planted raw lines: $kept")
+      val out = s.read.parquet(s"$root/work").localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // CSV tabular round-trip: the full lineitem table exported to
     // gzipped CSV and read back through the schema-enforced reader —
     // must hash-match the parquet truth (quoting, \N null sentinel,
@@ -1241,6 +1277,13 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "ext_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // the clean side of the quarantine split must be exactly the
+    // corpus truth — the planted garbage costs audit rows, never data
+    // (the quarantine side is gated by in-flow REQUIREs on the raw
+    // planted lines)
+    "flow_quarantine" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "ext_csv_roundtrip" -> "SELECT * FROM lineitem",

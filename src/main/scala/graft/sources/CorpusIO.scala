@@ -68,6 +68,33 @@ object CorpusIO {
     df.write.mode(SaveMode.Overwrite)
       .option("compression", compression).json(path)
 
+  /** The quarantine persistence flow the read contract promises: parse
+    * a JSONL corpus and land the parsed rows as parquet at `cleanPath`
+    * and every malformed line — full row, raw text in `_corrupt`,
+    * schema fields null — as parquet at `quarantinePath` (conventionally
+    * a `<table>__quarantine` SIBLING, like the lake's `__staging` /
+    * `__prev` dirs: never inside the table, where readers would
+    * discover it). Returns (clean, quarantined) row counts, counted
+    * from what was PERSISTED, not from the in-memory split.
+    *
+    * Two passes over the raw corpus by design: the alternative — one
+    * pass through a cache — needs the whole corpus to fit the cache
+    * tier, which is exactly what cannot be assumed at 100 TB; two
+    * schema-enforced scans of line JSON are cheap, stateless, and
+    * spill-free. */
+  def quarantineSplit(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      cleanPath: String,
+      quarantinePath: String): (Long, Long) = {
+    val raw = readJsonl(spark, path, schema)
+    clean(raw).write.mode(SaveMode.Overwrite).parquet(cleanPath)
+    corrupt(raw).write.mode(SaveMode.Overwrite).parquet(quarantinePath)
+    (spark.read.parquet(cleanPath).count(),
+      spark.read.parquet(quarantinePath).count())
+  }
+
   /** CSV sentinel for NULL: an unquoted `\N` (the classic
     * mysqldump/Hive convention) disambiguates NULL from the empty
     * string, which CSV otherwise conflates. */

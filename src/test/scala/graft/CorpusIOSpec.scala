@@ -122,6 +122,30 @@ class CorpusIOSpec extends AnyFunSuite {
     }
   }
 
+  test("quarantineSplit persists clean rows and the exact raw corrupt lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpusio6")
+    val f = dir.resolve("part.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "good", "lang": "en"}
+        |garbage — ünïcödé and "quotes" survive verbatim
+        |{"doc_id": 2, "text": "also good", "lang": "de"}
+        |{broken json
+        |""".stripMargin)
+    val cleanPath = s"$dir/docs"
+    val quarantinePath = s"$dir/docs__quarantine"
+    val (nClean, nBad) = CorpusIO.quarantineSplit(
+      spark, f.toString, schema, cleanPath, quarantinePath)
+    assert((nClean, nBad) == ((2L, 2L)))
+    val good = spark.read.parquet(cleanPath)
+    assert(good.columns.toSeq == schema.fieldNames.toSeq) // audit column gone
+    assert(good.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val bad = spark.read.parquet(quarantinePath).collect()
+    // raw lines byte-for-byte, schema fields null (auditable rows)
+    assert(bad.map(_.getAs[String](CorpusIO.CorruptColumn)).toSet ==
+      Set("garbage — ünïcödé and \"quotes\" survive verbatim", "{broken json"))
+    assert(bad.forall(r => r.isNullAt(r.fieldIndex("doc_id"))))
+  }
+
   test("a schema already containing the audit column is rejected up front") {
     val err = intercept[IllegalArgumentException] {
       CorpusIO.readJsonl(spark, "/nonexistent",
