@@ -40,6 +40,9 @@ object ScaleCheck {
     val embs = SparkEntry.tbl(spark, sfDir, "embeddings")
     val events = SparkEntry.tbl(spark, sfDir, "events")
     val orders = SparkEntry.tbl(spark, sfDir, "orders")
+    // synthetic node set for the clustering-fallback case: ids in
+    // decade blocks so `% 10` chain edges survive grow()'s 1e8 offsets
+    val chainNodes = spark.range(300000L).toDF("doc_id")
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -219,6 +222,52 @@ object ScaleCheck {
             .approxCountDistinct(col("user_id"), k = 1024).as("d"))
           .count(),
         events, "event_id"),
+      // the distributed clustering FALLBACK (label propagation) on its
+      // worst topology: chains at the convergence bound (length 10 →
+      // diameter 9 → exactly maxIterations rounds incl. the no-change
+      // confirmation). This is the path keepOnePerCluster takes when
+      // the pair list exceeds LocalPairLimit (2M) — at 10× the edge
+      // list is 2.7M, past the cap — so its growth is measured on
+      // exactly the volumes that force it. Rounds are fixed by
+      // diameter, each round is a linear join, so growth should be
+      // ~linear; rounds print on stderr ([clusters] line).
+      ("cluster_chain", (df: DataFrame) => {
+        val pairs = df.where(col("doc_id") % 10 =!= 9)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        val labels = DedupClusters.clusters(df, pairs, "doc_id")
+        val n = labels.agg(countDistinct(col("cluster_id"))).head().getLong(0)
+        labels.unpersist()
+        n
+      }, chainNodes, "doc_id"),
+      // HOT BIN worst case for the bin-bucketed joins: binSeconds far
+      // wider than the data's span puts every interval and point in
+      // ONE bin, so the bin equi-join degenerates to a single shuffle
+      // partition — the case AQE's skew split must parallelize.
+      // Broadcast is disabled to model the both-sides-large regime (a
+      // broadcastable side makes bin skew irrelevant — the planner's
+      // first defense), and the skew thresholds are dropped to engage
+      // the split at harness volumes (production defaults are 256MB).
+      // Fixed audit intervals, points grow k×: the hot partition
+      // grows k× and the split must keep wall-clock ~linear.
+      ("range_join_hotbin", (df: DataFrame) => {
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        val saved = keys.map(key => key -> spark.conf.get(key))
+        try {
+          spark.conf.set(keys(0), "-1")
+          spark.conf.set(keys(1), "4MB")
+          spark.conf.set(keys(2), "4MB")
+          val iv = orders.where(col("o_orderkey") % 8 === 0)
+            .select(col("o_orderkey"), col("o_orderdate"),
+              (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+          Temporal.rangeJoinBinned(iv, df.select("l_orderkey", "l_shipdate"),
+            "o_orderdate", "o_end", "l_shipdate",
+            binSeconds = 400L * 365 * 86400)
+            .groupBy("o_orderkey").count().count()
+        } finally saved.foreach { case (key, v) => spark.conf.set(key, v) }
+      }, lineitem, "l_orderkey"),
     )
 
     println(f"${"operator"}%-18s ${"t_1x"}%8s ${"t_${k}x"}%8s ${"ratio"}%7s  rows_1x -> rows_kx")

@@ -57,11 +57,22 @@ object DedupClusters {
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("dst_label")).as("nbr_label"))
+      // localCheckpoint, not cache: `labels` feeds BOTH the neighbor
+      // aggregation and the join-back, so without lineage truncation
+      // the logical plan more than doubles every round — by round 10
+      // (a diameter-10 component) the plan tree is 2^10 nodes and
+      // planning/plan-stringification dominates, then OOMs. Eager
+      // local checkpointing pins each round's result as the new leaf:
+      // O(1) plan depth per round. (Trade-off: checkpoint blocks are
+      // not recomputable on executor loss — a lost block fails the
+      // job and the caller reruns; acceptable for a bounded-round
+      // refinement loop, and the alternative — reliable checkpoint()
+      // — costs a distributed-FS write per round.)
       val next = labels
         .join(neighborMin, Seq("node"), "left")
         .withColumn("new_label", least(col("label"), coalesce(col("nbr_label"), col("label"))))
         .select(col("node"), col("new_label").as("label"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .where(col("label") =!= col("old")).limit(1).count() > 0
       labels.unpersist()
@@ -70,6 +81,10 @@ object DedupClusters {
       i += 1
     }
     edges.unpersist()
+    // one line of operational evidence: rounds == diameter + 1 (the
+    // final no-change confirmation), the term the maxIterations
+    // contract bounds
+    System.err.println(s"[clusters] label propagation converged=$converged rounds=$i")
     if (!converged) {
       labels.unpersist()
       sys.error(
@@ -77,8 +92,9 @@ object DedupClusters {
           "component's diameter exceeds the bound. Raise maxIterations, or " +
           "use clustersLocal (exact for any diameter when pairs fit the driver).")
     }
-    // NOTE: the returned labels are backed by the last round's cache;
-    // callers holding it long-term should .unpersist() when done.
+    // NOTE: the returned labels are backed by the last round's local
+    // checkpoint blocks; they are reclaimed by the ContextCleaner once
+    // the dataset is unreferenced (Sessions.settle hurries that along).
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -146,6 +146,45 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rollup must partial-aggregate before the shuffle:\n$plan")
   }
 
+  test("degenerate one-bin range join: AQE splits the hot bin (skew=true)") {
+    // binSeconds far wider than the data's span → every interval and
+    // point in ONE bin → one shuffle partition holds the whole join.
+    // With broadcast disabled (the both-sides-large regime a
+    // broadcastable dimension side would make moot) and the skew
+    // thresholds at harness scale, AQE's OptimizeSkewedJoin must
+    // split that partition — the runtime defense rangeJoinBinned's
+    // doc promises for hot bins.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set(keys(0), "-1")
+      spark.conf.set(keys(1), "64KB")
+      spark.conf.set(keys(2), "64KB")
+      val dir = "/root/testdata/sf0.01"
+      // realistic MAP parallelism: AQE splits a skewed reduce
+      // partition along map-output boundaries, so a single-map-task
+      // shuffle (what a one-file sf0.01 scan produces) has nothing to
+      // split — at production scale the map side is thousands of tasks
+      val iv = SparkEntry.tbl(spark, dir, "orders").repartition(16)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+      val out = graft.ext.Temporal.rangeJoinBinned(
+        iv, SparkEntry.tbl(spark, dir, "lineitem")
+          .select("l_orderkey", "l_shipdate").repartition(16),
+        "o_orderdate", "o_end", "l_shipdate",
+        binSeconds = 400L * 365 * 86400)
+      val qe = out.queryExecution
+      qe.toRdd.count() // execute THIS plan so AQE finalizes it
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"hot bin was not skew-split by AQE:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("interval overlap join: bin equi-join with first-shared-bin dedup, no distinct") {
     val plan = planOf("ext_interval_join")
     assert(!plan.contains("CartesianProduct") &&
