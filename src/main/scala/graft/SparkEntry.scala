@@ -612,7 +612,8 @@ object SparkEntry {
     }),
 
     // LSH-bucketed ANN (scale path; approximate-mode recall is
-    // ScalaTest-gated). Declared here with probeRadius = planes —
+    // driver-graded by ext_ann_lsh_bound below, via the directed
+    // probe variant). Declared here with probeRadius = planes —
     // the full Hamming ball, i.e. every bucket of the partition — so
     // the result is EXACT by construction and the oracle verifies the
     // whole bucket/probe/re-rank machinery loses and duplicates
@@ -684,6 +685,46 @@ object SparkEntry {
         .select(col("q_id"), col("n_exact"),
           (col("__n_ret") === col("n_exact")).as("returned_ok"),
           (col("__hits") >= 6).as("recall_ok"))
+    }),
+
+    // LSH in its APPROXIMATE regime — query-DIRECTED multi-probe
+    // (lshTopKDirected) at a quarter of the buckets (nProbe = 16 of
+    // 64), completing the bound-verdict family: sketches, IVF, and
+    // now LSH are all driver-graded off their exact configs. Same
+    // epistemics as ext_ann_ivf_bound: the engine joins its
+    // partial-probe top-k to its own exact brute-force truth and
+    // declares (a) exactly n_exact rows returned per query, (b) a
+    // per-query hit floor (>= 2; measured min 3 at sf0.001/0.01/0.1),
+    // and (c) the aggregate margin-directed lift: >= 16 of 50 total
+    // hits, where BLIND 16-of-64 probing expects 12.5 and the
+    // measured totals are 26/19/20 — the verdict that flips if probe
+    // ranking stops following the margins (home-bucket-only scores
+    // single digits; inverted cost ranking scores below blind).
+    // Per-query recall on the near-isotropic fixture is inherently
+    // noisy (unlike IVF's centroid-ranked probes, a hyperplane
+    // partition has no geometry-adaptive cells), which is why the
+    // discriminating bound is the aggregate, not the floor — the
+    // honest shape for this family. Deterministic: signatures,
+    // margins, and tie-breaks are all hash-seeded.
+    "ext_ann_lsh_bound" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val lsh = SimilaritySearch.lshTopKDirected(q, e, k = 10,
+        planes = 6, nProbe = 16)
+      val exact = SimilaritySearch.bruteForceTopK(q, e, k = 10)
+      val perQ = exact
+        .join(lsh.select(col("q_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__hits"))
+      val returned = lsh.groupBy("q_id").agg(count(lit(1)).as("__n_ret"))
+      perQ.join(returned, Seq("q_id"))
+        .withColumn("__total", sum(col("__hits"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("q_id"), col("n_exact"),
+          (col("__n_ret") === col("n_exact")).as("returned_ok"),
+          (col("__hits") >= 2).as("floor_ok"),
+          (col("__total") >= 16).as("lift_ok"))
     }),
 
     // Multimodal: binary payload column + partition-batched decode
@@ -1631,6 +1672,20 @@ object SparkEntry {
         |      FROM s QUALIFY rank <= 10)
         |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
         |  TRUE AS returned_ok, TRUE AS recall_ok
+        |FROM t GROUP BY q_id""".stripMargin,
+
+    "ext_ann_lsh_bound" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id),
+        |t AS (SELECT q_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS returned_ok, TRUE AS floor_ok, TRUE AS lift_ok
         |FROM t GROUP BY q_id""".stripMargin,
 
     // candidateK = corpus (exhaustive) config: same truth as brute

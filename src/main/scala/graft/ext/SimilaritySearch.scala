@@ -181,6 +181,61 @@ object SimilaritySearch {
     val q = broadcast(qBase
       .withColumn("bucket", explode(probes))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket")))
+    probeAndRerank(c, q, k)
+  }
+
+  /** Query-DIRECTED multi-probe LSH ANN (Lv et al., VLDB'07 shape):
+    * instead of a fixed Hamming ball, each query ranks ALL 2^planes
+    * probe masks by the total |margin| of the planes the mask flips
+    * ([[VectorFunctions.hyperplaneMargins]]) and probes the `nProbe`
+    * cheapest — the home bucket (mask 0, cost 0) plus the buckets on
+    * the other side of the planes the query barely cleared, which is
+    * where its true near neighbors land. Same probe BUDGET as a fixed
+    * ball of equal size, strictly better-placed probes; per-query
+    * geometry, so it helps regardless of corpus distribution.
+    *
+    * `nProbe = 2^planes` probes every bucket of the partition —
+    * exact brute force through the LSH machinery (spec-asserted).
+    * Mask ranking happens on the (small, broadcast) query side only;
+    * the corpus still computes one signature per vector. */
+  def lshTopKDirected(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      planes: Int = 4,
+      nProbe: Int = 4): DataFrame = {
+    val nMasks = 1 << planes
+    // the mask ranking enumerates 2^planes structs per QUERY row —
+    // fine for probe-sized planes counts, wrong past them
+    require(planes >= 1 && planes <= 12,
+      s"directed probing enumerates 2^planes masks per query; planes=$planes")
+    require(nProbe >= 1 && nProbe <= nMasks,
+      s"nProbe ($nProbe) must be in [1, 2^planes=$nMasks]")
+    val sig = VectorFunctions.hyperplaneSignature(col("embedding"), planes)
+    val c = corpus
+      .withColumn("bucket", sig)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"), col("bucket"))
+    // array_sort on struct(cost, mask) orders by cost then mask:
+    // deterministic under margin ties
+    val rankedProbes = expr(
+      s"""transform(
+         |  slice(array_sort(transform(sequence(0, ${nMasks - 1}), m -> struct(
+         |    aggregate(sequence(0, ${planes - 1}), 0.0D,
+         |      (a, p) -> a + CASE WHEN (shiftright(m, p) & 1) = 1
+         |                    THEN abs(__mg[p]) ELSE 0.0D END) AS cost,
+         |    m AS mask))), 1, $nProbe),
+         |  s -> sig0 ^ CAST(s.mask AS BIGINT))""".stripMargin)
+    val q = broadcast(queries
+      .withColumn("__mg", VectorFunctions.hyperplaneMargins(col("embedding"), planes))
+      .withColumn("sig0", sig)
+      .withColumn("bucket", explode(rankedProbes))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket")))
+    probeAndRerank(c, q, k)
+  }
+
+  /** Shared probe tail: bucket equi-join, exact cosine re-rank,
+    * rank-limited window (map-side top-k via WindowGroupLimit). */
+  private def probeAndRerank(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(q, Seq("bucket"))
       .where(col("q_id") =!= col("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))

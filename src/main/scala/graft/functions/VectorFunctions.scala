@@ -64,6 +64,14 @@ object VectorFunctions {
     ColumnGlue.column(HyperplaneSignature(ColumnGlue.expression(vec), planes, seed))
   }
 
+  /** Per-plane signed projections behind [[hyperplaneSignature]]
+    * (`margins[p] > 0 ⇔ signature bit p`) — the probe-ranking input
+    * for query-directed multi-probe LSH. See [[HyperplaneMargins]]. */
+  def hyperplaneMargins(vec: Column, planes: Int, seed: Long = 0L): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(HyperplaneMargins(ColumnGlue.expression(vec), planes, seed))
+  }
+
   /** Built-ins-only formulation of [[hyperplaneSignature]]
     * (interpreted nested HOFs); kept as the semantic reference. */
   def hyperplaneSignatureHof(vecCol: String, planes: Int, seed: Long = 0L): Column =

@@ -298,6 +298,48 @@ class ExtensionsSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("hyperplane margins carry the signature: sign(margins[p]) == bit p") {
+    val e = embeddings.limit(200)
+    for ((planes, seed) <- Seq((4, 0L), (6, 0L), (12, 3L))) {
+      val sigFromMargins = expr(
+        s"""aggregate(sequence(0, ${planes - 1}), 0L,
+           |  (acc, p) -> acc + shiftleft(CASE WHEN mg[p] > 0.0D
+           |                              THEN 1L ELSE 0L END, p))""".stripMargin)
+      val diff = e.select(
+        VectorFunctions.hyperplaneMargins(col("embedding"), planes, seed).as("mg"),
+        VectorFunctions.hyperplaneSignature(col("embedding"), planes, seed).as("sig"))
+        .where(sigFromMargins =!= col("sig"))
+      assert(diff.count() == 0, s"planes=$planes seed=$seed")
+    }
+  }
+
+  test("directed LSH at nProbe = 2^planes is exact brute force") {
+    val q = embeddings.where(col("vec_id") < 5)
+    val exact = SimilaritySearch.bruteForceTopK(q, embeddings, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = SimilaritySearch.lshTopKDirected(q, embeddings, 10,
+      planes = 4, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact)
+  }
+
+  test("directed LSH recall is monotone in nProbe (probe sets are nested)") {
+    // the probe list is a prefix slice of one cost-sorted mask array,
+    // so a bigger budget probes a superset of buckets: per-query hits
+    // vs the exact top-k can only grow
+    val q = embeddings.where(col("vec_id") < 5)
+    val exact = SimilaritySearch.bruteForceTopK(q, embeddings, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(nProbe: Int): Map[Long, Int] =
+      SimilaritySearch.lshTopKDirected(q, embeddings, 10, planes = 6, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(exact.contains).groupBy(_._1).view.mapValues(_.length).toMap
+        .withDefaultValue(0)
+    val (small, big) = (hits(8), hits(32))
+    for (qid <- 0L until 5L)
+      assert(small(qid) <= big(qid), s"q=$qid: ${small(qid)} > ${big(qid)}")
+  }
+
   test("LSH ANN approximates brute-force top-k with decent recall") {
     val q = embeddings.where(col("vec_id") < 5)
     val exact = SimilaritySearch.bruteForceTopK(q, embeddings, 10)
