@@ -118,6 +118,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"still one exchange with pruning on:\n$plan")
   }
 
+  test("directed LSH: probe side broadcasts; corpus vectors never shuffle") {
+    // the mask ranking (2^planes structs) is computed on the tiny
+    // query side only; the corpus computes one signature per vector
+    // and meets the probes in a broadcast bucket join. After the
+    // cosine projection only narrow (q_id, neighbor_id, cos) rows
+    // shuffle (distinct + top-k window) — the embedding arrays stay
+    // where they were read.
+    import org.apache.spark.sql.functions.col
+    val e = SparkEntry.tbl(spark, sf, "embeddings")
+    val plan = graft.ext.SimilaritySearch
+      .lshTopKDirected(e.where(col("vec_id") < 5), e, k = 10, planes = 6, nProbe = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side must broadcast into the bucket join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"only the narrow distinct + window rows may shuffle (got $exchanges exchanges):\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must rank-limit, not sort whole partitions:\n$plan")
+  }
+
   test("as-of join: one window exchange + the right pre-reduce, no join operator at all") {
     val plan = planOf("ext_asof_join")
     // union-and-carry compiles to Union → Exchange → Sort → Window;
