@@ -69,6 +69,23 @@ object ScaleCheck {
           PqSearch.buildIndex(df, m = 8, ks = 16), k = 10,
           candidateK = 256).count(),
         embs, "vec_id"),
+      // fixed query set, growing corpus; nProbe fixed at 4 of 16
+      // cells so the probed re-rank (not an exhaustive scan) is what
+      // scales — the linear terms are assignment + the sampled index
+      // build, the probe side shrinks relatively as the corpus grows
+      ("ann_ivf", (df: DataFrame) =>
+        IvfSearch.topK(df.where(col("vec_id") < 5),
+          IvfSearch.buildIndex(df, nCells = 16), k = 10,
+          nProbe = 4).count(),
+        embs, "vec_id"),
+      // fixed query set, growing corpus; directed probes at a fixed
+      // quarter of the buckets — one codegen signature per corpus
+      // vector is the linear term, mask ranking stays on the tiny
+      // broadcast query side
+      ("ann_lsh_directed", (df: DataFrame) =>
+        SimilaritySearch.lshTopKDirected(df.where(col("vec_id") < 5),
+          df, k = 10, planes = 6, nProbe = 16).count(),
+        embs, "vec_id"),
       // eval set fixed (a benchmark doesn't grow with the corpus);
       // corpus grows k× — the scan+shingle term is the scale path
       ("decontaminate", (df: DataFrame) =>

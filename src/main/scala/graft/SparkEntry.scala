@@ -773,6 +773,14 @@ object SparkEntry {
       graft.streaming.StreamingOps.availableNowSessions(
         s, s"$dir/events.parquet", gapSeconds = 7200L)),
 
+    // Stream-stream JOIN (click→purchase attribution), oracle-graded
+    // row-for-row against the equivalent DuckDB batch join — inner
+    // join output is arrival-order-independent under the harness's
+    // exactness watermark (posture documented on the helper)
+    "ext_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamingOps.availableNowClickAttribution(
+        s, s"$dir/events.parquet", attribution = "2 hours")),
+
     // As-of join (union-and-carry, one shuffle): each purchase picks
     // up the most recent click by the same user at-or-before it. The
     // right side is pre-reduced per (user, ts) — max_by(event_id) —
@@ -1736,6 +1744,17 @@ object SparkEntry {
     "ext_stream_state" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // the batch formulation of the streaming attribution join;
+    // epoch_us grades the timestamps as integers
+    "ext_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id,
+        |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR""".stripMargin,
 
     // same session truth as ext_sessionize, rolled up per user — the
     // engine side computes it through streaming session_window state

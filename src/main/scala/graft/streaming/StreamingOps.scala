@@ -82,29 +82,33 @@ object StreamingOps {
     * declared-query harness (windows × types rows, not events); a
     * production deployment points the same writeStream at a lake
     * sink. */
-  def availableNowHourly(spark: SparkSession, eventsPath: String): DataFrame = {
+  /** Events fixture as an event-timed stream — the shared front of
+    * every events-replay harness below. The streaming file source
+    * only monitors DIRECTORIES; the fixture is a single file, so
+    * stream its parent with a glob filter pinned to it (a production
+    * deployment points at the landing directory and drops the
+    * filter). The watermark clock only accepts TIMESTAMP (LTZ) —
+    * stream in LTZ (session is UTC, so values are identical); rebuild
+    * the event-time clock ONLY when the fixture stores ts as a nanos
+    * long (same guard as the batch tbl() helper) — a fixture written
+    * with a real parquet timestamp passes through unchanged. */
+  private def timedEventStream(spark: SparkSession, eventsPath: String): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
-    // the streaming file source only monitors DIRECTORIES; the
-    // fixture is a single file, so stream its parent with a glob
-    // filter pinned to it (a production deployment points at the
-    // landing directory and drops the filter)
     val p = new org.apache.hadoop.fs.Path(eventsPath)
-    // the watermark clock only accepts TIMESTAMP (LTZ) — stream in
-    // LTZ (session is UTC, so values are identical) and cast the
-    // window edge back to NTZ on the way out, the same LTZ→NTZ exit
-    // cast the batch cap_events_hourly query uses
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", p.getName)
       .parquet(p.getParent.toString)
-    // rebuild the event-time clock ONLY when the fixture stores ts as
-    // a nanos long (same guard as the batch tbl() helper) — a fixture
-    // written with a real parquet timestamp passes through unchanged
-    val timed =
-      if (schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw.withColumn("ts", col("ts").cast("timestamp"))
-    val stream = timed.withColumn("value", col("value").cast("decimal(18,6)"))
+    if (schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  def availableNowHourly(spark: SparkSession, eventsPath: String): DataFrame = {
+    // LTZ window edges cast back to NTZ on the way out, the same
+    // LTZ→NTZ exit cast the batch cap_events_hourly query uses
+    val stream = timedEventStream(spark, eventsPath)
+      .withColumn("value", col("value").cast("decimal(18,6)"))
     val agg = windowedEventStats(stream, windowLength = "1 hour")
     val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = agg.writeStream.format("memory").queryName(sink)
@@ -192,17 +196,7 @@ object StreamingOps {
       gapSeconds: Long = 7200L): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
     val gap = s"$gapSeconds seconds 1 microsecond"
-    val schema = spark.read.parquet(eventsPath).schema
-    val p = new org.apache.hadoop.fs.Path(eventsPath)
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
-    val timed =
-      if (schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw.withColumn("ts", col("ts").cast("timestamp"))
-    val agg = timed
+    val agg = timedEventStream(spark, eventsPath)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
     val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -258,18 +252,9 @@ object StreamingOps {
     * oracle: plain `GROUP BY user_id` counts. */
   def availableNowRunningCounts(spark: SparkSession, eventsPath: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(eventsPath).schema
-    val p = new org.apache.hadoop.fs.Path(eventsPath)
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
-    val timed =
-      if (schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw.withColumn("ts", col("ts").cast("timestamp"))
     val stats = runningUserStats(spark,
-      timed.select("event_id", "ts", "user_id", "event_type", "value").as[Event])
+      timedEventStream(spark, eventsPath)
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event])
     val sink = s"stream_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = stats.toDF().writeStream.format("memory").queryName(sink)
       .outputMode("update")
@@ -278,6 +263,58 @@ object StreamingOps {
     q.awaitTermination()
     drainMemorySink(spark, sink) { t =>
       t.groupBy("user_id").agg(max(col("n_events")).as("n_events"))
+    }
+  }
+
+  /** Fifth oracle-graded streaming harness, covering STREAM-STREAM
+    * JOIN — the one stateful streaming family the others don't touch:
+    * click→purchase attribution, every (click, purchase) pair of the
+    * same user with the purchase inside `[click_ts, click_ts +
+    * attribution]`, as a watermarked inner join of two INDEPENDENT
+    * event streams (the real impression/conversion topology — two
+    * sources, not a self-join alias).
+    *
+    * Both sides buffer in keyed state stores partitioned by user_id;
+    * the time-range predicate plus the watermarks tell Spark when a
+    * buffered row can no longer match and is evictable — at 100 TB
+    * the watermark horizon IS the state bound, so a production
+    * deployment sets it to the attribution window plus allowed
+    * lateness. This harness runs the exactness configuration instead
+    * (horizon watermark, nothing evicted before its match can
+    * arrive — the same honest posture as the dedup harness): an inner
+    * join's output is then arrival-order-independent, which is what
+    * lets a DuckDB batch join grade it row-for-row.
+    *
+    * Timestamps are graded as epoch MICROS (`epoch_us` on the oracle
+    * side): integer equality, no timezone/precision ambiguity. */
+  def availableNowClickAttribution(
+      spark: SparkSession,
+      eventsPath: String,
+      attribution: String = "2 hours"): DataFrame = {
+    val clicks = timedEventStream(spark, eventsPath)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "3650 days")
+    val purchases = timedEventStream(spark, eventsPath)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "3650 days")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attribution"))
+    val sink = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append") // the only mode stream-stream joins support
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    drainMemorySink(spark, sink) { t =>
+      t.select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
     }
   }
 

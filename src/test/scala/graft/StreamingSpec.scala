@@ -184,4 +184,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streaming result diverged from batch: ${streamed.size} vs ${batch.size} rows")
   }
+
+  test("stream-stream attribution join equals the batch join row-for-row") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingOps
+      .availableNowClickAttribution(spark, s"$sf/events.parquet", attribution = "6 hours")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val e = SparkEntry.tbl(spark, sf, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        // tbl() yields NTZ; the session is UTC so the LTZ cast is
+        // value-identical and unix_micros accepts it
+        unix_micros(col("click_ts").cast("timestamp")).as("click_us"),
+        unix_micros(col("purchase_ts").cast("timestamp")).as("purchase_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed.nonEmpty, "attribution window produced no pairs — widen it")
+    assert(streamed == batch,
+      s"streaming join diverged from batch: ${streamed.size} vs ${batch.size} rows")
+  }
 }
