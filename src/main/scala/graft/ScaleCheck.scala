@@ -92,6 +92,17 @@ object ScaleCheck {
         Decontaminate.contamination(df,
           docs.where(col("doc_id") % 97 === 0)).count(),
         docs, "doc_id"),
+      // incremental near-dup: the daily batch is FIXED while the
+      // already-deduped corpus grows k× — the corpus term is one
+      // signature scan + broadcast-probe (no corpus shuffle, no
+      // corpus self-pairs); emitted pairs grow k× by construction
+      // (every replica twins each delta doc)
+      ("minhash_delta", (df: DataFrame) =>
+        MinHashLSH.nearDupPairsAgainst(
+          docs.where(col("doc_id") % 97 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(2000000000L)),
+          df, jaccard = (1, 3)).count(),
+        docs, "doc_id"),
       ("top_terms", (df: DataFrame) =>
         TextAnalysis.topTerms(df, k = 5).count(),
         docs, "doc_id"),

@@ -570,6 +570,20 @@ object SparkEntry {
     "ext_dedup_minhash" -> ((s, dir) =>
       MinHashLSH.nearDupPairs(tbl(s, dir, "documents"), jaccard = (1, 3))),
 
+    // INCREMENTAL near-dup (delta vs corpus, cross-side pairs only —
+    // the daily-ingest shape; corpus self-pairs never generated).
+    // Delta = every 7th document re-ingested under a new id: each
+    // delta doc has an exact twin in the corpus (J = 1), plus
+    // whatever organic cross-side near-dups the fixture carries; the
+    // oracle is the exact all-pairs delta×corpus Jaccard SQL, same
+    // recall-1.0-on-fixture epistemics as ext_dedup_minhash above.
+    "ext_dedup_minhash_delta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val delta = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000))
+      MinHashLSH.nearDupPairsAgainst(delta, docs, jaccard = (1, 3))
+    }),
+
     // SimHash near-dup (pigeonhole block join). Declared with the
     // engine-portable md5-derived 60-bit token hash so the whole
     // pipeline is oracle-exact against an all-pairs DuckDB rebuild
@@ -1512,6 +1526,28 @@ object SparkEntry {
          |WHERE len(list_intersect(a.sset, b.sset)) * 3
          |    >= len(list_distinct(list_concat(a.sset, b.sset))) * 1
          |  AND len(list_distinct(list_concat(a.sset, b.sset))) > 0""".stripMargin,
+
+    // exact delta×corpus cross-pairs at the same threshold — the
+    // incremental operator must find exactly these
+    "ext_dedup_minhash_delta" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array($normSql, ' '), w -> w != '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, list_distinct(CASE
+         |    WHEN len(toks) = 0 THEN []
+         |    WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1),
+         |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS sset
+         |  FROM t),
+         |d AS (SELECT doc_id + 1000000 AS doc_id, sset FROM s WHERE doc_id % 7 = 0)
+         |SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+         |  len(list_intersect(d.sset, c.sset)) AS inter,
+         |  len(list_distinct(list_concat(d.sset, c.sset))) AS uni
+         |FROM d JOIN s c ON true
+         |WHERE len(list_intersect(d.sset, c.sset)) * 3
+         |    >= len(list_distinct(list_concat(d.sset, c.sset))) * 1
+         |  AND len(list_distinct(list_concat(d.sset, c.sset))) > 0""".stripMargin,
 
     // 20-gram span CTE (same construction as ext_decontaminate's):
     // spans in 2+ docs, counted per doc

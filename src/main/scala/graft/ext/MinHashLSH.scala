@@ -158,6 +158,78 @@ object MinHashLSH {
     } finally hashed.unpersist()
   }
 
+  /** INCREMENTAL near-dup: (delta, corpus) cross-side pairs ONLY —
+    * the daily-ingest shape. A 100 TB corpus that is already deduped
+    * never needs its self-pairs again; what each new batch needs is
+    * "which of MY documents duplicate something already in the
+    * corpus" (drop them) — re-running the full self-join would
+    * re-pay the corpus×corpus candidate stage every day for pairs
+    * that cannot have changed.
+    *
+    * Same stages as [[nearDupPairs]] (codegen shingling → minhash →
+    * banded buckets → exact-Jaccard verify), with the bucket join
+    * delta⋈corpus instead of a self-join: corpus×corpus and
+    * delta×delta candidates are never generated. With
+    * `broadcastDelta` (the default — the regime this operator exists
+    * for is delta ≪ corpus) the delta's banded rows broadcast and
+    * the corpus side never shuffles at all: its per-vector work is
+    * one linear scan-and-probe. A delta too large to broadcast sets
+    * it false and pays one hash-partition exchange per side instead.
+    * The corpus signature stage is still a linear scan of the
+    * corpus; a production deployment persists the banded corpus
+    * table from the initial dedup run and appends to it as batches
+    * land, which makes the daily cost O(delta) — the stages here
+    * compose over such a table unchanged (it is exactly
+    * `signatures → band → bucket`).
+    *
+    * Output: (delta_id, corpus_id, inter, uni) — one row per
+    * cross-side pair with shingle-Jaccard ≥ num/den. A document
+    * present in both inputs with the same id pairs with itself
+    * (J = 1): re-ingest detection, not an artifact. */
+  def nearDupPairsAgainst(
+      delta: DataFrame,
+      corpus: DataFrame,
+      numHashes: Int = 128,
+      shingleSize: Int = 3,
+      bands: Int = 32,
+      jaccard: (Int, Int) = (4, 5),
+      broadcastDelta: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    val (num, den) = jaccard
+    val rpb = numHashes / bands
+    def bandSide(docs: DataFrame, idOut: String): DataFrame =
+      signatures(docs, numHashes, shingleSize)
+        .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
+        .withColumn("bucket",
+          expr(s"xxhash64(band, array_join(slice(sig, band * $rpb + 1, $rpb), ','))"))
+        .select(col("doc_id").as(idOut), col("band"), col("bucket"))
+    val deltaBanded = bandSide(delta, "delta_id")
+    val cands = (if (broadcastDelta) broadcast(deltaBanded) else deltaBanded)
+      .join(bandSide(corpus, "corpus_id"), Seq("band", "bucket"))
+      .select(col("delta_id"), col("corpus_id"))
+      .distinct()
+      .localCheckpoint(true)
+    // exact-verify sets recomputed from the RAW side behind a
+    // candidate-id semi-join, O(candidate docs) — same discipline as
+    // nearDupPairs
+    def sets(docs: DataFrame, ids: DataFrame): DataFrame =
+      shingleRows(docs.join(broadcast(ids), Seq("doc_id")), shingleSize, spread = false)
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("__sh")).as("sset"))
+    val dSets = sets(delta, cands.select(col("delta_id").as("doc_id")).distinct())
+    val cSets = sets(corpus, cands.select(col("corpus_id").as("doc_id")).distinct())
+    cands
+      .join(dSets.withColumnRenamed("doc_id", "delta_id")
+        .withColumnRenamed("sset", "sset_a"), Seq("delta_id"))
+      .join(cSets.withColumnRenamed("doc_id", "corpus_id")
+        .withColumnRenamed("sset", "sset_b"), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sset_a"), col("sset_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sset_a"), col("sset_b"))).cast("long"))
+      .where(col("inter") * den >= col("uni") * num)
+      .select(col("delta_id"), col("corpus_id"), col("inter"), col("uni"))
+  }
+
   /** Reference (built-ins-only, interpreted-HOF) shingling — the
     * semantic spec for [[shingleRows]]; used by tests as ground
     * truth. */

@@ -288,6 +288,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (found ${found.size} of ${truth.size})")
   }
 
+  test("incremental near-dup emits cross-side pairs only") {
+    // corpus holds its OWN near-dup pair (20/21): the incremental
+    // operator must not re-discover it — only delta↔corpus pairs
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (10L, s"$base lambda mu", "en", "t", 0L),
+      (20L, s"$base nu xi omicron", "en", "t", 0L),
+      (21L, s"$base nu xi pi", "en", "t", 0L),
+      (30L, "completely different words about an unrelated topic entirely here", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val delta = Seq(
+      (100L, s"$base lambda mu", "en", "t", 0L), // twin of 10
+      (101L, "nothing in common with anything stored so far at all", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val found = MinHashLSH.nearDupPairsAgainst(delta, corpus, jaccard = (1, 3))
+      .select("delta_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((100L, 10L)), s"planted twin not found: $found")
+    assert(found.forall(_._1 >= 100L),
+      s"corpus-side ids leaked into the delta column: $found")
+    assert(!found.exists(p => Set(20L, 21L).contains(p._1)),
+      s"corpus self-pair re-discovered: $found")
+    // 100 is also a near-dup of 20/21 (shared base prefix) — allowed;
+    // what is forbidden is any pair not anchored in the delta
+    assert(found.forall(p => p._1 == 100L || p._1 == 101L), s"$found")
+    assert(!found.exists(_._1 == 101L), s"unrelated delta doc paired: $found")
+  }
+
   test("simhash finds near-dups within the hamming bound") {
     val out = SimHash.nearDupPairs(docs, maxHamming = 3).collect()
     assert(out.nonEmpty)
