@@ -127,8 +127,9 @@ object StreamingOps {
     * temp view: the memory sink registers a session-lifetime temp
     * table per query, so a long-lived session (a Bench/Verify sweep)
     * would otherwise accumulate every collected result in the driver
-    * for the session's lifetime. The result is bounded by contract
-    * (aggregates — windows × types rows, not events). */
+    * for the session's lifetime. The result is bounded by contract:
+    * aggregates (windows × types rows, not events) for the agg
+    * harnesses, attribution-window matches for the join one. */
   private def drainMemorySink(spark: SparkSession, sink: String)(
       shape: DataFrame => DataFrame): DataFrame = {
     val shaped = shape(spark.table(sink))
@@ -291,6 +292,27 @@ object StreamingOps {
       spark: SparkSession,
       eventsPath: String,
       attribution: String = "2 hours"): DataFrame = {
+    // a stream-stream join keeps FOUR state stores per shuffle
+    // partition (two sides × key-to-count + keyed values), and every
+    // micro-batch commits each of them — at the session default of 32
+    // partitions that is 128 state-store commits per batch for a
+    // fixture-sized state, and commit fsync noise dominated the
+    // harness's wall-clock (measured 5-27s at 32 partitions vs 2.6-3s
+    // at 8, same result). State-store partitioning is fixed by the
+    // FIRST run against a checkpoint, so the override binds cleanly
+    // to this query's throwaway checkpoint; a production deployment
+    // sizes it to state volume / executor count instead.
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.get(spKey)
+    spark.conf.set(spKey, "8")
+    try availableNowClickAttributionInner(spark, eventsPath, attribution)
+    finally spark.conf.set(spKey, spPrev)
+  }
+
+  private def availableNowClickAttributionInner(
+      spark: SparkSession,
+      eventsPath: String,
+      attribution: String): DataFrame = {
     val clicks = timedEventStream(spark, eventsPath)
       .where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
