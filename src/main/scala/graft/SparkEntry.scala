@@ -619,6 +619,20 @@ object SparkEntry {
         planes = 12, tables = 2)
     }),
 
+    // Incremental embedding near-dup (delta vs corpus, cross-side
+    // only — nearDupPairsAgainst's shape on the embedding column):
+    // every 11th vector re-ingested under a new id; oracle is the
+    // exact delta×corpus cosine SQL. Same recall epistemics as
+    // ext_dedup_embedding_lsh: the fixture's only ≥0.9 pairs are the
+    // planted exact twins (cos = 1 → same signature in every table).
+    "ext_dedup_embedding_delta" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val delta = e.where(col("vec_id") % 11 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000))
+      SimilaritySearch.lshNearDupPairsAgainst(delta, e, threshold = 0.9,
+        planes = 12, tables = 2)
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline)
     "ext_ann_bruteforce" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -1664,6 +1678,13 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+
+    "ext_dedup_embedding_delta" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id % 11 = 0)
+        |SELECT d.vec_id AS delta_id, c.vec_id AS corpus_id
+        |FROM d JOIN e c ON true
+        |WHERE list_cosine_similarity(d.v, c.v) >= 0.9""".stripMargin,
 
     "ext_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

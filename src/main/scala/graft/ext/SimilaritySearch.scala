@@ -150,6 +150,59 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** INCREMENTAL embedding near-dup: (delta, corpus) cross-side
+    * pairs only — [[MinHashLSH.nearDupPairsAgainst]]'s shape for the
+    * embedding column. The new batch's hyperplane buckets broadcast
+    * (default; the regime is delta ≪ corpus) into a bucket probe of
+    * the corpus, so the already-deduped corpus never shuffles its
+    * vectors and corpus self-pairs are never generated; the exact
+    * cosine verify pulls corpus vectors behind a candidate-id
+    * semi-join, O(candidates) not O(corpus). Candidate dedup across
+    * OR-amplification tables is a `distinct` over (delta, corpus) id
+    * pairs — bounded by the delta's collision count, the small term
+    * by construction (the self-join form's packed first-collision
+    * bit trick exists because there the candidate stream is
+    * corpus-sized; here it would optimize the wrong side of the
+    * asymmetry at the cost of shipping signature families through
+    * the broadcast). */
+  def lshNearDupPairsAgainst(
+      delta: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      planes: Int = 8,
+      tables: Int = 1,
+      broadcastDelta: Boolean = true): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    def bucketed(e: DataFrame, idOut: String): DataFrame = {
+      val sigCols = (0 until tables).map(t =>
+        VectorFunctions.hyperplaneSignature(col("embedding"), planes, seed = t.toLong)
+          .as(s"__sig_$t"))
+      e.select(col("vec_id") +: sigCols: _*)
+        .select(col("vec_id").as(idOut),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"), col(s"__sig_$t").as("sig"))): _*)).as("tb"))
+        .select(col(idOut), col("tb.t").as("t"), col("tb.sig").as("bucket"))
+    }
+    val d = bucketed(delta, "delta_id")
+    val cands = (if (broadcastDelta) broadcast(d) else d)
+      .join(bucketed(corpus, "corpus_id"), Seq("t", "bucket"))
+      .select(col("delta_id"), col("corpus_id"))
+      .distinct()
+      .localCheckpoint(true)
+    def vecs(e: DataFrame, idOut: String, vecOut: String, nrmOut: String): DataFrame =
+      e.select(col("vec_id").as(idOut), col("embedding").as(vecOut),
+        VectorFunctions.norm(col("embedding")).as(nrmOut))
+    val cVecs = vecs(corpus, "corpus_id", "vec_b", "nrm_b")
+      .join(broadcast(cands.select(col("corpus_id")).distinct()), Seq("corpus_id"))
+    cands
+      .join(broadcast(vecs(delta, "delta_id", "vec_a", "nrm_a")), Seq("delta_id"))
+      .join(cVecs, Seq("corpus_id"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .where(col("cos") >= threshold)
+      .select(col("delta_id"), col("corpus_id"))
+  }
+
   /** LSH-bucketed ANN: exact re-rank within the query's hyperplane
     * bucket. `planes` controls the bucket count (2^planes);
     * multi-probe widens recall by also searching every bucket within

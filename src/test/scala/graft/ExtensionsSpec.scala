@@ -326,6 +326,25 @@ class ExtensionsSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("incremental embedding near-dup emits cross-side pairs only") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.02f, 0.01f, 0.0f)),
+      (2L, Array(1.0f, 0.03f, 0.0f, 0.01f)), // corpus self near-dup of 1
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (100L, Array(1.0f, 0.02f, 0.01f, 0.0f)), // twin of 1 (and near 2)
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f))    // matches nothing
+    ).toDF("vec_id", "embedding")
+    val found = SimilaritySearch
+      .lshNearDupPairsAgainst(delta, corpus, threshold = 0.9, planes = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((100L, 1L)), s"planted twin not found: $found")
+    assert(found.forall(_._1 >= 100L),
+      s"corpus-side ids leaked into the delta column: $found")
+    assert(!found.exists(_._1 == 101L), s"unrelated delta vector paired: $found")
+  }
+
   test("hyperplane margins carry the signature: sign(margins[p]) == bit p") {
     val e = embeddings.limit(200)
     for ((planes, seed) <- Seq((4, 0L), (6, 0L), (12, 3L))) {
