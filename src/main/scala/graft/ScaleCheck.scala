@@ -103,6 +103,16 @@ object ScaleCheck {
             .withColumn("doc_id", col("doc_id") + lit(2000000000L)),
           df, jaccard = (1, 3)).count(),
         docs, "doc_id"),
+      // embedding form of the incremental shape: delta fixed, corpus
+      // grows k× — the corpus term is one codegen signature scan +
+      // broadcast bucket-probe; corpus vectors surface only behind
+      // the candidate-id semi-join
+      ("embedding_delta", (df: DataFrame) =>
+        SimilaritySearch.lshNearDupPairsAgainst(
+          embs.where(col("vec_id") % 97 === 0)
+            .withColumn("vec_id", col("vec_id") + lit(2000000000L)),
+          df, threshold = 0.9, planes = 12, tables = 2).count(),
+        embs, "vec_id"),
       ("top_terms", (df: DataFrame) =>
         TextAnalysis.topTerms(df, k = 5).count(),
         docs, "doc_id"),
