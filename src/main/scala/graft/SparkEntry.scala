@@ -465,6 +465,29 @@ object SparkEntry {
       out
     }),
 
+    // Z-order clustered compaction: a many-file WORK zone rewritten
+    // along the Morton curve over (l_shipdate, l_orderkey) — the
+    // layout that makes parquet footer min/max stats selective on
+    // both columns at once, so range predicates on either skip whole
+    // files. Layout moves bytes between files, never rows between
+    // results: the re-read must hash-match the table identically
+    // (full SELECT * oracle). File-count + span narrowing are pinned
+    // in ZOrderSpec; this entry grades losslessness.
+    "flow_compact_zorder" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zorder").toString
+      val li = tbl(s, dir, "lineitem")
+      li.repartition(8).write.parquet(s"$root/work")
+      val n = graft.sinks.Compaction.compactWork(s, s"$root/work",
+        targetBytes = 1L * 1024 * 1024,
+        zorderBy = Seq("l_shipdate", "l_orderkey"))
+      require(n >= 1, "z-order compaction produced no files")
+      val out = s.read.parquet(s"$root/work").localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Text analysis: sizes, token counts, punctuation, fingerprints
     "ext_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(tbl(s, dir, "documents"))),
@@ -1365,6 +1388,8 @@ object SparkEntry {
 
     "ext_csv_roundtrip" -> "SELECT * FROM lineitem",
     "ext_orc_roundtrip" -> "SELECT * FROM lineitem",
+
+    "flow_compact_zorder" -> "SELECT * FROM lineitem",
 
     "ext_text_stats" ->
       s"""SELECT doc_id,

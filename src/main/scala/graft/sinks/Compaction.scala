@@ -73,6 +73,12 @@ object Compaction {
   /** Compact the zone at `workPath` into ~`targetBytes` files.
     * Returns the number of data files in the compacted zone.
     *
+    * `zorderBy` non-empty additionally clusters rows along the
+    * z-curve over those columns ([[ZOrder.cluster]]) — that variant
+    * shuffles (one range exchange; the point of the rewrite), where
+    * plain compaction never does. Same swap, same log rewrite, same
+    * crash recovery either way.
+    *
     * The ingest writer must be quiesced (between AvailableNow runs —
     * the reference's resync-then-promote rhythm); concurrent BATCH
     * readers are as safe as for every other swap here (the table is
@@ -80,7 +86,8 @@ object Compaction {
   def compactWork(
       spark: SparkSession,
       workPath: String,
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val target = new Path(workPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,8 +123,10 @@ object Compaction {
     val mpbPrev = spark.conf.get(mpbKey)
     try {
       spark.conf.set(mpbKey, targetBytes.toString)
-      spark.read.parquet(workPath).coalesce(numFiles)
-        .write.parquet(staging.toString)
+      val packed =
+        if (zorderBy.isEmpty) spark.read.parquet(workPath).coalesce(numFiles)
+        else ZOrder.cluster(spark.read.parquet(workPath), zorderBy, numFiles)
+      packed.write.parquet(staging.toString)
     } finally spark.conf.set(mpbKey, mpbPrev)
 
     if (hasLog) rewriteSinkLog(spark, fs, target, staging)
