@@ -277,6 +277,24 @@ object ScaleCheck {
         labels.unpersist()
         n
       }, chainNodes, "doc_id"),
+      // z-order rewrite cost: one range exchange on the interleaved
+      // curve value plus a per-partition sort plus the write — the
+      // one-time layout cost the skipping amortizes. Stats pass is a
+      // 1-row aggregate; growth should be ~scan-linear (sort depth
+      // adds the log term). Written out because a bare count() would
+      // let RemoveRedundantSorts delete the thing being measured.
+      ("zorder_rewrite", (df: DataFrame) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-zscale").toString
+        graft.sinks.ZOrder.cluster(
+          df.select("l_orderkey", "l_partkey", "l_shipdate", "l_quantity"),
+          Seq("l_shipdate", "l_orderkey"), numFiles = 32)
+          .write.parquet(s"$root/z")
+        val n = spark.read.parquet(s"$root/z").count()
+        new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+          .truncate(root)
+        n
+      }, lineitem, "l_orderkey"),
       // HOT BIN worst case for the bin-bucketed joins: binSeconds far
       // wider than the data's span puts every interval and point in
       // ONE bin, so the bin equi-join degenerates to a single shuffle

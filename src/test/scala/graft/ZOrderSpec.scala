@@ -78,6 +78,32 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order makes footer stats selective: scan skips row groups on the SECOND column") {
+    // The runtime payoff, measured: a selective predicate on y (the
+    // NON-leading column, where a plain sort gives nothing) must let
+    // parquet row-group pruning skip most of the data. The scan
+    // node's row-count metric counts rows actually decoded after
+    // footer-stats pruning — files whose y-range misses the
+    // predicate contribute zero.
+    val root = java.nio.file.Files.createTempDirectory("graft-zskip").toString
+    ZOrder.cluster(grid(20000), Seq("x", "y"), numFiles = 16)
+      .write.parquet(s"$root/z")
+    grid(20000).repartition(16).write.parquet(s"$root/r")
+    def decodedRows(path: String): Long = {
+      val df = spark.read.parquet(path).where(col("y").between(100, 300))
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .head.metrics("numOutputRows").value
+    }
+    val rand = decodedRows(s"$root/r")
+    val z = decodedRows(s"$root/z")
+    assert(rand > 18000, s"control layout unexpectedly pruned ($rand rows decoded)")
+    assert(z < rand / 2,
+      s"z-ordered scan decoded $z rows vs $rand random — footer stats not selective on y")
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(root)
+  }
+
   test("compactWork with zorderBy keeps rows, hits the file target, and clusters") {
     val root = java.nio.file.Files.createTempDirectory("graft-zcompact").toString
     val work = s"$root/work"
