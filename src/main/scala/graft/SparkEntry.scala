@@ -180,6 +180,20 @@ object SparkEntry {
       MergeUpsert.merged(trusted, updates)
     }),
 
+    // Schema-evolution merge: the d8 update batch arrives carrying a
+    // column the trusted table has never seen (l_batch). The table
+    // widens — union schema, surviving trusted rows NULL in the new
+    // column, upserts populated — and shared-column types must still
+    // match exactly (addition-only evolution; type drift rejects).
+    "ext_merge_evolve" -> ((s, dir) => {
+      val base = dedupBase(s, dir)
+      val trusted = base.where(col("l_orderkey") % 2 === 0)
+      val updates = base.where(col("l_orderkey") % 3 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 1000)
+        .withColumn("l_batch", lit("b7"))
+      MergeUpsert.mergedEvolved(trusted, updates)
+    }),
+
     // Streaming MERGE into TRUSTED (foreachBatch): d8's update set
     // replayed as a checkpointed multi-micro-batch stream, each batch
     // K2-upserted into the trusted table — the final table must equal
@@ -1295,6 +1309,16 @@ object SparkEntry {
     "d8_merge" -> mergeOracleSql,
     // the streaming foreachBatch merge must land the batch K2 truth
     "flow_stream_merge" -> mergeOracleSql,
+    // evolution: same merge, updates carry a new l_batch column —
+    // survivors NULL, upserts populated
+    "ext_merge_evolve" ->
+      s"""WITH base AS ($dedupBaseSql),
+         |t AS (SELECT * FROM base WHERE l_orderkey % 2 = 0),
+         |u AS (SELECT * REPLACE (l_quantity + 1000 AS l_quantity), 'b7' AS l_batch
+         |      FROM base WHERE l_orderkey % 3 = 0)
+         |SELECT t.*, CAST(NULL AS VARCHAR) AS l_batch FROM t
+         |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.sk = t.sk)
+         |UNION ALL SELECT * FROM u""".stripMargin,
 
     "d9_chunk_invariance" -> "SELECT * FROM orders",
 

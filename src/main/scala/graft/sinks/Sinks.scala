@@ -56,6 +56,42 @@ object MergeUpsert {
       .unionByName(updates)
   }
 
+  /** Schema-evolution merge: like [[merged]], but the sides may
+    * disagree on columns. The output schema is the union — trusted's
+    * columns in their order, then updates-only columns appended in
+    * update order — with the missing side filled by typed NULLs:
+    * rows not in this batch get NULL for a newly-added column, and a
+    * batch that predates a column upserts NULL into it. Columns
+    * EVOLVE by addition only: a column present on both sides must
+    * have the identical type — silent coercion on a 100 TB table is
+    * how upstream type drift corrupts years of data, so type change
+    * is a loud error, never a cast.
+    *
+    * The widening is a projection on each side (zero extra shuffles
+    * — the plan under it is exactly [[merged]]'s anti-join). */
+  def mergedEvolved(
+      trusted: DataFrame,
+      updates: DataFrame,
+      key: String = "sk",
+      broadcastUpdates: Boolean = false): DataFrame = {
+    require(trusted.columns.contains(key) && updates.columns.contains(key),
+      s"merge key $key must exist on both sides")
+    trusted.schema.filter(f => updates.columns.contains(f.name)).foreach { f =>
+      val u = updates.schema(f.name).dataType
+      require(u == f.dataType,
+        s"column ${f.name}: trusted ${f.dataType.simpleString} vs updates " +
+          s"${u.simpleString} — schema evolution adds columns, never changes types")
+    }
+    val added = updates.schema.filterNot(f => trusted.columns.contains(f.name))
+    val widenedTrusted = added.foldLeft(trusted)((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val missing = trusted.schema.filterNot(f => updates.columns.contains(f.name))
+    val widenedUpdates = missing.foldLeft(updates)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(widenedTrusted.columns.toIndexedSeq.map(col): _*)
+    merged(widenedTrusted, widenedUpdates, key, broadcastUpdates)
+  }
+
   /** Partition-aware K2 for a hive-partitioned TRUSTED table: only
     * the partitions an update batch actually touches are read,
     * merged, and swapped — the rest of the table is never scanned or
@@ -176,6 +212,10 @@ object MergeUpsert {
     * next retained merge. A crash between the promote and the
     * snapshot rename loses only that one snapshot (recovery deletes
     * a stale `__prev` once the target exists) — never table data.
+    *
+    * `evolveSchema=true` routes through [[mergedEvolved]]: an update
+    * batch may carry new columns (table widens, absent rows NULL) or
+    * miss recent ones (NULL upserted) — type changes still reject.
     */
   def mergeInto(
       spark: SparkSession,
@@ -183,7 +223,8 @@ object MergeUpsert {
       updates: DataFrame,
       key: String = "sk",
       broadcastUpdates: Boolean = false,
-      retainPrevHours: Option[Double] = None): Unit = {
+      retainPrevHours: Option[Double] = None,
+      evolveSchema: Boolean = false): Unit = {
     val storage = LakeStorage(spark)
     val fs = new Path(trustedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -197,7 +238,8 @@ object MergeUpsert {
     val result =
       if (storage.exists(trustedPath)) {
         val trusted = spark.read.parquet(trustedPath)
-        merged(trusted, updates, key, broadcastUpdates)
+        if (evolveSchema) mergedEvolved(trusted, updates, key, broadcastUpdates)
+        else merged(trusted, updates, key, broadcastUpdates)
       } else updates
 
     if (fs.exists(staging)) fs.delete(staging, true)

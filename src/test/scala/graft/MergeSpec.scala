@@ -33,6 +33,43 @@ class MergeSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("schema evolution: new column widens, missing column NULL-fills, type drift rejects") {
+    val trusted = Seq(("a", 1), ("b", 2)).toDF("sk", "v")
+    // updates carry a NEW column tier
+    val upd = Seq(("b", 20, "gold"), ("c", 30, "bronze")).toDF("sk", "v", "tier")
+    val out = MergeUpsert.mergedEvolved(trusted, upd)
+    assert(out.columns.toSeq == Seq("sk", "v", "tier"))
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+    assert(rows == Set(("a", 1, None), ("b", 20, Some("gold")),
+      ("c", 30, Some("bronze"))))
+    // a batch that predates tier upserts NULL into it
+    val late = MergeUpsert.mergedEvolved(out, Seq(("b", 200)).toDF("sk", "v"))
+    assert(late.columns.toSeq == Seq("sk", "v", "tier"))
+    val lrows = late.collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+    assert(lrows == Set(("a", 1, None), ("b", 200, None), ("c", 30, Some("bronze"))))
+    // shared column changing type is a loud error, never a cast
+    intercept[IllegalArgumentException] {
+      MergeUpsert.mergedEvolved(trusted, Seq(("b", "20")).toDF("sk", "v"))
+    }
+  }
+
+  test("mergeInto(evolveSchema=true): the stored table widens across merges") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    val trustedPath = s"$dir/trusted"
+    MergeUpsert.mergeInto(spark, trustedPath,
+      Seq(("a", 1), ("b", 2)).toDF("sk", "v"))
+    MergeUpsert.mergeInto(spark, trustedPath,
+      Seq(("b", 20, "gold")).toDF("sk", "v", "tier"), evolveSchema = true)
+    val back = spark.read.parquet(trustedPath)
+    assert(back.columns.sorted.toSeq == Seq("sk", "tier", "v"))
+    val rows = back.collect()
+      .map(r => (r.getAs[String]("sk"), r.getAs[Int]("v"),
+        Option(r.getAs[String]("tier")))).toSet
+    assert(rows == Set(("a", 1, None), ("b", 20, Some("gold"))))
+  }
+
   test("K2 mergeInto: bootstrap, upsert, swap leaves no staging debris") {
     val dir = Files.createTempDirectory("graft-merge").toString
     val trustedPath = s"$dir/trusted"
