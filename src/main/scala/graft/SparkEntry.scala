@@ -194,6 +194,30 @@ object SparkEntry {
       MergeUpsert.mergedEvolved(trusted, updates)
     }),
 
+    // Time travel over the retention window: bootstrap the trusted
+    // table, take a timestamp, run a retained merge on top, then
+    // read the table "as of" the timestamp — snapshotAsOf must
+    // resolve to the pre-merge snapshot, i.e. the bootstrap state,
+    // bit-for-bit (oracle: the un-merged t side).
+    "ext_merge_timetravel" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-timetravel").toString
+      val base = dedupBase(s, dir)
+      val trustedPath = s"$root/trusted"
+      graft.sinks.MergeUpsert.mergeInto(
+        s, trustedPath, base.where(col("l_orderkey") % 2 === 0))
+      val t0 = System.currentTimeMillis()
+      graft.sinks.MergeUpsert.mergeInto(s, trustedPath,
+        base.where(col("l_orderkey") % 3 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 1000),
+        retainPrevHours = Some(72.0))
+      val out = graft.sinks.MergeUpsert.snapshotAsOf(s, trustedPath, t0)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Streaming MERGE into TRUSTED (foreachBatch): d8's update set
     // replayed as a checkpointed multi-micro-batch stream, each batch
     // K2-upserted into the trusted table — the final table must equal
@@ -1309,6 +1333,10 @@ object SparkEntry {
     "d8_merge" -> mergeOracleSql,
     // the streaming foreachBatch merge must land the batch K2 truth
     "flow_stream_merge" -> mergeOracleSql,
+    // as-of read between bootstrap and merge = the bootstrap state
+    "ext_merge_timetravel" ->
+      s"""WITH base AS ($dedupBaseSql)
+         |SELECT * FROM base WHERE l_orderkey % 2 = 0""".stripMargin,
     // evolution: same merge, updates carry a new l_batch column —
     // survivors NULL, upserts populated
     "ext_merge_evolve" ->

@@ -300,6 +300,33 @@ object MergeUpsert {
     * window after the snapshot is staged but before the table moves
     * aside consumes that snapshot without effect — recovery keeps the
     * intact table and deletes the stage; older snapshots remain.) */
+  /** Time-travel read: the table as it stood at `epochMillis`.
+    *
+    * Each retained merge snapshots the PRE-merge table at swap time
+    * (`__prev_<swapMillis>`), so the state at time t is the snapshot
+    * of the FIRST merge that completed after t — or the live table
+    * if no merge has completed since. Resolution is merge-granular
+    * and the horizon is the retention window: a t older than the
+    * oldest surviving snapshot resolves to that oldest snapshot (the
+    * earliest state still on disk), loudly — callers wanting an
+    * error instead should check [[prevSnapshots]] bounds themselves.
+    * Snapshots are immutable completed tables (they carry the
+    * parquet `_SUCCESS` marker), so the read needs no lock against
+    * concurrent merges. */
+  def snapshotAsOf(
+      spark: SparkSession,
+      trustedPath: String,
+      epochMillis: Long): DataFrame = {
+    val fs = new Path(trustedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val later = prevSnapshots(fs, trustedPath) // newest first
+      .filter(_._1 > epochMillis)
+    later.lastOption match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None => spark.read.parquet(trustedPath)
+    }
+  }
+
   def rollbackToPrev(spark: SparkSession, trustedPath: String): Unit = {
     val fs = new Path(trustedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

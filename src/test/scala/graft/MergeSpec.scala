@@ -70,6 +70,35 @@ class MergeSpec extends AnyFunSuite {
     assert(rows == Set(("a", 1, None), ("b", 20, Some("gold"))))
   }
 
+  test("snapshotAsOf: merge-granular time travel across the retention window") {
+    val dir = Files.createTempDirectory("graft-asof").toString
+    val trustedPath = s"$dir/trusted"
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("sk"), r.getAs[Int]("v"))).toSet
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("a", 1)).toDF("sk", "v"))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("b", 2)).toDF("sk", "v"),
+      retainPrevHours = Some(72.0))
+    val t2 = System.currentTimeMillis()
+    Thread.sleep(5)
+    MergeUpsert.mergeInto(spark, trustedPath, Seq(("a", 10)).toDF("sk", "v"),
+      retainPrevHours = Some(72.0))
+    // between bootstrap and merge 2 → pre-merge-2 snapshot
+    assert(state(MergeUpsert.snapshotAsOf(spark, trustedPath, t1)) ==
+      Set(("a", 1)))
+    // between merge 2 and merge 3 → pre-merge-3 snapshot
+    assert(state(MergeUpsert.snapshotAsOf(spark, trustedPath, t2)) ==
+      Set(("a", 1), ("b", 2)))
+    // after every merge → the live table
+    assert(state(MergeUpsert.snapshotAsOf(
+      spark, trustedPath, System.currentTimeMillis())) ==
+      Set(("a", 10), ("b", 2)))
+    // before everything on record → oldest surviving state
+    assert(state(MergeUpsert.snapshotAsOf(spark, trustedPath, 0L)) ==
+      Set(("a", 1)))
+  }
+
   test("K2 mergeInto: bootstrap, upsert, swap leaves no staging debris") {
     val dir = Files.createTempDirectory("graft-merge").toString
     val trustedPath = s"$dir/trusted"
