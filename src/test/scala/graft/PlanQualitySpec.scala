@@ -46,6 +46,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"promote should shuffle exactly once (on sk):\n$plan")
   }
 
+  test("schema-evolution merge adds no exchange over the plain merge") {
+    // the widening is projections on each side — the physical plan
+    // under it must be exactly the plain merge's anti-join shape
+    def exchanges(name: String): Int = {
+      val plan = planOf(name)
+      "Exchange".r.findAllIn(plan).length
+    }
+    assert(exchanges("ext_merge_evolve") == exchanges("d8_merge"),
+      "mergedEvolved must not introduce shuffles beyond merged's anti-join")
+  }
+
   test("deterministic dedup limits rows map-side before the shuffle") {
     val plan = planOf("d5_dedup_deterministic")
     assert(plan.contains("WindowGroupLimit"),
