@@ -816,6 +816,39 @@ object SparkEntry {
           (col("__total") >= 16).as("lift_ok"))
     }),
 
+    // PQ in its APPROXIMATE regime — candidateK = 50 (10% of the
+    // gate-scale corpus; the exact declared config is candidateK =
+    // corpus), completing the ANN bound-verdict family: IVF, LSH,
+    // and now PQ are all driver-graded off their exact configs. The
+    // engine joins its partial-candidate top-k to its own exact
+    // brute-force truth and declares (a) exactly n_exact rows
+    // returned per query, (b) a per-query hit floor (>= 2; measured
+    // mins 4/4/2 at sf0.001/0.01/0.1), and (c) the aggregate
+    // quantization lift: >= 12 of 50 total hits, where BLIND
+    // candidate selection expects k·candidateK/n = 5 (n=500) and the
+    // measured totals are 31/39/16 — the verdict that flips if the
+    // codebook fit or the PQ distance ranking regresses to noise.
+    "ext_ann_pq_bound" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val pq = PqSearch.topK(q, PqSearch.buildIndex(e, m = 8, ks = 16),
+        k = 10, candidateK = 50)
+      val exact = SimilaritySearch.bruteForceTopK(q, e, k = 10)
+      val perQ = exact
+        .join(pq.select(col("q_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__hits"))
+      val returned = pq.groupBy("q_id").agg(count(lit(1)).as("__n_ret"))
+      perQ.join(returned, Seq("q_id"))
+        .withColumn("__total", sum(col("__hits"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("q_id"), col("n_exact"),
+          (col("__n_ret") === col("n_exact")).as("returned_ok"),
+          (col("__hits") >= 2).as("floor_ok"),
+          (col("__total") >= 12).as("lift_ok"))
+    }),
+
     // Multimodal: binary payload column + partition-batched decode
     // (deterministic stub decoder; real plumbing)
     "ext_multimodal_meta" -> ((s, dir) =>
@@ -1817,6 +1850,20 @@ object SparkEntry {
         |FROM t GROUP BY q_id""".stripMargin,
 
     "ext_ann_lsh_bound" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id),
+        |t AS (SELECT q_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS returned_ok, TRUE AS floor_ok, TRUE AS lift_ok
+        |FROM t GROUP BY q_id""".stripMargin,
+
+    "ext_ann_pq_bound" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
