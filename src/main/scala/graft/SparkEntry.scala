@@ -218,6 +218,45 @@ object SparkEntry {
       out
     }),
 
+    // CDC apply: an ordered I/U/D change log over orders (insert
+    // everything at seq 1, re-price every 3rd key at seq 2, delete
+    // every 5th at seq 3) folded to the current snapshot with
+    // latest-writer-wins + delete semantics — the write direction
+    // K2's upsert-only MERGE can't express. Map-side
+    // WindowGroupLimit keeps the pre-shuffle volume at one
+    // candidate row per (partition, key).
+    "ext_cdc_apply" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val log = o
+        .withColumn("seq", lit(1)).withColumn("op", lit("I"))
+        .unionByName(o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+          .withColumn("seq", lit(2)).withColumn("op", lit("U")))
+        .unionByName(o.where(col("o_orderkey") % 5 === 0)
+          .withColumn("seq", lit(3)).withColumn("op", lit("D")))
+      graft.operators.Cdc.applyLog(log,
+        keyCols = Seq("o_orderkey"), seqCols = Seq("seq"))
+    }),
+
+    // CDC read direction: diff two snapshots of orders (after drops
+    // every 5th key, re-prices every 3rd, and gains the every-7th
+    // keys the before side lacks) into an I/U/D feed — after-image
+    // payload for I/U, before-image for D, unchanged rows silent.
+    // One full-outer sort-merge join, two exchanges, churn-sized
+    // output.
+    "ext_cdc_feed" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val before = o.where(col("o_orderkey") % 7 =!= 0)
+      val after = o.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+      graft.operators.Cdc.changeFeed(before, after,
+        keyCols = Seq("o_orderkey"))
+    }),
+
     // Streaming MERGE into TRUSTED (foreachBatch): d8's update set
     // replayed as a checkpointed multi-micro-batch stream, each batch
     // K2-upserted into the trusted table — the final table must equal
@@ -1380,6 +1419,54 @@ object SparkEntry {
          |SELECT t.*, CAST(NULL AS VARCHAR) AS l_batch FROM t
          |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.sk = t.sk)
          |UNION ALL SELECT * FROM u""".stripMargin,
+
+    // independent truth: the same I/U/D log folded by a window
+    // rank, deletes dropped last
+    "ext_cdc_apply" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    1 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 100.0, 2, 'U' FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    3, 'D' FROM orders WHERE o_orderkey % 5 = 0
+        |), latest AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM changes
+        |)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // independent truth: FULL JOIN diff with IS DISTINCT FROM
+    // payload comparison
+    "ext_cdc_feed" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 <> 0
+        |), a AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |)
+        |SELECT
+        |  CASE WHEN a.o_orderkey IS NULL THEN b.o_orderkey
+        |       ELSE a.o_orderkey END AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'I'
+        |       WHEN a.o_orderkey IS NULL THEN 'D'
+        |       ELSE 'U' END AS op,
+        |  CASE WHEN a.o_orderkey IS NULL THEN b.o_custkey
+        |       ELSE a.o_custkey END AS o_custkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN b.o_totalprice
+        |       ELSE a.o_totalprice END AS o_totalprice
+        |FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey
+        |WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+        |   OR a.o_custkey IS DISTINCT FROM b.o_custkey
+        |   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice""".stripMargin,
 
     "d9_chunk_invariance" -> "SELECT * FROM orders",
 

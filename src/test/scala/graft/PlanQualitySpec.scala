@@ -293,6 +293,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rank filter must prune per-task before shuffling:\n$plan")
   }
 
+  test("cdc apply: map-side rank limit, one hash shuffle on the key") {
+    val plan = planOf("ext_cdc_apply")
+    assert(plan.contains("WindowGroupLimit"),
+      s"latest-per-key must prune to one candidate per (task, key) pre-shuffle:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"apply should shuffle exactly once (on the key):\n$plan")
+  }
+
+  test("cdc feed: one sort-merge full-outer join, no BNLJ") {
+    val plan = planOf("ext_cdc_feed")
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"snapshot diff must be a full-outer SMJ:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"null-safe key equality must stay a hash-partitionable join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"exactly one exchange per snapshot side expected:\n$plan")
+  }
+
   test("kmv distinct: map-side partial sketch below the exchange") {
     val plan = planOf("ext_distinct_kmv")
     val partialIdx = plan.indexOf("partial_kmv_distinct")
