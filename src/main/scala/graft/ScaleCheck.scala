@@ -295,6 +295,20 @@ object ScaleCheck {
           .truncate(root)
         n
       }, lineitem, "l_orderkey"),
+      // CDC snapshot diff: both snapshots grow k×, churn is a fixed
+      // fraction of the keys, so the feed's output grows k× too —
+      // the full-outer SMJ's two sorts add the log term, everything
+      // else (filters, image selection) is scan-linear.
+      ("cdc_feed", (df: DataFrame) => {
+        val o = df.select("o_orderkey", "o_custkey", "o_totalprice")
+        val before = o.where(col("o_orderkey") % 7 =!= 0)
+        val after = o.where(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 100.0)
+              .otherwise(col("o_totalprice")))
+        graft.operators.Cdc.changeFeed(before, after, Seq("o_orderkey"))
+          .count()
+      }, orders, "o_orderkey"),
       // HOT BIN worst case for the bin-bucketed joins: binSeconds far
       // wider than the data's span puts every interval and point in
       // ONE bin, so the bin equi-join degenerates to a single shuffle

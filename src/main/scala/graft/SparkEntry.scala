@@ -483,6 +483,45 @@ object SparkEntry {
     // oracle grades the clean side against the parquet truth — one
     // bad line in a corpus must cost an audit row, never a row of
     // good data.
+    // Bucketed co-located join: orders and customer written as
+    // bucketed zones on their join key (8 buckets, one shuffle each,
+    // paid at write), then joined AND aggregated on that key with
+    // broadcast disabled — the whole read-side plan must contain
+    // ZERO exchanges (bucket-aligned SMJ + bucket-local agg),
+    // pinned by an in-query require. The repeated-join shape every
+    // promote cycle runs, with the shuffle moved to storage.
+    "flow_bucketed_join" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bucketed").toString
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.sinks.Bucketed.write(o, "graft_bkt_orders",
+        s"$root/orders", Seq("o_custkey"), buckets = 8)
+      graft.sinks.Bucketed.write(c, "graft_bkt_customer",
+        s"$root/customer", Seq("c_custkey"), buckets = 8)
+      val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val out =
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = graft.sinks.Bucketed.table(s, "graft_bkt_orders")
+            .join(graft.sinks.Bucketed.table(s, "graft_bkt_customer"),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy("o_custkey")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice")).as("revenue"),
+              max(col("c_mktsegment")).as("segment"))
+          val plan = j.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"bucketed join+agg must plan exchange-free:\n$plan")
+          j.localCheckpoint(true)
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      graft.sinks.Bucketed.drop(s, "graft_bkt_orders")
+      graft.sinks.Bucketed.drop(s, "graft_bkt_customer")
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     "flow_quarantine" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-quarantine").toString
@@ -1557,6 +1596,15 @@ object SparkEntry {
     // planted lines)
     "flow_quarantine" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // independent truth for the zero-exchange bucketed join+agg:
+    // the same join computed the plain way
+    "flow_bucketed_join" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  sum(o_totalprice) AS revenue,
+        |  max(c_mktsegment) AS segment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey""".stripMargin,
 
     "ext_csv_roundtrip" -> "SELECT * FROM lineitem",
     "ext_orc_roundtrip" -> "SELECT * FROM lineitem",
