@@ -52,17 +52,30 @@ object Cdc {
       changes: DataFrame,
       keyCols: Seq[String],
       seqCols: Seq[String],
-      opCol: String = "op"): DataFrame = {
-    require(keyCols.nonEmpty, "applyLog needs at least one key column")
-    require(seqCols.nonEmpty, "applyLog needs at least one sequence column")
+      opCol: String = "op"): DataFrame =
+    latestPerKey(changes, keyCols, seqCols)
+      .where(col(opCol) =!= "D")
+      .drop((opCol +: seqCols): _*)
+
+  /** The winning change per key — each key's last row in `seqCols`
+    * order, op and sequence columns still attached (the shared fold
+    * under [[applyLog]] and the lake's delete-aware
+    * `MergeUpsert.applyChangesInto`, which needs the 'D' winners
+    * too). */
+  private[graft] def latestPerKey(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "change fold needs at least one key column")
+    require(seqCols.nonEmpty, "change fold needs at least one sequence column")
     requireNoReserved(changes, Seq("__rn"))
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(seqCols.map(c => col(c).desc): _*)
     changes
       .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 && col(opCol) =!= "D")
-      .drop(("__rn" +: opCol +: seqCols): _*)
+      .where(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Snapshot diff as a change feed: one row per key whose presence

@@ -242,6 +242,84 @@ object MergeUpsert {
         else merged(trusted, updates, key, broadcastUpdates)
       } else updates
 
+    writeAndSwap(fs, trustedPath, result, retainPrevHours)
+  }
+
+  /** Delete-aware merge semantics: fold an ordered I/U/D change log
+    * ([[graft.operators.Cdc.latestPerKey]] — each key's LAST change
+    * wins), then apply the winners to `trusted`: a winning 'D'
+    * removes the key, a winning I/U replaces its row, untouched
+    * trusted rows survive. The read direction of K2 extended with
+    * the delete semantics [[merged]] can't express — `changes` here
+    * is exactly what [[graft.operators.Cdc.changeFeed]] emits (plus
+    * a sequence column), so a table is replicable from another
+    * table's feeds.
+    *
+    * Same plan shape as [[merged]] plus the fold's one key shuffle:
+    * the anti-join is on ALL touched keys (delete AND upsert
+    * winners — one join, not two), then surviving upsert payloads
+    * union in.
+    */
+  def appliedChanges(
+      trusted: DataFrame,
+      changes: DataFrame,
+      key: String = "sk",
+      seqCols: Seq[String] = Seq("seq"),
+      opCol: String = "op"): DataFrame = {
+    val latest = graft.operators.Cdc.latestPerKey(changes, Seq(key), seqCols)
+    val upserts = latest.where(col(opCol) =!= "D").drop((opCol +: seqCols): _*)
+    trusted
+      .join(latest.select(col(key)), Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
+
+  /** [[appliedChanges]] against the stored TRUSTED table, behind the
+    * identical staging/swap/retention discipline as [[mergeInto]].
+    * Bootstrapping (no table yet) applies the log to an empty
+    * trusted side: winners that are deletes simply don't land.
+    * Change payload schema must match the table (schema evolution is
+    * [[mergeInto]]'s `evolveSchema` concern; a changelog that also
+    * evolves schema should bootstrap through that path first).
+    */
+  def applyChangesInto(
+      spark: SparkSession,
+      trustedPath: String,
+      changes: DataFrame,
+      key: String = "sk",
+      seqCols: Seq[String] = Seq("seq"),
+      opCol: String = "op",
+      retainPrevHours: Option[Double] = None): Unit = {
+    val storage = LakeStorage(spark)
+    val fs = new Path(trustedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, new Path(trustedPath),
+      new Path(trustedPath + "__staging"), new Path(trustedPath + "__prev"))
+    retainPrevHours.foreach(gcPrevSnapshots(fs, trustedPath, _))
+
+    val trusted =
+      if (storage.exists(trustedPath)) spark.read.parquet(trustedPath)
+      else {
+        val payload = changes.drop((opCol +: seqCols): _*)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload.schema)
+      }
+    writeAndSwap(fs, trustedPath,
+      appliedChanges(trusted, changes, key, seqCols, opCol), retainPrevHours)
+  }
+
+  /** The K2 commit protocol: overwrite staging, rename the live
+    * table aside, promote staging, then drop or snapshot the old
+    * table per retention. Crash-recoverable on either side of the
+    * promote via [[recoverSwap]] at the next writer's entry. */
+  private def writeAndSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      trustedPath: String,
+      result: DataFrame,
+      retainPrevHours: Option[Double]): Unit = {
+    val staging = new Path(trustedPath + "__staging")
+    val prev = new Path(trustedPath + "__prev")
+    val target = new Path(trustedPath)
+
     if (fs.exists(staging)) fs.delete(staging, true)
     result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
 

@@ -93,6 +93,29 @@ class CdcSpec extends AnyFunSuite {
         Seq(("a", "x", 1)).toDF("k", "op", "v"), Seq("k")))
   }
 
+  test("appliedChanges: delete removes, upsert replaces, untouched survive") {
+    val trusted = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("sk", "v")
+    val changes = Seq(
+      ("b", 1, "U", 20), ("c", 1, "D", 0),
+      ("c", 2, "I", 33), ("d", 1, "I", 4), ("e", 1, "D", 0))
+      .toDF("sk", "seq", "op", "v")
+    val out = graft.sinks.MergeUpsert
+      .appliedChanges(trusted, changes).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    // b updated; c delete superseded by seq-2 reinsert; d inserted;
+    // e's delete of an absent key is a no-op; a untouched
+    assert(out == Set(("a", 1), ("b", 20), ("c", 33), ("d", 4)))
+  }
+
+  test("appliedChanges: winning delete beats earlier upserts") {
+    val trusted = Seq(("a", 1)).toDF("sk", "v")
+    val changes = Seq(("a", 1, "U", 10), ("a", 2, "D", 0))
+      .toDF("sk", "seq", "op", "v")
+    val out = graft.sinks.MergeUpsert
+      .appliedChanges(trusted, changes).collect()
+    assert(out.isEmpty)
+  }
+
   test("round trip: applyLog(before + feed) reproduces after") {
     val before = snap(("a", 1), ("b", 2), ("c", 3))
     val after = snap(("b", 2), ("c", 30), ("d", 4))

@@ -259,6 +259,31 @@ class MergeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("applyChangesInto: bootstrap, delete-aware apply, idempotent replay") {
+    val dir = Files.createTempDirectory("graft-apply").toString + "/trusted"
+    def table() = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[String]("sk"), r.getAs[Int]("v"))).toSet
+    // bootstrap from a log that already contains a delete
+    val log1 = Seq(("a", 1, "I", 1), ("b", 1, "I", 2), ("b", 2, "D", 0))
+      .toDF("sk", "seq", "op", "v")
+    MergeUpsert.applyChangesInto(spark, dir, log1)
+    assert(table() == Set(("a", 1)))
+    // second batch: update a, insert c, delete then reinsert d
+    val log2 = Seq(
+      ("a", 3, "U", 10), ("c", 3, "I", 3), ("d", 3, "D", 0), ("d", 4, "I", 4))
+      .toDF("sk", "seq", "op", "v")
+    MergeUpsert.applyChangesInto(spark, dir, log2)
+    assert(table() == Set(("a", 10), ("c", 3), ("d", 4)))
+    // replaying the same batch lands the same state (at-least-once
+    // delivery safe), and the swap leaves no staging debris
+    MergeUpsert.applyChangesInto(spark, dir, log2)
+    assert(table() == Set(("a", 10), ("c", 3), ("d", 4)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__prev")))
+  }
+
   // K3 (cloud_utils.py:172-247): recursive truncate + clearOrCreate
   test("K3 truncate and clearOrCreate") {
     val storage = LakeStorage(spark)
