@@ -123,4 +123,154 @@ object Cdc {
       .where(col("b.__b").isNull || col("a.__a").isNull || changed)
       .select((keyOut :+ op.as("op")) ++ valOut: _*)
   }
+
+  /** Snapshot diff as a SIGNED delta relation — the multiset form
+    * incremental view maintenance consumes (the counting algorithm
+    * of Gupta/Mumick/Subrahmanian, SIGMOD '93): each inserted row
+    * appears with `__sign = +1`, each deleted row with `-1`, and an
+    * update contributes BOTH its before-image at `-1` and its
+    * after-image at `+1`. Unchanged rows are silent, so like
+    * [[changeFeed]] the output is churn-sized. Same null-safe key
+    * join and schema contract as [[changeFeed]]; one full-outer
+    * sort-merge join, two exchanges.
+    */
+  def signedDelta(
+      before: DataFrame,
+      after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "signedDelta needs at least one key column")
+    require(
+      before.columns.sorted.sameElements(after.columns.sorted),
+      s"schema mismatch: before [${before.columns.mkString(",")}] vs " +
+        s"after [${after.columns.mkString(",")}]")
+    requireNoReserved(before, Seq("__b", "__a", "__r", "__sign"))
+    val valCols = before.columns.filterNot(keyCols.contains).toSeq
+    val outCols = keyCols ++ valCols
+
+    val b = before.withColumn("__b", lit(true)).as("b")
+    val a = after.withColumn("__a", lit(true)).as("a")
+    val joinCond = keyCols.map(k => col(s"b.`$k`") <=> col(s"a.`$k`")).reduce(_ && _)
+    val joined = b.join(a, joinCond, "full_outer")
+    val changed = valCols
+      .map(c => !(col(s"b.`$c`") <=> col(s"a.`$c`")))
+      .foldLeft(lit(false))(_ || _)
+
+    val afterRow = struct(
+      lit(1).as("__sign") +: outCols.map(c => col(s"a.`$c`").as(c)): _*)
+    val beforeRow = struct(
+      lit(-1).as("__sign") +: outCols.map(c => col(s"b.`$c`").as(c)): _*)
+    joined
+      .where(col("b.__b").isNull || col("a.__a").isNull || changed)
+      .select(explode(
+        when(col("b.__b").isNull, array(afterRow))
+          .when(col("a.__a").isNull, array(beforeRow))
+          .otherwise(array(beforeRow, afterRow))).as("__r"))
+      .select(col("__r.__sign").as("__sign") +: outCols.map(c => col(s"__r.`$c`")): _*)
+  }
+
+  /** Stable carried type for maintained sums: max-precision decimal
+    * so the state schema never drifts as deltas re-aggregate into
+    * it, and the arithmetic stays exact under retraction. */
+  private val SumType = "decimal(38,6)"
+
+  /** Bootstrap aggregate state for [[maintainAgg]]: per group, the
+    * row count `n`, and for each sum column `c` its non-null count
+    * `nn_<c>` and exact sum `sum_<c>`. The non-null counts are what
+    * make retraction faithful to SQL aggregate semantics: when the
+    * last non-null value of a group is retracted the sum must
+    * return to NULL, which the signed sum alone (stuck at 0) cannot
+    * express. Sum columns must be exact numerics (integral or
+    * decimal) — floating-point retraction is lossy by construction
+    * and is rejected loudly.
+    */
+  def aggState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    requireMaintainable(df, groupCols, sumCols)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sumCols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          sum(col(c)).cast(SumType).as(s"sum_$c"))): _*)
+  }
+
+  /** Incremental maintenance of an [[aggState]] table from a
+    * [[signedDelta]]: the counting algorithm. Each signed delta row
+    * is projected straight into state shape (`n = sign`,
+    * `nn = sign · [c IS NOT NULL]`, `sum = sign · c`), unioned with
+    * the existing state, and re-aggregated; groups whose count
+    * reaches zero vanish, and a sum whose non-null count reaches
+    * zero returns to NULL. Output schema == [[aggState]] schema, so
+    * maintenance composes: state after batch k feeds batch k+1
+    * without rescanning the base table.
+    *
+    * 100 TB posture: this is the whole point of the operator — the
+    * fact table is NEVER rescanned. The plan is one union of
+    * |groups| state rows with |churn| delta rows and a single hash
+    * aggregate: exactly ONE exchange, on the group keys, with
+    * map-side partial aggregation on both branches
+    * (`PlanQualitySpec` pins the exchange count). Cost is
+    * O(|state| + |churn|) regardless of base-table size.
+    */
+  def maintainAgg(
+      state: DataFrame,
+      delta: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    requireMaintainable(delta, groupCols, sumCols)
+    require(delta.columns.contains("__sign"),
+      "delta must carry __sign (build it with Cdc.signedDelta)")
+    val stateCols = groupCols ++ Seq("n") ++
+      sumCols.flatMap(c => Seq(s"nn_$c", s"sum_$c"))
+    require(state.columns.sorted.sameElements(stateCols.sorted),
+      s"state schema [${state.columns.mkString(",")}] != expected " +
+        s"[${stateCols.mkString(",")}] (build it with Cdc.aggState)")
+
+    val deltaAsState = delta.select(
+      groupCols.map(col) ++ Seq(col("__sign").cast("long").as("n")) ++
+        sumCols.flatMap(c => Seq(
+          when(col(c).isNotNull, col("__sign")).otherwise(0)
+            .cast("long").as(s"nn_$c"),
+          (col(c) * col("__sign")).cast(SumType).as(s"sum_$c"))): _*)
+
+    state.select(stateCols.map(col): _*)
+      .unionByName(deltaAsState.select(stateCols.map(col): _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum("n").as("n"),
+        sumCols.flatMap(c => Seq(
+          sum(s"nn_$c").as(s"nn_$c"),
+          sum(s"sum_$c").cast(SumType).as(s"sum_$c"))): _*)
+      .where(col("n") > 0)
+      .select(
+        groupCols.map(col) ++ Seq(col("n")) ++ sumCols.flatMap(c => Seq(
+          col(s"nn_$c"),
+          when(col(s"nn_$c") === 0, lit(null).cast(SumType))
+            .otherwise(col(s"sum_$c")).as(s"sum_$c"))): _*)
+  }
+
+  private def requireMaintainable(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    require(groupCols.nonEmpty, "aggregate maintenance needs group columns")
+    val reserved = Seq("n", "__sign") ++
+      sumCols.flatMap(c => Seq(s"nn_$c", s"sum_$c"))
+    val clash = (groupCols ++ sumCols).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with the " +
+        "maintained state's internal names (n, __sign, nn_<c>, sum_<c>)")
+    sumCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt match {
+        case _: DecimalType => true
+        case DoubleType | FloatType => false
+        case _ => dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      }, s"sum column $c is $dt: retraction needs an exact numeric " +
+        "(integral or decimal) — pre-cast floating point explicitly")
+    }
+  }
 }

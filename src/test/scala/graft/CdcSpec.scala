@@ -130,4 +130,85 @@ class CdcSpec extends AnyFunSuite {
     assert(rebuilt ==
       after.collect().map(r => (r.getString(0), r.getInt(1))).toSet)
   }
+
+  // ---- signed deltas + incremental aggregate maintenance ----
+
+  private def gsnap(rows: (Option[String], String, Option[Int])*) =
+    rows.toDF("g", "k", "v")
+
+  private def stateSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (
+      Option(r.getString(0)), r.getLong(1), r.getLong(2),
+      Option(r.getDecimal(3)).map(_.toPlainString))).toSet
+
+  test("signedDelta: +1 after-images, -1 before-images, U emits both") {
+    val before = snap(("a", 1), ("b", 2), ("c", 3))
+    val after = snap(("b", 20), ("c", 3), ("d", 4))
+    val got = Cdc.signedDelta(before, after, Seq("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (-1, "a", 1),           // deleted: before-image retracted
+      (-1, "b", 2), (1, "b", 20), // updated: both images
+      (1, "d", 4)))           // inserted: after-image added
+    assert(Cdc.signedDelta(before, after, Seq("k")).columns.toSeq ==
+      Seq("__sign", "k", "v"))
+  }
+
+  test("maintainAgg law: state(before) + delta == state(after)") {
+    val before = gsnap(
+      (Some("g1"), "a", Some(10)), (Some("g1"), "b", Some(20)),
+      (Some("g2"), "c", Some(5)), (Some("g2"), "d", None),
+      (None, "e", Some(7)), (Some("g3"), "f", Some(1)))
+    val after = gsnap(
+      (Some("g1"), "a", Some(15)),   // in-group value change
+      (Some("g2"), "b", Some(20)),   // group move g1 -> g2
+      // c deleted; f deleted -> g3 must vanish
+      (Some("g2"), "d", Some(3)),    // null -> value
+      (None, "e", Some(7)),          // unchanged (null group key)
+      (Some("g4"), "h", Some(9)),    // insert into a new group
+      (Some("g1"), "i", None))       // insert with a null value
+    val state = Cdc.aggState(before, Seq("g"), Seq("v"))
+    val delta = Cdc.signedDelta(before, after, Seq("k"))
+    val maintained = Cdc.maintainAgg(state, delta, Seq("g"), Seq("v"))
+    val recomputed = Cdc.aggState(after, Seq("g"), Seq("v"))
+    assert(maintained.schema == recomputed.schema)
+    assert(stateSet(maintained) == stateSet(recomputed))
+    // the vanished group is genuinely gone, not present at n=0
+    assert(!stateSet(maintained).exists(_._1.contains("g3")))
+  }
+
+  test("maintainAgg composes: two sequential deltas == final recompute") {
+    val s0 = gsnap((Some("g"), "a", Some(1)), (Some("g"), "b", Some(2)))
+    val s1 = gsnap((Some("g"), "a", Some(5)), (Some("h"), "c", Some(3)))
+    val s2 = gsnap((Some("h"), "c", Some(4)), (Some("h"), "d", None))
+    val step1 = Cdc.maintainAgg(
+      Cdc.aggState(s0, Seq("g"), Seq("v")),
+      Cdc.signedDelta(s0, s1, Seq("k")), Seq("g"), Seq("v"))
+    val step2 = Cdc.maintainAgg(
+      step1, Cdc.signedDelta(s1, s2, Seq("k")), Seq("g"), Seq("v"))
+    assert(stateSet(step2) == stateSet(Cdc.aggState(s2, Seq("g"), Seq("v"))))
+  }
+
+  test("maintainAgg: retracting the last non-null value restores NULL sum") {
+    val before = gsnap((Some("g"), "a", Some(5)), (Some("g"), "b", None))
+    val after = gsnap((Some("g"), "a", None), (Some("g"), "b", None))
+    val out = Cdc.maintainAgg(
+      Cdc.aggState(before, Seq("g"), Seq("v")),
+      Cdc.signedDelta(before, after, Seq("k")), Seq("g"), Seq("v"))
+    val row = out.collect().head
+    assert(row.getLong(1) == 2 && row.getLong(2) == 0 && row.isNullAt(3))
+    assert(stateSet(out) == stateSet(Cdc.aggState(after, Seq("g"), Seq("v"))))
+  }
+
+  test("maintainAgg rejects float sums and state-name collisions") {
+    val f = Seq(("g", 1.5)).toDF("g", "v")
+    intercept[IllegalArgumentException](Cdc.aggState(f, Seq("g"), Seq("v")))
+    val clash = Seq(("g", 1, 2)).toDF("g", "n", "v")
+    intercept[IllegalArgumentException](
+      Cdc.aggState(clash, Seq("g", "n"), Seq("v")))
+    val deltaNoSign = Seq(("g", 1)).toDF("g", "v")
+    val st = Cdc.aggState(Seq(("g", 1)).toDF("g", "v"), Seq("g"), Seq("v"))
+    intercept[IllegalArgumentException](
+      Cdc.maintainAgg(st, deltaNoSign, Seq("g"), Seq("v")))
+  }
 }
