@@ -95,23 +95,40 @@ object Bench {
       require(n1 == n2, s"sweep order mismatch: $n1 vs $n2")
       n1 -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
-    // ms precision keeps the line compact enough that tail-capturing
-    // log scrapers (the driver keeps a bounded tail buffer) never
-    // truncate the per-query map — r7's full-precision doubles pushed
-    // the line past the buffer and lost the first 16 entries.
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = all.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}"""
-    // sbt's logger wraps stdout in [info]/[success] decoration, which
-    // made round 1's bench line unparseable ("parsed": null). Persist
-    // the metric to a stable file the harness can read directly, then
-    // print it bare as the final stdout line for log-scraping parsers.
+    // The full single-line record goes to a stable file for the local
+    // gate (tools/bench_gate.py) and any reader with unbounded input.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
-    println(line)
+    // Stdout is read through a BOUNDED tail buffer by the driver — at
+    // 90 queries even the ms-precision single line overflows it and
+    // truncates mid-map (r7 lost 16 entries, r8 parsed null). So the
+    // tail-facing record is SPLIT: the per-query map in <=1 KB
+    // {"bench_part":k,"of":n,...} lines, then the short summary line
+    // LAST — the driver's scraper always sees a complete, parseable
+    // summary, and the parts reassemble the map when wanted.
+    val entries = all.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
+    val parts = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    var partLen = 0
+    entries.foreach { e =>
+      if (partLen + e.length > 900 && parts.last.nonEmpty) {
+        parts += scala.collection.mutable.ArrayBuffer.empty[String]
+        partLen = 0
+      }
+      parts.last += e
+      partLen += e.length + 1
+    }
+    val n = parts.length
+    parts.zipWithIndex.foreach { case (p, i) =>
+      println(s"""{"bench_part":${i + 1},"of":$n,"queries":{${p.mkString(",")}}}""")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"bench_parts":$n,"full":"bench_out.json"}""")
     System.out.flush()
   }
 }

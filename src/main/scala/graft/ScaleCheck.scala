@@ -309,6 +309,25 @@ object ScaleCheck {
         graft.operators.Cdc.changeFeed(before, after, Seq("o_orderkey"))
           .count()
       }, orders, "o_orderkey"),
+      // IVM maintenance: state bootstrapped once from the UNGROWN
+      // orders (the operational precondition — state already exists),
+      // churn grows k×. The measured object is maintainAgg itself:
+      // delta projection + union + ONE exchange — the base table
+      // appears nowhere in its inputs, so cost is O(state + churn) by
+      // construction and the ratio here isolates the churn-linear
+      // term (the fixed state bootstrap is identical in both runs,
+      // making the observed ratio a k-sublinear upper bound on it).
+      ("ivm_maintain", (df: DataFrame) => {
+        def shaped(o: DataFrame) = o.select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("v"))
+        val state = graft.operators.Cdc.aggState(
+          shaped(orders), Seq("o_orderstatus"), Seq("v"))
+        val delta = shaped(df).where(col("o_orderkey") % 11 === 0)
+          .withColumn("__sign", lit(1))
+        graft.operators.Cdc.maintainAgg(
+          state, delta, Seq("o_orderstatus"), Seq("v")).count()
+      }, orders, "o_orderkey"),
       // HOT BIN worst case for the bin-bucketed joins: binSeconds far
       // wider than the data's span puts every interval and point in
       // ONE bin, so the bin equi-join degenerates to a single shuffle

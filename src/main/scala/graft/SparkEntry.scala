@@ -218,6 +218,33 @@ object SparkEntry {
       out
     }),
 
+    // TRUSTED maintenance flow: K2 merge with z-order clustering
+    // applied INSIDE the staging write (zorderBy on mergeInto) — the
+    // operational form of flow_compact_zorder: every merge re-lays
+    // the table along the curve over its query columns with one
+    // extra range exchange, no second rewrite, same atomic swap. The
+    // oracle is d8's merge truth: clustering must change layout ONLY
+    // (MergeZOrderSpec measures the footer-stats skipping payoff on
+    // the same maintained table).
+    "flow_merge_zorder" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-merge-zorder").toString
+      val base = dedupBase(s, dir)
+      val trustedPath = s"$root/trusted"
+      // bootstrap plain; the MAINTENANCE merge is the clustered step
+      // under grade (promote → cluster)
+      graft.sinks.MergeUpsert.mergeInto(
+        s, trustedPath, base.where(col("l_orderkey") % 2 === 0))
+      graft.sinks.MergeUpsert.mergeInto(s, trustedPath,
+        base.where(col("l_orderkey") % 3 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 1000),
+        zorderBy = Seq("l_orderkey", "l_partkey"), zorderFiles = 8)
+      val out = s.read.parquet(trustedPath).localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // CDC apply: an ordered I/U/D change log over orders (insert
     // everything at seq 1, re-price every 3rd key at seq 2, delete
     // every 5th at seq 3) folded to the current snapshot with
@@ -255,6 +282,72 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       graft.operators.Cdc.changeFeed(before, after,
         keyCols = Seq("o_orderkey"))
+    }),
+
+    // Streaming CDC apply: ext_cdc_apply's I/U/D change log replayed
+    // as a checkpointed file stream — tiers land in log order
+    // (sequential appends; the file source consumes oldest-first),
+    // each micro-batch folded and applied delete-aware into TRUSTED
+    // behind the K2 swap. Final table must equal the batch apply
+    // truth (ext_cdc_apply's oracle). StreamingSpec's restart case
+    // covers the crash/resume exactly-once story.
+    "flow_stream_cdc_apply" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-cdc").toString
+      val o = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val landing = s"$root/changes"
+      o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
+        .repartition(2).write.parquet(landing)
+      o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("seq", lit(2)).withColumn("op", lit("U"))
+        .repartition(1).write.mode("append").parquet(landing)
+      o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("seq", lit(3)).withColumn("op", lit("D"))
+        .repartition(1).write.mode("append").parquet(landing)
+      graft.streaming.StreamingOps.streamApplyChanges(
+        s, landing, s.read.parquet(landing).schema,
+        s"$root/trusted", s"$root/ckpt", key = "o_orderkey")
+      val out = s.read.parquet(s"$root/trusted").localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // IVM: bootstrap aggregate state over orders, churn the snapshot
+    // (delete ALL of status 'P' so that group's count reaches zero
+    // and it vanishes; NULL-out every 'F' value so that group's sum
+    // retracts back to NULL; re-price every 3rd remaining key), feed
+    // the churn through signedDelta -> maintainAgg, and grade the
+    // MAINTAINED state against the oracle's from-scratch recompute
+    // on the after snapshot — the counting algorithm's contract:
+    // incremental == recompute, without ever rescanning the base.
+    // Plan: one full-outer diff join + ONE exchange for the
+    // union+re-aggregate, O(|state| + |churn|).
+    "ext_ivm_maintain" -> ((s, dir) => {
+      val base = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val after = base
+        .where(col("o_orderstatus") =!= "P")
+        .withColumn("v",
+          when(col("o_orderstatus") === "F", lit(null))
+            .when(col("o_orderkey") % 3 === 0, col("v") + 100)
+            .otherwise(col("v"))
+            .cast("decimal(12,2)"))
+      val state = graft.operators.Cdc.aggState(
+        base, Seq("o_orderstatus"), Seq("v"))
+      val delta = graft.operators.Cdc.signedDelta(
+        base, after, Seq("o_orderkey"))
+      graft.operators.Cdc.maintainAgg(
+          state, delta, Seq("o_orderstatus"), Seq("v"))
+        // exact decimal state internally; DOUBLE at the compare
+        // boundary (the oracle's pandas fetch degrades decimals —
+        // same convention as cap_events_hourly)
+        .withColumn("sum_v", col("sum_v").cast("double"))
     }),
 
     // Streaming MERGE into TRUSTED (foreachBatch): d8's update set
@@ -1296,6 +1389,28 @@ object SparkEntry {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Shared by ext_cdc_apply / flow_stream_cdc_apply: the batch fold
+    * of the I/U/D log and its streamed, checkpointed application
+    * must land the identical table, so they share one truth. */
+  private val cdcApplyOracleSql: String =
+    """WITH changes AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    1 AS seq, 'I' AS op FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice + 100.0, 2, 'U' FROM orders
+      |  WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    3, 'D' FROM orders WHERE o_orderkey % 5 = 0
+      |), latest AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |  FROM changes
+      |)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   /** Shared by ext_sessionize / ext_sessionize_epochs — the plain
     * and epoch-split engine formulations must produce the same
     * truth, so they share one oracle. */
@@ -1442,6 +1557,10 @@ object SparkEntry {
     "flow_stream_compact" -> promoteOracleSql,
 
     "d8_merge" -> mergeOracleSql,
+
+    // clustering changes layout only: the maintained z-ordered
+    // trusted table must hash-match the plain merge truth
+    "flow_merge_zorder" -> mergeOracleSql,
     // the streaming foreachBatch merge must land the batch K2 truth
     "flow_stream_merge" -> mergeOracleSql,
     // as-of read between bootstrap and merge = the bootstrap state
@@ -1461,24 +1580,10 @@ object SparkEntry {
 
     // independent truth: the same I/U/D log folded by a window
     // rank, deletes dropped last
-    "ext_cdc_apply" ->
-      """WITH changes AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |    1 AS seq, 'I' AS op FROM orders
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |    o_totalprice + 100.0, 2, 'U' FROM orders
-        |  WHERE o_orderkey % 3 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |    3, 'D' FROM orders WHERE o_orderkey % 5 = 0
-        |), latest AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
-        |  FROM changes
-        |)
-        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "ext_cdc_apply" -> cdcApplyOracleSql,
+
+    // streamed application of the SAME log must land the same table
+    "flow_stream_cdc_apply" -> cdcApplyOracleSql,
 
     // independent truth: FULL JOIN diff with IS DISTINCT FROM
     // payload comparison
@@ -1506,6 +1611,27 @@ object SparkEntry {
         |WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
         |   OR a.o_custkey IS DISTINCT FROM b.o_custkey
         |   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice""".stripMargin,
+
+    // independent truth for the MAINTAINED state: a from-scratch
+    // aggregate recompute over the churned (after) snapshot — the
+    // incremental counting-algorithm result must hash-match it,
+    // vanished group absent, all-NULL group's sum NULL
+    "ext_ivm_maintain" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN NULL
+        |              WHEN o_orderkey % 3 = 0 THEN v + 100
+        |              ELSE v END AS DECIMAL(12,2)) AS v
+        |  FROM base WHERE o_orderstatus <> 'P'
+        |)
+        |SELECT o_orderstatus, count(*) AS n, count(v) AS nn_v,
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
+        |FROM aft GROUP BY o_orderstatus""".stripMargin,
 
     "d9_chunk_invariance" -> "SELECT * FROM orders",
 

@@ -188,12 +188,19 @@ object Cdc {
       groupCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     requireMaintainable(df, groupCols, sumCols)
+    // Cast per-row BEFORE summation — the same rounding/overflow
+    // discipline maintainAgg's delta path uses. Summing the native
+    // type first would round scale>6 decimals once at the end (the
+    // delta path rounds each row) and could overflow a long sum;
+    // either way the maintained state would drift from this
+    // bootstrap. Per-row rounding is retraction-safe: a row's +cast
+    // and -cast round identically, so they cancel exactly.
     df.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         sumCols.flatMap(c => Seq(
           count(col(c)).as(s"nn_$c"),
-          sum(col(c)).cast(SumType).as(s"sum_$c"))): _*)
+          sum(col(c).cast(SumType)).cast(SumType).as(s"sum_$c"))): _*)
   }
 
   /** Incremental maintenance of an [[aggState]] table from a
@@ -233,15 +240,19 @@ object Cdc {
         sumCols.flatMap(c => Seq(
           when(col(c).isNotNull, col("__sign")).otherwise(0)
             .cast("long").as(s"nn_$c"),
-          (col(c) * col("__sign")).cast(SumType).as(s"sum_$c"))): _*)
+          (col(c).cast(SumType) * col("__sign")).cast(SumType).as(s"sum_$c"))): _*)
 
+    // coalesce over a non-null literal keeps n / nn_<c> non-nullable,
+    // so the output schema equals aggState's exactly (sum() alone is
+    // nullable; every surviving group aggregated >= 1 row, so the
+    // fallback branch never actually fires).
     state.select(stateCols.map(col): _*)
       .unionByName(deltaAsState.select(stateCols.map(col): _*))
       .groupBy(groupCols.map(col): _*)
       .agg(
-        sum("n").as("n"),
+        coalesce(sum("n"), lit(0L)).as("n"),
         sumCols.flatMap(c => Seq(
-          sum(s"nn_$c").as(s"nn_$c"),
+          coalesce(sum(s"nn_$c"), lit(0L)).as(s"nn_$c"),
           sum(s"sum_$c").cast(SumType).as(s"sum_$c"))): _*)
       .where(col("n") > 0)
       .select(

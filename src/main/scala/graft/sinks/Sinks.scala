@@ -216,6 +216,20 @@ object MergeUpsert {
     * `evolveSchema=true` routes through [[mergedEvolved]]: an update
     * batch may carry new columns (table widens, absent rows NULL) or
     * miss recent ones (NULL upserted) — type changes still reject.
+    *
+    * `zorderBy` clusters the merged table along the z-curve over the
+    * given columns INSIDE the staging write the merge already pays
+    * for — one extra range exchange + sort on the z-value, never a
+    * second full rewrite (running [[Compaction.compactWork]] after
+    * the swap would read and write the table twice). The swap
+    * protocol is unchanged, so the maintained layout is exactly as
+    * crash-recoverable as the unclustered one. At 100 TB this is how
+    * TRUSTED stays queryable as it grows: every merge re-tightens
+    * the parquet footer ranges on the query columns, and point/range
+    * predicates on ANY clustered column keep skipping most files
+    * ([[ZOrder]] doc for the stats math). `zorderFiles` caps the
+    * output file count; 0 derives it from the session's shuffle
+    * parallelism.
     */
   def mergeInto(
       spark: SparkSession,
@@ -224,7 +238,9 @@ object MergeUpsert {
       key: String = "sk",
       broadcastUpdates: Boolean = false,
       retainPrevHours: Option[Double] = None,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false,
+      zorderBy: Seq[String] = Nil,
+      zorderFiles: Int = 0): Unit = {
     val storage = LakeStorage(spark)
     val fs = new Path(trustedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -242,7 +258,7 @@ object MergeUpsert {
         else merged(trusted, updates, key, broadcastUpdates)
       } else updates
 
-    writeAndSwap(fs, trustedPath, result, retainPrevHours)
+    writeAndSwap(fs, trustedPath, result, retainPrevHours, zorderBy, zorderFiles)
   }
 
   /** Delete-aware merge semantics: fold an ordered I/U/D change log
@@ -315,13 +331,23 @@ object MergeUpsert {
       fs: org.apache.hadoop.fs.FileSystem,
       trustedPath: String,
       result: DataFrame,
-      retainPrevHours: Option[Double]): Unit = {
+      retainPrevHours: Option[Double],
+      zorderBy: Seq[String] = Nil,
+      zorderFiles: Int = 0): Unit = {
     val staging = new Path(trustedPath + "__staging")
     val prev = new Path(trustedPath + "__prev")
     val target = new Path(trustedPath)
 
+    val toWrite =
+      if (zorderBy.isEmpty) result
+      else {
+        val n =
+          if (zorderFiles > 0) zorderFiles
+          else result.sparkSession.sessionState.conf.numShufflePartitions
+        ZOrder.cluster(result, zorderBy, n)
+      }
     if (fs.exists(staging)) fs.delete(staging, true)
-    result.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    toWrite.write.mode(SaveMode.Overwrite).parquet(staging.toString)
 
     if (fs.exists(prev)) fs.delete(prev, true)
     if (fs.exists(target)) {

@@ -373,6 +373,61 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Streaming delete-aware CDC apply: each micro-batch of an
+    * ordered I/U/D change-log stream is folded (latest change per
+    * key within the batch) and applied into the TRUSTED table behind
+    * the K2 staging swap — the delete-aware analogue of the
+    * foreachBatch merge in `flow_stream_merge`, composing
+    * [[graft.sinks.MergeUpsert.applyChangesInto]] with the
+    * checkpointed file source.
+    *
+    * Exactly-once effect across restarts and crashes: the
+    * checkpoint's source log skips files a prior run committed, and
+    * a batch re-delivered after a crash-between-apply-and-commit
+    * re-applies IDENTICAL winners — upserts replace with the same
+    * row, deletes of an absent key are no-ops — so replay converges
+    * to the same table (idempotent apply, the same story as the
+    * streaming merge).
+    *
+    * Ordering contract (inherited from sequential application):
+    * across micro-batches a key's changes must arrive in
+    * non-decreasing `seqCols` order — i.e. the change-log files land
+    * in log order, which the file source preserves (oldest
+    * modification time first). WITHIN a batch any mix is fine (the
+    * fold orders by `seqCols`). A log that interleaves a key's
+    * changes across out-of-order files needs a boundedly-late
+    * reorder buffer upstream — same contract every log-shipping
+    * consumer has.
+    *
+    * Plan per batch: one map-side-limited fold shuffle + one
+    * anti-join against trusted — O(batch + table-rewrite), with the
+    * partition-aware merge as the 100 TB mitigation (see
+    * `flow_stream_merge`'s audit note). */
+  def streamApplyChanges(
+      spark: SparkSession,
+      changeLogDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      trustedPath: String,
+      checkpointDir: String,
+      key: String,
+      seqCols: Seq[String] = Seq("seq"),
+      opCol: String = "op",
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(changeLogDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.MergeUpsert.applyChangesInto(
+          spark, trustedPath, batch, key, seqCols, opCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming WORK-zone ingestion: the K1 append flow as a stream —
     * files landing in the WORK directory are discovered incrementally
     * (`maxFilesPerTrigger` paces recovery after downtime). */

@@ -200,6 +200,45 @@ class CdcSpec extends AnyFunSuite {
     assert(stateSet(out) == stateSet(Cdc.aggState(after, Seq("g"), Seq("v"))))
   }
 
+  test("maintainAgg: scale>6 decimals round identically in bootstrap and delta") {
+    // Both aggState and the delta path must cast each row to the
+    // carried decimal(38,6) BEFORE summing: if the bootstrap summed
+    // at native scale 8 and rounded once at the end, maintained
+    // state would drift from recompute on exactly these values.
+    val mk = (rows: Seq[(String, String, String)]) =>
+      rows.toDF("g", "k", "raw")
+        .select(col("g"), col("k"), col("raw").cast("decimal(38,8)").as("v"))
+    val before = mk(Seq(
+      ("g", "a", "0.00000049"), ("g", "b", "0.00000049"),
+      ("g", "c", "0.00000049"), ("h", "d", "1.12345678")))
+    val after = mk(Seq(
+      ("g", "a", "0.00000049"), ("g", "c", "2.00000049"),
+      ("h", "d", "1.12345678"), ("h", "e", "3.99999951")))
+    val maintained = Cdc.maintainAgg(
+      Cdc.aggState(before, Seq("g"), Seq("v")),
+      Cdc.signedDelta(before, after, Seq("k")), Seq("g"), Seq("v"))
+    val recomputed = Cdc.aggState(after, Seq("g"), Seq("v"))
+    assert(maintained.schema == recomputed.schema)
+    assert(stateSet(maintained) == stateSet(recomputed))
+  }
+
+  test("maintainAgg: long sums that would overflow Long stay exact") {
+    val big = Long.MaxValue / 2
+    val before = Seq(("g", "a", big), ("g", "b", big), ("g", "c", big))
+      .toDF("g", "k", "v")
+    val after = Seq(("g", "a", big), ("g", "b", big), ("g", "c", big),
+      ("g", "d", big)).toDF("g", "k", "v")
+    val maintained = Cdc.maintainAgg(
+      Cdc.aggState(before, Seq("g"), Seq("v")),
+      Cdc.signedDelta(before, after, Seq("k")), Seq("g"), Seq("v"))
+    val recomputed = Cdc.aggState(after, Seq("g"), Seq("v"))
+    assert(stateSet(maintained) == stateSet(recomputed))
+    // 4 * (Long.MaxValue/2) overflows a long sum; decimal carries it
+    val sum = maintained.collect().head.getDecimal(3)
+    assert(sum.toBigInteger.toString ==
+      (BigInt(big) * 4).toString)
+  }
+
   test("maintainAgg rejects float sums and state-name collisions") {
     val f = Seq(("g", 1.5)).toDF("g", "v")
     intercept[IllegalArgumentException](Cdc.aggState(f, Seq("g"), Seq("v")))

@@ -313,6 +313,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"exactly one exchange per snapshot side expected:\n$plan")
   }
 
+  test("ivm maintain: ONE exchange for the union + re-aggregate, partial map-side") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Cdc
+    val o = SparkEntry.tbl(spark, sf, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("v"))
+    // checkpoint both inputs so the pin counts ONLY the maintenance
+    // plan, not the bootstrap aggregate or the diff join that
+    // produced them (state after batch k arrives materialized anyway)
+    val state = Cdc.aggState(o, Seq("o_orderstatus"), Seq("v"))
+      .localCheckpoint(true)
+    val delta = o.where(col("o_orderkey") % 100 === 0)
+      .withColumn("__sign", lit(-1)).localCheckpoint(true)
+    val plan = Cdc.maintainAgg(state, delta, Seq("o_orderstatus"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"maintenance must be ONE shuffle on the group keys:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"re-aggregate must combine map-side below the exchange:\n$plan")
+  }
+
   test("kmv distinct: map-side partial sketch below the exchange") {
     val plan = planOf("ext_distinct_kmv")
     val partialIdx = plan.indexOf("partial_kmv_distinct")

@@ -133,6 +133,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake.work(ref)).count() == 4)
   }
 
+  test("streaming CDC apply: restart resumes mid-log, final table == batch apply truth") {
+    import graft.streaming.StreamingOps
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamcdc").toString
+    val landing = s"$root/changes"
+    val trusted = s"$root/trusted"
+    val ckpt = s"$root/ckpt"
+
+    def chg(rows: (Long, String, Int, String)*) =
+      rows.toDF("k", "payload", "seq", "op")
+    // log tier 1: insert a,b,c (keys 1,2,3)
+    val tier1 = chg((1L, "a", 1, "I"), (2L, "b", 1, "I"), (3L, "c", 1, "I"))
+    tier1.coalesce(1).write.parquet(landing)
+    StreamingOps.streamApplyChanges(
+      spark, landing, tier1.schema, trusted, ckpt, key = "k")
+    assert(spark.read.parquet(trusted).count() == 3)
+
+    // "crash": that query is gone. Tier 2 (update k=2, delete k=3)
+    // and tier 3 (re-insert k=3) land; a NEW query on the SAME
+    // checkpoint must apply only the unseen files, in landed order.
+    chg((2L, "B", 2, "U"), (3L, "c", 2, "D")).coalesce(1)
+      .write.mode("append").parquet(landing)
+    chg((3L, "C2", 3, "I")).coalesce(1)
+      .write.mode("append").parquet(landing)
+    StreamingOps.streamApplyChanges(
+      spark, landing, tier1.schema, trusted, ckpt, key = "k")
+
+    val log = spark.read.parquet(landing)
+    val truth = graft.sinks.MergeUpsert.appliedChanges(
+      chg().drop("seq", "op"), log, key = "k")
+    val got = spark.read.parquet(trusted).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == truth.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "C2")),
+      "delete-then-reinsert must keep the reinsert; update must replace")
+
+    // exactly-once: a third run with NO new files changes nothing —
+    // the checkpoint's source log holds every committed file
+    StreamingOps.streamApplyChanges(
+      spark, landing, tier1.schema, trusted, ckpt, key = "k")
+    assert(spark.read.parquet(trusted).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == got)
+
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(root)
+  }
+
   test("streaming sessions agree with batch sessionize at gap == threshold exactly") {
     // timestamps quantized to the gap — the boundary case where
     // session_window's strict-overlap merge (delta < gap) and the

@@ -32,9 +32,21 @@ def load_bench(path):
     if isinstance(tail, str):
         # driver format: find the Bench JSON line inside the stdout
         # tail (usually prefixed with sbt's "[info] "); take the LAST
-        # parseable one in case a partial line was cut at the tail edge
+        # parseable one in case a partial line was cut at the tail edge.
+        # Since r9 Bench splits the map across {"bench_part":k,"of":n}
+        # lines (each <=1 KB, so none can straddle the tail boundary)
+        # with a short queries-free summary last — reassemble those.
         found = None
+        parts = {}
         for line in tail.splitlines():
+            j = line.find('{"bench_part"')
+            if j >= 0:
+                try:
+                    cand = json.loads(line[j:])
+                    parts[cand["bench_part"]] = cand.get("queries", {})
+                except (json.JSONDecodeError, KeyError):
+                    pass
+                continue
             i = line.find('{"metric"')
             if i < 0:
                 continue
@@ -46,6 +58,11 @@ def load_bench(path):
                 found = cand["queries"]
         if found is not None:
             return found
+        if parts:
+            merged = {}
+            for k in sorted(parts):
+                merged.update(parts[k])
+            return merged
         sys.exit(f"{path}: driver-format file but no complete bench "
                  f"JSON line in its tail (run truncated or crashed?)")
     sys.exit(f"{path}: unrecognized bench format "
