@@ -315,6 +315,53 @@ object SparkEntry {
       out
     }),
 
+    // Streaming IVM: the ext_ivm_maintain fold as a checkpointed
+    // signed-delta stream. Batch 1+2 carry the base snapshot at +1
+    // (zero state + snapshot == bootstrap); the churn's retractions
+    // and additions then land as SEPARATE batches (valid-prefix
+    // tiling — signed deltas commute under it). The maintained state
+    // table must equal the same from-scratch recompute oracle.
+    // Exactly-once is transactional: AggStateSink commits the applied
+    // batch id atomically with each state swap (replaying a delta
+    // would double-count; StreamingSpec covers replay + restart).
+    "flow_stream_ivm" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-ivm").toString
+      val base = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val after = base
+        .where(col("o_orderstatus") =!= "P")
+        .withColumn("v",
+          when(col("o_orderstatus") === "F", lit(null))
+            .when(col("o_orderkey") % 3 === 0, col("v") + 100)
+            .otherwise(col("v"))
+            .cast("decimal(12,2)"))
+      val landing = s"$root/deltas"
+      val shape = Seq(col("__sign"), col("o_orderkey"),
+        col("o_orderstatus"), col("v"))
+      base.withColumn("__sign", lit(1)).select(shape: _*)
+        .repartition(2).write.parquet(landing)
+      val delta = graft.operators.Cdc.signedDelta(
+        base, after, Seq("o_orderkey")).localCheckpoint(true)
+      delta.where(col("__sign") === -1).select(shape: _*)
+        .coalesce(1).write.mode("append").parquet(landing)
+      delta.where(col("__sign") === 1).select(shape: _*)
+        .coalesce(1).write.mode("append").parquet(landing)
+      graft.streaming.StreamingOps.streamMaintainAgg(
+        s, landing, s.read.parquet(landing).schema,
+        s"$root/state", s"$root/ckpt",
+        Seq("o_orderstatus"), Seq("v"))
+      val out = s.read.parquet(s"$root/state")
+        .withColumn("sum_v", col("sum_v").cast("double"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // IVM: bootstrap aggregate state over orders, churn the snapshot
     // (delete ALL of status 'P' so that group's count reaches zero
     // and it vanishes; NULL-out every 'F' value so that group's sum
@@ -1389,6 +1436,27 @@ object SparkEntry {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Shared by ext_ivm_maintain / flow_stream_ivm: the batch fold
+    * and the streamed, transactionally-checkpointed maintenance must
+    * land the identical state, so they share one from-scratch
+    * recompute truth. */
+  private val ivmMaintainOracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
+      |  FROM orders
+      |), aft AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CASE WHEN o_orderstatus = 'F' THEN NULL
+      |              WHEN o_orderkey % 3 = 0 THEN v + 100
+      |              ELSE v END AS DECIMAL(12,2)) AS v
+      |  FROM base WHERE o_orderstatus <> 'P'
+      |)
+      |SELECT o_orderstatus, count(*) AS n, count(v) AS nn_v,
+      |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
+      |FROM aft GROUP BY o_orderstatus""".stripMargin
+
   /** Shared by ext_cdc_apply / flow_stream_cdc_apply: the batch fold
     * of the I/U/D log and its streamed, checkpointed application
     * must land the identical table, so they share one truth. */
@@ -1616,22 +1684,10 @@ object SparkEntry {
     // aggregate recompute over the churned (after) snapshot — the
     // incremental counting-algorithm result must hash-match it,
     // vanished group absent, all-NULL group's sum NULL
-    "ext_ivm_maintain" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
-        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
-        |  FROM orders
-        |), aft AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(CASE WHEN o_orderstatus = 'F' THEN NULL
-        |              WHEN o_orderkey % 3 = 0 THEN v + 100
-        |              ELSE v END AS DECIMAL(12,2)) AS v
-        |  FROM base WHERE o_orderstatus <> 'P'
-        |)
-        |SELECT o_orderstatus, count(*) AS n, count(v) AS nn_v,
-        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
-        |FROM aft GROUP BY o_orderstatus""".stripMargin,
+    "ext_ivm_maintain" -> ivmMaintainOracleSql,
+
+    // the streamed, checkpointed maintenance must land the same state
+    "flow_stream_ivm" -> ivmMaintainOracleSql,
 
     "d9_chunk_invariance" -> "SELECT * FROM orders",
 

@@ -428,6 +428,56 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Streaming incremental view maintenance: a signed-delta stream
+    * ([[graft.operators.Cdc.signedDelta]] shape — `__sign` ±1 rows)
+    * folded per micro-batch into a persistent aggregate state table
+    * via [[graft.sinks.AggStateSink.maintainInto]]. The counting
+    * algorithm as a streaming sink: state after batch k feeds batch
+    * k+1, the base table is never consulted, and each batch costs
+    * one |state|+|churn| union with a single exchange.
+    *
+    * Exactly-once is TRANSACTIONAL here, not idempotent — replaying
+    * a delta double-counts — so the sink commits the applied batch
+    * id atomically with each state swap and skips re-delivered
+    * batches (see [[graft.sinks.AggStateSink]]). Signed deltas
+    * commute (the fold is a sum), so the ordering contract is weaker
+    * than [[streamApplyChanges]]'s: any tiling works as long as each
+    * PREFIX of the batch sequence is a valid multiset difference
+    * against the current state — a retraction must not arrive before
+    * the insertion it cancels (maintained counts would go negative
+    * transiently, and the n>0 group drop makes that lossy). Within
+    * that contract retractions and additions may land in separate
+    * batches in either order.
+    *
+    * A `+1`-signed load of the initial snapshot bootstraps the state
+    * through the same path (zero state + snapshot multiset ==
+    * `aggState` of the snapshot), so bootstrap and maintenance are
+    * one code path. */
+  def streamMaintainAgg(
+      spark: SparkSession,
+      deltaDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statePath: String,
+      checkpointDir: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sinks.AggStateSink.maintainInto(
+          spark, statePath, batch, groupCols, sumCols, id)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming WORK-zone ingestion: the K1 append flow as a stream —
     * files landing in the WORK directory are discovered incrementally
     * (`maxFilesPerTrigger` paces recovery after downtime). */

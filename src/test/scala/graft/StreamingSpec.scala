@@ -180,6 +180,64 @@ class StreamingSpec extends AnyFunSuite {
       .truncate(root)
   }
 
+  test("streaming IVM: replayed batch skipped (transactional guard), restart resumes") {
+    import graft.sinks.AggStateSink
+    import graft.streaming.StreamingOps
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamivm").toString
+    def d(rows: (Int, String, Option[Int])*) =
+      rows.toDF("__sign", "g", "v")
+    def state(path: String): Map[String, (Long, Long, Option[String])] =
+      spark.read.parquet(path).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.getDecimal(3)).map(_.toPlainString)))).toMap
+
+    // direct sink: bootstrap is batch 0 at +1
+    val sp = s"$root/state"
+    val b0 = d((1, "a", Some(10)), (1, "a", Some(20)), (1, "b", None))
+    assert(AggStateSink.maintainInto(spark, sp, b0, Seq("g"), Seq("v"), 0L))
+    val s0 = state(sp)
+    assert(s0("a")._1 == 2 && s0("b") == ((1L, 0L, None)))
+    // REPLAY of batch 0 (crash between swap and checkpoint commit):
+    // the recorded id makes it a no-op — maintenance would otherwise
+    // double-count
+    assert(!AggStateSink.maintainInto(spark, sp, b0, Seq("g"), Seq("v"), 0L))
+    assert(state(sp) == s0)
+    // a NEW batch id applies
+    assert(AggStateSink.maintainInto(
+      spark, sp, d((-1, "a", Some(10))), Seq("g"), Seq("v"), 1L))
+    val s1 = state(sp)
+    assert(s1("a")._1 == 1 && s1("a")._3.exists(_.startsWith("20")))
+
+    // streaming end-to-end with restart across landed delta files
+    val landing = s"$root/deltas"
+    val sp2 = s"$root/state2"
+    val ckpt = s"$root/ckpt"
+    val t0 = d((1, "g", Some(1)), (1, "g", Some(2)), (1, "h", Some(5)))
+    t0.coalesce(1).write.parquet(landing)
+    StreamingOps.streamMaintainAgg(
+      spark, landing, t0.schema, sp2, ckpt, Seq("g"), Seq("v"))
+    assert(state(sp2)("g")._1 == 2 && state(sp2)("h")._1 == 1)
+
+    // "crash"; more deltas land: h fully retracted (group must
+    // vanish), g gains a NULL row. New query, same checkpoint.
+    d((-1, "h", Some(5))).coalesce(1).write.mode("append").parquet(landing)
+    d((1, "g", None)).coalesce(1).write.mode("append").parquet(landing)
+    StreamingOps.streamMaintainAgg(
+      spark, landing, t0.schema, sp2, ckpt, Seq("g"), Seq("v"))
+    val s2 = state(sp2)
+    assert(!s2.contains("h"), "fully retracted group must vanish")
+    assert(s2("g") == ((3L, 2L, Some("3.000000"))))
+
+    // no new files: a third run must change nothing
+    StreamingOps.streamMaintainAgg(
+      spark, landing, t0.schema, sp2, ckpt, Seq("g"), Seq("v"))
+    assert(state(sp2) == s2)
+
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(root)
+  }
+
   test("streaming sessions agree with batch sessionize at gap == threshold exactly") {
     // timestamps quantized to the gap — the boundary case where
     // session_window's strict-overlap merge (delta < gap) and the
