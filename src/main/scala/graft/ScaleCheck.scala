@@ -40,6 +40,7 @@ object ScaleCheck {
     val embs = SparkEntry.tbl(spark, sfDir, "embeddings")
     val events = SparkEntry.tbl(spark, sfDir, "events")
     val orders = SparkEntry.tbl(spark, sfDir, "orders")
+    val customer = SparkEntry.tbl(spark, sfDir, "customer")
     // synthetic node set for the clustering-fallback case: ids in
     // decade blocks so `% 10` chain edges survive grow()'s 1e8 offsets
     val chainNodes = spark.range(300000L).toDF("doc_id")
@@ -327,6 +328,35 @@ object ScaleCheck {
           .withColumn("__sign", lit(1))
         graft.operators.Cdc.maintainAgg(
           state, delta, Seq("o_orderstatus"), Seq("v")).count()
+      }, orders, "o_orderkey"),
+      // Join-view IVM end-to-end at k×: the fact side (orders) and
+      // its churn both grow k×, the dimension (customer) is fixed —
+      // the view fans out k× per customer. The delta terms keep the
+      // churn on the broadcastable side, so growth should track the
+      // snapshot scans + churn-sized joins, not a k×-view reshuffle.
+      ("ivm_join", (df: DataFrame) => {
+        val cdc = graft.operators.Cdc
+        val aOld = df.select(
+          col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+        val aNew = aOld.where(col("o_orderkey") % 5 =!= 0)
+          .withColumn("price",
+            when(col("o_orderkey") % 3 === 0, col("price") + 100)
+              .otherwise(col("price")).cast("decimal(12,2)"))
+        val bOld = customer.select(
+          col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val bNew = bOld.where(col("custkey") % 9 =!= 0)
+          .withColumn("c_mktsegment",
+            when(col("custkey") % 4 === 0, lit("SEG"))
+              .otherwise(col("c_mktsegment")))
+        cdc.maintainAgg(
+          cdc.aggState(aOld.join(bOld, Seq("custkey"), "inner"),
+            Seq("c_mktsegment"), Seq("price")),
+          cdc.joinDelta(
+            cdc.signedDelta(aOld, aNew, Seq("o_orderkey")), aOld,
+            cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
+            Seq("custkey")),
+          Seq("c_mktsegment"), Seq("price")).count()
       }, orders, "o_orderkey"),
       // HOT BIN worst case for the bin-bucketed joins: binSeconds far
       // wider than the data's span puts every interval and point in

@@ -315,6 +315,104 @@ object SparkEntry {
       out
     }),
 
+    // Partition-scoped CDC apply: the same I/U/D log folded into a
+    // TRUSTED table hive-partitioned by o_orderstatus via
+    // applyChangesIntoPartitioned — only partitions the batch
+    // touches are read, rewritten, and swapped (MergeSpec proves the
+    // untouched-partition file identity and the emptied-partition
+    // drop; at 100 TB this is O(batch), not O(table)). Final table
+    // must equal the whole-log fold truth.
+    "flow_partitioned_apply" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-part-apply").toString
+      val o = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val t = s"$root/trusted"
+      graft.sinks.MergeUpsert.applyChangesIntoPartitioned(s, t,
+        o.withColumn("seq", lit(1)).withColumn("op", lit("I")),
+        key = "o_orderkey", partitionCol = "o_orderstatus")
+      val batch = o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("seq", lit(2)).withColumn("op", lit("U"))
+        .unionByName(o.where(col("o_orderkey") % 5 === 0)
+          .withColumn("seq", lit(3)).withColumn("op", lit("D")))
+      graft.sinks.MergeUpsert.applyChangesIntoPartitioned(s, t, batch,
+        key = "o_orderkey", partitionCol = "o_orderstatus")
+      val out = s.read.parquet(t)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // Join-view IVM: maintain the materialized orders⋈customer view
+    // through churn on BOTH sides without re-running the join — the
+    // bilinear delta rule Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB feeding the
+    // counting state (groupCols = every view column, n = row
+    // multiplicity). Orders lose every 5th key and re-status every
+    // 3rd; customers lose every 9th and re-segment every 4th — so
+    // deletes fan out through the join, updates overlap (the cross
+    // term), and the maintained multiset must equal the from-scratch
+    // join recompute. Snapshot sides of the delta joins broadcast
+    // the churn, never shuffle the snapshot.
+    "ext_ivm_join" -> ((s, dir) => {
+      val cdc = graft.operators.Cdc
+      val aOld = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_orderstatus"))
+      val aNew = aOld.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val bOld = tbl(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val bNew = bOld.where(col("custkey") % 9 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("custkey") % 4 === 0, lit("SEG"))
+            .otherwise(col("c_mktsegment")))
+      val cols = Seq("custkey", "o_orderkey", "o_orderstatus", "c_mktsegment")
+      val state0 = cdc.aggState(
+        aOld.join(bOld, Seq("custkey"), "inner"), cols, Nil)
+      val delta = cdc.joinDelta(
+        cdc.signedDelta(aOld, aNew, Seq("o_orderkey")), aOld,
+        cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
+        on = Seq("custkey"))
+      cdc.maintainAgg(state0, delta, cols, Nil)
+    }),
+
+    // Aggregate-over-join IVM — the materialized-view headline:
+    // revenue by market segment over orders⋈customer, maintained
+    // through churn on both sides WITHOUT re-running join or
+    // aggregate. joinDelta's signed view-delta feeds maintainAgg
+    // with real sum columns; a customer's segment flip moves its
+    // whole order revenue between groups purely via ±-signed rows.
+    "ext_ivm_join_agg" -> ((s, dir) => {
+      val cdc = graft.operators.Cdc
+      val aOld = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val aNew = aOld.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + 100)
+            .otherwise(col("price")).cast("decimal(12,2)"))
+      val bOld = tbl(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val bNew = bOld.where(col("custkey") % 9 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("custkey") % 4 === 0, lit("SEG"))
+            .otherwise(col("c_mktsegment")))
+      val state0 = cdc.aggState(
+        aOld.join(bOld, Seq("custkey"), "inner"),
+        Seq("c_mktsegment"), Seq("price"))
+      val delta = cdc.joinDelta(
+        cdc.signedDelta(aOld, aNew, Seq("o_orderkey")), aOld,
+        cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
+        on = Seq("custkey"))
+      cdc.maintainAgg(state0, delta, Seq("c_mktsegment"), Seq("price"))
+        .withColumn("sum_price", col("sum_price").cast("double"))
+    }),
+
     // Streaming IVM: the ext_ivm_maintain fold as a checkpointed
     // signed-delta stream. Batch 1+2 carry the base snapshot at +1
     // (zero state + snapshot == bootstrap); the churn's retractions
@@ -1653,6 +1751,9 @@ object SparkEntry {
     // streamed application of the SAME log must land the same table
     "flow_stream_cdc_apply" -> cdcApplyOracleSql,
 
+    // partition-scoped application of the SAME log, ditto
+    "flow_partitioned_apply" -> cdcApplyOracleSql,
+
     // independent truth: FULL JOIN diff with IS DISTINCT FROM
     // payload comparison
     "ext_cdc_feed" ->
@@ -1688,6 +1789,54 @@ object SparkEntry {
 
     // the streamed, checkpointed maintenance must land the same state
     "flow_stream_ivm" -> ivmMaintainOracleSql,
+
+    // independent truth for the maintained aggregate-over-join:
+    // recompute the churned join and aggregate from scratch
+    "ext_ivm_join_agg" ->
+      """WITH a0 AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders
+        |), an AS (
+        |  SELECT o_orderkey, custkey,
+        |    CAST(CASE WHEN o_orderkey % 3 = 0 THEN price + 100
+        |              ELSE price END AS DECIMAL(12,2)) AS price
+        |  FROM a0 WHERE o_orderkey % 5 <> 0
+        |), b0 AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment FROM customer
+        |), bn AS (
+        |  SELECT custkey,
+        |    CASE WHEN custkey % 4 = 0 THEN 'SEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM b0 WHERE custkey % 9 <> 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n, count(price) AS nn_price,
+        |  CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+        |FROM an JOIN bn USING (custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // independent truth for the maintained JOIN view: recompute the
+    // join of the churned snapshots and count row multiplicities
+    "ext_ivm_join" ->
+      """WITH a0 AS (
+        |  SELECT o_orderkey, o_custkey AS custkey, o_orderstatus FROM orders
+        |), an AS (
+        |  SELECT o_orderkey, custkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM a0 WHERE o_orderkey % 5 <> 0
+        |), b0 AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment FROM customer
+        |), bn AS (
+        |  SELECT custkey,
+        |    CASE WHEN custkey % 4 = 0 THEN 'SEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM b0 WHERE custkey % 9 <> 0
+        |)
+        |SELECT custkey, o_orderkey, o_orderstatus, c_mktsegment,
+        |  count(*) AS n
+        |FROM an JOIN bn USING (custkey)
+        |GROUP BY custkey, o_orderkey, o_orderstatus, c_mktsegment""".stripMargin,
 
     "d9_chunk_invariance" -> "SELECT * FROM orders",
 

@@ -168,6 +168,66 @@ object Cdc {
       .select(col("__r.__sign").as("__sign") +: outCols.map(c => col(s"__r.`$c`")): _*)
   }
 
+  /** Signed delta of the inner equi-join `A ⋈ B` from the signed
+    * deltas of each side and the PRE-batch snapshots — the bilinear
+    * delta rule of incremental view maintenance:
+    *
+    *   Δ(A⋈B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * (joins are bilinear over signed multisets:
+    * `(A+ΔA)⋈(B+ΔB) − A⋈B` expands to exactly those three terms),
+    * with output signs the PRODUCT of the input signs. Feed the
+    * result to [[maintainAgg]] — with `groupCols` = every view
+    * column and no sum columns it maintains the view's row
+    * multiset (each distinct row with its count `n`); with real
+    * aggregates it maintains an aggregate OVER the join without ever
+    * re-running it.
+    *
+    * Contract: `deltaA`/`deltaB` are [[signedDelta]] outputs against
+    * `aOld`/`bOld` (the snapshots BEFORE this batch); non-key column
+    * names must be disjoint across sides (the view's schema).
+    * NULL join keys never match — standard inner-join semantics,
+    * same as the from-scratch recompute.
+    *
+    * 100 TB posture: the two snapshot-side joins put the churn-sized
+    * delta on one side, so AQE broadcasts it and the snapshot is
+    * SCANNED, never shuffled; the cross term joins two churn-sized
+    * inputs. Cost per batch is O(scan(A_old) + scan(B_old) + churn),
+    * versus the full join's shuffle of both tables — and composing
+    * with [[maintainAgg]] the view itself is never recomputed. */
+  def joinDelta(
+      deltaA: DataFrame,
+      aOld: DataFrame,
+      deltaB: DataFrame,
+      bOld: DataFrame,
+      on: Seq[String]): DataFrame = {
+    require(on.nonEmpty, "joinDelta needs join key columns")
+    Seq(deltaA -> "deltaA", deltaB -> "deltaB").foreach { case (d, nm) =>
+      require(d.columns.contains("__sign"),
+        s"$nm must carry __sign (build it with Cdc.signedDelta)")
+    }
+    requireNoReserved(aOld, Seq("__sign", "__sl", "__sr"))
+    requireNoReserved(bOld, Seq("__sign", "__sl", "__sr"))
+    val aPayload = aOld.columns.filterNot(on.contains)
+    val bPayload = bOld.columns.filterNot(on.contains)
+    val clash = aPayload.intersect(bPayload)
+    require(clash.isEmpty,
+      s"non-key columns ${clash.mkString(", ")} exist on both sides — " +
+        "rename them; the view needs one column per name")
+    val outCols = (on ++ aPayload ++ bPayload).map(col)
+
+    def signed(df: DataFrame, s: String) = df.withColumnRenamed("__sign", s)
+    def term(l: DataFrame, r: DataFrame): DataFrame =
+      signed(l, "__sl").join(signed(r, "__sr"), on.toSeq, "inner")
+        .select((col("__sl") * col("__sr")).as("__sign") +: outCols: _*)
+
+    val aSnap = aOld.withColumn("__sign", lit(1))
+    val bSnap = bOld.withColumn("__sign", lit(1))
+    term(deltaA, bSnap)
+      .unionByName(term(aSnap, deltaB))
+      .unionByName(term(deltaA, deltaB))
+  }
+
   /** Stable carried type for maintained sums: max-precision decimal
     * so the state schema never drifts as deltas re-aggregate into
     * it, and the arithmetic stays exact under retraction. */
@@ -246,6 +306,23 @@ object Cdc {
     // so the output schema equals aggState's exactly (sum() alone is
     // nullable; every surviving group aggregated >= 1 row, so the
     // fallback branch never actually fires).
+    // Group-column nullability follows the INPUT STATE's schema: the
+    // delta branch is explode-built, so Spark marks its columns
+    // nullable and the union would widen a non-nullable state key to
+    // nullable — breaking the output == aggState schema contract for
+    // null-free sources. AssertNotNull restores the state's declared
+    // non-nullability (and fails LOUDLY if a delta ever does carry a
+    // null key for such a state — silently widening a composed state
+    // chain's schema would be worse).
+    val keyOut = groupCols.map { g =>
+      if (state.schema(g).nullable) col(g)
+      else {
+        import org.apache.spark.sql.graftglue.ColumnGlue
+        ColumnGlue.column(
+          org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+            ColumnGlue.expression(col(g)))).as(g)
+      }
+    }
     state.select(stateCols.map(col): _*)
       .unionByName(deltaAsState.select(stateCols.map(col): _*))
       .groupBy(groupCols.map(col): _*)
@@ -256,7 +333,7 @@ object Cdc {
           sum(s"sum_$c").cast(SumType).as(s"sum_$c"))): _*)
       .where(col("n") > 0)
       .select(
-        groupCols.map(col) ++ Seq(col("n")) ++ sumCols.flatMap(c => Seq(
+        keyOut ++ Seq(col("n")) ++ sumCols.flatMap(c => Seq(
           col(s"nn_$c"),
           when(col(s"nn_$c") === 0, lit(null).cast(SumType))
             .otherwise(col(s"sum_$c")).as(s"sum_$c"))): _*)

@@ -115,7 +115,9 @@ object MergeUpsert {
       trustedPath: String,
       updates: DataFrame,
       key: String = "sk",
-      partitionCol: String = "part"): Unit = {
+      partitionCol: String = "part",
+      zorderBy: Seq[String] = Nil,
+      zorderFiles: Int = 0): Unit = {
     val storage = LakeStorage(spark)
     val fs = new Path(trustedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -128,7 +130,8 @@ object MergeUpsert {
     recoverPartitionSwap(fs, new Path(trustedPath), staging, prevRoot)
 
     if (!storage.exists(trustedPath)) {
-      updates.write.partitionBy(partitionCol).parquet(trustedPath)
+      clusteredForPartitions(updates, partitionCol, zorderBy, zorderFiles)
+        .write.partitionBy(partitionCol).parquet(trustedPath)
       return
     }
 
@@ -141,9 +144,94 @@ object MergeUpsert {
     val trustedAffected = spark.read.parquet(trustedPath)
       .where(col(partitionCol).isin(affected: _*)) // partition pruning
     val mergedRows = merged(trustedAffected, updates, key)
+    stageAndSwapPartitions(spark, trustedPath, mergedRows, affected,
+      partitionCol, zorderBy, zorderFiles)
+  }
+
+  /** Delete-aware partition-bound apply: [[appliedChanges]] scoped to
+    * only the partitions the change batch touches — the composition
+    * of the CDC apply with the O(batch)-not-O(table) discipline of
+    * [[mergeIntoPartitioned]]. At 100 TB this is the operator a
+    * change-log consumer actually runs: a daily log touching 3 of
+    * 3000 date-partitions reads, rewrites, and swaps 0.1% of the
+    * table; deletes land because the anti-join removes every touched
+    * key before surviving upserts union back in.
+    *
+    * Preconditions: change payload carries `partitionCol`, rows never
+    * move between partitions (a 'D' must carry the partition the key
+    * lives in — it addresses the row), and the payload schema matches
+    * the table. Bootstrapping applies the log to an empty side, so
+    * winning deletes simply don't land. */
+  def applyChangesIntoPartitioned(
+      spark: SparkSession,
+      trustedPath: String,
+      changes: DataFrame,
+      key: String = "sk",
+      seqCols: Seq[String] = Seq("seq"),
+      opCol: String = "op",
+      partitionCol: String = "part"): Unit = {
+    val storage = LakeStorage(spark)
+    val fs = new Path(trustedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(trustedPath + "__staging")
+    val prevRoot = new Path(trustedPath + "__prev")
+    recoverPartitionSwap(fs, new Path(trustedPath), staging, prevRoot)
+
+    if (!storage.exists(trustedPath)) {
+      val payload = changes.drop((opCol +: seqCols): _*)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload.schema)
+      appliedChanges(empty, changes, key, seqCols, opCol)
+        .write.partitionBy(partitionCol).parquet(trustedPath)
+      return
+    }
+
+    val affected = changes.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    require(!affected.contains(null),
+      s"null $partitionCol in change batch: partitioned apply requires non-null partition values")
+    if (affected.isEmpty) return
+
+    val trustedAffected = spark.read.parquet(trustedPath)
+      .where(col(partitionCol).isin(affected: _*)) // partition pruning
+    val applied = appliedChanges(trustedAffected, changes, key, seqCols, opCol)
+    stageAndSwapPartitions(spark, trustedPath, applied, affected,
+      partitionCol, Nil, 0)
+  }
+
+  private def clusteredForPartitions(
+      rows: DataFrame,
+      partitionCol: String,
+      zorderBy: Seq[String],
+      zorderFiles: Int): DataFrame =
+    if (zorderBy.isEmpty) rows
+    else {
+      val n =
+        if (zorderFiles > 0) zorderFiles
+        else rows.sparkSession.sessionState.conf.numShufflePartitions
+      ZOrder.clusterPartitioned(rows, partitionCol, zorderBy, n)
+    }
+
+  /** Shared tail of the partition-scoped writers: stage the computed
+    * rows hive-partitioned (optionally z-clustered within each
+    * partition), then swap each affected partition directory via the
+    * crash-recoverable rename dance. */
+  private def stageAndSwapPartitions(
+      spark: SparkSession,
+      trustedPath: String,
+      rows: DataFrame,
+      affected: Seq[Any],
+      partitionCol: String,
+      zorderBy: Seq[String],
+      zorderFiles: Int): Unit = {
+    val fs = new Path(trustedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(trustedPath + "__staging")
+    val prevRoot = new Path(trustedPath + "__prev")
 
     if (fs.exists(staging)) fs.delete(staging, true)
-    mergedRows.write.partitionBy(partitionCol).parquet(staging.toString)
+    clusteredForPartitions(rows, partitionCol, zorderBy, zorderFiles)
+      .write.partitionBy(partitionCol).parquet(staging.toString)
 
     if (fs.exists(prevRoot)) fs.delete(prevRoot, true)
     fs.mkdirs(prevRoot)
@@ -157,8 +245,14 @@ object MergeUpsert {
       val prev = new Path(prevRoot, dir)
       if (fs.exists(dst) && !fs.rename(dst, prev))
         sys.error(s"partition swap failed: could not move $dst aside")
-      if (!fs.rename(src, dst))
-        sys.error(s"partition swap failed: could not promote $src")
+      if (fs.exists(src)) {
+        if (!fs.rename(src, dst))
+          sys.error(s"partition swap failed: could not promote $src")
+      }
+      // else: the batch emptied this partition (delete-only winners) —
+      // moving the old directory aside IS the apply; a crash before
+      // the aside root drops restores it, and re-running the batch
+      // re-empties it (at-least-once on the batch, same as every swap)
     }
     fs.delete(prevRoot, true)
     fs.delete(staging, true)

@@ -114,4 +114,50 @@ object ZOrder {
       .sortWithinPartitions(ZCol)
       .drop(ZCol)
   }
+
+  /** [[cluster]] for a hive-partitioned write: rows range-partition
+    * on `(partitionCol, z)` and sort the same way, so a
+    * `write.partitionBy(partitionCol)` downstream emits files whose
+    * z-ranges are tight WITHIN each partition directory (a task's
+    * range is contiguous in (partition, z), so it spills at most two
+    * partition dirs' worth of overlap). Bucket boundaries come from
+    * the same single global stats pass as [[cluster]] — per-partition
+    * ranges are subsets, so within-partition files still cover small
+    * hyper-rectangles; one 1-row aggregate total, not one per
+    * partition. */
+  def clusterPartitioned(
+      df: DataFrame,
+      partitionCol: String,
+      cols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16): DataFrame = {
+    require(!cols.contains(partitionCol),
+      s"partition column $partitionCol is constant within each written " +
+        "directory — z-order the remaining columns")
+    require(cols.nonEmpty, "z-order needs at least one column")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(!df.columns.contains(ZCol),
+      s"input must not carry the reserved column $ZCol")
+    val effBits = math.max(1, math.min(bits, 63 / cols.size))
+    val doubles = cols.map(asDouble(df, _))
+    val statCols = doubles.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i")) }
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    val maxBucket = (1L << effBits) - 1
+    val buckets = doubles.zipWithIndex.map { case (c, i) =>
+      if (stats.isNullAt(2 * i) || stats.getDouble(2 * i) == stats.getDouble(2 * i + 1))
+        lit(0L)
+      else {
+        val mn = stats.getDouble(2 * i)
+        val span = stats.getDouble(2 * i + 1) - mn
+        least(lit(maxBucket), greatest(lit(0L),
+          floor((coalesce(c, lit(mn)) - lit(mn)) / lit(span)
+            * lit((1L << effBits).toDouble)).cast(LongType)))
+      }
+    }
+    df.withColumn(ZCol, interleave(buckets, effBits))
+      .repartitionByRange(numFiles, col(partitionCol), col(ZCol))
+      .sortWithinPartitions(partitionCol, ZCol)
+      .drop(ZCol)
+  }
 }

@@ -239,6 +239,56 @@ class CdcSpec extends AnyFunSuite {
       (BigInt(big) * 4).toString)
   }
 
+  test("joinDelta law: state(Aold⋈Bold) + Δ(A⋈B) == state(Anew⋈Bnew)") {
+    // churn on BOTH sides so every term fires: ΔA⋈B_old (order
+    // update/delete/insert), A_old⋈ΔB (customer segment flip and
+    // delete — fan-out to that customer's orders), ΔA⋈ΔB (the cross
+    // term: an updated order OF an updated customer — wrong sign
+    // algebra here double- or under-counts exactly these rows)
+    def a(rows: (Long, Long, String)*) = rows.toDF("ok", "ck", "st")
+    def b(rows: (Long, String)*) = rows.toDF("ck", "seg")
+    val aOld = a((1L, 10L, "O"), (2L, 10L, "F"), (3L, 20L, "O"),
+      (4L, 30L, "F"), (5L, 40L, "O"))
+    val aNew = a((1L, 10L, "X"), (3L, 20L, "O"), (4L, 30L, "F"),
+      (5L, 40L, "O"), (6L, 20L, "O")) // 2 deleted, 1 updated, 6 inserted
+    val bOld = b((10L, "A"), (20L, "B"), (30L, "C"), (50L, "D"))
+    val bNew = b((10L, "A2"), (20L, "B"), (50L, "D"), (60L, "E"))
+    // 30 deleted (order 4 vanishes from view), 10 re-segmented (its
+    // UPDATED order 1 is the cross term), 40 never joined, 60 joins nothing
+
+    def view(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.join(y, Seq("ck"), "inner")
+    val cols = Seq("ck", "ok", "st", "seg")
+    val state0 = Cdc.aggState(view(aOld, bOld), cols, Nil)
+    val delta = Cdc.joinDelta(
+      Cdc.signedDelta(aOld, aNew, Seq("ok")), aOld,
+      Cdc.signedDelta(bOld, bNew, Seq("ck")), bOld, on = Seq("ck"))
+    val maintained = Cdc.maintainAgg(state0, delta, cols, Nil)
+    val recomputed = Cdc.aggState(view(aNew, bNew), cols, Nil)
+    assert(maintained.schema == recomputed.schema)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(maintained) == rows(recomputed))
+    // the cross term's row is present exactly once with the NEW
+    // images on both sides
+    assert(rows(maintained).contains(Seq(10L, 1L, "X", "A2", 1L)))
+  }
+
+  test("joinDelta rejects missing __sign, payload clash, reserved names") {
+    val aOld = Seq((1L, 10L, "O")).toDF("ok", "ck", "st")
+    val bOld = Seq((10L, "A")).toDF("ck", "seg")
+    val dA = Cdc.signedDelta(aOld, aOld.limit(0), Seq("ok"))
+    val dB = Cdc.signedDelta(bOld, bOld.limit(0), Seq("ck"))
+    intercept[IllegalArgumentException](
+      Cdc.joinDelta(dA.drop("__sign"), aOld, dB, bOld, Seq("ck")))
+    val bClash = Seq((10L, "A")).toDF("ck", "st") // st on both sides
+    intercept[IllegalArgumentException](
+      Cdc.joinDelta(dA, aOld,
+        Cdc.signedDelta(bClash, bClash.limit(0), Seq("ck")), bClash, Seq("ck")))
+    intercept[IllegalArgumentException](
+      Cdc.joinDelta(dA, aOld.withColumn("__sl", lit(1)), dB, bOld, Seq("ck")))
+  }
+
   test("maintainAgg rejects float sums and state-name collisions") {
     val f = Seq(("g", 1.5)).toDF("g", "v")
     intercept[IllegalArgumentException](Cdc.aggState(f, Seq("g"), Seq("v")))

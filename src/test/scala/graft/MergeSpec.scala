@@ -3,6 +3,7 @@ package graft
 import graft.core.LakeStorage
 import graft.sinks.{MergeUpsert, ParquetAppend}
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
 import org.scalatest.funsuite.AnyFunSuite
 
 class MergeSpec extends AnyFunSuite {
@@ -198,6 +199,77 @@ class MergeSpec extends AnyFunSuite {
     // p3's physical files must be byte-identical survivors
     assert(fileOf("p3") == p3FilesBefore, "untouched partition must not be rewritten")
     assert(!Files.exists(java.nio.file.Paths.get(trustedPath + "__staging")))
+  }
+
+  test("partitioned apply: deletes land, only touched partitions rewrite, emptied partition drops") {
+    val dir = Files.createTempDirectory("graft-papply").toString
+    val trustedPath = s"$dir/trusted"
+    val init = Seq(
+      ("a", 1, "p1", "I", 1), ("b", 2, "p1", "I", 1),
+      ("c", 3, "p2", "I", 1),
+      ("d", 4, "p3", "I", 1)).toDF("sk", "v", "part", "op", "seq")
+    MergeUpsert.applyChangesIntoPartitioned(
+      spark, trustedPath, init, partitionCol = "part")
+
+    def fileOf(part: String) = {
+      val d = new java.io.File(s"$trustedPath/part=$part")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getName).sorted.toSeq
+    }
+    val p3Before = fileOf("p3")
+    assert(p3Before.nonEmpty)
+
+    // batch: delete b (p1), update c (p2), DELETE-EMPTY p2's other
+    // rows... p2 has only c — deleting c must drop the whole
+    // partition directory; p3 untouched
+    val changes = Seq(
+      ("b", 0, "p1", "D", 2), ("c", 0, "p2", "D", 2),
+      ("e", 50, "p1", "I", 2)).toDF("sk", "v", "part", "op", "seq")
+    MergeUpsert.applyChangesIntoPartitioned(
+      spark, trustedPath, changes, partitionCol = "part")
+
+    val out = spark.read.parquet(trustedPath)
+      .collect().map(r => (r.getAs[String]("sk"), r.getAs[Int]("v"))).toSet
+    assert(out == Set(("a", 1), ("e", 50), ("d", 4)))
+    assert(fileOf("p2").isEmpty, "fully-deleted partition must vanish")
+    assert(fileOf("p3") == p3Before, "untouched partition must not be rewritten")
+    // replay is safe (idempotent winners) and leaves no debris
+    MergeUpsert.applyChangesIntoPartitioned(
+      spark, trustedPath, changes, partitionCol = "part")
+    assert(spark.read.parquet(trustedPath)
+      .collect().map(r => (r.getAs[String]("sk"), r.getAs[Int]("v"))).toSet == out)
+    assert(!Files.exists(java.nio.file.Paths.get(trustedPath + "__staging")))
+    assert(!Files.exists(java.nio.file.Paths.get(trustedPath + "__prev")))
+  }
+
+  test("partitioned merge with zorderBy clusters within partitions, content identical") {
+    val dir = Files.createTempDirectory("graft-pzmerge").toString
+    val trustedPath = s"$dir/trusted"
+    // two partitions, x/y grid payload inside each
+    val init = spark.range(8000).selectExpr(
+      "concat('k', id) AS sk",
+      "CAST(id * 7919 % 10000 AS LONG) AS x",
+      "CAST(id * 104729 % 10000 AS LONG) AS y",
+      "CASE WHEN id % 2 = 0 THEN 'p1' ELSE 'p2' END AS part")
+    MergeUpsert.mergeIntoPartitioned(spark, trustedPath, init,
+      partitionCol = "part", zorderBy = Seq("x", "y"), zorderFiles = 16)
+    val upd = init.where(col("x") % 3 === 0).withColumn("y", col("y"))
+    MergeUpsert.mergeIntoPartitioned(spark, trustedPath, upd,
+      partitionCol = "part", zorderBy = Seq("x", "y"), zorderFiles = 16)
+
+    val back = spark.read.parquet(trustedPath)
+    assert(back.count() == 8000)
+    // spans within ONE partition directory narrow on both columns
+    for (c <- Seq("x", "y")) {
+      val spans = spark.read.parquet(s"$trustedPath/part=p1")
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .select("span").as[Long].collect()
+      val mean = spans.sum.toDouble / spans.length
+      assert(mean < 0.75 * 10000,
+        s"$c within-partition mean span $mean not narrowed")
+    }
   }
 
   // K1 (cloud_utils.py:438-475): append accumulates
