@@ -413,6 +413,42 @@ object SparkEntry {
         .withColumn("sum_price", col("sum_price").cast("double"))
     }),
 
+    // Full SPJA view maintained incrementally — σ (price > 1000) →
+    // join → aggregate, the classic select-project-join-aggregate
+    // class of incremental view maintenance. σ is LINEAR over signed
+    // multisets, so the fact delta just filters (a re-price crossing
+    // the predicate boundary correctly becomes a view insert/delete:
+    // only one of its ± images survives σ); the filtered delta then
+    // flows through joinDelta → maintainAgg unchanged. Nothing —
+    // filter, join, or aggregate — re-runs over the base tables.
+    "ext_ivm_spja" -> ((s, dir) => {
+      val cdc = graft.operators.Cdc
+      val aOld = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val aNew = aOld.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + 100)
+            .otherwise(col("price")).cast("decimal(12,2)"))
+      val bOld = tbl(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val bNew = bOld.where(col("custkey") % 9 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("custkey") % 4 === 0, lit("SEG"))
+            .otherwise(col("c_mktsegment")))
+      val pred = col("price") > 1000
+      val state0 = cdc.aggState(
+        aOld.where(pred).join(bOld, Seq("custkey"), "inner"),
+        Seq("c_mktsegment"), Seq("price"))
+      val delta = cdc.joinDelta(
+        cdc.signedDelta(aOld, aNew, Seq("o_orderkey")).where(pred),
+        aOld.where(pred),
+        cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
+        on = Seq("custkey"))
+      cdc.maintainAgg(state0, delta, Seq("c_mktsegment"), Seq("price"))
+        .withColumn("sum_price", col("sum_price").cast("double"))
+    }),
+
     // Streaming IVM: the ext_ivm_maintain fold as a checkpointed
     // signed-delta stream. Batch 1+2 carry the base snapshot at +1
     // (zero state + snapshot == bootstrap); the churn's retractions
@@ -1789,6 +1825,32 @@ object SparkEntry {
 
     // the streamed, checkpointed maintenance must land the same state
     "flow_stream_ivm" -> ivmMaintainOracleSql,
+
+    // independent truth for the maintained SPJA view: from-scratch
+    // filter + join + aggregate over the churned snapshots
+    "ext_ivm_spja" ->
+      """WITH a0 AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders
+        |), an AS (
+        |  SELECT o_orderkey, custkey,
+        |    CAST(CASE WHEN o_orderkey % 3 = 0 THEN price + 100
+        |              ELSE price END AS DECIMAL(12,2)) AS price
+        |  FROM a0 WHERE o_orderkey % 5 <> 0
+        |), b0 AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment FROM customer
+        |), bn AS (
+        |  SELECT custkey,
+        |    CASE WHEN custkey % 4 = 0 THEN 'SEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM b0 WHERE custkey % 9 <> 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n, count(price) AS nn_price,
+        |  CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+        |FROM an JOIN bn USING (custkey)
+        |WHERE price > 1000
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // independent truth for the maintained aggregate-over-join:
     // recompute the churned join and aggregate from scratch

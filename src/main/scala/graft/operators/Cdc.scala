@@ -194,13 +194,24 @@ object Cdc {
     * SCANNED, never shuffled; the cross term joins two churn-sized
     * inputs. Cost per batch is O(scan(A_old) + scan(B_old) + churn),
     * versus the full join's shuffle of both tables — and composing
-    * with [[maintainAgg]] the view itself is never recomputed. */
+    * with [[maintainAgg]] the view itself is never recomputed.
+    *
+    * Each delta feeds TWO terms, and a lazily-passed [[signedDelta]]
+    * plan would re-run its full-outer snapshot diff once per term —
+    * doubling the dominant cost (a plan audit showed exactly that:
+    * four diff joins for two deltas). The deltas are therefore
+    * materialized once up front (`localCheckpoint`, eager) — they
+    * are churn-sized by contract, so pinning them is cheap, and all
+    * three terms then reuse the computed blocks. Pass
+    * `materialize = false` only when the deltas are already
+    * checkpointed/persisted tables. */
   def joinDelta(
       deltaA: DataFrame,
       aOld: DataFrame,
       deltaB: DataFrame,
       bOld: DataFrame,
-      on: Seq[String]): DataFrame = {
+      on: Seq[String],
+      materialize: Boolean = true): DataFrame = {
     require(on.nonEmpty, "joinDelta needs join key columns")
     Seq(deltaA -> "deltaA", deltaB -> "deltaB").foreach { case (d, nm) =>
       require(d.columns.contains("__sign"),
@@ -215,6 +226,9 @@ object Cdc {
       s"non-key columns ${clash.mkString(", ")} exist on both sides — " +
         "rename them; the view needs one column per name")
     val outCols = (on ++ aPayload ++ bPayload).map(col)
+    val (da, db) =
+      if (materialize) (deltaA.localCheckpoint(true), deltaB.localCheckpoint(true))
+      else (deltaA, deltaB)
 
     def signed(df: DataFrame, s: String) = df.withColumnRenamed("__sign", s)
     def term(l: DataFrame, r: DataFrame): DataFrame =
@@ -223,9 +237,9 @@ object Cdc {
 
     val aSnap = aOld.withColumn("__sign", lit(1))
     val bSnap = bOld.withColumn("__sign", lit(1))
-    term(deltaA, bSnap)
-      .unionByName(term(aSnap, deltaB))
-      .unionByName(term(deltaA, deltaB))
+    term(da, bSnap)
+      .unionByName(term(aSnap, db))
+      .unionByName(term(da, db))
   }
 
   /** Stable carried type for maintained sums: max-precision decimal

@@ -274,6 +274,27 @@ class CdcSpec extends AnyFunSuite {
     assert(rows(maintained).contains(Seq(10L, 1L, "X", "A2", 1L)))
   }
 
+  test("delta linearity: σ (filter) commutes with signedDelta, boundary-crossers become I/D") {
+    // σ is linear over signed multisets: σ(Δ) == Δ(σ). The sharp
+    // edge is an UPDATE whose value crosses the predicate boundary —
+    // its -image filters out and its +image survives (or vice
+    // versa), turning an in-view update into a view insert/delete.
+    val before = snap(("a", 5), ("b", 15), ("c", 20), ("d", 8))
+    val after = snap(("a", 12), ("b", 15), ("c", 9), ("d", 6))
+    // a: 5→12 crosses INTO v>10; c: 20→9 crosses OUT; b unchanged;
+    // d stays below (invisible to the view entirely)
+    val pred = col("v") > 10
+    val maintained = Cdc.maintainAgg(
+      Cdc.aggState(before.where(pred), Seq("k"), Seq("v")),
+      Cdc.signedDelta(before, after, Seq("k")).where(pred),
+      Seq("k"), Seq("v"))
+    val recomputed = Cdc.aggState(after.where(pred), Seq("k"), Seq("v"))
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s(maintained) == s(recomputed))
+    assert(s(maintained).map(_._1) == Set("a", "b"))
+  }
+
   test("joinDelta rejects missing __sign, payload clash, reserved names") {
     val aOld = Seq((1L, 10L, "O")).toDF("ok", "ck", "st")
     val bOld = Seq((10L, "A")).toDF("ck", "seg")

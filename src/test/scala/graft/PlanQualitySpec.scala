@@ -335,6 +335,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"re-aggregate must combine map-side below the exchange:\n$plan")
   }
 
+  test("join-view IVM: deltas computed once (no diff re-runs), churn sides broadcast at runtime") {
+    // Pin on the AQE FINAL plan (the claim is a runtime property:
+    // the delta terms' churn sides are size-unknown statically, AQE
+    // discovers they're small and broadcasts). The executed plan's
+    // string carries both sections — cut at the Initial Plan marker.
+    val df = SparkEntry.queries("ext_ivm_join_agg")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val plan = if (cut >= 0) full.substring(0, cut) else full
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"joinDelta degenerated to a nested-loop join:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3,
+      s"the three delta terms should broadcast their churn side (saw $bhj):\n$plan")
+    // each snapshot diff ran ONCE inside joinDelta's materialization;
+    // a full-outer join in the maintain plan means a delta plan is
+    // being re-derived per term (the double-diff regression)
+    val fullOuterJoins = plan.linesIterator
+      .count(l => l.contains("SortMergeJoin") && l.contains("FullOuter"))
+    assert(fullOuterJoins == 0,
+      s"deltas must be materialized once, not re-diffed per term (saw $fullOuterJoins):\n$plan")
+  }
+
   test("kmv distinct: map-side partial sketch below the exchange") {
     val plan = planOf("ext_distinct_kmv")
     val partialIdx = plan.indexOf("partial_kmv_distinct")

@@ -141,6 +141,71 @@ class PropertySpec extends AnyFunSuite {
     mergeCase(Nil, Nil)
   }
 
+  // ── IVM: the maintenance laws under arbitrary churn chains ──
+
+  private def ivmStateSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (
+      Option(r.get(0)), r.getLong(1), r.getLong(2),
+      Option(r.getDecimal(3)).map(_.toPlainString))).toSet
+
+  test("IVM: two-step maintained state equals recompute for arbitrary churn chains") {
+    import graft.operators.Cdc
+    // snapshots with unique keys, nullable groups and values — the
+    // full retraction algebra: group moves, n→0 vanishes, NULL sums
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 25)
+      g <- Gen.option(Gen.chooseNum(0, 3))
+      v <- Gen.option(Gen.chooseNum(-50, 50))
+    } yield (k, g, v)
+    val snapGen = Gen.listOf(rowGen).map(_.distinctBy(_._1))
+    def df(s: List[(Int, Option[Int], Option[Int])]) = s.toDF("k", "g", "v")
+    forAll(snapGen, snapGen, snapGen, cases = 6) { (s0, s1, s2) =>
+      val st1 = Cdc.maintainAgg(
+        Cdc.aggState(df(s0), Seq("g"), Seq("v")),
+        Cdc.signedDelta(df(s0), df(s1), Seq("k")), Seq("g"), Seq("v"))
+      val st2 = Cdc.maintainAgg(st1,
+        Cdc.signedDelta(df(s1), df(s2), Seq("k")), Seq("g"), Seq("v"))
+      assert(ivmStateSet(st2) ==
+        ivmStateSet(Cdc.aggState(df(s2), Seq("g"), Seq("v"))))
+    }
+  }
+
+  test("join-view IVM: maintained multiset equals the recomputed join for arbitrary churn") {
+    import graft.operators.Cdc
+    val aRow = for {
+      k <- Gen.chooseNum(0, 20)
+      ck <- Gen.chooseNum(0, 5)
+      p <- Gen.chooseNum(0, 3)
+    } yield (k, ck, p)
+    val bRow = for {
+      ck <- Gen.chooseNum(0, 7) // some customers never join
+      s <- Gen.chooseNum(0, 3)
+    } yield (ck, s)
+    val aGen = Gen.zip(
+      Gen.listOf(aRow).map(_.distinctBy(_._1)),
+      Gen.listOf(aRow).map(_.distinctBy(_._1)))
+    val bGen = Gen.zip(
+      Gen.listOf(bRow).map(_.distinctBy(_._1)),
+      Gen.listOf(bRow).map(_.distinctBy(_._1)))
+    def dfa(s: List[(Int, Int, Int)]) = s.toDF("k", "ck", "p")
+    def dfb(s: List[(Int, Int)]) = s.toDF("ck", "s")
+    val cols = Seq("ck", "k", "p", "s")
+    forAll(aGen, bGen, cases = 6) { case ((a0, a1), (b0, b1)) =>
+      val maintained = Cdc.maintainAgg(
+        Cdc.aggState(dfa(a0).join(dfb(b0), Seq("ck"), "inner"), cols, Nil),
+        Cdc.joinDelta(
+          Cdc.signedDelta(dfa(a0), dfa(a1), Seq("k")), dfa(a0),
+          Cdc.signedDelta(dfb(b0), dfb(b1), Seq("ck")), dfb(b0),
+          on = Seq("ck")),
+        cols, Nil)
+      val recomputed = Cdc.aggState(
+        dfa(a1).join(dfb(b1), Seq("ck"), "inner"), cols, Nil)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(maintained) == rows(recomputed))
+    }
+  }
+
   // ── WordShingles: structural invariants for arbitrary word lists ──
 
   test("WordShingles yields max(1, len-n+1) shingles of exactly min(n, len) words each") {
