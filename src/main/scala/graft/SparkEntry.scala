@@ -531,6 +531,111 @@ object SparkEntry {
         .withColumn("sum_v", col("sum_v").cast("double"))
     }),
 
+    // File-skipping stats index, end to end: land lineitem range-
+    // clustered on l_shipdate (tight per-file ranges are what give
+    // stats their teeth), bootstrap the per-file min/max index, then
+    // APPEND a second wave and refresh INCREMENTALLY (only the new
+    // files are scanned — StatsIndexSpec proves it with a poisoned
+    // row), and range-read through the index. The in-query require
+    // proves real file-level pruning; the row-level predicate
+    // re-applies after the read, so the result must equal the plain
+    // BETWEEN filter — the oracle. At 100 TB this is the difference
+    // between a full scan and reading the 1% of files whose range
+    // can match, with index maintenance costing O(new files).
+    "flow_stats_prune" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-statsprune").toString
+      val t = s"$root/lineitem"
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      val split = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      li.where(col("l_shipdate") < split)
+        .repartitionByRange(8, col("l_shipdate"))
+        .write.parquet(t)
+      graft.sinks.StatsIndex.collect(s, t, Seq("l_shipdate"))
+      li.where(col("l_shipdate") >= split)
+        .repartitionByRange(4, col("l_shipdate"))
+        .write.mode("append").parquet(t)
+      graft.sinks.StatsIndex.refresh(s, t, Seq("l_shipdate"))
+      val lo = lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1996-06-30 00:00:00"))
+      val candidates = graft.sinks.StatsIndex.candidateFiles(
+        s, t, "l_shipdate", lo, hi)
+      val total = s.read.parquet(t).inputFiles.length
+      require(candidates.nonEmpty && candidates.size < total,
+        s"stats index must prune: ${candidates.size} of $total files")
+      val out = graft.sinks.StatsIndex
+        .prunedRead(s, t, "l_shipdate", lo, hi)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // Extrema IVM: MIN/MAX are not self-maintainable under deletion
+    // (a retracted extremum says nothing about the runner-up), so
+    // maintainExtrema splits per group — insertions and interior
+    // deletes FOLD with pure delta arithmetic; only groups whose
+    // retractions tie/cross a current extremum re-aggregate, via a
+    // broadcast LEFT SEMI of the churn-bounded endangered keys
+    // against the after snapshot. The churn here exercises every
+    // path: 'P' vanishes wholesale, 'F' retracts all its values to
+    // NULL (extrema back to NULL via recompute), every 7th key
+    // deletes (some hit extrema -> recompute, most are interior ->
+    // fold), every 3rd re-prices +100000 (new maxes fold in).
+    // Maintained state must equal the from-scratch recompute.
+    "ext_ivm_minmax" -> ((s, dir) => {
+      val base = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val after = base
+        .where(col("o_orderstatus") =!= "P")
+        .where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("v",
+          when(col("o_orderstatus") === "F", lit(null))
+            .when(col("o_orderkey") % 3 === 0, col("v") + 100000)
+            .otherwise(col("v"))
+            .cast("decimal(12,2)"))
+      val state = graft.operators.Cdc.extremaState(
+        base, Seq("o_orderstatus"), Seq("v"))
+      val delta = graft.operators.Cdc.signedDelta(
+        base, after, Seq("o_orderkey"))
+      graft.operators.Cdc.maintainExtrema(
+          state, delta, after, Seq("o_orderstatus"), Seq("v"))
+        .withColumn("min_v", col("min_v").cast("double"))
+        .withColumn("max_v", col("max_v").cast("double"))
+    }),
+
+    // Distinct-count IVM: COUNT(DISTINCT) is also not delta-
+    // maintainable directly, but the (group, value) multiset IS —
+    // the standard two-level counting reduction. The inner aggState
+    // keyed by (status, value) maintains through churn with plain
+    // maintainAgg (a value's count hitting zero drops its row), and
+    // distinctCount reads the view off with one more hash aggregate:
+    // n = Σ multiplicities, nd_v = surviving distinct non-null
+    // values. The base table is never rescanned — the delta-only
+    // property extrema maintenance can't have.
+    "ext_ivm_distinct" -> ((s, dir) => {
+      val cdc = graft.operators.Cdc
+      val base = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        when(col("o_custkey") % 13 === 0, lit(null))
+          .otherwise(col("o_custkey") % 100).as("v"))
+      val after = base
+        .where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("v",
+          when(col("o_orderkey") % 3 === 0, (col("v") + 1) % 100)
+            .otherwise(col("v")))
+      val inner0 = cdc.aggState(base, Seq("o_orderstatus", "v"), Nil)
+      val inner1 = cdc.maintainAgg(
+        inner0, cdc.signedDelta(base, after, Seq("o_orderkey")),
+        Seq("o_orderstatus", "v"), Nil)
+      cdc.distinctCount(inner1, Seq("o_orderstatus"), "v")
+    }),
+
     // Streaming MERGE into TRUSTED (foreachBatch): d8's update set
     // replayed as a checkpointed multi-micro-batch stream, each batch
     // K2-upserted into the trusted table — the final table must equal
@@ -1822,6 +1927,45 @@ object SparkEntry {
     // incremental counting-algorithm result must hash-match it,
     // vanished group absent, all-NULL group's sum NULL
     "ext_ivm_maintain" -> ivmMaintainOracleSql,
+
+    "flow_stats_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
+        |  AND TIMESTAMP '1996-06-30 00:00:00'""".stripMargin,
+
+    "ext_ivm_minmax" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN NULL
+        |              WHEN o_orderkey % 3 = 0 THEN v + 100000
+        |              ELSE v END AS DECIMAL(12,2)) AS v
+        |  FROM base WHERE o_orderstatus <> 'P' AND o_orderkey % 7 <> 0
+        |)
+        |SELECT o_orderstatus, count(*) AS n, count(v) AS nn_v,
+        |  CAST(min(v) AS DOUBLE) AS min_v,
+        |  CAST(max(v) AS DOUBLE) AS max_v
+        |FROM aft GROUP BY o_orderstatus""".stripMargin,
+
+    "ext_ivm_distinct" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_custkey % 13 = 0 THEN NULL
+        |         ELSE o_custkey % 100 END AS v
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN (v + 1) % 100
+        |         ELSE v END AS v
+        |  FROM base WHERE o_orderkey % 5 <> 0
+        |)
+        |SELECT o_orderstatus, count(*) AS n, count(DISTINCT v) AS nd_v
+        |FROM aft GROUP BY o_orderstatus""".stripMargin,
 
     // the streamed, checkpointed maintenance must land the same state
     "flow_stream_ivm" -> ivmMaintainOracleSql,

@@ -8,11 +8,17 @@ import java.nio.file.{Files, Paths}
   * silently skipping them. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing query names restrict the dump (local
+    // iteration on one query; the driver always runs the full sweep)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.core.Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
-    val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(q => only.contains(q._1)).toSeq
+    val status = selected.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

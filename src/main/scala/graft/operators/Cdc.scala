@@ -320,23 +320,7 @@ object Cdc {
     // so the output schema equals aggState's exactly (sum() alone is
     // nullable; every surviving group aggregated >= 1 row, so the
     // fallback branch never actually fires).
-    // Group-column nullability follows the INPUT STATE's schema: the
-    // delta branch is explode-built, so Spark marks its columns
-    // nullable and the union would widen a non-nullable state key to
-    // nullable — breaking the output == aggState schema contract for
-    // null-free sources. AssertNotNull restores the state's declared
-    // non-nullability (and fails LOUDLY if a delta ever does carry a
-    // null key for such a state — silently widening a composed state
-    // chain's schema would be worse).
-    val keyOut = groupCols.map { g =>
-      if (state.schema(g).nullable) col(g)
-      else {
-        import org.apache.spark.sql.graftglue.ColumnGlue
-        ColumnGlue.column(
-          org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
-            ColumnGlue.expression(col(g)))).as(g)
-      }
-    }
+    val keyOut = restoreKeyNullability(state, groupCols)
     state.select(stateCols.map(col): _*)
       .unionByName(deltaAsState.select(stateCols.map(col): _*))
       .groupBy(groupCols.map(col): _*)
@@ -351,6 +335,216 @@ object Cdc {
           col(s"nn_$c"),
           when(col(s"nn_$c") === 0, lit(null).cast(SumType))
             .otherwise(col(s"sum_$c")).as(s"sum_$c"))): _*)
+  }
+
+  /** Group-column nullability follows the INPUT STATE's schema: a
+    * delta branch built by explode / a full-outer join is marked
+    * nullable, and a union would widen a non-nullable state key to
+    * nullable — breaking the output == bootstrap schema contract for
+    * null-free sources. AssertNotNull restores the state's declared
+    * non-nullability (and fails LOUDLY if a delta ever does carry a
+    * null key for such a state — silently widening a composed state
+    * chain's schema would be worse). */
+  private def restoreKeyNullability(
+      state: DataFrame,
+      groupCols: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    groupCols.map { g =>
+      if (state.schema(g).nullable) col(g)
+      else {
+        import org.apache.spark.sql.graftglue.ColumnGlue
+        ColumnGlue.column(
+          org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+            ColumnGlue.expression(col(g)))).as(g)
+      }
+    }
+
+  /** Bootstrap extrema state for [[maintainExtrema]]: per group, the
+    * row count `n`, and for each extrema column `c` its non-null
+    * count `nn_<c>` and exact `min_<c>` / `max_<c>`. Unlike
+    * [[aggState]]'s sums, min/max do no arithmetic, so any orderable
+    * column type is accepted (numerics, strings, dates, decimals).
+    */
+  def extremaState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      extCols: Seq[String]): DataFrame = {
+    requireExtrema(df, groupCols, extCols)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        extCols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** Incremental maintenance of an [[extremaState]] table from a
+    * [[signedDelta]]. MIN/MAX are not self-maintainable under
+    * deletion (Gupta & Mumick's classification: a retracted extremum
+    * says nothing about the runner-up), so no delta-only rule exists.
+    * This operator does the best possible split:
+    *
+    *  - **Fold path** (pure delta arithmetic, no base access):
+    *    insertions tighten extrema monotonically
+    *    (`min' = least(min, insMin)`), and counts are signed sums —
+    *    so any group whose retractions all sit STRICTLY INSIDE its
+    *    current (min, max) open interval folds without touching the
+    *    base table. Appends, mid-range deletes, upward re-prices:
+    *    all fold.
+    *  - **Recompute path**: a group is ENDANGERED iff some retracted
+    *    non-null value ties or crosses a current extremum
+    *    (`delMin ≤ min` or `delMax ≥ max`, which also covers the
+    *    non-null count reaching zero — the last value retracted IS
+    *    the min), or the group is absent from state but receives
+    *    retractions (inconsistent input made loud downstream). Only
+    *    those groups are re-aggregated from `baseAfter`, the
+    *    post-churn snapshot.
+    *
+    * Output schema == [[extremaState]] schema, so maintenance
+    * composes batch-to-batch like [[maintainAgg]].
+    *
+    * 100 TB posture: endangered groups are bounded by the churn, and
+    * the recompute is `baseAfter ⋉ endangeredKeys` — a LEFT SEMI
+    * against a churn-sized, broadcastable key set, so the base table
+    * is scanned AT MOST once, never shuffled, and only endangered
+    * groups' rows reach the aggregate. With the base clustered on
+    * the group key (z-order / partitioning) the scan itself prunes.
+    * The common append-heavy batch touches zero base data.
+    */
+  def maintainExtrema(
+      state: DataFrame,
+      delta: DataFrame,
+      baseAfter: DataFrame,
+      groupCols: Seq[String],
+      extCols: Seq[String]): DataFrame = {
+    requireExtrema(delta, groupCols, extCols)
+    require(delta.columns.contains("__sign"),
+      "delta must carry __sign (build it with Cdc.signedDelta)")
+    val stateCols = groupCols ++ Seq("n") ++
+      extCols.flatMap(c => Seq(s"nn_$c", s"min_$c", s"max_$c"))
+    require(state.columns.sorted.sameElements(stateCols.sorted),
+      s"state schema [${state.columns.mkString(",")}] != expected " +
+        s"[${stateCols.mkString(",")}] (build it with Cdc.extremaState)")
+
+    // Per-group delta summary: signed counts plus the insertion-side
+    // extrema (fold inputs) and deletion-side extrema (danger test).
+    val deltaAgg = delta.groupBy(groupCols.map(col): _*)
+      .agg(
+        coalesce(sum(col("__sign")), lit(0L)).as("__dn"),
+        extCols.flatMap(c => Seq(
+          coalesce(sum(when(col(c).isNotNull, col("__sign")).otherwise(0))
+            .cast("long"), lit(0L)).as(s"__dnn_$c"),
+          min(when(col("__sign") === 1, col(c))).as(s"__imin_$c"),
+          max(when(col("__sign") === 1, col(c))).as(s"__imax_$c"),
+          min(when(col("__sign") === -1, col(c))).as(s"__dmin_$c"),
+          max(when(col("__sign") === -1, col(c))).as(s"__dmax_$c"))): _*)
+
+    val st = state.as("s")
+    val da = deltaAgg.as("d")
+    val joinCond = groupCols
+      .map(k => col(s"s.`$k`") <=> col(s"d.`$k`")).reduce(_ && _)
+    val joined = st.join(da, joinCond, "full_outer")
+
+    val stateAbsent = col("s.n").isNull
+    val anyDelete = extCols
+      .map(c => col(s"d.`__dmin_$c`").isNotNull)
+      .foldLeft(lit(false))(_ || _)
+    val endangered = extCols.map { c =>
+      (col(s"d.`__dmin_$c`").isNotNull && col(s"s.`min_$c`").isNotNull &&
+        col(s"d.`__dmin_$c`") <= col(s"s.`min_$c`")) ||
+      (col(s"d.`__dmax_$c`").isNotNull && col(s"s.`max_$c`").isNotNull &&
+        col(s"d.`__dmax_$c`") >= col(s"s.`max_$c`"))
+    }.foldLeft(stateAbsent && anyDelete)(_ || _)
+
+    val keySel = groupCols.map(k =>
+      when(col("s.n").isNotNull, col(s"s.`$k`"))
+        .otherwise(col(s"d.`$k`")).as(k))
+
+    // Endangered group keys — churn-bounded by construction, so the
+    // semi probe broadcasts. Pinned eagerly: the key set feeds one
+    // join but derives from the same diff the fold reads, and a lazy
+    // plan would re-run the diff for each consumer.
+    val dangerKeys = joined.where(endangered)
+      .select(keySel: _*).localCheckpoint(true)
+
+    val folded = joined.where(!endangered)
+      .select(
+        keySel ++
+          Seq((coalesce(col("s.n"), lit(0L)) + coalesce(col("d.__dn"), lit(0L)))
+            .as("n")) ++
+          extCols.flatMap(c => Seq(
+            (coalesce(col(s"s.`nn_$c`"), lit(0L)) +
+              coalesce(col(s"d.`__dnn_$c`"), lit(0L))).as(s"nn_$c"),
+            least(col(s"s.`min_$c`"), col(s"d.`__imin_$c`")).as(s"min_$c"),
+            greatest(col(s"s.`max_$c`"), col(s"d.`__imax_$c`")).as(s"max_$c"))): _*)
+      .where(col("n") > 0)
+
+    val dangerCond = groupCols
+      .map(k => col(s"b.`$k`") <=> col(s"k.`$k`")).reduce(_ && _)
+    val recomputed = extremaState(
+      baseAfter.as("b")
+        .join(broadcast(dangerKeys.as("k")), dangerCond, "left_semi"),
+      groupCols, extCols)
+
+    val keyOut = restoreKeyNullability(state, groupCols)
+    folded.unionByName(recomputed)
+      .select(keyOut ++ stateCols.filterNot(groupCols.contains).map(col): _*)
+  }
+
+  /** Count-distinct view over a maintained two-level counting state:
+    * bootstrap the inner state with
+    * `aggState(df, groupCols :+ valueCol, Nil)` (one row per (group,
+    * value) with its multiplicity `n`), maintain it with plain
+    * [[maintainAgg]] — distinct-count is NOT self-maintainable under
+    * deletion, but the (group, value) multiset IS, which is exactly
+    * the standard two-level counting reduction — and read the view
+    * off with this projection: `n` is the group's total row count
+    * (Σ multiplicities) and `nd_<c>` counts the surviving distinct
+    * non-null values (`COUNT(DISTINCT c)` semantics: a group whose
+    * values are all NULL reports 0, vanished values don't count
+    * because maintenance dropped their rows at n = 0).
+    *
+    * 100 TB posture: the inner state is bounded by the number of
+    * DISTINCT (group, value) pairs, not the base table; maintenance
+    * is maintainAgg's single exchange on (group, value); this view
+    * is one more hash aggregate on group. The base is never
+    * rescanned — the delta-only property min/max can't have.
+    */
+  def distinctCount(
+      valueState: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(valueState.columns.contains("n") &&
+      valueState.columns.contains(valueCol),
+      s"valueState must be an aggState over ${groupCols.mkString(",")},$valueCol")
+    val keyOut = restoreKeyNullability(valueState, groupCols)
+    valueState.groupBy(groupCols.map(col): _*)
+      .agg(
+        coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum(when(col(valueCol).isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as(s"nd_$valueCol"))
+      .select(keyOut ++ Seq(col("n"), col(s"nd_$valueCol")): _*)
+  }
+
+  private def requireExtrema(
+      df: DataFrame,
+      groupCols: Seq[String],
+      extCols: Seq[String]): Unit = {
+    require(groupCols.nonEmpty, "extrema maintenance needs group columns")
+    require(extCols.nonEmpty, "extrema maintenance needs extrema columns")
+    val reserved = Seq("n", "__sign", "__dn") ++
+      extCols.flatMap(c => Seq(s"nn_$c", s"min_$c", s"max_$c",
+        s"__dnn_$c", s"__imin_$c", s"__imax_$c", s"__dmin_$c", s"__dmax_$c"))
+    val clash = (groupCols ++ extCols).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with the " +
+        "extrema state's internal names")
+    extCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"extrema column $c must be orderable, got $dt")
+    }
   }
 
   private def requireMaintainable(

@@ -321,4 +321,121 @@ class CdcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Cdc.maintainAgg(st, deltaNoSign, Seq("g"), Seq("v")))
   }
+
+  // ── extrema maintenance ────────────────────────────────────────────
+
+  private def extSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (
+      Option(r.getString(0)), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getInt(3)),
+      if (r.isNullAt(4)) None else Some(r.getInt(4)))).toSet
+
+  private def extMaintain(
+      before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame) =
+    Cdc.maintainExtrema(
+      Cdc.extremaState(before, Seq("g"), Seq("v")),
+      Cdc.signedDelta(before, after, Seq("k")),
+      after, Seq("g"), Seq("v"))
+
+  test("maintainExtrema law: endangered groups recompute, fold paths fold") {
+    val before = gsnap(
+      (Some("g1"), "a", Some(10)), (Some("g1"), "b", Some(20)),
+      (Some("g1"), "c", Some(30)),                        // g1 max
+      (Some("g2"), "d", Some(5)), (Some("g2"), "e", Some(9)),
+      (Some("g3"), "f", Some(1)),                        // whole group goes
+      (None, "n1", Some(7)),                             // null group key
+      (Some("g4"), "h", None))                           // all-null group
+    val after = gsnap(
+      (Some("g1"), "a", Some(10)),
+      (Some("g1"), "b", Some(20)),                       // c (max) deleted
+      (Some("g2"), "d", Some(5)),
+      (Some("g2"), "e2", Some(7)),                       // mid-range churn
+      (Some("g2"), "e3", Some(3)),                       // new min (fold)
+      (None, "n1", Some(7)),                             // untouched
+      (Some("g4"), "h", None),
+      (Some("g5"), "i", Some(42)))                       // brand-new group
+    val maintained = extMaintain(before, after)
+    val recomputed = Cdc.extremaState(after, Seq("g"), Seq("v"))
+    assert(maintained.schema == recomputed.schema)
+    assert(extSet(maintained) == extSet(recomputed))
+    assert(!extSet(maintained).exists(_._1.contains("g3")))
+  }
+
+  test("maintainExtrema: retracting the last non-null value restores NULL extrema") {
+    val before = gsnap((Some("g"), "a", Some(5)), (Some("g"), "b", None))
+    val after = gsnap((Some("g"), "a", None), (Some("g"), "b", None))
+    val out = extMaintain(before, after)
+    val row = out.collect().head
+    assert(row.getLong(1) == 2 && row.getLong(2) == 0 &&
+      row.isNullAt(3) && row.isNullAt(4))
+  }
+
+  test("maintainExtrema composes: two sequential deltas == final recompute") {
+    val s0 = gsnap((Some("g"), "a", Some(1)), (Some("g"), "b", Some(9)))
+    val s1 = gsnap((Some("g"), "a", Some(1)), (Some("h"), "c", Some(3)))
+    val s2 = gsnap((Some("h"), "c", Some(4)), (Some("h"), "d", None))
+    val step1 = Cdc.maintainExtrema(
+      Cdc.extremaState(s0, Seq("g"), Seq("v")),
+      Cdc.signedDelta(s0, s1, Seq("k")), s1, Seq("g"), Seq("v"))
+    val step2 = Cdc.maintainExtrema(
+      step1, Cdc.signedDelta(s1, s2, Seq("k")), s2, Seq("g"), Seq("v"))
+    assert(extSet(step2) == extSet(Cdc.extremaState(s2, Seq("g"), Seq("v"))))
+  }
+
+  test("maintainExtrema: insert-only and interior-delete batches fold without the base") {
+    // baseAfter is deliberately POISONED: if the recompute path read
+    // it for any group, the maintained state would disagree with the
+    // recompute of the true after snapshot. Pure insertions fold, and
+    // so does a delete strictly inside the (min, max) open interval.
+    val before = gsnap(
+      (Some("g"), "a", Some(5)),
+      (Some("m"), "p", Some(1)), (Some("m"), "q", Some(3)),
+      (Some("m"), "r", Some(9)))
+    val after = gsnap(
+      (Some("g"), "a", Some(5)), (Some("g"), "b", Some(1)), // new min: fold
+      (Some("m"), "p", Some(1)), (Some("m"), "r", Some(9)), // q interior-deleted
+      (Some("x"), "c", Some(8)))                            // new group: fold
+    val poisonedBase = gsnap(
+      (Some("g"), "zz", Some(-999)), (Some("m"), "zz", Some(-999)))
+    val out = Cdc.maintainExtrema(
+      Cdc.extremaState(before, Seq("g"), Seq("v")),
+      Cdc.signedDelta(before, after, Seq("k")),
+      poisonedBase, Seq("g"), Seq("v"))
+    assert(extSet(out) == extSet(Cdc.extremaState(after, Seq("g"), Seq("v"))))
+  }
+
+  test("maintainExtrema rejects bad state schema and missing __sign") {
+    val df = gsnap((Some("g"), "a", Some(1)))
+    val st = Cdc.extremaState(df, Seq("g"), Seq("v"))
+    intercept[IllegalArgumentException](
+      Cdc.maintainExtrema(st.drop("min_v"),
+        Cdc.signedDelta(df, df, Seq("k")), df, Seq("g"), Seq("v")))
+    intercept[IllegalArgumentException](
+      Cdc.maintainExtrema(st, df, df, Seq("g"), Seq("v")))
+  }
+
+  // ── distinct-count view over the two-level counting state ─────────
+
+  test("distinctCount law: maintained (group, value) state reads off COUNT(DISTINCT)") {
+    val before = gsnap(
+      (Some("g1"), "a", Some(10)), (Some("g1"), "b", Some(10)), // dup value
+      (Some("g1"), "c", Some(20)),
+      (Some("g2"), "d", None), (Some("g2"), "e", Some(5)),
+      (Some("g3"), "f", None))                                  // all-null: nd 0
+    val after = gsnap(
+      (Some("g1"), "a", Some(10)),           // b deleted: 10 still present
+      (Some("g1"), "c", Some(30)),           // 20 -> 30: value set churns
+      (Some("g2"), "d", None), (Some("g2"), "e", Some(5)),
+      (Some("g3"), "f", None))
+    val inner0 = Cdc.aggState(before, Seq("g", "v"), Nil)
+    val inner1 = Cdc.maintainAgg(
+      inner0, Cdc.signedDelta(before, after, Seq("k")), Seq("g", "v"), Nil)
+    val got = Cdc.distinctCount(inner1, Seq("g"), "v").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (Some("g1"), 2L, 2L),   // values {10, 30}
+      (Some("g2"), 2L, 1L),   // one null + one value
+      (Some("g3"), 1L, 0L)))  // all-null group reports 0, not vanish
+  }
 }
