@@ -358,6 +358,36 @@ object ScaleCheck {
             Seq("custkey")),
           Seq("c_mktsegment"), Seq("price")).count()
       }, orders, "o_orderkey"),
+      // Extrema IVM fold path — the common append-heavy batch: state
+      // bootstrapped once from the UNGROWN orders, insert-only churn
+      // grows k×. Insertions fold with pure delta arithmetic, the
+      // endangered-key set is EMPTY, and AQE's empty-relation
+      // propagation collapses the recompute semi-join — so the base
+      // snapshot is never scanned and cost is O(state + churn), the
+      // same isolation argument as ivm_maintain above.
+      ("ivm_minmax", (df: DataFrame) => {
+        def shaped(o: DataFrame) = o.select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("v"))
+        val state = graft.operators.Cdc.extremaState(
+          shaped(orders), Seq("o_orderstatus"), Seq("v"))
+        val delta = shaped(df).where(col("o_orderkey") % 11 === 0)
+          .withColumn("__sign", lit(1))
+        graft.operators.Cdc.maintainExtrema(
+          state, delta, shaped(orders),
+          Seq("o_orderstatus"), Seq("v")).count()
+      }, orders, "o_orderkey"),
+      // Bloom-prefiltered join: dim fixed (20%-selective orders cut),
+      // fact grows k×. The probe is a codegen'd scalar on the fact
+      // scan, so growth tracks the scan plus the REDUCED join — the
+      // shuffle carries ~selectivity × fact instead of all of it.
+      ("bloom_join", (df: DataFrame) => {
+        val dim = orders.where(col("o_totalprice") > 400000)
+          .select(col("o_orderkey").as("dk"), col("o_orderstatus"))
+        graft.operators.BloomJoin.join(
+          df.select("l_orderkey", "l_quantity"), "l_orderkey",
+          dim, "dk", expectedItems = 30000, fpp = 0.01).count()
+      }, lineitem, "l_orderkey"),
       // HOT BIN worst case for the bin-bucketed joins: binSeconds far
       // wider than the data's span puts every interval and point in
       // ONE bin, so the bin equi-join degenerates to a single shuffle

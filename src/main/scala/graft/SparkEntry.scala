@@ -531,6 +531,31 @@ object SparkEntry {
         .withColumn("sum_v", col("sum_v").cast("double"))
     }),
 
+    // Bloom-prefiltered join: the semi-join reduction for dims too
+    // big to broadcast as a hash relation but whose key set fits in
+    // bloom bits. The 20%-selective dim (orders > 400k) builds its
+    // bloom in one map-side aggregate; the fact scan probes it as a
+    // codegen'd literal and sheds ~80% of its rows BEFORE the join
+    // shuffle (the in-query require proves the reduction at fpp=1%).
+    // False positives die in the real join, so the result must equal
+    // the plain join — the oracle. At 100 TB the win is shuffled
+    // bytes: ~selectivity × fact volume instead of all of it.
+    "ext_bloom_join" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val dim = tbl(s, dir, "orders")
+        .where(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderstatus")
+      val pre = graft.operators.BloomJoin.prefilter(
+        li, "l_orderkey", dim, "o_orderkey",
+        expectedItems = 3000, fpp = 0.01)
+      val (kept, total) = (pre.count(), li.count())
+      require(kept < total * 2 / 5,
+        s"bloom must shed the non-joining fact side: kept $kept of $total")
+      pre.join(dim, col("l_orderkey") === col("o_orderkey"), "inner")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus")
+    }),
+
     // File-skipping stats index, end to end: land lineitem range-
     // clustered on l_shipdate (tight per-file ranges are what give
     // stats their teeth), bootstrap the per-file min/max index, then
@@ -1927,6 +1952,12 @@ object SparkEntry {
     // incremental counting-algorithm result must hash-match it,
     // vanished group absent, all-NULL group's sum NULL
     "ext_ivm_maintain" -> ivmMaintainOracleSql,
+
+    "ext_bloom_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000""".stripMargin,
 
     "flow_stats_prune" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity

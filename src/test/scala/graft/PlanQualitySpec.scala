@@ -359,6 +359,48 @@ class PlanQualitySpec extends AnyFunSuite {
       s"deltas must be materialized once, not re-diffed per term (saw $fullOuterJoins):\n$plan")
   }
 
+  test("extrema IVM: endangered-key recompute is a broadcast semi, base never shuffled") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Cdc
+    val o = SparkEntry.tbl(spark, sf, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("v"))
+    val after = o.where(col("o_orderkey") % 10 =!= 0)
+    val state = Cdc.extremaState(o, Seq("o_orderstatus"), Seq("v"))
+      .localCheckpoint(true)
+    val delta = Cdc.signedDelta(o, after, Seq("o_orderkey"))
+      .localCheckpoint(true)
+    val plan = Cdc.maintainExtrema(
+        state, delta, after, Seq("o_orderstatus"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    val semis = plan.linesIterator
+      .filter(_.contains("LeftSemi")).toSeq
+    assert(semis.nonEmpty && semis.forall(_.contains("BroadcastHashJoin")),
+      s"endangered-key probe must broadcast, never shuffle the base:\n$plan")
+  }
+
+  test("bloom join: might_contain filters the fact scan stage, below the join exchange") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.BloomJoin
+    val li = SparkEntry.tbl(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val dim = SparkEntry.tbl(spark, sf, "orders")
+      .where(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_orderstatus")
+    val plan = BloomJoin
+      .join(li, "l_orderkey", dim, "o_orderkey", 3000, 0.01)
+      .queryExecution.executedPlan.toString
+    val filterIdx = plan.indexOf("might_contain")
+    val factScanIdx = plan.indexOf("Scan parquet", filterIdx)
+    assert(filterIdx >= 0, s"bloom probe missing from the plan:\n$plan")
+    assert(factScanIdx >= 0 &&
+      !plan.substring(filterIdx, factScanIdx).contains("Exchange"),
+      // plan strings print top-down: the probe must sit directly on
+      // the fact scan's stage, with no shuffle between them — rows
+      // drop BEFORE paying the exchange
+      s"might_contain must prefilter below the join exchange:\n$plan")
+  }
+
   test("kmv distinct: map-side partial sketch below the exchange") {
     val plan = planOf("ext_distinct_kmv")
     val partialIdx = plan.indexOf("partial_kmv_distinct")

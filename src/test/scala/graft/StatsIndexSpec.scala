@@ -105,6 +105,19 @@ class StatsIndexSpec extends AnyFunSuite {
       "the all-null file must be pruned")
   }
 
+  test("pruned read still pushes the range predicate to the scan") {
+    // the two skipping layers compose: the index prunes FILES, and
+    // the re-applied predicate reaches the parquet reader for
+    // row-group skipping inside each candidate file
+    val t = tmp()
+    bandedTable(t)
+    StatsIndex.collect(spark, t, Seq("k"))
+    val plan = StatsIndex.prunedRead(spark, t, "k", lit(250L), lit(449L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,250), LessThanOrEqual(k,449)]"),
+      s"range must reach the scan:\n$plan")
+  }
+
   test("empty candidate set yields an empty frame with the table schema") {
     val t = tmp()
     bandedTable(t, files = 3)
