@@ -661,6 +661,64 @@ object SparkEntry {
       cdc.distinctCount(inner1, Seq("o_orderstatus"), "v")
     }),
 
+    // Maintained exact top-k: the same two-level counting state as
+    // ext_ivm_distinct, read off with a rank window — exact under
+    // the deletions that insert-only sketch heavy-hitters (MG) can
+    // only bound. The churn deletes every 5th key and re-buckets
+    // every 3rd, demoting/promoting values across the k boundary;
+    // the maintained ranking must equal the recompute's.
+    "ext_ivm_topk" -> ((s, dir) => {
+      val cdc = graft.operators.Cdc
+      val base = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        (col("o_custkey") % 50).as("v"))
+      val after = base
+        .where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("v",
+          when(col("o_orderkey") % 3 === 0, (col("v") + 1) % 50)
+            .otherwise(col("v")))
+      val inner = cdc.maintainAgg(
+        cdc.aggState(base, Seq("o_orderstatus", "v"), Nil),
+        cdc.signedDelta(base, after, Seq("o_orderkey")),
+        Seq("o_orderstatus", "v"), Nil)
+      cdc.topKByCount(inner, Seq("o_orderstatus"), "v", k = 5)
+    }),
+
+    // Maintained grouping-sets lattice: cubeState bootstraps every
+    // level from ONE base scan (finest state rolled up in state
+    // space), and maintainCube pushes one signed delta through all
+    // levels in a single maintainAgg pass — deleting all of status
+    // 'P' vanishes its groups at the finest AND status level while
+    // the grand total just shrinks. __gid disambiguates a NULL
+    // group value from a rollup NULL, which is what makes the raw
+    // cube output unmaintainable and this state maintainable.
+    "ext_ivm_cube" -> ((s, dir) => {
+      val cdc = graft.operators.Cdc
+      val sets = Seq(
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_orderstatus"),
+        Seq.empty[String])
+      val base = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_orderpriority"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val after = base
+        .where(col("o_orderstatus") =!= "P")
+        .withColumn("v",
+          when(col("o_orderkey") % 3 === 0, col("v") + 100)
+            .otherwise(col("v"))
+            .cast("decimal(12,2)"))
+      val state = cdc.cubeState(
+        base, Seq("o_orderstatus", "o_orderpriority"), sets, Seq("v"))
+      cdc.maintainCube(
+          state, cdc.signedDelta(base, after, Seq("o_orderkey")),
+          Seq("o_orderstatus", "o_orderpriority"), sets, Seq("v"))
+        .withColumn("sum_v", col("sum_v").cast("double"))
+    }),
+
     // Streaming MERGE into TRUSTED (foreachBatch): d8's update set
     // replayed as a checkpointed multi-micro-batch stream, each batch
     // K2-upserted into the trusted table — the final table must equal
@@ -1952,6 +2010,48 @@ object SparkEntry {
     // incremental counting-algorithm result must hash-match it,
     // vanished group absent, all-NULL group's sum NULL
     "ext_ivm_maintain" -> ivmMaintainOracleSql,
+
+    "ext_ivm_topk" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey % 50 AS v
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN (v + 1) % 50 ELSE v END AS v
+        |  FROM base WHERE o_orderkey % 5 <> 0
+        |), m AS (
+        |  SELECT o_orderstatus, v, count(*) AS n FROM aft GROUP BY 1, 2
+        |), r AS (
+        |  SELECT o_orderstatus, v, n, CAST(row_number() OVER (
+        |    PARTITION BY o_orderstatus ORDER BY n DESC, v ASC) AS INT) AS rank
+        |  FROM m
+        |)
+        |SELECT o_orderstatus, v, n, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "ext_ivm_cube" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    CAST(CASE WHEN o_orderkey % 3 = 0 THEN v + 100
+        |              ELSE v END AS DECIMAL(12,2)) AS v
+        |  FROM base WHERE o_orderstatus <> 'P'
+        |)
+        |SELECT o_orderstatus, o_orderpriority, 0 AS __gid,
+        |  count(*) AS n, count(v) AS nn_v,
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
+        |FROM aft GROUP BY o_orderstatus, o_orderpriority
+        |UNION ALL
+        |SELECT o_orderstatus, NULL, 1, count(*), count(v),
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |FROM aft GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT NULL, NULL, 2, count(*), count(v),
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |FROM aft""".stripMargin,
 
     "ext_bloom_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus

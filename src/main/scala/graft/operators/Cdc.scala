@@ -526,6 +526,132 @@ object Cdc {
       .select(keyOut ++ Seq(col("n"), col(s"nd_$valueCol")): _*)
   }
 
+  /** Exact maintained top-k per group, read off the same two-level
+    * counting state [[distinctCount]] uses: the (group, value)
+    * multiset is self-maintainable, and the top-k BY MULTIPLICITY is
+    * a rank window over its surviving rows — so the view is exact
+    * under deletion, where sketch-based heavy hitters ([[graft.functions.MgSketch]])
+    * only bound insert-only streams. Ties break by value ascending
+    * (deterministic output, same discipline as every rank operator
+    * in the engine). NULL values rank like any other (a NULL key's
+    * multiplicity is still a multiplicity) — filter the state first
+    * if COUNT(value)-style semantics are wanted.
+    *
+    * 100 TB posture: one rank window over |surviving (group, value)
+    * pairs| — bounded by value cardinality, not the base table; the
+    * window's exchange is on the group key, map-side rank-limited
+    * (`WindowGroupLimit`), and the base is never rescanned.
+    */
+  def topKByCount(
+      valueState: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"topKByCount needs k >= 1, got $k")
+    require(valueState.columns.contains("n") &&
+      valueState.columns.contains(valueCol),
+      s"valueState must be an aggState over ${groupCols.mkString(",")},$valueCol")
+    requireNoReserved(valueState, Seq("rank"))
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("n").desc, col(valueCol).asc)
+    valueState
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Bootstrap state for a maintained CUBE / ROLLUP / GROUPING SETS
+    * view: the finest [[aggState]] (ONE base-table scan), rolled up
+    * in STATE SPACE into one stacked row set per grouping set,
+    * tagged with a `__gid` discriminator (the set's position in
+    * `sets`), absent columns NULL. Counts and non-null counts add
+    * across finest groups; exact decimal sums add with SQL
+    * null-skipping, so an all-null rollup's sum stays NULL without
+    * special-casing. The NULL-vs-NULL ambiguity that makes raw cube
+    * OUTPUT unmaintainable (a NULL group key vs a rolled-up total
+    * collide) is exactly what `__gid` resolves.
+    *
+    * 100 TB posture: one base scan for the finest state, then
+    * |finest groups| × |sets| rows through one more hash aggregate —
+    * the lattice never rescans the base, unlike |sets| independent
+    * bootstraps.
+    */
+  def cubeState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sets: Seq[Seq[String]],
+      sumCols: Seq[String]): DataFrame = {
+    requireSets(df, groupCols, sets)
+    val finest = aggState(df, groupCols, sumCols)
+    val stacked = sets.zipWithIndex.map { case (s, i) =>
+      finest.select(
+        groupCols.map(g =>
+          if (s.contains(g)) col(g)
+          else lit(null).cast(finest.schema(g).dataType).as(g)) ++
+          Seq(lit(i).as("__gid"), col("n")) ++
+          sumCols.flatMap(c => Seq(col(s"nn_$c"), col(s"sum_$c"))): _*)
+    }.reduce(_ unionByName _)
+    val keys = (groupCols :+ "__gid").map(col)
+    stacked.groupBy(keys: _*)
+      .agg(
+        coalesce(sum("n"), lit(0L)).as("n"),
+        sumCols.flatMap(c => Seq(
+          coalesce(sum(s"nn_$c"), lit(0L)).as(s"nn_$c"),
+          sum(s"sum_$c").cast(SumType).as(s"sum_$c"))): _*)
+  }
+
+  /** Incremental maintenance of a [[cubeState]]: the signed delta is
+    * expanded through the SAME grouping sets (linearity again — the
+    * Expand is a union of projections, and projections commute with
+    * signed multisets), then ONE [[maintainAgg]] pass maintains
+    * every grouping set simultaneously. A group vanishing from the
+    * finest set vanishes from exactly the rollup levels whose counts
+    * reach zero — the counting algorithm per set, for free.
+    *
+    * The delta feeds |sets| expansion branches, so it is
+    * materialized once up front (same eager-pin discipline as
+    * [[joinDelta]] — it is churn-sized by contract).
+    *
+    * 100 TB posture: |delta| × |sets| rows through maintainAgg's
+    * single exchange. The base is never rescanned for ANY level —
+    * the property a lattice of independent materialized views would
+    * need |sets| maintenance runs to get.
+    */
+  def maintainCube(
+      state: DataFrame,
+      delta: DataFrame,
+      groupCols: Seq[String],
+      sets: Seq[Seq[String]],
+      sumCols: Seq[String]): DataFrame = {
+    requireSets(delta, groupCols, sets)
+    require(delta.columns.contains("__sign"),
+      "delta must carry __sign (build it with Cdc.signedDelta)")
+    val d = delta.localCheckpoint(true)
+    val expanded = sets.zipWithIndex.map { case (s, i) =>
+      d.select(
+        groupCols.map(g =>
+          if (s.contains(g)) col(g)
+          else lit(null).cast(d.schema(g).dataType).as(g)) ++
+          Seq(lit(i).as("__gid"), col("__sign")) ++ sumCols.map(col): _*)
+    }.reduce(_ unionByName _)
+    maintainAgg(state, expanded, groupCols :+ "__gid", sumCols)
+  }
+
+  private def requireSets(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sets: Seq[Seq[String]]): Unit = {
+    require(sets.nonEmpty, "grouping-set maintenance needs grouping sets")
+    sets.foreach { s =>
+      val unknown = s.filterNot(groupCols.contains)
+      require(unknown.isEmpty,
+        s"grouping set columns ${unknown.mkString(", ")} not in groupCols")
+    }
+    require(sets.distinct.size == sets.size, "duplicate grouping sets")
+    require(!df.columns.contains("__gid"),
+      "column __gid collides with the grouping-set discriminator")
+  }
+
   private def requireExtrema(
       df: DataFrame,
       groupCols: Seq[String],

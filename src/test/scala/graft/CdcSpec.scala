@@ -415,6 +415,92 @@ class CdcSpec extends AnyFunSuite {
       Cdc.maintainExtrema(st, df, df, Seq("g"), Seq("v")))
   }
 
+  // ── top-k view over the two-level counting state ──────────────────
+
+  test("topKByCount: maintained multiset reads off exact top-k, deletion-aware") {
+    val before = gsnap(
+      (Some("g"), "a", Some(1)), (Some("g"), "b", Some(1)),
+      (Some("g"), "c", Some(1)),                       // 1 × 3
+      (Some("g"), "d", Some(2)), (Some("g"), "e", Some(2)), // 2 × 2
+      (Some("g"), "f", Some(3)))                       // 3 × 1
+    val after = gsnap(
+      (Some("g"), "a", Some(1)),                       // two 1s deleted: 1 × 1
+      (Some("g"), "d", Some(2)), (Some("g"), "e", Some(2)), // 2 × 2 (new top)
+      (Some("g"), "f", Some(3)), (Some("g"), "h", Some(3))) // 3 × 2 (ties 2)
+    val inner = Cdc.maintainAgg(
+      Cdc.aggState(before, Seq("g", "v"), Nil),
+      Cdc.signedDelta(before, after, Seq("k")), Seq("g", "v"), Nil)
+    val got = Cdc.topKByCount(inner, Seq("g"), "v", k = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    // counts: v=2 → 2, v=3 → 2, v=1 → 1; tie between 2 and 3 breaks
+    // by value ascending — exactly what a sketch cannot do under the
+    // deletions that demoted v=1 from its 3-row lead
+    assert(got == Set((2, 2L, 1), (3, 2L, 2)))
+  }
+
+  // ── maintained grouping-sets lattice ──────────────────────────────
+
+  private def csnap(rows: (Option[String], Option[String], String, Option[Int])*) =
+    rows.toDF("a", "b", "k", "v")
+
+  private def cubeSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (
+      Option(r.getString(0)), Option(r.getString(1)), r.getInt(2),
+      r.getLong(3), r.getLong(4),
+      Option(r.getDecimal(5)).map(_.toPlainString))).toSet
+
+  private val cubeSets = Seq(Seq("a", "b"), Seq("a"), Seq.empty[String])
+
+  test("maintainCube law: every grouping set maintained == per-set recompute") {
+    val before = csnap(
+      (Some("x"), Some("p"), "1", Some(10)),
+      (Some("x"), Some("q"), "2", Some(20)),
+      (Some("y"), Some("p"), "3", Some(5)),
+      (Some("y"), Some("p"), "4", None),
+      (None, Some("q"), "5", Some(7)))     // NULL group value ≠ rollup
+    val after = csnap(
+      (Some("x"), Some("p"), "1", Some(15)),   // value change
+      (Some("x"), Some("q"), "2", Some(20)),   // untouched
+      // y/p fully deleted: (y,p) vanishes at gid 0, y vanishes at gid 1
+      (None, Some("q"), "5", Some(7)),
+      (Some("z"), Some("r"), "6", Some(1)))    // new group at every level
+    val state = Cdc.cubeState(before, Seq("a", "b"), cubeSets, Seq("v"))
+    val maintained = Cdc.maintainCube(
+      state, Cdc.signedDelta(before, after, Seq("k")),
+      Seq("a", "b"), cubeSets, Seq("v"))
+    val recomputed = Cdc.cubeState(after, Seq("a", "b"), cubeSets, Seq("v"))
+    assert(maintained.schema == recomputed.schema)
+    assert(cubeSet(maintained) == cubeSet(recomputed))
+    // the vanished fine group is gone at gid 0 AND its rollup level,
+    // while the grand total (gid 2) survives
+    val gids = maintained.collect()
+      .map(r => (Option(r.getString(0)), r.getInt(2))).toSet
+    assert(!gids.contains((Some("y"), 0)) && !gids.contains((Some("y"), 1)))
+    assert(gids.exists(_._2 == 2))
+  }
+
+  test("cubeState: NULL group value and rollup NULL stay distinct via __gid") {
+    val df = csnap((None, Some("p"), "1", Some(3)), (Some("x"), Some("p"), "2", Some(4)))
+    val st = Cdc.cubeState(df, Seq("a", "b"), cubeSets, Seq("v"))
+    // gid 1 (group by a): one row for a=NULL (the real value), one for
+    // a=x; gid 2 (grand total): a=NULL again but distinguishable
+    val rows = st.collect().map(r =>
+      (Option(r.getString(0)), r.getInt(2), r.getLong(3))).toSet
+    assert(rows.contains((None, 1, 1L)) && rows.contains((Some("x"), 1, 1L)))
+    assert(rows.contains((None, 2, 2L)))
+  }
+
+  test("cube rejects: unknown set column, duplicate sets, __gid collision") {
+    val df = csnap((Some("x"), Some("p"), "1", Some(1)))
+    intercept[IllegalArgumentException](
+      Cdc.cubeState(df, Seq("a", "b"), Seq(Seq("zz")), Seq("v")))
+    intercept[IllegalArgumentException](
+      Cdc.cubeState(df, Seq("a", "b"), Seq(Seq("a"), Seq("a")), Seq("v")))
+    intercept[IllegalArgumentException](
+      Cdc.cubeState(df.withColumn("__gid", lit(1)), Seq("a", "b"),
+        cubeSets, Seq("v")))
+  }
+
   // ── distinct-count view over the two-level counting state ─────────
 
   test("distinctCount law: maintained (group, value) state reads off COUNT(DISTINCT)") {
