@@ -377,6 +377,26 @@ object ScaleCheck {
           state, delta, shaped(orders),
           Seq("o_orderstatus"), Seq("v")).count()
       }, orders, "o_orderkey"),
+      // Grouping-sets lattice maintenance: state bootstrapped once
+      // from the UNGROWN orders, churn grows k× and fans out through
+      // |sets| = 3 expansion branches into ONE maintainAgg exchange —
+      // cost O(state + |sets|·churn), base never rescanned for any
+      // level.
+      ("ivm_cube", (df: DataFrame) => {
+        val cdc = graft.operators.Cdc
+        val sets = Seq(Seq("o_orderstatus", "o_orderpriority"),
+          Seq("o_orderstatus"), Seq.empty[String])
+        def shaped(o: DataFrame) = o.select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(12,2)").as("v"))
+        val state = cdc.cubeState(
+          shaped(orders), Seq("o_orderstatus", "o_orderpriority"),
+          sets, Seq("v"))
+        val delta = shaped(df).where(col("o_orderkey") % 11 === 0)
+          .withColumn("__sign", lit(1))
+        cdc.maintainCube(state, delta,
+          Seq("o_orderstatus", "o_orderpriority"), sets, Seq("v")).count()
+      }, orders, "o_orderkey"),
       // Bloom-prefiltered join: dim fixed (20%-selective orders cut),
       // fact grows k×. The probe is a codegen'd scalar on the fact
       // scan, so growth tracks the scan plus the REDUCED join — the

@@ -546,9 +546,12 @@ object SparkEntry {
       val dim = tbl(s, dir, "orders")
         .where(col("o_totalprice") > 400000)
         .select("o_orderkey", "o_orderstatus")
+      // size the bloom from the actual dim cardinality (a production
+      // build counts the side it scans anyway) — a fixed guess sized
+      // for one SF saturates at 10x and the fpp explodes
       val pre = graft.operators.BloomJoin.prefilter(
         li, "l_orderkey", dim, "o_orderkey",
-        expectedItems = 3000, fpp = 0.01)
+        expectedItems = dim.count(), fpp = 0.01)
       val (kept, total) = (pre.count(), li.count())
       require(kept < total * 2 / 5,
         s"bloom must shed the non-joining fact side: kept $kept of $total")

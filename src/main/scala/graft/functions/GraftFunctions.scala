@@ -90,5 +90,22 @@ object GraftFunctions {
       }
       SimHashVotes(exprs(0), bits).toAggregateExpression()
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_build", exprs => {
+      require(exprs.length == 3, "bloom_build(hash, numBits, numHashes)")
+      require(exprs(1).foldable && exprs(2).foldable,
+        "bloom_build numBits and numHashes must be constants")
+      def intOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          what: String): Int = e.eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"bloom_build $what must be a constant integer, got $other")
+      }
+      BloomSketch(exprs(0), intOf(exprs(1), "numBits"),
+        intOf(exprs(2), "numHashes")).toAggregateExpression()
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("might_contain", exprs => {
+      require(exprs.length == 2, "might_contain(bloom, hash)")
+      BloomMightContain(exprs(0), exprs(1))
+    }, "scala_udf")
   }
 }

@@ -582,7 +582,12 @@ object Cdc {
       sets: Seq[Seq[String]],
       sumCols: Seq[String]): DataFrame = {
     requireSets(df, groupCols, sets)
-    val finest = aggState(df, groupCols, sumCols)
+    // The finest state feeds |sets| union branches, and a lazy plan
+    // re-runs the base scan + aggregate once per branch (the plan pin
+    // caught exactly that: three FileScans for three sets). Pin it
+    // eagerly — it is |groups|-sized, the same discipline as
+    // joinDelta's delta materialization.
+    val finest = aggState(df, groupCols, sumCols).localCheckpoint(true)
     val stacked = sets.zipWithIndex.map { case (s, i) =>
       finest.select(
         groupCols.map(g =>

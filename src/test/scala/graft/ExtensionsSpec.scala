@@ -522,6 +522,15 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT word_shingles(array('a', 'b', 'c', 'd'), 3) AS s")
       .head().getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
+    val bf = spark.sql(
+      "SELECT bloom_build(xxhash64(x), 1024, 5) AS bf FROM VALUES ('a'), ('b') AS t(x)")
+      .head().getAs[Array[Byte]](0)
+    val hits = spark.sql(
+      s"SELECT x FROM VALUES ('a'), ('b'), ('zq') AS t(x) " +
+        "WHERE might_contain(X'" +
+        bf.map("%02x".format(_)).mkString + "', xxhash64(x))")
+      .collect().map(_.getString(0)).toSet
+    assert(hits.contains("a") && hits.contains("b"))
   }
 
   test("frame sampling emits every Nth frame with stub geometry") {

@@ -379,6 +379,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"endangered-key probe must broadcast, never shuffle the base:\n$plan")
   }
 
+  test("cube IVM: bootstrap scans the base ONCE; maintenance keeps one exchange") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Cdc
+    val sets = Seq(Seq("o_orderstatus", "o_orderpriority"),
+      Seq("o_orderstatus"), Seq.empty[String])
+    val o = SparkEntry.tbl(spark, sf, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(12,2)").as("v"))
+    val bootstrapPlan = Cdc.cubeState(
+        o, Seq("o_orderstatus", "o_orderpriority"), sets, Seq("v"))
+      .queryExecution.executedPlan.toString
+    // the finest state is materialized eagerly (ONE base scan inside
+    // the checkpoint), so the lattice rollup's own plan must contain
+    // ZERO base scans — the first cut re-scanned the base once per
+    // set through the union branches, which this pin caught
+    val scans = "Scan parquet".r.findAllIn(bootstrapPlan).length
+    assert(scans == 0,
+      s"the lattice rollup must read the pinned finest state, not rescan per set:\n$bootstrapPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(bootstrapPlan).length == 1,
+      s"one stacked rollup exchange expected:\n$bootstrapPlan")
+    val state = Cdc.cubeState(
+        o, Seq("o_orderstatus", "o_orderpriority"), sets, Seq("v"))
+      .localCheckpoint(true)
+    val delta = o.where(col("o_orderkey") % 100 === 0)
+      .withColumn("__sign", lit(-1)).localCheckpoint(true)
+    val maintainPlan = Cdc.maintainCube(
+        state, delta, Seq("o_orderstatus", "o_orderpriority"), sets, Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(maintainPlan).length
+    assert(exchanges == 1,
+      s"one maintainAgg exchange must serve every lattice level:\n$maintainPlan")
+  }
+
   test("bloom join: might_contain filters the fact scan stage, below the join exchange") {
     import org.apache.spark.sql.functions._
     import graft.operators.BloomJoin

@@ -127,6 +127,31 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(out.schema == spark.read.parquet(t).schema)
   }
 
+  test("composes with z-ordered TRUSTED: narrow ranges on BOTH clustered columns prune") {
+    // the layout layer (mergeInto(zorderBy)) gives each file a tight
+    // span on both clustered columns; the metadata layer turns those
+    // spans into skipped files — together they make "range query on
+    // a maintained table" a few-file read on either column
+    val t = s"${tmp()}/trusted"
+    val grid = spark.range(20000L).select(
+      col("id").as("sk"),
+      (col("id") * 7919 % 10000).as("x"),
+      (col("id") * 104729 % 10000).as("y"))
+    graft.sinks.MergeUpsert.mergeInto(spark, t, grid, key = "sk",
+      zorderBy = Seq("x", "y"), zorderFiles = 16)
+    StatsIndex.collect(spark, t, Seq("x", "y"))
+    val total = spark.read.parquet(t).inputFiles.length
+    for (c <- Seq("x", "y")) {
+      val cand = StatsIndex.candidateFiles(spark, t, c, lit(1000L), lit(1999L))
+      assert(cand.nonEmpty && cand.size <= total / 2,
+        s"10% band on $c should skip most z-ordered files: ${cand.size} of $total")
+      val got = counted(StatsIndex.prunedRead(spark, t, c, lit(1000L), lit(1999L)))
+      val full = counted(
+        spark.read.parquet(t).where(col(c) >= 1000L && col(c) <= 1999L))
+      assert(got == full)
+    }
+  }
+
   test("hive-partitioned layout: partition column indexable, files nested") {
     val t = tmp()
     spark.range(400L)
