@@ -170,6 +170,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("extrema IVM: two-step maintained min/max equals recompute for arbitrary churn") {
+    import graft.operators.Cdc
+    // duplicated values matter here: a retracted extremum with a
+    // surviving twin must NOT endanger correctness, and fold/recompute
+    // classification must agree with the recompute in every mix
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 25)
+      g <- Gen.option(Gen.chooseNum(0, 3))
+      v <- Gen.option(Gen.chooseNum(-5, 5))
+    } yield (k, g, v)
+    val snapGen = Gen.listOf(rowGen).map(_.distinctBy(_._1))
+    def df(s: List[(Int, Option[Int], Option[Int])]) = s.toDF("k", "g", "v")
+    def extSet(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (
+        Option(r.get(0)), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    forAll(snapGen, snapGen, snapGen, cases = 6) { (s0, s1, s2) =>
+      val st1 = Cdc.maintainExtrema(
+        Cdc.extremaState(df(s0), Seq("g"), Seq("v")),
+        Cdc.signedDelta(df(s0), df(s1), Seq("k")), df(s1), Seq("g"), Seq("v"))
+      val st2 = Cdc.maintainExtrema(st1,
+        Cdc.signedDelta(df(s1), df(s2), Seq("k")), df(s2), Seq("g"), Seq("v"))
+      assert(extSet(st2) ==
+        extSet(Cdc.extremaState(df(s2), Seq("g"), Seq("v"))))
+    }
+  }
+
+  test("cube IVM: two-step maintained lattice equals recompute for arbitrary churn") {
+    import graft.operators.Cdc
+    val sets = Seq(Seq("g", "h"), Seq("g"), Seq.empty[String])
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 25)
+      g <- Gen.option(Gen.chooseNum(0, 2))
+      h <- Gen.option(Gen.chooseNum(0, 2))
+      v <- Gen.option(Gen.chooseNum(-50, 50))
+    } yield (k, g, h, v)
+    val snapGen = Gen.listOf(rowGen).map(_.distinctBy(_._1))
+    def df(s: List[(Int, Option[Int], Option[Int], Option[Int])]) =
+      s.toDF("k", "g", "h", "v")
+    def cSet(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (
+        Option(r.get(0)), Option(r.get(1)), r.getInt(2),
+        r.getLong(3), r.getLong(4),
+        Option(r.getDecimal(5)).map(_.toPlainString))).toSet
+    forAll(snapGen, snapGen, snapGen, cases = 4) { (s0, s1, s2) =>
+      val st1 = Cdc.maintainCube(
+        Cdc.cubeState(df(s0), Seq("g", "h"), sets, Seq("v")),
+        Cdc.signedDelta(df(s0), df(s1), Seq("k")), Seq("g", "h"), sets, Seq("v"))
+      val st2 = Cdc.maintainCube(st1,
+        Cdc.signedDelta(df(s1), df(s2), Seq("k")), Seq("g", "h"), sets, Seq("v"))
+      assert(cSet(st2) ==
+        cSet(Cdc.cubeState(df(s2), Seq("g", "h"), sets, Seq("v"))))
+    }
+  }
+
   test("join-view IVM: maintained multiset equals the recomputed join for arbitrary churn") {
     import graft.operators.Cdc
     val aRow = for {
