@@ -291,6 +291,45 @@ object SparkEntry {
     // behind the K2 swap. Final table must equal the batch apply
     // truth (ext_cdc_apply's oracle). StreamingSpec's restart case
     // covers the crash/resume exactly-once story.
+    // CDC apply with PIGGYBACKED IVM: the same checkpointed I/U/D
+    // stream folds into TRUSTED and, in the same micro-batch, into a
+    // maintained revenue-by-status state — the state's signed delta
+    // comes from Cdc.logDelta (before-images probed from the
+    // pre-batch table by the batch's broadcast keys), so neither
+    // path rescans the table. State commits first (transactional
+    // batch-id marker), table second (idempotent) — any replay lands
+    // safely. The maintained state must equal the aggregate of the
+    // whole-log fold truth.
+    "flow_stream_cdc_ivm" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-cdc-ivm").toString
+      val o = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val landing = s"$root/changes"
+      o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
+        .repartition(2).write.parquet(landing)
+      o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("v", (col("v") + 100).cast("decimal(12,2)"))
+        .withColumn("seq", lit(2)).withColumn("op", lit("U"))
+        .coalesce(1).write.mode("append").parquet(landing)
+      o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("seq", lit(3)).withColumn("op", lit("D"))
+        .coalesce(1).write.mode("append").parquet(landing)
+      graft.streaming.StreamingOps.streamApplyChangesWithAgg(
+        s, landing, s.read.parquet(landing).schema,
+        s"$root/trusted", s"$root/state", s"$root/ckpt",
+        key = "o_orderkey",
+        groupCols = Seq("o_orderstatus"), sumCols = Seq("v"))
+      val out = s.read.parquet(s"$root/state")
+        .withColumn("sum_v", col("sum_v").cast("double"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     "flow_stream_cdc_apply" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-stream-cdc").toString
@@ -1977,6 +2016,37 @@ object SparkEntry {
 
     // streamed application of the SAME log must land the same table
     "flow_stream_cdc_apply" -> cdcApplyOracleSql,
+
+    // the aggregate of the whole-log fold truth — the piggybacked
+    // state must land exactly what a recompute over the applied
+    // table would
+    "flow_stream_cdc_ivm" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v,
+        |    1 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) + 100, 2, 'U'
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)), 3, 'D'
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |), latest AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM changes
+        |), applied AS (
+        |  SELECT o_orderstatus, CAST(v AS DECIMAL(12,2)) AS v
+        |  FROM latest WHERE rn = 1 AND op <> 'D'
+        |)
+        |SELECT o_orderstatus, count(*) AS n, count(v) AS nn_v,
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
+        |FROM applied GROUP BY o_orderstatus""".stripMargin,
 
     // partition-scoped application of the SAME log, ditto
     "flow_partitioned_apply" -> cdcApplyOracleSql,

@@ -168,6 +168,49 @@ object Cdc {
       .select(col("__r.__sign").as("__sign") +: outCols.map(c => col(s"__r.`$c`")): _*)
   }
 
+  /** Signed delta induced by applying an I/U/D change-log batch onto
+    * a current snapshot — WITHOUT diffing snapshots: before-images
+    * come from the pre-batch table probed by the batch's keys (one
+    * join against a batch-sized, broadcast key set), after-images
+    * from the log's own per-key fold. This is what lets a CDC apply
+    * PIGGYBACK incremental view maintenance: fold the same batch
+    * into TRUSTED and into any [[maintainAgg]]/[[maintainCube]]
+    * state in one pass, never rescanning the table —
+    * [[signedDelta]]'s full-outer diff needs both snapshots and
+    * costs O(table); this costs O(batch) + one probed scan.
+    *
+    * An upsert that rewrites an identical payload emits its ±pair
+    * anyway (the log doesn't know the old value matched); the pair
+    * cancels exactly in maintenance — churn-sized noise, never
+    * wrong. Winners are materialized once (eager, batch-sized):
+    * they feed both the before-image probe and the after-images.
+    *
+    * Same determinism contract as [[applyLog]]: `seqCols` totally
+    * orders each key's changes.
+    */
+  def logDelta(
+      preTable: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val payloadCols = changes.columns.filterNot((opCol +: seqCols).contains)
+    require(preTable.columns.sorted.sameElements(payloadCols.sorted),
+      s"preTable schema [${preTable.columns.mkString(",")}] != log payload " +
+        s"[${payloadCols.mkString(",")}]")
+    requireNoReserved(preTable, Seq("__sign"))
+    val winners = latestPerKey(changes, keyCols, seqCols).localCheckpoint(true)
+    val keys = winners.select(keyCols.map(col): _*)
+    val probeCond = keyCols
+      .map(k => col(s"p.`$k`") <=> col(s"w.`$k`")).reduce(_ && _)
+    val before = preTable.as("p")
+      .join(broadcast(keys.as("w")), probeCond, "left_semi")
+      .select(lit(-1).as("__sign") +: payloadCols.map(col): _*)
+    val after = winners.where(col(opCol) =!= "D")
+      .select(lit(1).as("__sign") +: payloadCols.map(col): _*)
+    before.unionByName(after)
+  }
+
   /** Signed delta of the inner equi-join `A ⋈ B` from the signed
     * deltas of each side and the PRE-batch snapshots — the bilinear
     * delta rule of incremental view maintenance:

@@ -478,6 +478,70 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Streaming CDC apply WITH piggybacked IVM: each I/U/D micro-batch
+    * folds into TRUSTED (delete-aware, idempotent) AND into a
+    * maintained aggregate state — the state's delta comes from
+    * [[graft.operators.Cdc.logDelta]] (before-images probed from the
+    * PRE-batch table by the batch's broadcast keys, after-images from
+    * the log fold), so neither path ever rescans the table.
+    *
+    * Crash-consistency across the TWO stores orders the writes:
+    * the state (transactional — [[graft.sinks.AggStateSink]]'s
+    * batch-id marker rides the swap) commits FIRST, the table apply
+    * (idempotent) second. Any replay then lands safely: state
+    * already applied → guard skips it, table re-applies the same
+    * batch onto the same pre-image; state not applied → the table is
+    * also untouched, so the recomputed before-images are still
+    * correct. The reverse order would be wrong: a crash between a
+    * table apply and the state commit would recompute before-images
+    * from the POST-apply table and lose the change. The delta is
+    * pinned eagerly for the same reason — its lazy plan reads the
+    * table the apply is about to swap out.
+    */
+  def streamApplyChangesWithAgg(
+      spark: SparkSession,
+      changeLogDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      trustedPath: String,
+      statePath: String,
+      checkpointDir: String,
+      key: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      seqCols: Seq[String] = Seq("seq"),
+      opCol: String = "op",
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(changeLogDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val storage = graft.core.LakeStorage(spark)
+        val alreadyMaintained = graft.sinks.AggStateSink
+          .appliedBatch(spark, statePath).exists(_ >= id)
+        if (!alreadyMaintained) {
+          val payload = batch.drop((opCol +: seqCols): _*)
+          val pre =
+            if (storage.exists(trustedPath)) spark.read.parquet(trustedPath)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              payload.schema)
+          val delta = graft.operators.Cdc
+            .logDelta(pre, batch.toDF(), Seq(key), seqCols, opCol)
+            .localCheckpoint(true)
+          graft.sinks.AggStateSink.maintainInto(
+            spark, statePath, delta, groupCols, sumCols, id)
+        }
+        graft.sinks.MergeUpsert.applyChangesInto(
+          spark, trustedPath, batch, key, seqCols, opCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming WORK-zone ingestion: the K1 append flow as a stream —
     * files landing in the WORK directory are discovered incrementally
     * (`maxFilesPerTrigger` paces recovery after downtime). */

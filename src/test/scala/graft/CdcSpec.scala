@@ -322,6 +322,41 @@ class CdcSpec extends AnyFunSuite {
       Cdc.maintainAgg(st, deltaNoSign, Seq("g"), Seq("v")))
   }
 
+  // ── log-induced signed delta (CDC apply + piggybacked IVM) ───────
+
+  test("logDelta law: state(pre) + logDelta(pre, batch) == state(applied)") {
+    val pre = Seq(
+      ("g1", "a", 10), ("g1", "b", 20), ("g2", "c", 5), ("g2", "d", 7))
+      .toDF("g", "k", "v")
+    val log = Seq(
+      ("g1", "a", 15, 1, "U"),   // value change
+      ("g2", "e", 9, 1, "I"),    // new key
+      ("g2", "c", 0, 1, "D"),    // delete existing
+      ("g3", "zz", 1, 1, "D"),   // delete nonexistent: no-op
+      ("g1", "b", 20, 1, "U"),   // upsert-identical: ±pair cancels
+      ("g1", "d", 99, 1, "U"),   // key moves g2 -> g1
+      ("g9", "f", 1, 1, "U"), ("g9", "f", 3, 2, "U")) // last writer wins
+      .toDF("g", "k", "v", "seq", "op")
+    val delta = Cdc.logDelta(pre, log, Seq("k"), Seq("seq"))
+    val maintained = Cdc.maintainAgg(
+      Cdc.aggState(pre, Seq("g"), Seq("v")), delta, Seq("g"), Seq("v"))
+    // the applied table, by definition: untouched pre rows + non-D winners
+    val winners = Cdc.applyLog(log, Seq("k"), Seq("seq"))
+    val applied = pre.join(log.select("k").distinct(), Seq("k"), "left_anti")
+      .unionByName(winners)
+    assert(stateSet(maintained) ==
+      stateSet(Cdc.aggState(applied, Seq("g"), Seq("v"))))
+    // churn-sized: delta rows bounded by |touched pre rows| + |non-D winners|
+    assert(delta.count() <= 4 + 6)
+  }
+
+  test("logDelta rejects payload/schema mismatch") {
+    val pre = Seq(("g", "a", 1)).toDF("g", "k", "v")
+    val log = Seq(("g", "a", 1, 1, "U")).toDF("g", "k", "WRONG", "seq", "op")
+    intercept[IllegalArgumentException](
+      Cdc.logDelta(pre, log, Seq("k"), Seq("seq")))
+  }
+
   // ── extrema maintenance ────────────────────────────────────────────
 
   private def extSet(df: org.apache.spark.sql.DataFrame) =

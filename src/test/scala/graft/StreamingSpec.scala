@@ -238,6 +238,60 @@ class StreamingSpec extends AnyFunSuite {
       .truncate(root)
   }
 
+  test("CDC apply with piggybacked IVM: state tracks the table across restart") {
+    import graft.streaming.StreamingOps
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamcdcivm").toString
+    val landing = s"$root/changes"
+    val trusted = s"$root/trusted"
+    val statePath = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    def chg(rows: (Long, String, Option[java.math.BigDecimal], Int, String)*) =
+      rows.toDF("k", "g", "v", "seq", "op")
+        .withColumn("v",
+          org.apache.spark.sql.functions.col("v").cast("decimal(12,2)"))
+    def dec(s: String) = Some(new java.math.BigDecimal(s))
+    def run(): Unit = StreamingOps.streamApplyChangesWithAgg(
+      spark, landing, spark.read.parquet(landing).schema,
+      trusted, statePath, ckpt,
+      key = "k", groupCols = Seq("g"), sumCols = Seq("v"))
+    def state(): Map[String, (Long, Long, Option[String])] =
+      spark.read.parquet(statePath).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.getDecimal(3)).map(_.toPlainString)))).toMap
+
+    chg((1L, "a", dec("10"), 1, "I"), (2L, "a", dec("20"), 1, "I"),
+      (3L, "b", None, 1, "I")).coalesce(1).write.parquet(landing)
+    run()
+    assert(state()("a") == ((2L, 2L, Some("30.000000"))))
+    assert(state()("b") == ((1L, 0L, None)))
+
+    // "crash"; tier 2: update k=1 (value change), delete k=2 (group a
+    // shrinks), delete k=3 (group b vanishes), insert k=4 new group
+    chg((1L, "a", dec("15"), 2, "U"), (2L, "a", dec("20"), 2, "D"),
+      (3L, "b", None, 2, "D"), (4L, "c", dec("7"), 2, "I"))
+      .coalesce(1).write.mode("append").parquet(landing)
+    run()
+    val s2 = state()
+    assert(s2("a") == ((1L, 1L, Some("15.000000"))))
+    assert(!s2.contains("b"), "fully deleted group must vanish from the state")
+    assert(s2("c") == ((1L, 1L, Some("7.000000"))))
+    // state must equal a recompute over the final table, always
+    val recomputed = graft.operators.Cdc.aggState(
+      spark.read.parquet(trusted).select("g", "v"), Seq("g"), Seq("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.getDecimal(3)).map(_.toPlainString)))).toMap
+    assert(s2 == recomputed)
+
+    // no new files: a third run changes neither store
+    run()
+    assert(state() == s2)
+
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(root)
+  }
+
   test("streaming sessions agree with batch sessionize at gap == threshold exactly") {
     // timestamps quantized to the gap — the boundary case where
     // session_window's strict-overlap merge (delta < gap) and the
