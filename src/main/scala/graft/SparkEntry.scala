@@ -570,6 +570,45 @@ object SparkEntry {
         .withColumn("sum_v", col("sum_v").cast("double"))
     }),
 
+    // Incremental EXACT dedup, delta-vs-corpus through the persisted
+    // bloom index: the corpus lands in two waves (collect, then an
+    // append + O(new files) refresh — BloomSpec's poisoned row proves
+    // old files are never rescanned), its per-file blooms OR-merge
+    // into the table bloom WITHOUT a scan, and the daily delta anti-
+    // joins through it — a bloom MISS is definitive (no false
+    // negatives), so brand-new documents skip the join entirely and
+    // only the maybe-present fraction (true dups + fpp) pays the
+    // shuffle. Result must equal the plain anti join — the oracle.
+    "ext_dedup_exact_delta" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bloomdelta").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      val corpusPath = s"$root/corpus"
+      corpus.where(col("doc_id") % 2 === 0)
+        .repartition(2).write.parquet(corpusPath)
+      graft.sinks.BloomIndex.collect(
+        s, corpusPath, "text", expectedItems = 1000, fpp = 0.01)
+      corpus.where(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(corpusPath)
+      graft.sinks.BloomIndex.refresh(s, corpusPath, "text")
+      val bloom = graft.sinks.BloomIndex.mergedBloom(s, corpusPath)
+      val delta = docs.where(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000000L)
+        .unionByName(docs
+          .where(col("doc_id") % 13 === 0 && col("doc_id") % 97 =!= 0)
+          .withColumn("doc_id", col("doc_id") + 3000000000L))
+      val corpusTable = s.read.parquet(corpusPath)
+      val out = graft.operators.BloomJoin.antiJoin(
+          delta, "text", corpusTable, "text",
+          expectedItems = 1000, bloomBytes = Some(bloom))
+        .select("doc_id")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Bloom-prefiltered join: the semi-join reduction for dims too
     // big to broadcast as a hash relation but whose key set fits in
     // bloom bits. The 20%-selective dim (orders > 400k) builds its
@@ -2083,6 +2122,19 @@ object SparkEntry {
     // incremental counting-algorithm result must hash-match it,
     // vanished group absent, all-NULL group's sum NULL
     "ext_ivm_maintain" -> ivmMaintainOracleSql,
+
+    "ext_dedup_exact_delta" ->
+      """WITH corpus AS (
+        |  SELECT text FROM documents WHERE doc_id % 97 <> 0
+        |), delta AS (
+        |  SELECT doc_id + 2000000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000, text FROM documents
+        |  WHERE doc_id % 13 = 0 AND doc_id % 97 <> 0
+        |)
+        |SELECT d.doc_id FROM delta d
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = d.text)""".stripMargin,
 
     "ext_ivm_topk" ->
       """WITH base AS (

@@ -131,7 +131,9 @@ object BloomSketch {
     true
   }
 
-  private[functions] def toBytes(words: Array[Long], k: Int): Array[Byte] = {
+  /** Serialized form (k header + words) — public because the
+    * persisted bloom index re-emits merged bitsets. */
+  def toBytes(words: Array[Long], k: Int): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + words.length * 8)
     bb.putInt(k)
     words.foreach(bb.putLong)

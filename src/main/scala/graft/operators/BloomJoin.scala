@@ -57,4 +57,42 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame =
     prefilter(fact, factKey, dim, dimKey, expectedItems, fpp)
       .join(dim, col(factKey) === col(dimKey), "inner")
+
+  /** LEFT ANTI join through the bloom — the dedup-delta-vs-corpus
+    * shape: "which of these rows are NOT in the corpus". The bloom's
+    * one-sided error is exactly right for it: a MISS is definitive
+    * (no false negatives), so miss rows pass straight through with
+    * NO join at all; only the maybe-present fraction (true matches +
+    * fpp) pays the verifying anti-join. NULL fact keys probe false →
+    * routed to the miss branch — LEFT ANTI semantics keep them, same
+    * as the plain anti join.
+    *
+    * Result is EXACTLY `fact ANTI JOIN dim` (spec-pinned); at 100 TB
+    * the anti-join's left side shrinks from |fact| to
+    * ~(match-rate + fpp) × |fact| — for a 1%-dup delta against a
+    * bloom'd corpus, a 99% shuffle cut. Pass `bloomBytes` to reuse a
+    * persisted build ([[graft.sinks.BloomIndex]]); otherwise the dim
+    * is scanned once to build it. */
+  def antiJoin(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      bloomBytes: Option[Array[Byte]] = None): DataFrame = {
+    val bytes = bloomBytes.getOrElse(
+      dim.select(BloomSketch.buildFor(col(dimKey), expectedItems, fpp).as("bf"))
+        .head().getAs[Array[Byte]](0))
+    val probe = BloomSketch.mightContain(bytes, col(factKey))
+    val miss = fact.where(!probe)
+    // renamed probe side keeps the condition unambiguous when the two
+    // key columns share a name (the dedup shape: text vs text)
+    require(!fact.columns.contains("__bloom_dk"),
+      "column __bloom_dk collides with the anti-join's internal name")
+    val maybe = fact.where(probe)
+      .join(dim.select(col(dimKey).as("__bloom_dk")),
+        col(factKey) === col("__bloom_dk"), "left_anti")
+    miss.unionByName(maybe)
+  }
 }

@@ -83,6 +83,73 @@ class BloomSpec extends AnyFunSuite {
       s"2%-selective dim must cut the fact side hard, kept $surviving of 20000")
   }
 
+  test("antiJoin == plain anti join; misses skip the join entirely") {
+    val fact = spark.createDataset(
+      Seq[Option[Long]](Some(1L), Some(2L), Some(50L), Some(999L), None))
+      .toDF("k").withColumn("payload", col("k") * 2)
+    val dim = spark.range(0L, 100L).where(col("id") % 50 === 0)
+      .select(col("id").as("dk"))
+    val plain = fact.join(dim, col("k") === col("dk"), "left_anti")
+      .collect().map(_.toSeq).toSet
+    val bloomed = BloomJoin.antiJoin(fact, "k", dim, "dk", 2, 0.01)
+      .collect().map(_.toSeq).toSet
+    assert(bloomed == plain)
+    // NULL key kept (LEFT ANTI semantics), member 50 dropped
+    assert(plain.exists(_.head == null) && !plain.exists(_.head == 50L))
+  }
+
+  test("bloom index: merged == direct build bit-identical; refresh scans only new files") {
+    import graft.sinks.BloomIndex
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-bloomidx").toString + "/corpus"
+    spark.range(0L, 4000L).select(col("id").as("k"))
+      .repartition(4).write.parquet(t)
+    BloomIndex.collect(spark, t, "k", expectedItems = 5000, fpp = 0.01)
+
+    // merged file blooms must equal the from-scratch table build at
+    // the same geometry — OR is the sketch's merge
+    val (m, k) = BloomSketch.sized(5000, 0.01)
+    val direct = spark.read.parquet(t)
+      .select(BloomSketch.sketch(
+        when(col("k").isNotNull, xxhash64(col("k"))), m, k).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(BloomIndex.mergedBloom(spark, t), direct))
+
+    // poison one row's bloom to all-zero bits: refresh must carry it
+    // verbatim (old files are never rescanned)
+    val idx = BloomIndex.indexPath(t)
+    val poisonFile = spark.read.parquet(idx)
+      .select("file").head().getString(0)
+    val zero = BloomSketch.toBytes(new Array[Long](m / 64), k)
+    val poisoned = spark.read.parquet(idx).localCheckpoint(true)
+      .withColumn("bloom",
+        when(col("file") === poisonFile, lit(zero)).otherwise(col("bloom")))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    poisoned.coalesce(1).write.mode("overwrite").parquet(s"$idx.p")
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx.p"),
+      new org.apache.hadoop.fs.Path(idx))
+
+    val victim = spark.read.parquet(t).inputFiles.sorted.last
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    spark.range(9000L, 9100L).select(col("id").as("k"))
+      .coalesce(1).write.mode("append").parquet(t)
+    BloomIndex.refresh(spark, t, "k")
+    val after = spark.read.parquet(idx).localCheckpoint(true)
+    assert(after.where(col("file") === poisonFile).count() == 1)
+    val carried = after.where(col("file") === poisonFile)
+      .head().getAs[Array[Byte]]("bloom")
+    assert(java.util.Arrays.equals(carried, zero),
+      "poisoned bloom must survive refresh — old files are not rescanned")
+    assert(after.where(col("file") === victim).count() == 0)
+    // new keys are findable through the refreshed merged bloom
+    val merged = BloomIndex.mergedBloom(spark, t)
+    val found = spark.range(9000L, 9100L).toDF("k")
+      .where(BloomSketch.mightContain(merged, col("k"))).count()
+    assert(found == 100)
+  }
+
   test("sizing: optimal m/k, word-aligned, clamped") {
     val (m1, k1) = BloomSketch.sized(1000, 0.01)
     assert(m1 % 64 == 0 && m1 >= 9000 && m1 <= 10240) // ~9.59 bits/key
