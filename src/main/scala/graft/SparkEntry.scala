@@ -766,6 +766,29 @@ object SparkEntry {
       cdc.topKByCount(inner, Seq("o_orderstatus"), "v", k = 5)
     }),
 
+    // Exact maintained MEDIAN: the third read-off over the same
+    // maintained (group, value) multiset — cumulative-multiplicity
+    // walk to ceil(q·total), exact under the deletions KLL-style
+    // quantile sketches cannot retract (ext_quantiles bounds those;
+    // this one is exact because the state is).
+    "ext_ivm_median" -> ((s, dir) => {
+      val cdc = graft.operators.Cdc
+      val base = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        (col("o_custkey") % 1000).as("v"))
+      val after = base
+        .where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("v",
+          when(col("o_orderkey") % 3 === 0, (col("v") + 7) % 1000)
+            .otherwise(col("v")))
+      val inner = cdc.maintainAgg(
+        cdc.aggState(base, Seq("o_orderstatus", "v"), Nil),
+        cdc.signedDelta(base, after, Seq("o_orderkey")),
+        Seq("o_orderstatus", "v"), Nil)
+      cdc.quantileByCount(inner, Seq("o_orderstatus"), "v", q = 0.5)
+    }),
+
     // Maintained grouping-sets lattice: cubeState bootstraps every
     // level from ONE base scan (finest state rolled up in state
     // space), and maintainCube pushes one signed delta through all
@@ -2152,6 +2175,28 @@ object SparkEntry {
         |  FROM m
         |)
         |SELECT o_orderstatus, v, n, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "ext_ivm_median" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey % 1000 AS v
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN (v + 7) % 1000 ELSE v END AS v
+        |  FROM base WHERE o_orderkey % 5 <> 0
+        |), m AS (
+        |  SELECT o_orderstatus, v, count(*) AS n FROM aft
+        |  WHERE v IS NOT NULL GROUP BY 1, 2
+        |), c AS (
+        |  SELECT o_orderstatus, v, n,
+        |    sum(n) OVER (PARTITION BY o_orderstatus ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER (PARTITION BY o_orderstatus) AS tot
+        |  FROM m
+        |)
+        |SELECT o_orderstatus, v AS q_v FROM c
+        |WHERE cum >= CAST(ceiling(0.5 * tot) AS BIGINT)
+        |  AND cum - n < CAST(ceiling(0.5 * tot) AS BIGINT)""".stripMargin,
 
     "ext_ivm_cube" ->
       """WITH base AS (

@@ -603,6 +603,42 @@ object Cdc {
       .where(col("rank") <= k)
   }
 
+  /** Exact maintained discrete quantile per group, read off the same
+    * two-level counting state as [[distinctCount]] / [[topKByCount]]
+    * — the third view over one maintained multiset, and like the
+    * others exact under deletion, where KLL-style sketches cannot
+    * retract. Returns, per group, the smallest surviving value whose
+    * cumulative multiplicity reaches ⌈q · total⌉ (the classic
+    * type-1 / discrete quantile; q = 0.5 is the exact maintained
+    * MEDIAN). NULL values are excluded, SQL-percentile style; a
+    * group with only NULLs emits no row.
+    *
+    * 100 TB posture: one rank-window pass over |surviving (group,
+    * value) pairs| — bounded by value cardinality, not the base
+    * table, which is never rescanned.
+    */
+  def quantileByCount(
+      valueState: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile q must be in (0, 1], got $q")
+    require(valueState.columns.contains("n") &&
+      valueState.columns.contains(valueCol),
+      s"valueState must be an aggState over ${groupCols.mkString(",")},$valueCol")
+    requireNoReserved(valueState, Seq("__cum", "__tot", "__target"))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val cumW = byGroup.orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueState.where(col(valueCol).isNotNull)
+      .withColumn("__cum", sum("n").over(cumW))
+      .withColumn("__target",
+        ceil(lit(q) * sum("n").over(byGroup)).cast("long"))
+      .where(col("__cum") >= col("__target") &&
+        col("__cum") - col("n") < col("__target"))
+      .select(groupCols.map(col) :+ col(valueCol).as(s"q_$valueCol"): _*)
+  }
+
   /** Bootstrap state for a maintained CUBE / ROLLUP / GROUPING SETS
     * view: the finest [[aggState]] (ONE base-table scan), rolled up
     * in STATE SPACE into one stacked row set per grouping set,

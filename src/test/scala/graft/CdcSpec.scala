@@ -473,6 +473,28 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Set((2, 2L, 1), (3, 2L, 2)))
   }
 
+  test("quantileByCount: maintained multiset reads off the exact median under churn") {
+    val before = gsnap(
+      (Some("g"), "a", Some(1)), (Some("g"), "b", Some(2)),
+      (Some("g"), "c", Some(3)), (Some("g"), "d", Some(9)),
+      (Some("e"), "x", Some(5)), (Some("e"), "y", Some(7)),
+      (Some("z"), "n1", None))
+    val after = gsnap(
+      (Some("g"), "a", Some(1)),
+      (Some("g"), "c", Some(3)), (Some("g"), "d", Some(9)), // b deleted
+      (Some("e"), "x", Some(5)), (Some("e"), "y", Some(7)),
+      (Some("z"), "n1", None))
+    val inner = Cdc.maintainAgg(
+      Cdc.aggState(before, Seq("g", "v"), Nil),
+      Cdc.signedDelta(before, after, Seq("k")), Seq("g", "v"), Nil)
+    val got = Cdc.quantileByCount(inner, Seq("g"), "v", q = 0.5).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    // g: {1,3,9} → median 3 (the deletion moved it from 2);
+    // e: {5,7}, target = ceil(0.5·2) = 1 → lower middle 5;
+    // z: all-null → no row
+    assert(got == Map("g" -> 3, "e" -> 5))
+  }
+
   // ── maintained grouping-sets lattice ──────────────────────────────
 
   private def csnap(rows: (Option[String], Option[String], String, Option[Int])*) =

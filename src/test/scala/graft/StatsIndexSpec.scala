@@ -127,6 +127,51 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(out.schema == spark.read.parquet(t).schema)
   }
 
+  test("composes with partition-scoped CDC apply: refresh is O(touched partitions)") {
+    // applyChangesIntoPartitioned rewrites only partitions the batch
+    // touches, so a post-apply refresh rescans only THOSE partitions'
+    // files — the poisoned row on the untouched partition proves it
+    val root = tmp()
+    val t = s"$root/trusted"
+    val base = spark.range(400L).select(
+      col("id").as("k"),
+      (col("id") % 4).cast("int").as("p"),
+      (col("id") * 3).as("v"),
+      lit(1).as("seq"), lit("I").as("op"))
+    graft.sinks.MergeUpsert.applyChangesIntoPartitioned(
+      spark, t, base, key = "k", partitionCol = "p")
+    StatsIndex.collect(spark, t, Seq("v"))
+    val idx = StatsIndex.indexPath(t)
+
+    // poison the stats of every p=3 (soon-untouched) file
+    val poisoned = spark.read.parquet(idx).localCheckpoint(true)
+      .withColumn("min_v",
+        when(col("file").contains("p=3"), lit(-777L)).otherwise(col("min_v")))
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    poisoned.coalesce(1).write.mode("overwrite").parquet(s"$idx.p")
+    fs.delete(new Path(idx), true)
+    fs.rename(new Path(s"$idx.p"), new Path(idx))
+
+    // batch touches only partitions 0 and 1
+    val batch = spark.range(0L, 100L).select(
+      col("id").as("k"),
+      (col("id") % 2).cast("int").as("p"),
+      (col("id") * 7 + 100000).as("v"),
+      lit(2).as("seq"), lit("U").as("op"))
+    graft.sinks.MergeUpsert.applyChangesIntoPartitioned(
+      spark, t, batch, key = "k", partitionCol = "p")
+    StatsIndex.refresh(spark, t, Seq("v"))
+
+    val after = spark.read.parquet(idx).localCheckpoint(true)
+    assert(after.where(col("min_v") === -777L).count() > 0,
+      "untouched partition's poisoned stats must survive — not rescanned")
+    // the rewritten partitions' new files are indexed and usable
+    val got = counted(StatsIndex.prunedRead(spark, t, "v", lit(100000L), lit(101000L)))
+    val full = counted(
+      spark.read.parquet(t).where(col("v") >= 100000L && col("v") <= 101000L))
+    assert(got == full && full.nonEmpty)
+  }
+
   test("composes with z-ordered TRUSTED: narrow ranges on BOTH clustered columns prune") {
     // the layout layer (mergeInto(zorderBy)) gives each file a tight
     // span on both clustered columns; the metadata layer turns those
