@@ -330,6 +330,45 @@ object SparkEntry {
       out
     }),
 
+    // The extrema sibling of flow_stream_cdc_ivm: the same I/U/D
+    // stream maintains a MIN/MAX state alongside the TRUSTED apply.
+    // The recompute path's baseAfter is the apply's own
+    // appliedChanges(pre, batch) plan, evaluated lazily during the
+    // state write (before the table swap) — append batches skip it,
+    // the delete batch that retracts per-status extrema pays one
+    // endangered-group pass. State must equal the min/max recompute
+    // over the whole-log fold truth.
+    "flow_stream_extrema" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-extrema").toString
+      val o = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val landing = s"$root/changes"
+      o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
+        .repartition(2).write.parquet(landing)
+      o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("v", (col("v") + 100).cast("decimal(12,2)"))
+        .withColumn("seq", lit(2)).withColumn("op", lit("U"))
+        .coalesce(1).write.mode("append").parquet(landing)
+      o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("seq", lit(3)).withColumn("op", lit("D"))
+        .coalesce(1).write.mode("append").parquet(landing)
+      graft.streaming.StreamingOps.streamApplyChangesWithExtrema(
+        s, landing, s.read.parquet(landing).schema,
+        s"$root/trusted", s"$root/state", s"$root/ckpt",
+        key = "o_orderkey",
+        groupCols = Seq("o_orderstatus"), extCols = Seq("v"))
+      val out = s.read.parquet(s"$root/state")
+        .withColumn("min_v", col("min_v").cast("double"))
+        .withColumn("max_v", col("max_v").cast("double"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     "flow_stream_cdc_apply" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-stream-cdc").toString
@@ -2145,6 +2184,35 @@ object SparkEntry {
     // incremental counting-algorithm result must hash-match it,
     // vanished group absent, all-NULL group's sum NULL
     "ext_ivm_maintain" -> ivmMaintainOracleSql,
+
+    "flow_stream_extrema" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v,
+        |    1 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) + 100, 2, 'U'
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)), 3, 'D'
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |), latest AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM changes
+        |), applied AS (
+        |  SELECT o_orderstatus, CAST(v AS DECIMAL(12,2)) AS v
+        |  FROM latest WHERE rn = 1 AND op <> 'D'
+        |)
+        |SELECT o_orderstatus, count(*) AS n, count(v) AS nn_v,
+        |  CAST(min(v) AS DOUBLE) AS min_v,
+        |  CAST(max(v) AS DOUBLE) AS max_v
+        |FROM applied GROUP BY o_orderstatus""".stripMargin,
 
     "ext_dedup_exact_delta" ->
       """WITH corpus AS (

@@ -77,6 +77,58 @@ object AggStateSink {
     val next = graft.operators.Cdc.maintainAgg(
       state, delta, groupCols, sumCols)
 
+    commitState(fs, statePath, next, batchId)
+    true
+  }
+
+  /** Extrema-state variant of [[maintainInto]]: the same
+    * transactional swap around
+    * [[graft.operators.Cdc.maintainExtrema]]. `baseAfter` must be
+    * the POST-batch table content — passed LAZILY (e.g. the apply's
+    * own `appliedChanges(pre, batch)` plan), it is evaluated during
+    * the state write, which the caller must order BEFORE the table
+    * swap; only endangered groups' rows actually flow, and an
+    * append-only batch skips the base entirely (empty-relation
+    * propagation). */
+  def maintainExtremaInto(
+      spark: SparkSession,
+      statePath: String,
+      delta: DataFrame,
+      baseAfter: DataFrame,
+      groupCols: Seq[String],
+      extCols: Seq[String],
+      batchId: Long): Boolean = {
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(statePath)
+    val staging = new Path(statePath + "__staging")
+    val prev = new Path(statePath + "__prev")
+    MergeUpsert.recoverSwap(fs, target, staging, prev)
+
+    if (appliedBatch(spark, statePath).exists(_ >= batchId)) return false
+
+    val state =
+      if (fs.exists(target)) spark.read.parquet(statePath)
+      else graft.operators.Cdc.extremaState(
+        delta.drop("__sign").limit(0), groupCols, extCols)
+    val next = graft.operators.Cdc.maintainExtrema(
+      state, delta, baseAfter, groupCols, extCols)
+
+    commitState(fs, statePath, next, batchId)
+    true
+  }
+
+  /** Shared tail of the transaction: stage the next state, write the
+    * batch-id marker INTO the staging dir, and let one rename
+    * publish both. */
+  private def commitState(
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String,
+      next: DataFrame,
+      batchId: Long): Unit = {
+    val target = new Path(statePath)
+    val staging = new Path(statePath + "__staging")
+    val prev = new Path(statePath + "__prev")
     if (fs.exists(staging)) fs.delete(staging, true)
     next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     // marker rides the same rename as the data: state and applied-id
@@ -92,6 +144,5 @@ object AggStateSink {
     if (!fs.rename(staging, target))
       sys.error(s"state swap failed: could not promote $staging")
     fs.delete(prev, true)
-    true
   }
 }

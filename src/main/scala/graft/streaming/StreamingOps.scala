@@ -542,6 +542,63 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** [[streamApplyChangesWithAgg]]'s extrema sibling: the maintained
+    * state is MIN/MAX ([[graft.operators.Cdc.maintainExtrema]]),
+    * whose recompute path needs the POST-batch table — supplied
+    * LAZILY as the apply's own `appliedChanges(pre, batch)` plan and
+    * evaluated during the state write, which runs BEFORE the table
+    * swap (same state-first crash-consistency order, same
+    * transactional guard). An append-only batch folds without
+    * touching that plan at all (empty endangered-key set →
+    * empty-relation propagation); a batch that retracts an extremum
+    * pays one pass of it for the endangered groups.
+    */
+  def streamApplyChangesWithExtrema(
+      spark: SparkSession,
+      changeLogDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      trustedPath: String,
+      statePath: String,
+      checkpointDir: String,
+      key: String,
+      groupCols: Seq[String],
+      extCols: Seq[String],
+      seqCols: Seq[String] = Seq("seq"),
+      opCol: String = "op",
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(changeLogDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val storage = graft.core.LakeStorage(spark)
+        val alreadyMaintained = graft.sinks.AggStateSink
+          .appliedBatch(spark, statePath).exists(_ >= id)
+        if (!alreadyMaintained) {
+          val payload = batch.drop((opCol +: seqCols): _*)
+          val pre =
+            if (storage.exists(trustedPath)) spark.read.parquet(trustedPath)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              payload.schema)
+          val delta = graft.operators.Cdc
+            .logDelta(pre, batch.toDF(), Seq(key), seqCols, opCol)
+            .localCheckpoint(true)
+          val baseAfter = graft.sinks.MergeUpsert
+            .appliedChanges(pre, batch.toDF(), key, seqCols, opCol)
+          graft.sinks.AggStateSink.maintainExtremaInto(
+            spark, statePath, delta, baseAfter, groupCols, extCols, id)
+        }
+        graft.sinks.MergeUpsert.applyChangesInto(
+          spark, trustedPath, batch, key, seqCols, opCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming WORK-zone ingestion: the K1 append flow as a stream —
     * files landing in the WORK directory are discovered incrementally
     * (`maxFilesPerTrigger` paces recovery after downtime). */

@@ -292,6 +292,59 @@ class StreamingSpec extends AnyFunSuite {
       .truncate(root)
   }
 
+  test("CDC apply with piggybacked EXTREMA: state tracks the table across restart") {
+    import graft.streaming.StreamingOps
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamcdcext").toString
+    val landing = s"$root/changes"
+    val trusted = s"$root/trusted"
+    val statePath = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    def chg(rows: (Long, String, Option[Int], Int, String)*) =
+      rows.toDF("k", "g", "v", "seq", "op")
+    def run(): Unit = StreamingOps.streamApplyChangesWithExtrema(
+      spark, landing, spark.read.parquet(landing).schema,
+      trusted, statePath, ckpt,
+      key = "k", groupCols = Seq("g"), extCols = Seq("v"))
+    def state(): Map[String, (Long, Long, Option[Int], Option[Int])] =
+      spark.read.parquet(statePath).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4))))).toMap
+
+    chg((1L, "a", Some(10), 1, "I"), (2L, "a", Some(30), 1, "I"),
+      (3L, "b", None, 1, "I")).coalesce(1).write.parquet(landing)
+    run()
+    assert(state()("a") == ((2L, 2L, Some(10), Some(30))))
+    assert(state()("b") == ((1L, 0L, None, None)))
+
+    // "crash"; tier 2: delete the max of a (endangered -> recompute
+    // against the post-batch content), insert a new min, delete all
+    // of b (vanish)
+    chg((2L, "a", Some(30), 2, "D"), (4L, "a", Some(1), 2, "I"),
+      (3L, "b", None, 2, "D")).coalesce(1).write.mode("append").parquet(landing)
+    run()
+    val s2 = state()
+    assert(s2("a") == ((2L, 2L, Some(1), Some(10))),
+      "retracted max must fall back to the runner-up; new min folds in")
+    assert(!s2.contains("b"))
+    // state must equal an extrema recompute over the final table
+    val recomputed = graft.operators.Cdc.extremaState(
+      spark.read.parquet(trusted).select("g", "v"), Seq("g"), Seq("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4))))).toMap
+    assert(s2 == recomputed)
+
+    // no new files: a third run changes nothing
+    run()
+    assert(state() == s2)
+
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(root)
+  }
+
   test("streaming sessions agree with batch sessionize at gap == threshold exactly") {
     // timestamps quantized to the gap — the boundary case where
     // session_window's strict-overlap merge (delta < gap) and the
