@@ -1632,6 +1632,27 @@ object SparkEntry {
           expr("coalesce(click_ts, TIMESTAMP_NTZ '1900-01-01 00:00:00')"))
     }),
 
+    // Same truth a third way — the native Catalyst operator path
+    // (AsOfMark → RewriteAsOfJoin → AsOfJoinStrategy → AsOfJoinExec,
+    // installed via SparkSessionExtensions): a purpose-built
+    // co-partitioned merge exec, one hash exchange per side, O(1)
+    // carried state per partition. The DuckDB ASOF oracle gates that
+    // the whole custom-plan pipeline (marker through physical merge)
+    // lands exactly as-of semantics.
+    "ext_asof_native" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+        .withColumnRenamed("ts", "click_ts")
+      graft.plans.NativeAsOf.join(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "click_ts")
+        .withColumn("click_ts",
+          expr("coalesce(click_ts, TIMESTAMP_NTZ '1900-01-01 00:00:00')"))
+    }),
+
     // Range join with NO equi-key (bin-bucketed interval join):
     // shipping activity during each sampled order's first week —
     // lineitems (any order's) shipped in [o_orderdate, +7d). The
@@ -2950,6 +2971,7 @@ object SparkEntry {
     // identical truth: the epoch-split variant must compose to
     // exactly as-of semantics
     "ext_asof_join_epochs" -> asofOracleSql,
+    "ext_asof_native" -> asofOracleSql,
 
     // plain θ-join — DuckDB plans it as an IEJoin; the engine side
     // must reproduce it through the bin-bucketed equi-join

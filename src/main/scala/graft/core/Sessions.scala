@@ -28,6 +28,9 @@ object Sessions {
       // maxFields=100 would silently drop those plans out of
       // whole-stage codegen (interpreted row-at-a-time, ~4x slower).
       .config("spark.sql.codegen.maxFields", "512")
+      // native whole-operator extensions (as-of join rewrite rule +
+      // planner strategy) — inert for plans that carry no marker
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int): SparkSession = {
