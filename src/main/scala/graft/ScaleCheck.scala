@@ -139,6 +139,20 @@ object ScaleCheck {
           .withColumnRenamed("ts", "click_ts")
         Temporal.asOfJoin(p, c, Seq("user_id"), "ts", "click_ts").count()
       }, events, "event_id"),
+      // the SAME workload through the native Catalyst operator
+      // (AsOfJoinExec): directly comparable to asof_join above —
+      // identical input shapes, identical truth, different physical
+      // plan (co-partitioned O(1)-state merge vs union-and-carry
+      // window)
+      ("asof_native", (df: DataFrame) => {
+        val p = df.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val c = df.where(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("click_value"))
+          .withColumnRenamed("ts", "click_ts")
+        graft.plans.NativeAsOf.join(p, c, Seq("user_id"), "ts", "click_ts").count()
+      }, events, "event_id"),
       // audit intervals fixed, point stream grows k× — the honest
       // scaling dimension (growing BOTH sides k× inflates true pairs
       // k², which is output growth, not plan growth)
