@@ -648,6 +648,44 @@ object SparkEntry {
       out
     }),
 
+    // Inverted-index word-phrase search, end to end: the corpus
+    // lands in two waves (collect, then an append + O(new files)
+    // refresh — InvertedIndexSpec's poisoned-posting case proves old
+    // files are never rescanned), and the search intersects ONLY the
+    // query tokens' posting lists (pushed token-IN read against the
+    // token-range-clustered index) before the exact word-boundary
+    // verify touches just the candidate docs. Result must equal the
+    // full-scan padded-containment predicate — the oracle. The
+    // in-query require proves the index pruned below the corpus;
+    // the margin is modest HERE because the synthetic vocabulary is
+    // ~100 words so every common token posts in most docs — a real
+    // Zipfian corpus makes the intersection, and the win, sharper.
+    "ext_inverted_search" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-invsearch").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "lang", "text")
+      val corpusPath = s"$root/corpus"
+      docs.where(col("doc_id") % 2 === 0)
+        .repartition(2).write.parquet(corpusPath)
+      graft.sinks.InvertedIndex.collect(s, corpusPath, "text", "doc_id")
+      docs.where(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(corpusPath)
+      graft.sinks.InvertedIndex.refresh(s, corpusPath, "text", "doc_id")
+      val phrase = "key order"
+      val cand = graft.sinks.InvertedIndex
+        .candidates(s, corpusPath, phrase).count()
+      val total = docs.count()
+      require(cand < total,
+        s"posting intersection must prune below the corpus: $cand of $total")
+      val out = graft.sinks.InvertedIndex
+        .phraseSearch(s, corpusPath, "text", "doc_id", phrase)
+        .select("doc_id", "lang")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Bloom-prefiltered join: the semi-join reduction for dims too
     // big to broadcast as a hash relation but whose key set fits in
     // bloom bits. The 20%-selective dim (orders > 400k) builds its
@@ -2247,6 +2285,14 @@ object SparkEntry {
         |)
         |SELECT d.doc_id FROM delta d
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = d.text)""".stripMargin,
+
+    // The index is a pruning layer only — the truth is the word-
+    // boundary containment predicate over the whole corpus.
+    "ext_inverted_search" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE contains(
+        |  ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ',
+        |  ' key order ')""".stripMargin,
 
     "ext_ivm_topk" ->
       """WITH base AS (

@@ -38,7 +38,7 @@ object BloomIndex {
 
   private[graft] def indexPath(table: String): String = s"$table/_bloom"
 
-  private def dataFilePaths(spark: SparkSession, table: String): Seq[String] = {
+  private[sinks] def dataFilePaths(spark: SparkSession, table: String): Seq[String] = {
     val dir = new Path(table)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def visible(p: Path): Boolean =

@@ -1,0 +1,152 @@
+package graft.sinks
+
+import graft.functions.TextFunctions
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted token index for a lake text column — the
+  * search-side sibling of [[StatsIndex]] (range questions) and
+  * [[BloomIndex]] (membership questions): posting lists answering
+  * "which documents contain these words" without scanning the
+  * corpus. The 100 TB payoff is word-phrase search: candidates come
+  * from the posting lists of the QUERY's tokens only (a pushed
+  * `token IN (…)` read against a token-range-clustered index), and
+  * just that candidate sliver pays the exact containment verify —
+  * the corpus itself is only ever touched for the candidates.
+  *
+  * Layout: `(file, token, doc id)` rows at `<table>/_invindex`
+  * (underscore → invisible to table scans, like `_stats`/`_bloom`),
+  * one posting per distinct (document, token) pair, carrying the
+  * source data file so maintenance is the same file-set arithmetic
+  * as the sibling indexes: [[refresh]] scans ONLY files not yet
+  * indexed (file immutability makes carried postings sound), drops
+  * postings of vanished files verbatim, and never revisits an old
+  * file. The index is written range-clustered on `token`, so a
+  * search's `IN` filter prunes whole row groups by footer stats.
+  *
+  * Tokenization is [[TextFunctions.words]] over
+  * [[TextFunctions.normalized]] — the engine's one canonical text
+  * split, shared with every text-analysis oracle, so search results
+  * are SQL-mirrorable in DuckDB.
+  *
+  * Scale posture: the build is one scan + one token-range exchange
+  * of the postings (corpus-linear, output index-sized); refresh is
+  * O(new files' postings) + an index-sized rewrite (the index is
+  * ~tokens-per-doc × docs rows of a few dozen bytes — orders below
+  * the corpus); search moves only the query tokens' posting lists
+  * plus candidate rows. A hot token ("the") inflates one posting
+  * list — range clustering spreads tokens, not occurrences, so pair
+  * stop-word-heavy query workloads with a stopword drop at query
+  * time (the candidate intersection makes rare tokens do the
+  * pruning work anyway).
+  */
+object InvertedIndex {
+
+  private[graft] def indexPath(table: String): String = s"$table/_invindex"
+
+  private def postingsOf(
+      spark: SparkSession,
+      table: String,
+      paths: Seq[String],
+      textCol: String,
+      idCol: String): DataFrame =
+    spark.read.option("basePath", table).parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file"), col(idCol).as("id"),
+        explode(array_distinct(
+          TextFunctions.words(TextFunctions.normalized(col(textCol))))).as("token"))
+      .select("file", "token", "id")
+
+  private def writeClustered(postings: DataFrame, dest: String, buckets: Int): Unit =
+    postings.repartitionByRange(buckets, col("token"), col("id"))
+      .sortWithinPartitions("token", "id")
+      .write.mode(SaveMode.Overwrite).parquet(dest)
+
+  /** Full (re)build. `buckets` sizes the index file count — at test
+    * scale a handful; at corpus scale pick ~index-bytes / 128 MB. */
+  def collect(
+      spark: SparkSession,
+      table: String,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 4): Unit = {
+    val files = BloomIndex.dataFilePaths(spark, table)
+    require(files.nonEmpty, s"no data files under $table")
+    writeClustered(
+      postingsOf(spark, table, files, textCol, idCol), indexPath(table), buckets)
+  }
+
+  /** Incremental maintenance: postings for files not yet indexed are
+    * built (the ONLY corpus reads), vanished files' postings drop,
+    * everything else carries verbatim; the rewrite is index-sized.
+    * Same `.next`-then-swap discipline as the sibling indexes. */
+  def refresh(
+      spark: SparkSession,
+      table: String,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 4): Unit = {
+    val idx = indexPath(table)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(idx)),
+      s"no inverted index at $idx — bootstrap with collect()")
+    val current = BloomIndex.dataFilePaths(spark, table).toSet
+    // the swap deletes the dir being read — pin the old index first
+    val existing = spark.read.parquet(idx).localCheckpoint(true)
+    val indexed = existing.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val fresh = (current -- indexed).toSeq.sorted
+    val kept = existing.where(col("file").isin(current.toSeq: _*))
+    val merged =
+      if (fresh.isEmpty) kept
+      else kept.unionByName(postingsOf(spark, table, fresh, textCol, idCol))
+    writeClustered(merged, s"$idx.next", buckets)
+    fs.delete(new Path(idx), true)
+    fs.rename(new Path(s"$idx.next"), new Path(idx))
+  }
+
+  /** Canonical word sequence of a query phrase (order and repeats
+    * preserved — this is what [[phraseSearch]] verifies). */
+  private[graft] def phraseWords(phrase: String): Seq[String] =
+    phrase.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** Distinct tokens — a repeated word constrains candidates once. */
+  private[graft] def phraseTokens(phrase: String): Seq[String] =
+    phraseWords(phrase).distinct
+
+  /** Ids of documents whose token set covers the phrase's — the
+    * index-pruned candidate superset (every true phrase match is a
+    * word-boundary match, so all its words hold postings; word order
+    * and adjacency are verified by [[phraseSearch]]). */
+  def candidates(spark: SparkSession, table: String, phrase: String): DataFrame = {
+    val toks = phraseTokens(phrase)
+    require(toks.nonEmpty, "empty search phrase")
+    spark.read.parquet(indexPath(table))
+      .where(col("token").isin(toks: _*))
+      .groupBy("id")
+      .agg(count(lit(1)).as("__hits")) // (token, id) unique → count == distinct
+      .where(col("__hits") === toks.length)
+      .select("id")
+  }
+
+  /** Exact word-phrase search: the phrase matches on word boundaries
+    * in the normalized text (`" phrase "` within `" norm "` — the
+    * same padded-containment form the text oracles use). Only index
+    * candidates are verified; result equals the full-scan predicate
+    * by construction. Returns matching rows of `table`. */
+  def phraseSearch(
+      spark: SparkSession,
+      table: String,
+      textCol: String,
+      idCol: String,
+      phrase: String): DataFrame = {
+    val norm = phraseWords(phrase).mkString(" ")
+    require(norm.nonEmpty, "empty search phrase")
+    val docs = spark.read.parquet(table)
+    docs.join(broadcast(candidates(spark, table, phrase)),
+        docs(idCol) === col("id"), "left_semi")
+      .where(instr(
+        concat(lit(" "), TextFunctions.normalized(col(textCol)), lit(" ")),
+        s" $norm ") > 0)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.sinks.InvertedIndex
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class InvertedIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fullScanTruth(table: String, phrase: String): Set[Long] = {
+    val norm = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    spark.read.parquet(table)
+      .where(instr(concat(lit(" "),
+        TextFunctions.normalized(col("text")), lit(" ")), s" $norm ") > 0)
+      .select("doc_id").as[Long].collect().toSet
+  }
+
+  private def searchIds(table: String, phrase: String): Set[Long] =
+    InvertedIndex.phraseSearch(spark, table, "text", "doc_id", phrase)
+      .select("doc_id").as[Long].collect().toSet
+
+  private def freshCorpus(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-invidx").toString + "/docs"
+    rows.toDF("doc_id", "text").repartition(2).write.parquet(dir)
+    dir
+  }
+
+  test("phrase search equals the full-scan word-boundary truth") {
+    val table = freshCorpus(Seq(
+      (1L, "the fast key order sort"),
+      (2L, "fast  Key   ORDER again"),          // case + whitespace normalize
+      (3L, "key order fast"),                   // words present, phrase absent for 'fast key'
+      (4L, "breakfast key order"),              // 'fast' only as a word SUFFIX — must not match 'fast key order'
+      (5L, "fast key"),                         // prefix of the phrase only
+      (6L, "unrelated text entirely")
+    ))
+    InvertedIndex.collect(spark, table, "text", "doc_id")
+    for (phrase <- Seq("fast key order", "key order", "fast", "absent words here")) {
+      assert(searchIds(table, phrase) == fullScanTruth(table, phrase),
+        s"phrase '$phrase' diverges from the scan truth")
+    }
+    // the word-boundary case pinned explicitly: 'breakfast' ⊅ 'fast'
+    assert(searchIds(table, "fast key order") == Set(1L, 2L))
+  }
+
+  test("repeated-word phrase verifies the full sequence, not the token set") {
+    val table = freshCorpus(Seq(
+      (1L, "go stop go now"),
+      (2L, "go stop now")   // has both words but not the 'go stop go' sequence
+    ))
+    InvertedIndex.collect(spark, table, "text", "doc_id")
+    assert(searchIds(table, "go stop go") == Set(1L))
+  }
+
+  test("refresh indexes only new files (poisoned-posting isolation) and finds new docs") {
+    val table = freshCorpus(Seq((1L, "alpha beta"), (2L, "beta gamma")))
+    InvertedIndex.collect(spark, table, "text", "doc_id")
+    // poison: strip every 'beta' posting from the index. A refresh
+    // that rescans old files would resurrect them.
+    val idx = InvertedIndex.indexPath(table)
+    val pruned = spark.read.parquet(idx).where(col("token") =!= "beta")
+      .localCheckpoint(true)
+    pruned.write.mode("overwrite").parquet(idx)
+    // second wave
+    Seq((3L, "beta delta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(table)
+    InvertedIndex.refresh(spark, table, "text", "doc_id")
+    // new doc's postings exist; old files' beta postings stay gone
+    val betaIds = spark.read.parquet(idx).where(col("token") === "beta")
+      .select("id").as[Long].collect().toSet
+    assert(betaIds == Set(3L),
+      s"refresh must scan only unindexed files, got beta postings for $betaIds")
+    assert(searchIds(table, "delta") == Set(3L))
+  }
+
+  test("vanished data files' postings drop on refresh") {
+    // one row per file (range split), so deleting doc 1's file keeps doc 2
+    val dir = Files.createTempDirectory("graft-invidx").toString + "/docs"
+    Seq((1L, "solo posting"), (2L, "other words")).toDF("doc_id", "text")
+      .repartitionByRange(2, col("doc_id")).write.parquet(dir)
+    val table = dir
+    InvertedIndex.collect(spark, table, "text", "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // drop the file holding doc 1
+    val idx = InvertedIndex.indexPath(table)
+    val fileOf1 = spark.read.parquet(idx).where(col("token") === "solo")
+      .select("file").head().getString(0)
+    fs.delete(new org.apache.hadoop.fs.Path(fileOf1), false)
+    InvertedIndex.refresh(spark, table, "text", "doc_id")
+    val files = spark.read.parquet(idx).select("file").distinct()
+      .as[String].collect().toSet
+    assert(!files.contains(fileOf1), "vanished file's postings must drop")
+    assert(searchIds(table, "other words") == Set(2L))
+  }
+
+  test("search reads the index with the token filter pushed to the scan") {
+    val table = freshCorpus(Seq((1L, "push down filters"), (2L, "no match")))
+    InvertedIndex.collect(spark, table, "text", "doc_id")
+    val plan = InvertedIndex.candidates(spark, table, "push down")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"token IN filter must reach the index scan:\n$plan")
+  }
+}
