@@ -1267,6 +1267,17 @@ object SparkEntry {
     "ext_text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(tbl(s, dir, "documents"), topK = 100)),
 
+    // BM25 sufficient statistics (ranked retrieval): per (doc, query
+    // token) tf/df/dl, all BIGINT — the distributed pipeline (doc
+    // lengths map-side before the explode, ONE (id, token) shuffle
+    // for tf, df reduced off the tf table and broadcast back) is
+    // graded hash-exact; the scalar k1-b scoring over these stats is
+    // bm25Rank, pinned against a from-scratch reference in Bm25Spec
+    // (cross-engine ln() is not bit-stable, sufficient statistics
+    // are).
+    "ext_bm25_stats" -> ((s, dir) =>
+      TextAnalysis.bm25Stats(tbl(s, dir, "documents"), "fast key order")),
+
     // PII scrub: email/phone patterns → typed placeholders + audit counts
     "ext_text_scrub" -> ((s, dir) =>
       TextAnalysis.scrubPii(tbl(s, dir, "documents"))),
@@ -2637,6 +2648,22 @@ object SparkEntry {
          |    regexp_split_to_array($normSql, ' '), w -> w != '')) AS token
          |  FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+
+    "ext_bm25_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    len($wordsNormSql) AS dl,
+         |    unnest($wordsNormSql) AS token
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, dl, token, count(*) AS tf FROM toks
+         |  WHERE token IN ('fast', 'key', 'order')
+         |  GROUP BY doc_id, dl, token
+         |), dfreq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY token
+         |)
+         |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, tf.dl
+         |FROM tf JOIN dfreq USING (token)""".stripMargin,
 
     "ext_text_scrub" ->
       """SELECT doc_id,

