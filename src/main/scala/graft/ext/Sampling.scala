@@ -105,19 +105,32 @@ object Sampling {
       maxRepeat: Int = 100): DataFrame = {
     require(tau >= 0.0 && tau <= 1.0, s"temperature must be in [0, 1], got $tau")
     require(maxRepeat >= 1)
-    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
-    // Σ n^τ crosses float addition, which is order-sensitive — summed
-    // as exact decimals so the total is independent of partial-agg
-    // order (same discipline as every decimal-sum boundary here)
-    val tot = counts.agg(
-      sum(col("__n")).as("__s"),
-      sum(pow(col("__n"), lit(tau)).cast("decimal(38,15)"))
-        .cast("double").as("__z"))
-    val rates = counts.crossJoin(broadcast(tot))
-      .withColumn("__rate",
-        least(pow(col("__n"), lit(tau)) / col("__z") * col("__s") / col("__n"),
-          lit(maxRepeat.toDouble)))
-      .select(col(domainCol), col("__rate"))
+    // The rate table is a driver-side recipe: ONE aggregate scan
+    // collects |domains| rows (a mixing recipe's domain axis is
+    // driver-bounded — sources/languages, not a key space). Keeping
+    // it in-plan would recompute the counts subtree per reuse (Spark
+    // does not CSE across join branches) and double-scan the corpus.
+    // Σ n^τ sums as exact decimals (order-independent — float
+    // addition isn't; same discipline as every decimal-sum boundary
+    // here), binary-exact expansion like the SQL cast.
+    val countRows = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+    val s = countRows.map(_._2).sum
+    val z = countRows
+      .map(c => new java.math.BigDecimal(math.pow(c._2.toDouble, tau))
+        .setScale(15, java.math.RoundingMode.HALF_UP))
+      .reduce(_ add _).doubleValue()
+    val rateRows = countRows.map { case (d, n) =>
+      org.apache.spark.sql.Row(d,
+        math.min(math.pow(n.toDouble, tau) / z * s / n, maxRepeat.toDouble))
+    }
+    val rates = docs.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rateRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        docs.schema(domainCol),
+        org.apache.spark.sql.types.StructField("__rate",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
     val fine = pmod(
       conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15),
         16, 10).cast("long"),

@@ -235,9 +235,13 @@ object TextAnalysis {
     val tf = toks.where(col("token").isin(qtoks: _*))
       .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token")
-      .agg(count(lit(1)).as("df")) // (id, token) unique post-groupBy
-    tf.join(broadcast(dfreq), "token")
+    // df as a window over the tf table, NOT a self-join: reusing tf
+    // in two join branches would duplicate the subtree in the plan
+    // and scan + explode the corpus twice (plan-pinned). The window
+    // exchange moves only the matched-doc tf rows.
+    import org.apache.spark.sql.expressions.Window
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("token"))))
       .select(col(idCol), col("token"), col("tf"), col("df"), col("dl"))
   }
 

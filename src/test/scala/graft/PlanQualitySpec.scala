@@ -443,4 +443,29 @@ class PlanQualitySpec extends AnyFunSuite {
       // appear BELOW (after) the exchange line
       s"partial sketch must merge map-side (COUNT DISTINCT would Expand + reshuffle rows):\n$plan")
   }
+
+  test("bm25 stats: one corpus explode, tf exchange + small token window exchange only") {
+    val plan = planOf("ext_bm25_stats")
+    // a join-based df would duplicate the scan+explode subtree — the
+    // window form keeps the corpus read single
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes == 1, s"corpus must be tokenized exactly once:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected the (id, token) tf exchange plus the tf-sized token window exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"df must come from a window over tf, not a self-join:\n$plan")
+  }
+
+  test("temperature resample: broadcast rate recipe, no corpus shuffle") {
+    val plan = planOf("ext_temp_resample")
+    // the rate table is a collected driver recipe joined broadcast —
+    // the corpus itself is never exchanged
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"resample output must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates must join broadcast:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"repetition must be the map-side sequence explode:\n$plan")
+  }
 }
