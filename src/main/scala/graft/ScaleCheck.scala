@@ -292,6 +292,16 @@ object ScaleCheck {
         labels.unpersist()
         n
       }, chainNodes, "doc_id"),
+      // the SAME chain workload through the alternating-star
+      // contraction — keepOnePerCluster's new above-cap path: rounds
+      // are O(log² n) instead of diameter-bound, so this also holds
+      // where the chain outgrows clusters()' maxIterations entirely
+      ("cluster_chain_star", (df: DataFrame) => {
+        val pairs = df.where(col("doc_id") % 10 =!= 9)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        DedupClusters.clustersAlternating(df, pairs, "doc_id")
+          .agg(countDistinct(col("cluster_id"))).head().getLong(0)
+      }, chainNodes, "doc_id"),
       // z-order rewrite cost: one range exchange on the interleaved
       // curve value plus a per-partition sort plus the write — the
       // one-time layout cost the skipping amortizes. Stats pass is a

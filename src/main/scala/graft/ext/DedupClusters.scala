@@ -98,6 +98,89 @@ object DedupClusters {
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14) — the scalable answer for adversarial topologies:
+    * min-label propagation needs O(diameter) rounds (a length-d chain
+    * costs d joins), these star moves provably converge in
+    * O(log² n) rounds on ANY graph by actively shrinking long paths
+    * instead of walking them.
+    *
+    * Per round, over the canonical undirected edge set:
+    *  - large-star: every node u connects each STRICTLY LARGER
+    *    neighbor to m(u) = min(Γ(u) ∪ {u}),
+    *  - small-star: every node u connects its smaller neighbors and
+    *    itself to the minimum of those.
+    * At fixpoint (edge set unchanged) every component is a star
+    * centered on its minimum id — the labels read straight off the
+    * edges. Same output contract as [[clusters]]: (id, cluster_id =
+    * component minimum), singletons included; any orderable id type.
+    *
+    * Scale posture: each half-round is one aggregation + one join on
+    * node ids (hash-uniform) over the CURRENT edge set, which the
+    * star moves keep collapsing toward one-edge-per-node; per-round
+    * localCheckpoint pins O(1) plan depth like [[clusters]]. */
+  def clustersAlternating(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIterations: Int = 50): DataFrame = {
+    def canonical(df: DataFrame): DataFrame =
+      df.where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    var e = canonical(
+        pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint(true)
+    var converged = e.isEmpty
+    var i = 0
+    while (i < maxIterations && !converged) {
+      // large-star over the symmetric adjacency: (y, m(x)) for y > x.
+      // m(x) ≤ x < y keeps the output canonical by construction.
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mLarge = sym.groupBy("x")
+        .agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val large = canonical(sym.join(mLarge, "x")
+        .where(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v")))
+        .localCheckpoint(true)
+      // small-star over the canonical (u > v) orientation: u and each
+      // smaller neighbor v ≠ mn connect to mn = min of the smaller
+      // neighborhood (all < u, so outputs stay canonical).
+      val mSmall = large.groupBy("u").agg(min(col("v")).as("mn"))
+      val small = canonical(
+        mSmall.select(col("u"), col("mn").as("v"))
+          .unionByName(large.join(mSmall, "u")
+            .where(col("v") =!= col("mn"))
+            .select(col("v").as("u"), col("mn").as("v"))))
+        .localCheckpoint(true)
+      val changed = small.count() != e.count() ||
+        small.exceptAll(e).limit(1).count() > 0
+      e = small
+      converged = !changed
+      i += 1
+    }
+    System.err.println(s"[clustersAlternating] converged=$converged rounds=$i")
+    require(converged,
+      s"star contraction did not converge in $maxIterations rounds " +
+        "(bound is O(log² n) — this indicates ids that mutate under " +
+        "greatest/least, e.g. mixed numeric types; normalize the id column)")
+    // fixpoint stars: every edge is (member, center); centers and
+    // untouched nodes label themselves
+    val labels = e.select(col("u").as("__node"), col("v").as("__cl"))
+      .groupBy("__node").agg(min(col("__cl")).as("__cl"))
+    nodes.select(col(idCol))
+      .join(labels, col(idCol) === col("__node"), "left")
+      .select(col(idCol),
+        coalesce(col("__cl"), col(idCol)).as("cluster_id"))
+  }
+
   /** Exact connected components with the pair list collected to the
     * driver (union-find with path compression, min-id
     * representative), labels broadcast back.
@@ -180,11 +263,14 @@ object DedupClusters {
       localPairLimit: Long = LocalPairLimit): DataFrame = {
     // exact driver union-find when the id type allows it AND the pair
     // volume is provably bounded (the normal pairs ≪ corpus regime:
-    // one broadcast join, any graph diameter); iterative propagation
-    // otherwise. The volume probe IS the collect — limit(N+1) stops
-    // the scan at N+1 rows, so an adversarial near-quadratic pair set
-    // costs one O(N) probe pass before falling back, and the normal
-    // case pays a single pass total.
+    // one broadcast join, any graph diameter); the alternating-star
+    // contraction otherwise — distributed, and its O(log² n) round
+    // bound holds on ANY topology, so the adversarial regime (pair
+    // lists too big to collect, whose shape nobody audited) no longer
+    // rides label propagation's diameter contract. The volume probe
+    // IS the collect — limit(N+1) stops the scan at N+1 rows, so an
+    // adversarial near-quadratic pair set costs one O(N) probe pass
+    // before falling back, and the normal case pays a single pass.
     val idType = docs.schema(idCol).dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType ||
@@ -197,8 +283,8 @@ object DedupClusters {
           .limit(cap + 1).collect()
         if (probed.length <= cap)
           clustersFromEdges(docs, probed.map(r => (r.getLong(0), r.getLong(1))), idCol)
-        else clusters(docs, pairs, idCol)
-      } else clusters(docs, pairs, idCol)
+        else clustersAlternating(docs, pairs, idCol)
+      } else clustersAlternating(docs, pairs, idCol)
     val w = Window.partitionBy(col("cluster_id")).orderBy(col(idCol))
     docs.join(cl, Seq(idCol))
       .withColumn("__rn", row_number().over(w))

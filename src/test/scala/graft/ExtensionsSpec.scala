@@ -478,6 +478,36 @@ class ExtensionsSpec extends AnyFunSuite {
     val b = DedupClusters.clustersLocal(docs, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
+    val c = DedupClusters.clustersAlternating(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == b)
+  }
+
+  test("star contraction clusters a diameter-200 chain where propagation's bound can't") {
+    // a 201-node path: label propagation needs ~200 rounds (its
+    // maxIterations contract); the alternating star moves collapse it
+    // in O(log² n)
+    val n = 201L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DedupClusters.clustersAlternating(nodes, pairs, maxIterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(_ == 0L), "one component labeled by its minimum")
+    val local = DedupClusters.clustersLocal(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == local)
+  }
+
+  test("star contraction: singletons, empty pair list, transitive merge") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = DedupClusters.clustersAlternating(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+    val none = DedupClusters.clustersAlternating(
+        nodes, Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 9L -> 9L))
   }
 
   test("keepOnePerCluster collapses planted near-dup clusters") {

@@ -116,6 +116,21 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(!plan.contains("AsOfJoin"), s"rule must be inert without the marker:\n$plan")
   }
 
+  test("pure-SQL surface: marked LEFT JOIN plans and runs as the native operator") {
+    val (left, right) = asofFixture
+    NativeAsOf.register(spark)
+    left.createOrReplaceTempView("asof_l")
+    right.createOrReplaceTempView("asof_r")
+    val df = spark.sql(
+      """SELECT l.event_id, r.tag FROM asof_l l
+        |LEFT JOIN asof_r r
+        |  ON l.user_id = r.user_id AND graft_asof_mark(l.ts, r.r_ts, false)""".stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val out = df.as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      1L -> Some("r1"), 2L -> Some("r2"), 3L -> None, 4L -> None, 5L -> Some("r4")))
+  }
+
   test("payload-name collision fails with the contract") {
     val (left, right) = asofFixture
     val ex = intercept[IllegalArgumentException] {
