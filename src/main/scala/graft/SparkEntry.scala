@@ -1366,6 +1366,16 @@ object SparkEntry {
       DedupClusters.clustersLocal(docs, DedupOps.ngramJaccard(docs, numOverDen = (1, 3)))
     }),
 
+    // The SAME component truth through the distributed alternating
+    // large-star/small-star contraction (keepOnePerCluster's
+    // above-cap path — O(log² n) rounds on any topology, no driver
+    // collect): must hash-match the recursive-CTE exact components.
+    "ext_dedup_clusters_star" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      DedupClusters.clustersAlternating(
+        docs, DedupOps.ngramJaccard(docs, numOverDen = (1, 3)))
+    }),
+
     // MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify).
     // The exact-Jaccard verification stage makes the output ⊆ the
     // true shingle-Jaccard pair set; 128 hashes / 32 bands gives
@@ -2908,6 +2918,17 @@ object SparkEntry {
          |GROUP BY tr.doc_id""".stripMargin,
 
     "ext_dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS root FROM documents
+         |  UNION
+         |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node)
+         |SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
+    "ext_dedup_clusters_star" ->
       s"""WITH RECURSIVE $ngramPairCtes,
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
