@@ -686,6 +686,33 @@ object SparkEntry {
       out
     }),
 
+    // Streaming ingest with LIVE index maintenance: the corpus lands
+    // as a checkpointed file stream (2 files per micro-batch) and
+    // every batch refreshes the inverted index through the same
+    // file-set arithmetic — search is index-served the moment a
+    // batch lands, maintenance is O(batch), and the final search
+    // must equal the full-scan truth (the ext_inverted_search
+    // oracle). The index-corpus consistency is replay-proof: refresh
+    // derives from the file set on disk.
+    "flow_stream_index" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-index").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "lang", "text")
+      val landing = s"$root/landing"
+      docs.repartition(4).write.parquet(landing)
+      val corpus = s"$root/corpus"
+      graft.streaming.StreamingOps.streamIngestWithInvertedIndex(
+        s, landing, s.read.parquet(landing).schema, corpus,
+        s"$root/ckpt", maxFilesPerTrigger = 2)
+      val out = graft.sinks.InvertedIndex
+        .phraseSearch(s, corpus, "text", "doc_id", "key order")
+        .select("doc_id", "lang")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Bloom-prefiltered join: the semi-join reduction for dims too
     // big to broadcast as a hash relation but whose key set fits in
     // bloom bits. The 20%-selective dim (orders > 400k) builds its
@@ -2321,7 +2348,15 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = d.text)""".stripMargin,
 
     // The index is a pruning layer only — the truth is the word-
-    // boundary containment predicate over the whole corpus.
+    // boundary containment predicate over the whole corpus. The
+    // streamed flow shares it: any file→batch split must land the
+    // same search result.
+    "flow_stream_index" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE contains(
+        |  ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ',
+        |  ' key order ')""".stripMargin,
+
     "ext_inverted_search" ->
       """SELECT doc_id, lang FROM documents
         |WHERE contains(

@@ -98,6 +98,40 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(searchIds(table, "other words") == Set(2L))
   }
 
+  test("streaming maintenance: checkpointed resume refreshes only new batches' files") {
+    val root = Files.createTempDirectory("graft-invidx-stream").toString
+    val landing = s"$root/landing"
+    val corpus = s"$root/corpus"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+      .repartitionByRange(2, col("doc_id")).write.parquet(landing)
+    graft.streaming.StreamingOps.streamIngestWithInvertedIndex(
+      spark, landing, schema, corpus, s"$root/ckpt", maxFilesPerTrigger = 2)
+    assert(searchIds(corpus, "beta") == Set(1L, 2L))
+    // poison: strip the wave-1 'beta' postings; a rescan would
+    // resurrect them on the next run
+    val idx = InvertedIndex.indexPath(corpus)
+    val pruned = spark.read.parquet(idx).where(col("token") =!= "beta")
+      .localCheckpoint(true)
+    pruned.write.mode("overwrite").parquet(idx)
+    // second wave into the SAME checkpointed stream — the source log
+    // skips wave 1; only the new file's postings are built
+    Seq((3L, "beta delta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(landing)
+    graft.streaming.StreamingOps.streamIngestWithInvertedIndex(
+      spark, landing, schema, corpus, s"$root/ckpt", maxFilesPerTrigger = 2)
+    val betaIds = spark.read.parquet(idx).where(col("token") === "beta")
+      .select("id").as[Long].collect().toSet
+    assert(betaIds == Set(3L),
+      s"resume must refresh only the new batch's files, got beta postings $betaIds")
+    assert(searchIds(corpus, "delta") == Set(3L))
+    // a third run with nothing new is a no-op
+    graft.streaming.StreamingOps.streamIngestWithInvertedIndex(
+      spark, landing, schema, corpus, s"$root/ckpt", maxFilesPerTrigger = 2)
+    assert(spark.read.parquet(idx).where(col("token") === "beta")
+      .select("id").as[Long].collect().toSet == Set(3L))
+  }
+
   test("search reads the index with the token filter pushed to the scan") {
     val table = freshCorpus(Seq((1L, "push down filters"), (2L, "no match")))
     InvertedIndex.collect(spark, table, "text", "doc_id")
