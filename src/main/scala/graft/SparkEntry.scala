@@ -686,6 +686,29 @@ object SparkEntry {
       out
     }),
 
+    // Index-ONLY positional phrase search: adjacency verifies inside
+    // the posting lists (consecutive word positions), so the corpus
+    // is never opened — the search reads the two query tokens'
+    // postings and joins them id-keyed. Graded against the full-scan
+    // word-boundary predicate: the whole positional pipeline
+    // (posexplode → per-doc sorted positions → shifted intersection)
+    // must land exactly the scan truth.
+    "ext_inverted_phrase_pos" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-invpos").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val corpusPath = s"$root/corpus"
+      docs.repartition(2).write.parquet(corpusPath)
+      graft.sinks.InvertedIndex.collect(s, corpusPath, "text", "doc_id")
+      val out = graft.sinks.InvertedIndex
+        .phraseSearchIndexOnly(s, corpusPath, "table scan")
+        .withColumnRenamed("id", "doc_id")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Streaming ingest with LIVE index maintenance: the corpus lands
     // as a checkpointed file stream (2 files per micro-batch) and
     // every batch refreshes the inverted index through the same
@@ -2362,6 +2385,12 @@ object SparkEntry {
         |WHERE contains(
         |  ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ',
         |  ' key order ')""".stripMargin,
+
+    "ext_inverted_phrase_pos" ->
+      """SELECT doc_id FROM documents
+        |WHERE contains(
+        |  ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ',
+        |  ' table scan ')""".stripMargin,
 
     "ext_ivm_topk" ->
       """WITH base AS (

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * just that candidate sliver pays the exact containment verify —
   * the corpus itself is only ever touched for the candidates.
   *
-  * Layout: `(file, token, doc id)` rows at `<table>/_invindex`
+  * Layout: `(file, token, doc id, positions)` rows at
+  * `<table>/_invindex`
   * (underscore → invisible to table scans, like `_stats`/`_bloom`),
-  * one posting per distinct (document, token) pair, carrying the
+  * one POSITIONAL posting per distinct (document, token) pair — the
+  * sorted word positions enable index-only phrase adjacency
+  * ([[phraseSearchIndexOnly]]) and read off tf as `size(positions)`
+  * — carrying the
   * source data file so maintenance is the same file-set arithmetic
   * as the sibling indexes: [[refresh]] scans ONLY files not yet
   * indexed (file immutability makes carried postings sound), drops
@@ -53,9 +57,11 @@ object InvertedIndex {
       idCol: String): DataFrame =
     spark.read.option("basePath", table).parquet(paths: _*)
       .select(col("_metadata.file_path").as("file"), col(idCol).as("id"),
-        explode(array_distinct(
-          TextFunctions.words(TextFunctions.normalized(col(textCol))))).as("token"))
-      .select("file", "token", "id")
+        posexplode(
+          TextFunctions.words(TextFunctions.normalized(col(textCol)))))
+      .groupBy("file", "id", "col")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("file"), col("col").as("token"), col("id"), col("positions"))
 
   private def writeClustered(postings: DataFrame, dest: String, buckets: Int): Unit =
     postings.repartitionByRange(buckets, col("token"), col("id"))
@@ -127,6 +133,46 @@ object InvertedIndex {
       .agg(count(lit(1)).as("__hits")) // (token, id) unique → count == distinct
       .where(col("__hits") === toks.length)
       .select("id")
+  }
+
+  /** Exact word-phrase search WITHOUT touching the corpus: the
+    * postings are POSITIONAL (per (document, token): the sorted word
+    * positions — the classic IR index design), so adjacency verifies
+    * inside the index. The first token's positions seed the viable
+    * phrase-start set; each subsequent token intersects it with its
+    * own positions shifted back — (n−1) joins on the document id
+    * over the query tokens' posting lists only. Word-boundary
+    * semantics are identical to [[phraseSearch]] (consecutive word
+    * positions ⟺ padded containment in the normalized text); the
+    * declared query grades the whole index path against the
+    * full-scan predicate. Returns the matching document ids.
+    *
+    * 100 TB posture: this path never opens a corpus file — search
+    * cost is the query tokens' posting lists (pushed `IN` read)
+    * joined id-keyed. [[phraseSearch]] stays as the corpus-verified
+    * form (useful when the caller wants the document rows anyway).
+    */
+  def phraseSearchIndexOnly(
+      spark: SparkSession,
+      table: String,
+      phrase: String): DataFrame = {
+    val ws = phraseWords(phrase)
+    require(ws.nonEmpty, "empty search phrase")
+    val idx = spark.read.parquet(indexPath(table))
+    def postings(t: String): DataFrame =
+      idx.where(col("token") === t).select(col("id"), col("positions"))
+    var cur = postings(ws.head)
+      .select(col("id"), col("positions").as("__starts"))
+    ws.tail.zipWithIndex.foreach { case (w, i) =>
+      val off = i + 1
+      val nxt = postings(w).select(col("id"), col("positions").as("__next"))
+      cur = cur.join(nxt, "id")
+        .withColumn("__starts",
+          filter(col("__starts"), s => array_contains(col("__next"), s + off)))
+        .where(size(col("__starts")) > 0)
+        .select(col("id"), col("__starts"))
+    }
+    cur.select(col("id"))
   }
 
   /** Exact word-phrase search: the phrase matches on word boundaries

@@ -132,6 +132,27 @@ class InvertedIndexSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(3L))
   }
 
+  test("index-only positional phrase search equals the corpus-verified form") {
+    val table = freshCorpus(Seq(
+      (1L, "the fast key order sort"),
+      (2L, "fast  Key   ORDER again"),
+      (3L, "key order fast"),
+      (4L, "breakfast key order"),
+      (5L, "fast key"),
+      (6L, "go stop go now"),
+      (7L, "go stop now"),
+      (8L, "fast fast key key order")   // repeated tokens, phrase present
+    ))
+    InvertedIndex.collect(spark, table, "text", "doc_id")
+    for (phrase <- Seq("fast key order", "key order", "fast", "go stop go",
+        "absent words", "order sort")) {
+      val viaIndex = InvertedIndex.phraseSearchIndexOnly(spark, table, phrase)
+        .as[Long].collect().toSet
+      val viaScan = fullScanTruth(table, phrase)
+      assert(viaIndex == viaScan, s"phrase '$phrase': $viaIndex vs scan $viaScan")
+    }
+  }
+
   test("search reads the index with the token filter pushed to the scan") {
     val table = freshCorpus(Seq((1L, "push down filters"), (2L, "no match")))
     InvertedIndex.collect(spark, table, "text", "doc_id")
