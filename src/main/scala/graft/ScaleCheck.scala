@@ -302,6 +302,29 @@ object ScaleCheck {
         DedupClusters.clustersAlternating(df, pairs, "doc_id")
           .agg(countDistinct(col("cluster_id"))).head().getLong(0)
       }, chainNodes, "doc_id"),
+      // inverted-index lifecycle (land → positional collect → index-
+      // only phrase search) at 10× the corpus: build is one scan +
+      // one token-range exchange of index-sized postings, search is
+      // the two query tokens' posting lists joined id-keyed — both
+      // corpus-linear, no quadratic term anywhere
+      ("inverted_index", (df: DataFrame) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-scale-inv").toString
+        val corpus = s"$root/corpus"
+        df.select("doc_id", "text").repartition(8).write.parquet(corpus)
+        graft.sinks.InvertedIndex.collect(spark, corpus, "text", "doc_id")
+        val n = graft.sinks.InvertedIndex
+          .phraseSearchIndexOnly(spark, corpus, "table scan").count()
+        new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+          .truncate(root)
+        n
+      }, docs, "doc_id"),
+      // BM25 sufficient statistics at 10× the corpus: dl map-side,
+      // one (id, token) tf shuffle, df window over the tf table —
+      // token-linear
+      ("bm25_stats", (df: DataFrame) =>
+        graft.ext.TextAnalysis.bm25Stats(df, "fast key order").count(),
+        docs, "doc_id"),
       // z-order rewrite cost: one range exchange on the interleaved
       // curve value plus a per-partition sort plus the write — the
       // one-time layout cost the skipping amortizes. Stats pass is a
