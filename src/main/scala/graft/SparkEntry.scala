@@ -686,6 +686,26 @@ object SparkEntry {
       out
     }),
 
+    // BM25 statistics served ENTIRELY from the positional index (tf
+    // = size(positions), dl = per-doc position total, df = posting-
+    // list length): ranking never scans the corpus. Graded by the
+    // SAME DuckDB recompute as ext_bm25_stats — the index path must
+    // be value-identical to the corpus path.
+    "ext_bm25_indexed" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25idx").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val corpusPath = s"$root/corpus"
+      docs.repartition(2).write.parquet(corpusPath)
+      graft.sinks.InvertedIndex.collect(s, corpusPath, "text", "doc_id")
+      val out = graft.sinks.InvertedIndex
+        .bm25StatsFromIndex(s, corpusPath, "fast key order")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Index-ONLY positional phrase search: adjacency verifies inside
     // the posting lists (consecutive word positions), so the corpus
     // is never opened — the search reads the two query tokens'
@@ -2385,6 +2405,22 @@ object SparkEntry {
         |WHERE contains(
         |  ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ',
         |  ' key order ')""".stripMargin,
+
+    "ext_bm25_indexed" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    len($wordsNormSql) AS dl,
+         |    unnest($wordsNormSql) AS token
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, dl, token, count(*) AS tf FROM toks
+         |  WHERE token IN ('fast', 'key', 'order')
+         |  GROUP BY doc_id, dl, token
+         |), dfreq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY token
+         |)
+         |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, tf.dl
+         |FROM tf JOIN dfreq USING (token)""".stripMargin,
 
     "ext_inverted_phrase_pos" ->
       """SELECT doc_id FROM documents

@@ -175,6 +175,33 @@ object InvertedIndex {
     cur.select(col("id"))
   }
 
+  /** BM25 sufficient statistics served ENTIRELY from the index — no
+    * corpus scan at query time: tf reads off `size(positions)`, dl
+    * is the per-document position-count total (an index-sized,
+    * id-keyed aggregate — every word occurrence holds exactly one
+    * position), df counts each query token's posting list. Output
+    * schema and values match [[graft.ext.TextAnalysis.bm25Stats]]
+    * exactly (same oracle grades both): (doc id, token, tf, df, dl)
+    * for documents hitting ≥1 query token. */
+  def bm25StatsFromIndex(
+      spark: SparkSession,
+      table: String,
+      query: String,
+      idOut: String = "doc_id"): DataFrame = {
+    val qtoks = phraseTokens(query)
+    require(qtoks.nonEmpty, "empty query")
+    val idx = spark.read.parquet(indexPath(table))
+    val dl = idx.groupBy("id")
+      .agg(sum(size(col("positions"))).cast("long").as("dl"))
+    val tf = idx.where(col("token").isin(qtoks: _*))
+      .select(col("id"), col("token"),
+        size(col("positions")).cast("long").as("tf"))
+    import org.apache.spark.sql.expressions.Window
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .join(dl, "id")
+      .select(col("id").as(idOut), col("token"), col("tf"), col("df"), col("dl"))
+  }
+
   /** Exact word-phrase search: the phrase matches on word boundaries
     * in the normalized text (`" phrase "` within `" norm "` — the
     * same padded-containment form the text oracles use). Only index

@@ -65,6 +65,18 @@ class Bm25Spec extends AnyFunSuite {
     assert(!stats.contains((5L, "fast")) && !stats.contains((5L, "key")))
   }
 
+  test("index-served statistics are value-identical to the corpus path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25spec").toString + "/docs"
+    docs.toDF("doc_id", "text").repartition(2).write.parquet(dir)
+    graft.sinks.InvertedIndex.collect(spark, dir, "text", "doc_id")
+    val fromIndex = graft.sinks.InvertedIndex
+      .bm25StatsFromIndex(spark, dir, "fast key")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val fromCorpus = TextAnalysis.bm25Stats(spark.read.parquet(dir), "fast key")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(fromIndex == fromCorpus)
+  }
+
   test("top-k truncates with the deterministic id tie-break") {
     val df = docs.toDF("doc_id", "text")
     val top2 = TextAnalysis.bm25Rank(df, "fast key", k = 2)
