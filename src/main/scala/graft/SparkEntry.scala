@@ -2032,6 +2032,43 @@ object SparkEntry {
         .agg(graft.functions.KmvSketch
           .approxCountDistinct(col("user_id"), k = 8192)
           .as("distinct_users"))),
+
+    // ── Data profiling / expectations (pre-promote audit surface) ──
+
+    // Single-pass column profiler: per column n/nulls/distinct/min/max
+    // folded into ONE hash aggregate over ONE scan (exact distinct is
+    // the standard Expand — |cols|+1 projections of the same scan;
+    // exact=false swaps in approx_count_distinct and drops it at scale)
+    "ext_profile" -> ((s, dir) =>
+      Profiling.profile(tbl(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_shipdate"))),
+
+    // Declarative expectations: every scalar rule shares one
+    // conditional-sum aggregate (one fact scan total), each uniqueness
+    // rule is its own keyed groupBy, referential integrity is a
+    // broadcast LEFT ANTI — verdicts as (rule, target, n_violations,
+    // pass) rows. o_custkey uniqueness is the deliberately-failing
+    // rule (customers repeat), so nonzero violation counting is graded
+    "ext_expect" -> ((s, dir) =>
+      Expectations.check(tbl(s, dir, "orders"), Seq(
+        Expectations.ExpectNotNull("o_custkey"),
+        Expectations.ExpectRange("o_totalprice", lit(0.0), lit(150000.0)),
+        Expectations.ExpectInSet("o_orderstatus", Seq("O", "F", "P")),
+        Expectations.ExpectRowCount(1L, 10000000L),
+        Expectations.ExpectUnique(Seq("o_orderkey")),
+        Expectations.ExpectUnique(Seq("o_custkey")),
+        Expectations.ExpectRefIntegrity("o_custkey",
+          tbl(s, dir, "customer"), "c_custkey")))),
+
+    // Tukey-fence outlier docs per source: exact discrete quantiles
+    // (percentile_disc — actual data elements, no floats cross the
+    // engine boundary) + integer fence arithmetic; group-sized
+    // quantile table broadcast back over the corpus
+    "ext_outlier_docs" -> ((s, dir) =>
+      Profiling.iqrOutliers(
+        tbl(s, dir, "documents").select("doc_id", "source", "lang", "n_chars"),
+        valueCol = "n_chars", groupCols = Seq("source", "lang"))),
   )
 
   /** Shared by d7_promote / flow_stream_ingest: the promoted lineitem
@@ -3340,5 +3377,63 @@ object SparkEntry {
     "ext_distinct_kmv" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "ext_profile" -> Seq(
+      "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
+    "ext_expect" ->
+      """SELECT rule, target, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'not_null' AS rule, 'o_custkey' AS target,
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'range', 'o_totalprice',
+        |    count(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0.0 OR o_totalprice > 150000.0) THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set', 'o_orderstatus',
+        |    count(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'row_count', '*',
+        |    greatest(1 - count(*), count(*) - 10000000, 0)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey',
+        |    CAST(coalesce(sum(cnt - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'unique', 'o_custkey',
+        |    CAST(coalesce(sum(cnt - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey)
+        |  UNION ALL
+        |  SELECT 'ref_integrity', 'o_custkey->c_custkey', count(*)
+        |  FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |)""".stripMargin,
+
+    "ext_outlier_docs" ->
+      """WITH q AS (
+        |  SELECT source, lang,
+        |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+        |      AS BIGINT) AS q1,
+        |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+        |      AS BIGINT) AS q3
+        |  FROM documents GROUP BY source, lang)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars, q.q1, q.q3
+        |FROM documents d JOIN q USING (source, lang)
+        |WHERE d.n_chars * 2 < q.q1 * 5 - q.q3 * 3
+        |   OR d.n_chars * 2 > q.q3 * 5 - q.q1 * 3""".stripMargin,
   )
 }
