@@ -2033,6 +2033,42 @@ object SparkEntry {
           .approxCountDistinct(col("user_id"), k = 8192)
           .as("distinct_users"))),
 
+    // Set operations (INTERSECT / EXCEPT — SQL set semantics, i.e.
+    // distinct): the three-way partition of two key sets (customers
+    // active in both 1995 halves / only H1 / only H2). Plans as
+    // aggregate + join on the key — the shuffle a distinct set op
+    // fundamentally is; tagged rows make one auditable result table
+    "cap_setops" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val h1 = o.where(col("o_orderdate") >= lit(ts("1995-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(ts("1995-07-01 00:00:00"))).select("o_custkey")
+      val h2 = o.where(col("o_orderdate") >= lit(ts("1995-07-01 00:00:00")) &&
+        col("o_orderdate") < lit(ts("1996-01-01 00:00:00"))).select("o_custkey")
+      h1.intersect(h2).withColumn("setop", lit("both"))
+        .unionByName(h1.except(h2).withColumn("setop", lit("only_h1")))
+        .unionByName(h2.except(h1).withColumn("setop", lit("only_h2")))
+    }),
+
+    // Rank-function family in one pass: rank / dense_rank /
+    // percent_rank / cume_dist over a tie-bearing order (tied rows
+    // get identical outputs — deterministic), ntile over a fully
+    // tie-broken order (bucket boundaries need a total order to be
+    // deterministic). Both windows share the o_orderstatus partition,
+    // so ONE exchange serves all five functions
+    "cap_rank_family" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byStatus = Window.partitionBy(col("o_orderstatus"))
+      val w1 = byStatus.orderBy(col("o_totalprice"))
+      val w2 = byStatus.orderBy(col("o_totalprice"), col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w1))
+        .withColumn("drnk", dense_rank().over(w1))
+        .withColumn("prnk", percent_rank().over(w1))
+        .withColumn("cdist", cume_dist().over(w1))
+        .withColumn("quartile", ntile(4).over(w2))
+    }),
+
     // ── Data profiling / expectations (pre-promote audit surface) ──
 
     // Single-pass column profiler: per column n/nulls/distinct/min/max
@@ -3377,6 +3413,33 @@ object SparkEntry {
     "ext_distinct_kmv" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "cap_setops" ->
+      """WITH h1 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'),
+        |h2 AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+        |SELECT o_custkey, 'both' AS setop FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+        |UNION ALL
+        |SELECT o_custkey, 'only_h1' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+        |UNION ALL
+        |SELECT o_custkey, 'only_h2' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin,
+
+    "cap_rank_family" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(rank() OVER w1 AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w1 AS INT) AS drnk,
+        |  percent_rank() OVER w1 AS prnk,
+        |  cume_dist() OVER w1 AS cdist,
+        |  CAST(ntile(4) OVER w2 AS INT) AS quartile
+        |FROM orders
+        |WINDOW
+        |  w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice),
+        |  w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "ext_profile" -> Seq(
       "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
