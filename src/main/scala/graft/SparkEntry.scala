@@ -2069,6 +2069,30 @@ object SparkEntry {
         .withColumn("quartile", ntile(4).over(w2))
     }),
 
+    // Theta-sketch set algebra (KMV states + union/intersect/diff
+    // estimators): cohort-overlap distinct counts off ONE scan and two
+    // O(k) sketch values — no key co-shuffle, composable across
+    // tables/days without rescanning either side. k = 8192 ≫ distinct
+    // users at every verified scale, so both sketches stay below
+    // saturation and all five estimators are provably EXACT — the
+    // DuckDB INTERSECT/EXCEPT oracle gates the full update → merge →
+    // set-algebra machinery (ext_distinct_kmv epistemics); the
+    // approximate regime is ThetaSketchSpec-gated
+    "ext_distinct_theta" -> ((s, dir) => {
+      import graft.functions.ThetaOps
+      val st = tbl(s, dir, "events").agg(
+        ThetaOps.sketchState(
+          when(col("event_type") === "click", col("user_id")), k = 8192).as("sa"),
+        ThetaOps.sketchState(
+          when(col("event_type") === "purchase", col("user_id")), k = 8192).as("sb"))
+      st.select(
+        ThetaOps.estimate(col("sa")).as("n_click"),
+        ThetaOps.estimate(col("sb")).as("n_purchase"),
+        ThetaOps.union(col("sa"), col("sb")).as("n_union"),
+        ThetaOps.intersect(col("sa"), col("sb")).as("n_both"),
+        ThetaOps.diff(col("sa"), col("sb")).as("n_click_only"))
+    }),
+
     // ── Data profiling / expectations (pre-promote audit surface) ──
 
     // Single-pass column profiler: per column n/nulls/distinct/min/max
@@ -3440,6 +3464,27 @@ object SparkEntry {
         |WINDOW
         |  w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice),
         |  w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "ext_distinct_theta" ->
+      """SELECT
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'click') AS n_click,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'purchase') AS n_purchase,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type IN ('click', 'purchase')) AS n_union,
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'click' AND user_id IS NOT NULL
+        |     INTERSECT
+        |     SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'purchase' AND user_id IS NOT NULL)) AS n_both,
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'click' AND user_id IS NOT NULL
+        |     EXCEPT
+        |     SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'purchase' AND user_id IS NOT NULL)) AS n_click_only""".stripMargin,
 
     "ext_profile" -> Seq(
       "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",

@@ -107,5 +107,26 @@ object GraftFunctions {
       require(exprs.length == 2, "might_contain(bloom, hash)")
       BloomMightContain(exprs(0), exprs(1))
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_state", exprs => {
+      require(exprs.length == 2, "kmv_state(hash, k)")
+      require(exprs(1).foldable,
+        s"kmv_state k must be a constant integer, got ${exprs(1).sql}")
+      val k = exprs(1).eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"kmv_state k must be a constant integer, got $other")
+      }
+      ThetaOps.KmvState(exprs(0), k).toAggregateExpression()
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("theta_estimate", exprs => {
+      require(exprs.length == 1, "theta_estimate(state)")
+      ThetaOps.ThetaEstimate(exprs(0))
+    }, "scala_udf")
+    Seq("union", "intersect", "diff").foreach { op =>
+      reg.createOrReplaceTempFunction(s"theta_$op", exprs => {
+        require(exprs.length == 2, s"theta_$op(a, b)")
+        ThetaOps.ThetaSetOp(exprs(0), exprs(1), op)
+      }, "scala_udf")
+    }
   }
 }
