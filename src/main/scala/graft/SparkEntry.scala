@@ -706,6 +706,41 @@ object SparkEntry {
       out
     }),
 
+    // MaxScore-pruned BM25 top-k off the index: per-term exact upper
+    // bounds from the _termstats sidecar, essential-prefix candidate
+    // generation, certificate kth-score ≥ Σ non-essential bounds —
+    // graded as a verdict against the in-engine unpruned scoring
+    // (same index, same scalars): the pruned top-k id set must equal
+    // scoring every matched document, and the certificate must hold.
+    // The oracle states the expected verdicts (ext_ann_*_bound
+    // epistemics); Bm25Spec pins scores against a from-scratch
+    // reference and the early-stop behavior on skewed idf
+    "ext_bm25_pruned" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25prune").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val corpusPath = s"$root/corpus"
+      docs.repartition(2).write.parquet(corpusPath)
+      graft.sinks.InvertedIndex.collect(s, corpusPath, "text", "doc_id")
+      graft.sinks.InvertedIndex.buildRetrievalStats(s, corpusPath)
+      val pruned = graft.sinks.InvertedIndex
+        .bm25TopKPruned(s, corpusPath, "fast key order", k = 10)
+      val full = graft.sinks.InvertedIndex
+        .bm25TopKPruned(s, corpusPath, "fast key order", k = 10,
+          pruned = false)
+      val pIds = pruned.topK.collect().map(_.getLong(0)).toSet
+      val fIds = full.topK.collect().map(_.getLong(0)).toSet
+      val out = s.range(1).select(
+        lit(10).as("k"),
+        lit(pruned.nTerms).as("n_terms"),
+        lit(pIds == fIds).as("pruned_matches_full"),
+        lit(pruned.boundVerified).as("bound_verified"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Index-ONLY positional phrase search: adjacency verifies inside
     // the posting lists (consecutive word positions), so the corpus
     // is never opened — the search reads the two query tokens'
@@ -2518,6 +2553,13 @@ object SparkEntry {
          |)
          |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, tf.dl
          |FROM tf JOIN dfreq USING (token)""".stripMargin,
+
+    // verdict epistemics (ext_ann_*_bound pattern): the engine
+    // compares its pruned top-k against its own unpruned scoring and
+    // reports booleans; the oracle states the expected verdicts
+    "ext_bm25_pruned" ->
+      """SELECT 10 AS k, 3 AS n_terms,
+        |  TRUE AS pruned_matches_full, TRUE AS bound_verified""".stripMargin,
 
     "ext_inverted_phrase_pos" ->
       """SELECT doc_id FROM documents

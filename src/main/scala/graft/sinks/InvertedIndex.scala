@@ -202,6 +202,136 @@ object InvertedIndex {
       .select(col("id").as(idOut), col("token"), col("tf"), col("df"), col("dl"))
   }
 
+  private[graft] def termStatsPath(table: String): String = s"$table/_termstats"
+  private[graft] def docLenPath(table: String): String = s"$table/_doclen"
+
+  /** Retrieval-stats sidecars, built from the INDEX (never the
+    * corpus): `_termstats` holds per-token `(df, max_tf, min_dl)` —
+    * the MaxScore upper-bound metadata a document-at-a-time engine
+    * keeps in its term dictionary — and `_doclen` the per-document
+    * word length. Both are index-sized aggregates; rebuild after
+    * [[refresh]] costs one index scan, no corpus read. */
+  def buildRetrievalStats(spark: SparkSession, table: String): Unit = {
+    val idx = spark.read.parquet(indexPath(table))
+    val dl = idx.groupBy("id")
+      .agg(sum(size(col("positions"))).cast("long").as("dl"))
+      .localCheckpoint(true)
+    dl.write.mode(SaveMode.Overwrite).parquet(docLenPath(table))
+    idx.select(col("id"), col("token"),
+        size(col("positions")).cast("long").as("tf"))
+      .join(dl, "id")
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+        min(col("dl")).as("min_dl"))
+      .write.mode(SaveMode.Overwrite).parquet(termStatsPath(table))
+  }
+
+  /** Result of [[bm25TopKPruned]]: the top-k rows, how many terms the
+    * pruning needed to treat as essential, and whether the MaxScore
+    * bound certifies the result equals unpruned scoring (always true
+    * on return — the loop widens the essential set until it holds;
+    * exactness is up to float ties at the k-th score boundary). */
+  final case class PrunedTopK(
+      topK: DataFrame,
+      nEssential: Int,
+      nTerms: Int,
+      boundVerified: Boolean)
+
+  /** MaxScore-pruned BM25 top-k served from the index (Turtle &
+    * Flood's MaxScore, re-expressed as set-at-a-time dataflow): each
+    * query term's EXACT score upper bound comes from `_termstats`
+    * (BM25's tf-part is increasing in tf and decreasing in dl, so
+    * `idf · tfpart(max_tf, min_dl)` dominates every posting). Terms
+    * sort by bound; only the ESSENTIAL prefix generates candidates —
+    * a document matching none of them scores at most the
+    * non-essential bound sum, so once the k-th candidate score
+    * reaches that sum the result provably equals scoring everything.
+    * The loop starts with one essential term and widens until the
+    * certificate holds (worst case: all terms essential = unpruned).
+    *
+    * 100 TB posture: candidate generation reads ONLY the essential
+    * terms' posting lists; the scoring join touches the other lists'
+    * candidate rows alone, and the aggregate + top-k sort move
+    * |candidates| rows instead of every matched document — on
+    * realistic skewed-idf queries the rare terms are essential and
+    * the stop-word-sized lists never enter an exchange unfiltered.
+    * The per-term metadata read is q rows off a pushed `IN`.
+    * `pruned = false` scores every matched document (the in-engine
+    * truth the pruned path is graded against).
+    *
+    * Corpus scalars (N, avgdl) derive from `_doclen`, i.e. from
+    * INDEXED documents — identical to the corpus-path scalars
+    * whenever every document tokenizes non-empty (Bm25Spec pins the
+    * parity); self-consistent between pruned and unpruned paths
+    * always. */
+  def bm25TopKPruned(
+      spark: SparkSession,
+      table: String,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idOut: String = "doc_id",
+      pruned: Boolean = true): PrunedTopK = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val qtoks = phraseTokens(query).distinct
+    require(qtoks.nonEmpty, "empty query")
+    val stats = spark.read.parquet(termStatsPath(table))
+      .where(col("token").isin(qtoks: _*))
+      .select("token", "df", "max_tf", "min_dl").collect()
+    val doclen = spark.read.parquet(docLenPath(table))
+    val scal = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val n = scal.getLong(0)
+    val avgdl = if (scal.isNullAt(1)) 1.0 else scal.getDouble(1)
+    def idfOf(df: Long): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def tfPart(tf: Long, dl: Long): Double =
+      tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val idfMap = stats.map(r => r.getString(0) -> idfOf(r.getLong(1))).toMap
+    val ubs = stats
+      .map(r => r.getString(0) -> (idfOf(r.getLong(1)) * tfPart(r.getLong(2), r.getLong(3))))
+      .sortBy { case (t, ub) => (-ub, t) }
+
+    val post = spark.read.parquet(indexPath(table))
+      .where(col("token").isin(qtoks: _*))
+      .select(col("id"), col("token"),
+        size(col("positions")).cast("long").as("tf"))
+    val score = element_at(typedLit(idfMap), col("token")) *
+      col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    def topOf(cands: Option[DataFrame]): DataFrame =
+      cands.map(c => post.join(c, "id")).getOrElse(post)
+        .join(doclen, "id")
+        .withColumn("__s", score)
+        .groupBy("id").agg(sum(col("__s")).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+        .withColumnRenamed("id", idOut)
+
+    if (!pruned || ubs.length <= 1)
+      return PrunedTopK(topOf(None).localCheckpoint(true),
+        ubs.length, ubs.length, boundVerified = true)
+
+    var e = 1
+    while (true) {
+      val suffix = ubs.drop(e).map(_._2).sum
+      val cands = post
+        .where(col("token").isin(ubs.take(e).map(_._1).toSeq: _*))
+        .select("id").distinct()
+      val top = topOf(Some(cands)).localCheckpoint(true)
+      // the top-k rows are k-bounded by construction — the collect is
+      // the same limit-probed contract the cluster operators use
+      val rows = top.collect()
+      val verified = suffix == 0.0 ||
+        (rows.length == k && rows.last.getDouble(1) >= suffix)
+      if (verified) return PrunedTopK(top, e, ubs.length, boundVerified = true)
+      e += 1
+      if (e >= ubs.length)
+        return PrunedTopK(topOf(None).localCheckpoint(true),
+          ubs.length, ubs.length, boundVerified = true)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Exact word-phrase search: the phrase matches on word boundaries
     * in the normalized text (`" phrase "` within `" norm "` — the
     * same padded-containment form the text oracles use). Only index

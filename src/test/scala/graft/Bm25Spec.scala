@@ -85,4 +85,75 @@ class Bm25Spec extends AnyFunSuite {
       .as[(Long, Double)].collect().map(_._1).toSeq
     assert(top2 == all.take(2))
   }
+
+  // ── MaxScore-pruned top-k off the index ─────────────────────────
+
+  private def withIndexedCorpus(rows: Seq[(Long, String)])(f: String => Unit): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maxscore").toString
+    val path = s"$root/corpus"
+    rows.toDF("doc_id", "text").repartition(2).write.parquet(path)
+    graft.sinks.InvertedIndex.collect(spark, path, "text", "doc_id")
+    graft.sinks.InvertedIndex.buildRetrievalStats(spark, path)
+    try f(path)
+    finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  test("maxscore: pruned equals unpruned equals corpus bm25Rank") {
+    withIndexedCorpus(docs) { path =>
+      val pruned = graft.sinks.InvertedIndex
+        .bm25TopKPruned(spark, path, "fast key", k = 4)
+      val full = graft.sinks.InvertedIndex
+        .bm25TopKPruned(spark, path, "fast key", k = 4, pruned = false)
+      assert(pruned.boundVerified)
+      val pIds = pruned.topK.as[(Long, Double)].collect()
+      val fIds = full.topK.as[(Long, Double)].collect()
+      assert(pIds.map(_._1).toSeq == fIds.map(_._1).toSeq)
+      // every doc tokenizes non-empty, so index scalars == corpus
+      // scalars and the from-scratch reference scores match exactly
+      val want = referenceBm25("fast key", 1.2, 0.75)
+      pIds.foreach { case (id, s) =>
+        assert(math.abs(s - want(id)) < 1e-9, s"doc $id: $s vs ${want(id)}")
+      }
+    }
+  }
+
+  test("maxscore: skewed idf needs only the rare term as essential") {
+    val common = (100L until 140L).map(i => (i, "the filler common words here"))
+    val rare = Seq(
+      (1L, "zebra the filler"), (2L, "zebra zebra the"), (3L, "zebra words"))
+    withIndexedCorpus(common ++ rare) { path =>
+      val r = graft.sinks.InvertedIndex
+        .bm25TopKPruned(spark, path, "zebra the", k = 2)
+      assert(r.boundVerified && r.nTerms == 2)
+      assert(r.nEssential == 1,
+        s"rare high-idf term should certify alone, needed ${r.nEssential}")
+      val full = graft.sinks.InvertedIndex
+        .bm25TopKPruned(spark, path, "zebra the", k = 2, pruned = false)
+      assert(r.topK.as[(Long, Double)].collect().map(_._1).toSeq ==
+        full.topK.as[(Long, Double)].collect().map(_._1).toSeq)
+    }
+  }
+
+  test("maxscore: absent query tokens yield an empty, certified result") {
+    withIndexedCorpus(docs) { path =>
+      val r = graft.sinks.InvertedIndex
+        .bm25TopKPruned(spark, path, "qqqq zzzz", k = 3)
+      assert(r.boundVerified && r.nTerms == 0 && r.topK.count() == 0)
+    }
+  }
+
+  test("maxscore: termstats sidecar carries exact df/max_tf/min_dl") {
+    withIndexedCorpus(docs) { path =>
+      val ts = spark.read
+        .parquet(graft.sinks.InvertedIndex.termStatsPath(path))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // 'fast': docs 1 (tf 3, dl 5), 3 (tf 1, dl 11), 6 (tf 1, dl 2)
+      assert(ts("fast") == ((3L, 3L, 2L)))
+      // 'key': docs 1 (tf 1), 2 (tf 3), 4 (tf 1, dl 1), 6 (tf 1)
+      assert(ts("key") == ((4L, 3L, 1L)))
+    }
+  }
 }
