@@ -484,6 +484,41 @@ object ScaleCheck {
             .groupBy("o_orderkey").count().count()
         } finally saved.foreach { case (key, v) => spark.conf.set(key, v) }
       }, lineitem, "l_orderkey"),
+      // Exact profiler: one scan + the (value, gid) distinct shuffle —
+      // rows shuffled are distinct values, which here grow with k on
+      // the key column only; expect ~scan-linear
+      ("profile_exact", (df: DataFrame) =>
+        Profiling.profile(df, Seq("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "l_shipdate")).count(),
+        lineitem, "l_orderkey"),
+      // Theta set algebra: rows grow k× but the user space is FIXED,
+      // so sketch state is constant — cost is the one scan's update
+      // path, the exchange moves two O(k_sketch) values
+      ("theta_setops", (df: DataFrame) => {
+        val T = graft.functions.ThetaOps
+        df.agg(
+            T.sketchState(when(col("event_type") === "click",
+              col("user_id")), 8192).as("sa"),
+            T.sketchState(when(col("event_type") === "purchase",
+              col("user_id")), 8192).as("sb"))
+          .select(T.union(col("sa"), col("sb")).as("u"),
+            T.intersect(col("sa"), col("sb")).as("i"),
+            T.diff(col("sa"), col("sb")).as("d"))
+          .count()
+      }, events, "event_id"),
+      // Expectation suite: scalar rules share one scan; uniqueness is
+      // one keyed exchange; RI is a broadcast anti against the FIXED
+      // customer dim — expect ~scan-linear
+      ("expectations", (df: DataFrame) => {
+        import graft.ext.Expectations._
+        graft.ext.Expectations.check(df, Seq(
+          ExpectNotNull("o_custkey"),
+          ExpectRange("o_totalprice", lit(0.0), lit(150000.0)),
+          ExpectInSet("o_orderstatus", Seq("O", "F", "P")),
+          ExpectRowCount(1L, 100000000L),
+          ExpectUnique(Seq("o_orderkey")),
+          ExpectRefIntegrity("o_custkey", customer, "c_custkey"))).count()
+      }, orders, "o_orderkey"),
     )
 
     println(f"${"operator"}%-18s ${"t_1x"}%8s ${"t_${k}x"}%8s ${"ratio"}%7s  rows_1x -> rows_kx")
@@ -494,6 +529,61 @@ object ScaleCheck {
         val (tk, nk) = timed(run(grow(base, idCol)))
         graft.core.Sessions.settle(spark)
         println(f"$name%-18s $t1%8.2f $tk%8.2f ${tk / t1}%7.2f  $n1 -> $nk")
+    }
+
+    // MaxScore retrieval needs a DIFFERENT harness shape: the index +
+    // sidecars are the amortized build (untimed — a production index
+    // already exists at query time); the timed object is query-time
+    // search, pruned vs unpruned, at 1x and kx. Three planted rare
+    // docs give a genuinely skewed-idf query (replication keeps
+    // fixture idfs constant: df and N grow together).
+    if (only.exists(_.contains("bm25_pruned"))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-bm25").toString
+      // every doc gets a planted stop-word-like token (zzcommon, df =
+      // N) and three docs a rare one — the regime MaxScore exists
+      // for: unpruned scoring must aggregate EVERY document, pruning
+      // scores three candidates
+      def plant(d: DataFrame): DataFrame =
+        d.select(col("doc_id"),
+            concat(col("text"), lit(" zzcommon")).as("text"))
+          .unionByName(
+            spark.range(3).select((col("id") + 900000000L).as("doc_id"),
+              concat(lit("zzzrare relevant zzcommon result number "),
+                col("id").cast("string")).as("text")))
+      def prep(d: DataFrame, tag: String): String = {
+        val p = s"$root/$tag"
+        plant(d).repartition(8).write.parquet(p)
+        graft.sinks.InvertedIndex.collect(spark, p, "text", "doc_id",
+          buckets = 8)
+        graft.sinks.InvertedIndex.buildRetrievalStats(spark, p)
+        p
+      }
+      val p1 = prep(docs, "c1")
+      val pk = prep(grow(docs, "doc_id"), "ck")
+      val queries = Seq(
+        // fixture-vocabulary mid-frequency terms: overheads dominate,
+        // ratio is the statement
+        ("bm25_mixed", "fast key order", 10),
+        // rare certifies alone (k ≤ planted docs); the zzcommon
+        // posting list (every doc) never reaches the aggregate
+        ("bm25_rare", "zzzrare zzcommon", 2))
+      queries.foreach { case (tag, q, topk) =>
+        Seq(("pruned", true), ("full", false)).foreach { case (mode, pr) =>
+          def run(p: String): Long = {
+            val r = graft.sinks.InvertedIndex
+              .bm25TopKPruned(spark, p, q, k = topk, pruned = pr)
+            r.topK.count()
+          }
+          val (t1, n1) = timed(run(p1))
+          graft.core.Sessions.settle(spark)
+          val (tk, nk) = timed(run(pk))
+          graft.core.Sessions.settle(spark)
+          println(f"${s"${tag}_$mode"}%-18s $t1%8.2f $tk%8.2f ${tk / t1}%7.2f  $n1 -> $nk")
+        }
+      }
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
     }
     spark.stop()
   }

@@ -144,6 +144,52 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
+  test("maxscore: pruning shrinks shuffled score rows by orders of magnitude") {
+    // the regime MaxScore exists for: a stop-word-like token in EVERY
+    // document, the discriminative token in three. Unpruned scoring
+    // must move every matched document through the score aggregate;
+    // pruned moves the three candidates. Wall-clock at spec scale is
+    // scheduler noise — shuffle RECORDS are the deterministic witness.
+    val n = 5000L
+    val corpus = (0L until n).map(i => (i, s"w$i zzcommon filler text")) ++
+      Seq((n + 1, "zzzrare zzcommon first hit"),
+        (n + 2, "zzzrare zzcommon second hit"),
+        (n + 3, "zzzrare zzcommon third hit"))
+    withIndexedCorpus(corpus) { path =>
+      def shuffledRecords(f: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.shuffleReadMetrics.recordsRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue
+            .flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        acc.get
+      }
+      val full = shuffledRecords {
+        graft.sinks.InvertedIndex
+          .bm25TopKPruned(spark, path, "zzzrare zzcommon", k = 2,
+            pruned = false).topK.count()
+      }
+      val pruned = shuffledRecords {
+        val r = graft.sinks.InvertedIndex
+          .bm25TopKPruned(spark, path, "zzzrare zzcommon", k = 2)
+        assert(r.nEssential == 1 && r.boundVerified)
+        r.topK.count()
+      }
+      assert(full > n,
+        s"unpruned must move every matched doc through the aggregate: $full")
+      assert(pruned * 10 < full,
+        s"pruned shuffle should be orders below unpruned: $pruned vs $full")
+    }
+  }
+
   test("maxscore: termstats sidecar carries exact df/max_tf/min_dl") {
     withIndexedCorpus(docs) { path =>
       val ts = spark.read
