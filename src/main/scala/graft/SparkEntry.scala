@@ -2104,6 +2104,28 @@ object SparkEntry {
         .withColumn("quartile", ntile(4).over(w2))
     }),
 
+    // Targeted key deletion (right-to-be-forgotten) with minimal file
+    // rewrite: per-file blooms locate candidate files driver-side (a
+    // miss never opens the file), a candidate-sliver semi-join drops
+    // bloom FPs, only files with real hits rewrite — journaled
+    // crash-recoverable swap, untouched files carry byte-for-byte.
+    // Graded against the plain anti-join truth
+    "flow_purge" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-purge-flow").toString
+      val table = s"$root/docs"
+      tbl(s, dir, "documents").repartition(8).write.parquet(table)
+      graft.sinks.BloomIndex.collect(s, table, "doc_id",
+        expectedItems = 1000000)
+      val doomed = tbl(s, dir, "documents")
+        .where(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+      graft.sinks.Purge.purge(s, table, doomed, "id", "doc_id")
+      val out = s.read.parquet(table).localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Theta-sketch set algebra (KMV states + union/intersect/diff
     // estimators): cohort-overlap distinct counts off ONE scan and two
     // O(k) sketch values — no key co-shuffle, composable across
@@ -3506,6 +3528,9 @@ object SparkEntry {
         |WINDOW
         |  w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice),
         |  w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "flow_purge" ->
+      "SELECT * FROM documents WHERE doc_id % 97 <> 0",
 
     "ext_distinct_theta" ->
       """SELECT

@@ -1,0 +1,179 @@
+package graft.sinks
+
+import graft.functions.BloomSketch
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted key deletion ("right to be forgotten") with MINIMAL file
+  * rewrite — the lakehouse delete, without a metadata-log format:
+  * given a deletion key list, rewrite ONLY the data files that
+  * actually contain a doomed row, leave every other file untouched
+  * byte-for-byte, and leave the sidecar indexes maintainable by their
+  * existing file-set arithmetic (a rewritten file is a vanished file
+  * plus a fresh one — exactly the delta [[InvertedIndex.refresh]] /
+  * [[BloomIndex.refresh]] / [[StatsIndex]] already handle).
+  *
+  * File location is three-staged, cheapest first:
+  *  1. if a [[BloomIndex]] exists on the key column, per-file blooms
+  *     are probed DRIVER-side against the key hashes (|files| rows of
+  *     O(m/8) bytes; a miss is definitive, so non-candidate files are
+  *     never opened);
+  *  2. candidate files are scanned with a broadcast semi-join to drop
+  *     bloom false positives (an FP file would be rewritten
+  *     IDENTICALLY — correct but wasted I/O, so it is worth one
+  *     candidate-sliver scan to avoid);
+  *  3. only files with ≥1 actual hit are rewritten (anti-join against
+  *     the broadcast keys), one replacement file per rewritten input.
+  *
+  * Crash contract (single-writer, same assumption as the K2 merge
+  * swap): replacements are staged under `.purge-staging` and
+  * committed with a marker, then a JOURNAL of the originals is
+  * written at the table root, then originals are deleted and staged
+  * files move in, then journal + staging vanish. [[recover]] (called
+  * automatically on entry) finishes a journaled swap or rolls back an
+  * uncommitted one — every crash point lands in exactly one of those
+  * two states, so no row is ever duplicated or half-deleted.
+  *
+  * Deletion keys are a broadcast-sized list by contract (a GDPR/
+  * takedown list, not a table) — they ride every join as a broadcast
+  * and their hashes are collected once for the bloom probe.
+  *
+  * 100 TB posture: cost is (bloom-index rows) + (candidate files
+  * scanned once) + (hit files rewritten once). A delete touching 10
+  * of 100k files reads 10 files' worth of bloom rows plus ~10 files
+  * twice — the table itself is never scanned. Without a bloom index
+  * the locate step degrades to ONE full scan (still no shuffle: the
+  * semi-join is broadcast).
+  */
+object Purge {
+
+  private val CommitMarker = "_GRAFT_PURGE_COMMIT"
+  private def stagingPath(table: String) = new Path(table, ".purge-staging")
+  private def journalPath(table: String) = new Path(table, "_purge_journal")
+
+  final case class Report(
+      nDataFiles: Int,
+      nCandidateFiles: Int,
+      nRewrittenFiles: Int,
+      nRowsDeleted: Long)
+
+  /** Delete every row of `table` whose `column` matches a value in
+    * `keys`' `keyCol` (NULL keys are dropped — NULL never equals a
+    * stored value, SQL semantics). Returns what was touched. */
+  def purge(
+      spark: SparkSession,
+      table: String,
+      keys: DataFrame,
+      keyCol: String,
+      column: String): Report = {
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, table)
+
+    val files = BloomIndex.dataFilePaths(spark, table)
+    require(files.nonEmpty, s"no data files under $table")
+    val tableCols = spark.read.parquet(files.head).columns
+    require(tableCols.contains(column), s"no column $column in $table")
+    Seq("__key", "__file").foreach(r => require(!tableCols.contains(r),
+      s"table column $r collides with purge's internal names"))
+    val keyVals = keys.select(col(keyCol).as("__key"))
+      .where(col("__key").isNotNull).distinct().localCheckpoint(true)
+
+    // ── locate: bloom-guided when the index exists ────────────────
+    val bloomIdx = new Path(BloomIndex.indexPath(table))
+    val candidates: Seq[String] =
+      if (fs.exists(bloomIdx)) {
+        val hashes = keyVals
+          .select(xxhash64(col("__key")).as("h")).collect().map(_.getLong(0))
+        spark.read.parquet(bloomIdx.toString)
+          .select("file", "bloom").collect().iterator
+          .filter { r =>
+            val (k, words) = BloomSketch.fromBytes(r.getAs[Array[Byte]](1))
+            hashes.exists(h => BloomSketch.contains(words, h, k))
+          }
+          .map(_.getString(0)).toSeq.sorted
+      } else {
+        spark.read.option("basePath", table).parquet(files: _*)
+          .select(col("_metadata.file_path").as("__file"), col(column))
+          .join(broadcast(keyVals), col(column) === col("__key"), "left_semi")
+          .select("__file").distinct().collect().map(_.getString(0))
+          .toSeq.sorted
+      }
+    if (candidates.isEmpty) return Report(files.size, 0, 0, 0L)
+
+    // ── verify: drop bloom false positives (candidate sliver only) ─
+    val candDf = spark.read.option("basePath", table)
+      .parquet(candidates: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+    val touched = candDf.select(col("__file"), col(column))
+      .join(broadcast(keyVals), col(column) === col("__key"), "left_semi")
+      .select("__file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return Report(files.size, candidates.size, 0, 0L)
+
+    // ── rewrite: survivors of the touched files, one file each ─────
+    val touchedDf = spark.read.option("basePath", table)
+      .parquet(touched: _*)
+    val nBefore = touchedDf.count()
+    val survivors = touchedDf
+      .join(broadcast(keyVals), col(column) === col("__key"), "left_anti")
+    val staging = stagingPath(table)
+    fs.delete(staging, true)
+    survivors.coalesce(touched.size)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val nAfter = spark.read.parquet(staging.toString).count()
+    fs.create(new Path(staging, CommitMarker)).close()
+
+    // ── journal, then swap (recover() can finish from any crash) ───
+    val out = fs.create(journalPath(table))
+    out.write(touched.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    finishSwap(fs, table)
+    Report(files.size, candidates.size, touched.size, nBefore - nAfter)
+  }
+
+  /** Completes or rolls back an interrupted [[purge]]:
+    *  - journal present + staging committed → finish the swap
+    *    (idempotent: delete journaled originals still present, move
+    *    staged files not yet moved);
+    *  - journal present + staging uncommitted → roll back (originals
+    *    are all still in place — deletion only starts after the
+    *    committed journal exists);
+    *  - no journal → drop any stale staging dir. */
+  def recover(spark: SparkSession, table: String): Unit = {
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val journal = journalPath(table)
+    val staging = stagingPath(table)
+    if (fs.exists(journal)) {
+      val committed = fs.exists(new Path(staging, CommitMarker))
+      if (committed) finishSwap(fs, table)
+      else { fs.delete(staging, true); fs.delete(journal, false) }
+    } else if (fs.exists(staging)) {
+      fs.delete(staging, true)
+    }
+  }
+
+  private def finishSwap(fs: FileSystem, table: String): Unit = {
+    val journal = journalPath(table)
+    val staging = stagingPath(table)
+    val in = fs.open(journal)
+    val originals = scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.split("\n").filter(_.nonEmpty)
+    in.close()
+    originals.foreach { f =>
+      val p = new Path(f)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    fs.listStatus(staging).foreach { st =>
+      val name = st.getPath.getName
+      // data files only — the marker and any _SUCCESS stay behind
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val dest = new Path(table, name)
+        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+      }
+    }
+    fs.delete(journal, false)
+    fs.delete(staging, true)
+  }
+}
