@@ -206,24 +206,96 @@ object InvertedIndex {
   private[graft] def docLenPath(table: String): String = s"$table/_doclen"
 
   /** Retrieval-stats sidecars, built from the INDEX (never the
-    * corpus): `_termstats` holds per-token `(df, max_tf, min_dl)` —
-    * the MaxScore upper-bound metadata a document-at-a-time engine
-    * keeps in its term dictionary — and `_doclen` the per-document
-    * word length. Both are index-sized aggregates; rebuild after
-    * [[refresh]] costs one index scan, no corpus read. */
+    * corpus) as PER-FILE PARTIALS so maintenance is the same file-set
+    * arithmetic as every other sidecar: `_termstats` holds
+    * `(file, token, df, max_tf, min_dl)` — each statistic is
+    * mergeable (df sums, max_tf maxes, min_dl mins), so the query
+    * side folds the q tokens' partial rows in a pushed-`IN` read —
+    * and `_doclen` holds `(file, id, dl)` (per-doc word length; a
+    * document split across files sums, matching the postings'
+    * per-file layout). [[refreshRetrievalStats]] drops vanished
+    * files' rows and aggregates ONLY new files' postings —
+    * O(new files' index slice), no corpus read, no full recompute —
+    * which is exactly the delta a [[Purge]] rewrite or a streaming
+    * append produces.
+    *
+    * df partials assume a document's rows live in ONE data file (the
+    * corpus append/purge model throughout the index family — the
+    * same assumption [[bm25StatsFromIndex]] makes): a doc split
+    * across files would double-count df. Pruning stays internally
+    * consistent either way (scoring and bounds share one idf), but
+    * exact corpus-path stats parity needs the one-file layout. */
   def buildRetrievalStats(spark: SparkSession, table: String): Unit = {
     val idx = spark.read.parquet(indexPath(table))
-    val dl = idx.groupBy("id")
+    writeStatsPartials(spark, table, idx, SaveMode.Overwrite)
+  }
+
+  private def writeStatsPartials(
+      spark: SparkSession,
+      table: String,
+      postings: DataFrame,
+      mode: SaveMode): Unit = {
+    val dl = postings.groupBy("file", "id")
       .agg(sum(size(col("positions"))).cast("long").as("dl"))
       .localCheckpoint(true)
-    dl.write.mode(SaveMode.Overwrite).parquet(docLenPath(table))
-    idx.select(col("id"), col("token"),
+    dl.write.mode(mode).parquet(docLenPath(table))
+    postings.select(col("file"), col("id"), col("token"),
         size(col("positions")).cast("long").as("tf"))
-      .join(dl, "id")
-      .groupBy("token")
+      .join(dl, Seq("file", "id"))
+      .groupBy("file", "token")
       .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
         min(col("dl")).as("min_dl"))
-      .write.mode(SaveMode.Overwrite).parquet(termStatsPath(table))
+      .write.mode(mode).parquet(termStatsPath(table))
+  }
+
+  /** Incremental sidecar maintenance, pure file-set arithmetic:
+    * partial rows of vanished data files drop, files already covered
+    * carry verbatim, and only files newly present in the INDEX get
+    * their postings aggregated. Same `.next`-then-swap discipline as
+    * [[refresh]]. Call after [[refresh]] (the index is the source of
+    * truth for which files exist). */
+  def refreshRetrievalStats(spark: SparkSession, table: String): Unit = {
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(termStatsPath(table), docLenPath(table)).foreach(p =>
+      require(fs.exists(new Path(p)),
+        s"no retrieval stats at $p — bootstrap with buildRetrievalStats()"))
+    val idx = spark.read.parquet(indexPath(table)).localCheckpoint(true)
+    val current = idx.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val ts = spark.read.parquet(termStatsPath(table)).localCheckpoint(true)
+    val dlp = spark.read.parquet(docLenPath(table)).localCheckpoint(true)
+    val covered = ts.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val freshFiles = (current -- covered).toSeq.sorted
+    val keptTs = ts.where(col("file").isin(current.toSeq: _*))
+    val keptDl = dlp.where(col("file").isin(current.toSeq: _*))
+    if (freshFiles.isEmpty) {
+      swapIn(fs, termStatsPath(table), keptTs)
+      swapIn(fs, docLenPath(table), keptDl)
+    } else {
+      val freshPost = idx.where(col("file").isin(freshFiles: _*))
+      val freshDl = freshPost.groupBy("file", "id")
+        .agg(sum(size(col("positions"))).cast("long").as("dl"))
+        .localCheckpoint(true)
+      val freshTs = freshPost.select(col("file"), col("id"), col("token"),
+          size(col("positions")).cast("long").as("tf"))
+        .join(freshDl, Seq("file", "id"))
+        .groupBy("file", "token")
+        .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+          min(col("dl")).as("min_dl"))
+      swapIn(fs, termStatsPath(table), keptTs.unionByName(freshTs))
+      swapIn(fs, docLenPath(table), keptDl.unionByName(freshDl))
+    }
+  }
+
+  private def swapIn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dest: String,
+      df: DataFrame): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dest.next")
+    fs.delete(new Path(dest), true)
+    fs.rename(new Path(s"$dest.next"), new Path(dest))
   }
 
   /** Result of [[bm25TopKPruned]]: the top-k rows, how many terms the
@@ -276,10 +348,20 @@ object InvertedIndex {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     val qtoks = phraseTokens(query).distinct
     require(qtoks.nonEmpty, "empty query")
+    // fold the per-file partials for just the q tokens (pushed IN):
+    // df sums, max_tf maxes, min_dl mins — the merge that makes the
+    // sidecar file-set-refreshable
     val stats = spark.read.parquet(termStatsPath(table))
       .where(col("token").isin(qtoks: _*))
+      .groupBy("token")
+      .agg(sum(col("df")).cast("long").as("df"),
+        max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
       .select("token", "df", "max_tf", "min_dl").collect()
-    val doclen = spark.read.parquet(docLenPath(table))
+    // one-file-per-doc layout (the documented index-family
+    // assumption) → the (file, id) partials are already one row per
+    // id; folding them here would shuffle every doc on every query
+    // (the shuffle-metrics spec caught exactly that)
+    val doclen = spark.read.parquet(docLenPath(table)).select("id", "dl")
     val scal = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val n = scal.getLong(0)
     val avgdl = if (scal.isNullAt(1)) 1.0 else scal.getDouble(1)

@@ -190,10 +190,57 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
+  test("maxscore: stats refresh is file-set arithmetic, equal to rebuild") {
+    withIndexedCorpus(docs) { path =>
+      def snap(): (Set[(String, Long, Long, Long)], Set[(Long, Long)]) = (
+        spark.read.parquet(graft.sinks.InvertedIndex.termStatsPath(path))
+          .groupBy("token").agg(
+            org.apache.spark.sql.functions.sum("df").cast("long").as("df"),
+            org.apache.spark.sql.functions.max("max_tf").as("m"),
+            org.apache.spark.sql.functions.min("min_dl").as("d"))
+          .as[(String, Long, Long, Long)].collect().toSet,
+        spark.read.parquet(graft.sinks.InvertedIndex.docLenPath(path))
+          .groupBy("id").agg(
+            org.apache.spark.sql.functions.sum("dl").cast("long").as("dl"))
+          .as[(Long, Long)].collect().toSet)
+
+      // append a new file → index refresh → INCREMENTAL stats refresh
+      Seq((100L, "fresh zebra content"), (101L, "more fresh key text"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(path)
+      graft.sinks.InvertedIndex.refresh(spark, path, "text", "doc_id")
+      graft.sinks.InvertedIndex.refreshRetrievalStats(spark, path)
+      val incremental = snap()
+      graft.sinks.InvertedIndex.buildRetrievalStats(spark, path)
+      assert(incremental == snap(),
+        "append-refresh must equal the from-scratch rebuild")
+
+      // purge a doc (file rewrite = vanished + fresh) → both
+      // refreshers re-sync → equality again, and search forgets it
+      graft.sinks.Purge.purge(spark, path, Seq(1L).toDF("id"),
+        "id", "doc_id")
+      graft.sinks.InvertedIndex.refresh(spark, path, "text", "doc_id")
+      graft.sinks.InvertedIndex.refreshRetrievalStats(spark, path)
+      val postPurge = snap()
+      graft.sinks.InvertedIndex.buildRetrievalStats(spark, path)
+      assert(postPurge == snap(),
+        "purge-refresh must equal the from-scratch rebuild")
+      val top = graft.sinks.InvertedIndex
+        .bm25TopKPruned(spark, path, "fast key", k = 10)
+        .topK.as[(Long, Double)].collect().map(_._1)
+      assert(!top.contains(1L), "purged doc must be unrankable")
+      assert(top.nonEmpty)
+    }
+  }
+
   test("maxscore: termstats sidecar carries exact df/max_tf/min_dl") {
     withIndexedCorpus(docs) { path =>
       val ts = spark.read
         .parquet(graft.sinks.InvertedIndex.termStatsPath(path))
+        .groupBy("token").agg(
+          org.apache.spark.sql.functions.sum("df").cast("long").as("df"),
+          org.apache.spark.sql.functions.max("max_tf").as("max_tf"),
+          org.apache.spark.sql.functions.min("min_dl").as("min_dl"))
         .as[(String, Long, Long, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       // 'fast': docs 1 (tf 3, dl 5), 3 (tf 1, dl 11), 6 (tf 1, dl 2)
