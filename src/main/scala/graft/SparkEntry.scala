@@ -2084,6 +2084,24 @@ object SparkEntry {
         .unionByName(h2.except(h1).withColumn("setop", lit("only_h2")))
     }),
 
+    // SQL subquery family through Catalyst decorrelation, one query:
+    // IN (→ left semi), projected EXISTS (→ existence join), and a
+    // correlated scalar aggregate (→ decorrelated join + agg) — the
+    // rewrites that keep subqueries from becoming per-row probes
+    "cap_subqueries" -> ((s, dir) => {
+      tbl(s, dir, "customer").createOrReplaceTempView("cap_sub_customer")
+      tbl(s, dir, "orders").createOrReplaceTempView("cap_sub_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment,
+          EXISTS(SELECT 1 FROM cap_sub_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 200000) AS has_big,
+          (SELECT count(*) FROM cap_sub_orders o
+           WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM cap_sub_customer c
+        WHERE c_custkey IN (SELECT o_custkey FROM cap_sub_orders)""")
+    }),
+
     // Rank-function family in one pass: rank / dense_rank /
     // percent_rank / cume_dist over a tie-bearing order (tied rows
     // get identical outputs — deterministic), ntile over a fully
@@ -2174,6 +2192,20 @@ object SparkEntry {
         Expectations.ExpectInSet("o_orderstatus", Seq("O", "F", "P")),
         Expectations.ExpectRowCount(1L, 10000000L),
         Expectations.ExpectUnique(Seq("o_orderkey")),
+        Expectations.ExpectUnique(Seq("o_custkey")),
+        Expectations.ExpectRefIntegrity("o_custkey",
+          tbl(s, dir, "customer"), "c_custkey")))),
+
+    // Row-level rule evaluation: every row gains the comma-joined
+    // labels of the rules it breaks (declaration order; empty =
+    // clean) — the audit column the quarantine flow routes on.
+    // Scalar rules are pure projections, uniqueness one count
+    // window, referential integrity one broadcast LEFT marker
+    "ext_expect_rows" -> ((s, dir) =>
+      Expectations.flagViolations(tbl(s, dir, "orders"), Seq(
+        Expectations.ExpectNotNull("o_custkey"),
+        Expectations.ExpectRange("o_totalprice", lit(0.0), lit(150000.0)),
+        Expectations.ExpectInSet("o_orderstatus", Seq("O", "F", "P")),
         Expectations.ExpectUnique(Seq("o_custkey")),
         Expectations.ExpectRefIntegrity("o_custkey",
           tbl(s, dir, "customer"), "c_custkey")))),
@@ -3517,6 +3549,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_custkey, 'only_h2' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin,
 
+    "cap_subqueries" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  EXISTS(SELECT 1 FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |           AND o.o_totalprice > 200000) AS has_big,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+
     "cap_rank_family" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CAST(rank() OVER w1 AS INT) AS rnk,
@@ -3597,6 +3639,24 @@ object SparkEntry {
         |  FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         |)""".stripMargin,
+
+    "ext_expect_rows" ->
+      """SELECT o.*, concat_ws(',',
+        |  CASE WHEN o_custkey IS NULL THEN 'not_null:o_custkey' END,
+        |  CASE WHEN o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0.0 OR o_totalprice > 150000.0)
+        |    THEN 'range:o_totalprice' END,
+        |  CASE WHEN o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O', 'F', 'P')
+        |    THEN 'in_set:o_orderstatus' END,
+        |  CASE WHEN count(*) OVER (PARTITION BY o_custkey) > 1
+        |    THEN 'unique:o_custkey' END,
+        |  CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        |    THEN 'ref_integrity:o_custkey->c_custkey' END
+        |) AS violations
+        |FROM orders o
+        |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON o.o_custkey = c.c_custkey""".stripMargin,
 
     "ext_outlier_docs" ->
       """WITH q AS (

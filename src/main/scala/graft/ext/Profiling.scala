@@ -228,4 +228,70 @@ object Expectations {
       .reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0)
   }
+
+  /** Row-level rule evaluation — the audit column the quarantine flow
+    * wants: every row gains `violations`, the comma-joined
+    * `rule:target` labels of the rules it breaks (declaration order;
+    * empty string = clean). Table-level [[ExpectRowCount]] has no
+    * per-row meaning and is rejected loudly.
+    *
+    * Shapes per rule kind: scalar rules are pure per-row predicates
+    * (no exchange at all); each [[ExpectUnique]] adds one count
+    * window on its key (the shuffle a duplicate flag fundamentally
+    * needs); each [[ExpectRefIntegrity]] adds one broadcast LEFT
+    * join marker. The fact table flows through ONCE.
+    */
+  def flagViolations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rules.nonEmpty, "row-level check needs at least one rule")
+    require(!df.columns.contains("violations"),
+      "column 'violations' collides with the audit column")
+    rules.foreach {
+      case ExpectRowCount(_, _) => throw new IllegalArgumentException(
+        "ExpectRowCount is table-level — it has no per-row violation; " +
+          "check it with Expectations.check")
+      case _ => ()
+    }
+    var cur = df
+    val temps = Seq.newBuilder[String]
+    val flags: Seq[Column] = rules.zipWithIndex.map { case (e, i) =>
+      val (rule, target) = label(e)
+      val tag = lit(s"$rule:$target")
+      e match {
+        case ExpectNotNull(c) => when(col(c).isNull, tag)
+        case ExpectRange(c, lo, hi) =>
+          when(col(c).isNotNull && (col(c) < lo || col(c) > hi), tag)
+        case ExpectInSet(c, vs) =>
+          when(col(c).isNotNull && !col(c).isin(vs: _*), tag)
+        case ExpectUnique(cs) =>
+          val t = s"__uniq_$i"
+          temps += t
+          cur = cur.withColumn(t,
+            count(lit(1)).over(Window.partitionBy(cs.map(col): _*)))
+          when(col(t) > 1, tag)
+        case ExpectRefIntegrity(c, dim, dc) =>
+          val t = s"__ri_$i"
+          temps += t
+          val keys = dim.select(col(dc).as(t)).distinct()
+          cur = cur.join(broadcast(keys), cur(c) === keys(t), "left")
+          when(col(c).isNotNull && col(t).isNull, tag)
+        case ExpectRowCount(_, _) =>
+          throw new IllegalStateException("rejected above")
+      }
+    }
+    cur
+      .withColumn("violations", concat_ws(",", flags: _*))
+      .drop(temps.result(): _*)
+  }
+
+  /** Quarantine split over [[flagViolations]]: `(clean, quarantined)`
+    * — same quarantine-not-crash posture as the corpus reader's
+    * malformed-line split, for structured rules. The clean side drops
+    * the audit column (it is empty by construction); the quarantined
+    * side keeps it as the routing evidence. */
+  def split(df: DataFrame, rules: Seq[Expectation]): (DataFrame, DataFrame) = {
+    val flagged = flagViolations(df, rules)
+    (flagged.where(col("violations") === "").drop("violations"),
+      flagged.where(col("violations") =!= ""))
+  }
 }

@@ -141,6 +141,58 @@ class ProfilingSpec extends AnyFunSuite {
       s"four scalar rules must fold into one aggregate:\n$plan")
   }
 
+  test("flagViolations: per-row labels in declaration order") {
+    val facts = Seq(
+      (Some(1L), Some(10.0), Some("O")),
+      (Some(1L), Some(-5.0), Some("X")),
+      (None, Some(20.0), Some("F")),
+      (Some(99L), None, None))
+      .toDF("fk", "amt", "st")
+    val dim = Seq(1L, 2L).toDF("id")
+    val out = Expectations.flagViolations(facts, Seq(
+      ExpectNotNull("fk"),
+      ExpectRange("amt", lit(0.0), lit(15.0)),
+      ExpectInSet("st", Seq("O", "F")),
+      ExpectUnique(Seq("fk")),
+      ExpectRefIntegrity("fk", dim, "id")))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getString(3)).toMap
+    assert(out((Some(1L), Some(10.0))) == "unique:fk")
+    assert(out((Some(1L), Some(-5.0))) ==
+      "range:amt,in_set:st,unique:fk")
+    assert(out((None, Some(20.0))) == "not_null:fk,range:amt")
+    assert(out((Some(99L), None)) == "ref_integrity:fk->id")
+  }
+
+  test("flagViolations: scalar-only rules add no exchange") {
+    val facts = (1 to 40).map(i => (i.toLong, i * 1.0)).toDF("fk", "amt")
+    val plan = Expectations.flagViolations(facts, Seq(
+      ExpectNotNull("fk"), ExpectRange("amt", lit(0.0), lit(100.0))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"scalar row flags must be a pure projection:\n$plan")
+  }
+
+  test("flagViolations: table-level row-count rule rejected") {
+    val facts = Seq((1L, 1.0)).toDF("fk", "amt")
+    val e = intercept[IllegalArgumentException] {
+      Expectations.flagViolations(facts, Seq(ExpectRowCount(1L, 10L)))
+    }
+    assert(e.getMessage.contains("table-level"))
+  }
+
+  test("split: clean and quarantined partition the table") {
+    val facts = Seq(
+      (Some(1L), Some(5.0)), (Some(2L), Some(-1.0)), (None, Some(3.0)))
+      .toDF("fk", "amt")
+    val (clean, bad) = Expectations.split(facts, Seq(
+      ExpectNotNull("fk"), ExpectRange("amt", lit(0.0), lit(10.0))))
+    assert(clean.columns.toSeq == Seq("fk", "amt"))
+    assert(clean.count() == 1 && bad.count() == 2)
+    assert(clean.head().getLong(0) == 1L)
+    assert(bad.collect().forall(_.getString(2).nonEmpty))
+  }
+
   test("iqrOutliers: Tukey fences flag exactly the extreme rows") {
     // group g: bulk at 100..107 plus 1 and 1000 → q1/q3 inside the
     // bulk, fences exclude the two extremes
