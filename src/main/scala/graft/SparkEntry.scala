@@ -2084,6 +2084,25 @@ object SparkEntry {
         .unionByName(h2.except(h1).withColumn("setop", lit("only_h2")))
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): the calendar-spine
+    // pattern — generate a month spine recursively, LEFT JOIN the
+    // fact so empty months land as ZERO rows (a plain GROUP BY can't
+    // produce them), broadcastable spine side
+    "cap_recursive" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("cap_rec_orders")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP_NTZ '1995-01-01 00:00:00' AS m
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP_NTZ '1997-12-01 00:00:00'
+        )
+        SELECT m, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN cap_rec_orders
+          ON date_trunc('month', o_orderdate) = m
+        GROUP BY m""")
+    }),
+
     // SQL subquery family through Catalyst decorrelation, one query:
     // IN (→ left semi), projected EXISTS (→ existence join), and a
     // correlated scalar aggregate (→ decorrelated join + agg) — the
@@ -3548,6 +3567,18 @@ object SparkEntry {
         |SELECT o_custkey, 'only_h1' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
         |UNION ALL
         |SELECT o_custkey, 'only_h2' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin,
+
+    "cap_recursive" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < TIMESTAMP '1997-12-01 00:00:00'
+        |)
+        |SELECT m, count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON date_trunc('month', o_orderdate) = m
+        |GROUP BY m""".stripMargin,
 
     "cap_subqueries" ->
       """SELECT c_custkey, c_mktsegment,
