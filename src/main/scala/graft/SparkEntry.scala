@@ -2141,6 +2141,32 @@ object SparkEntry {
         .withColumn("quartile", ntile(4).over(w2))
     }),
 
+    // Streaming rules-based quarantine: the orders fixture lands as a
+    // checkpointed file stream, every micro-batch is evaluated
+    // against the declarative rules and routed clean-vs-quarantine
+    // (idempotent batch_id=<n> overwrite dirs — replay-safe). The
+    // CLEAN side must equal the batch rule filter; the quarantine
+    // side is spec-graded (labels, restart, idempotence)
+    "flow_stream_quarantine" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-q").toString
+      val landing = s"$root/landing"
+      tbl(s, dir, "orders").repartition(4).write.parquet(landing)
+      val schema = s.read.parquet(landing).schema
+      graft.streaming.StreamingOps.streamValidateRoute(
+        s, landing, schema, s"$root/clean", s"$root/bad", s"$root/ckpt",
+        Seq(
+          Expectations.ExpectNotNull("o_custkey"),
+          Expectations.ExpectRange("o_totalprice", lit(0.0), lit(150000.0)),
+          Expectations.ExpectInSet("o_orderstatus", Seq("O", "F", "P"))),
+        maxFilesPerTrigger = 2)
+      val out = graft.streaming.StreamingOps
+        .readRouted(s, s"$root/clean", schema).localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Targeted key deletion (right-to-be-forgotten) with minimal file
     // rewrite: per-file blooms locate candidate files driver-side (a
     // miss never opens the file), a candidate-sliver semi-join drops
@@ -3604,6 +3630,14 @@ object SparkEntry {
 
     "flow_purge" ->
       "SELECT * FROM documents WHERE doc_id % 97 <> 0",
+
+    "flow_stream_quarantine" ->
+      """SELECT * FROM orders
+        |WHERE o_custkey IS NOT NULL
+        |  AND NOT (o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0.0 OR o_totalprice > 150000.0))
+        |  AND NOT (o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O', 'F', 'P'))""".stripMargin,
 
     "ext_distinct_theta" ->
       """SELECT

@@ -446,6 +446,73 @@ object StreamingOps {
     * anti-join against trusted — O(batch + table-rewrite), with the
     * partition-aware merge as the 100 TB mitigation (see
     * `flow_stream_merge`'s audit note). */
+  /** Streaming rules-based quarantine routing: each checkpointed
+    * micro-batch is evaluated against the declarative expectation
+    * rules ([[graft.ext.Expectations.flagViolations]]) and routed —
+    * clean rows to `cleanDir`, violating rows (with their
+    * `violations` audit column) to `quarantineDir`. The
+    * quarantine-not-crash posture of the corpus reader, for
+    * STRUCTURED rules on a live stream.
+    *
+    * Exactly-once: each batch writes to its own `batch_id=<n>`
+    * subdirectory with OVERWRITE — a replayed batch rewrites the
+    * same directory with the same rows, so restarts never duplicate
+    * (the standard foreachBatch idempotent-sink discipline; the
+    * spec re-routes a batch id directly to prove it). Read the
+    * routed tables back with [[readRouted]].
+    *
+    * Rule semantics are batch-local: scalar rules are row-local
+    * anyway; a uniqueness rule would flag duplicates WITHIN a batch
+    * only (cross-batch uniqueness is keyed-state territory —
+    * [[availableNowDedupCount]]'s job, not a row audit's), and an RI
+    * dimension is read fresh per batch. */
+  def streamValidateRoute(
+      spark: SparkSession,
+      landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cleanDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      rules: Seq[graft.ext.Expectations.Expectation],
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        routeBatch(batch, rules, cleanDir, quarantineDir, id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private[graft] def routeBatch(
+      batch: Dataset[org.apache.spark.sql.Row],
+      rules: Seq[graft.ext.Expectations.Expectation],
+      cleanDir: String,
+      quarantineDir: String,
+      id: Long): Unit = {
+    // flags computed once (eager pin), then two filtered writes
+    val flagged = graft.ext.Expectations.flagViolations(batch.toDF(), rules)
+      .localCheckpoint(true)
+    flagged.where(col("violations") === "").drop("violations")
+      .write.mode("overwrite").parquet(s"$cleanDir/batch_id=$id")
+    flagged.where(col("violations") =!= "")
+      .write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$id")
+  }
+
+  /** Reads a [[streamValidateRoute]] output table (the explicit
+    * schema keeps the read alive when every batch routed to the
+    * OTHER side and this one holds only empty batch dirs). */
+  def readRouted(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(dir).drop("batch_id")
+
   def streamApplyChanges(
       spark: SparkSession,
       changeLogDir: String,

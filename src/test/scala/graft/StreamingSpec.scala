@@ -426,4 +426,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streaming join diverged from batch: ${streamed.size} vs ${batch.size} rows")
   }
+
+  test("streamValidateRoute: routes per rules, restarts append-only, replays idempotently") {
+    import graft.ext.Expectations._
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-route").toString
+    val landing = s"$root/landing"
+    val rows1 = Seq(
+      (Some(1L), 10.0, "O"), (Some(2L), -5.0, "O"),   // -5 → range
+      (None, 3.0, "F"),                                // null → not_null
+      (Some(4L), 7.0, "X"))                            // X → in_set
+    rows1.toDF("fk", "amt", "st").coalesce(1).write.parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val rules = Seq(
+      ExpectNotNull("fk"),
+      ExpectRange("amt", lit(0.0), lit(100.0)),
+      ExpectInSet("st", Seq("O", "F")))
+    def run(): Unit = StreamingOps.streamValidateRoute(
+      spark, landing, schema, s"$root/clean", s"$root/bad", s"$root/ckpt",
+      rules, maxFilesPerTrigger = 1)
+    run()
+    val clean1 = StreamingOps.readRouted(spark, s"$root/clean", schema)
+    assert(clean1.select("fk").as[Long].collect().toSet == Set(1L))
+    val badSchema = schema.add("violations", "string")
+    val bad1 = StreamingOps.readRouted(spark, s"$root/bad", badSchema)
+      .select("amt", "violations").as[(Double, String)].collect().toMap
+    assert(bad1(-5.0) == "range:amt" && bad1(3.0) == "not_null:fk" &&
+      bad1(7.0) == "in_set:st")
+
+    // restart with more landed data: same checkpoint → only the new
+    // batch is processed and appended
+    Seq((Some(9L), 1.0, "F"), (Some(10L), 999.0, "O"))
+      .toDF("fk", "amt", "st").coalesce(1).write.mode("append").parquet(landing)
+    run()
+    val clean2 = StreamingOps.readRouted(spark, s"$root/clean", schema)
+    assert(clean2.select("fk").as[Long].collect().toSet == Set(1L, 9L))
+    assert(StreamingOps.readRouted(spark, s"$root/bad", badSchema)
+      .count() == 4)
+
+    // replay a batch id directly: the overwrite dir makes it a no-op
+    StreamingOps.routeBatch(rows1.toDF("fk", "amt", "st"), rules,
+      s"$root/clean", s"$root/bad", 0L)
+    assert(StreamingOps.readRouted(spark, s"$root/clean", schema)
+      .count() == 2)
+    assert(StreamingOps.readRouted(spark, s"$root/bad", badSchema)
+      .count() == 4)
+    new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  test("streamValidateRoute: all-clean stream leaves a readable empty quarantine") {
+    import graft.ext.Expectations._
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-route-clean").toString
+    val landing = s"$root/landing"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("fk", "amt")
+      .coalesce(1).write.parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    StreamingOps.streamValidateRoute(
+      spark, landing, schema, s"$root/clean", s"$root/bad", s"$root/ckpt",
+      Seq(ExpectRange("amt", lit(0.0), lit(100.0))))
+    assert(StreamingOps.readRouted(spark, s"$root/clean", schema).count() == 2)
+    assert(StreamingOps.readRouted(spark, s"$root/bad",
+      schema.add("violations", "string")).count() == 0)
+    new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
 }
