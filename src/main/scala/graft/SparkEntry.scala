@@ -1401,6 +1401,12 @@ object SparkEntry {
     "ext_text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(tbl(s, dir, "documents"), k = 5)),
 
+    // Vocabulary id-encoding: token sequences → integer ids against
+    // the corpus top-100 vocabulary (0 = OOV, per-doc OOV audit) —
+    // one vocab aggregation, then a shuffle-free codegen'd encode
+    "ext_encode_ids" -> ((s, dir) =>
+      TextAnalysis.encodeIds(tbl(s, dir, "documents"), vocabSize = 100)),
+
     // Deterministic hash-bucket train/val/test split — stable under
     // corpus growth, shuffle-free, portable arithmetic
     "ext_split_assign" -> ((s, dir) =>
@@ -3025,6 +3031,30 @@ object SparkEntry {
          |)
          |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, tf.dl
          |FROM tf JOIN dfreq USING (token)""".stripMargin,
+
+    "ext_encode_ids" ->
+      s"""WITH vocab AS (
+         |  SELECT token,
+         |    CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS id
+         |  FROM (
+         |    SELECT token, count(*) AS n FROM (
+         |      SELECT unnest($wordsNormSql) AS token FROM documents)
+         |    GROUP BY token ORDER BY n DESC, token ASC LIMIT 100)),
+         |toks AS (
+         |  SELECT doc_id, unnest($wordsNormSql) AS token,
+         |    generate_subscripts($wordsNormSql, 1) AS pos
+         |  FROM documents),
+         |enc AS (
+         |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+         |  FROM toks t LEFT JOIN vocab v USING (token)),
+         |agg AS (
+         |  SELECT doc_id, list(id ORDER BY pos) AS ids
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.ids, CAST([] AS BIGINT[])) AS ids,
+         |  CAST(len(list_filter(coalesce(a.ids, CAST([] AS BIGINT[])),
+         |    x -> x = 0)) AS BIGINT) AS n_oov
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "ext_text_scrub" ->
       """SELECT doc_id,

@@ -147,6 +147,32 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Vocabulary id-encoding — the tokenizer-materialization step
+    * between [[vocabulary]] and the packer: each document's token
+    * sequence becomes integer ids against the corpus top-K vocabulary
+    * (ids 1..K in (frequency desc, token asc) order; 0 = OOV), with
+    * the per-doc OOV count kept as the coverage audit.
+    *
+    * Shape: the vocabulary is ONE token aggregation plus a K-row
+    * driver collect; encoding is then a PURE shuffle-free projection —
+    * the id map rides the serialized plan as a literal and the lookup
+    * runs inside codegen via `transform` + `try_element_at` — so the
+    * 100 TB encode pass adds zero exchanges to the corpus scan. */
+  def encodeIds(
+      docs: DataFrame,
+      vocabSize: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, s"encodeIds needs vocabSize >= 1, got $vocabSize")
+    val vocab: Map[String, Long] = vocabulary(docs, vocabSize, textCol)
+      .collect().map(_.getString(0)).zipWithIndex
+      .map { case (t, i) => t -> (i + 1L) }.toMap
+    val ids = transform(words(normalized(col(textCol))),
+      w => coalesce(try_element_at(typedLit(vocab), w), lit(0L)))
+    docs.select(col("doc_id"), ids.as("ids"))
+      .withColumn("n_oov",
+        size(filter(col("ids"), x => x === 0L)).cast("long"))
+  }
+
   /** Repetition-quality signals (the Gopher-rule family — Rae et al.
     * 2021 §A1.1: excessive within-document repetition marks low-
     * quality text): duplicate-line and duplicate-word fractions plus

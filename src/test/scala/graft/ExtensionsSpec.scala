@@ -659,6 +659,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(2L) == (("no pii here at all", 0L, 0L)))
   }
 
+  test("encodeIds: frequency-ordered ids, OOV zeros, shuffle-free encode") {
+    val df = Seq(
+      (1L, "red red red blue blue green"),
+      (2L, "blue zebra red"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    // vocab (size 2) by (n desc, token asc): red (4) → 1, blue (3) →
+    // 2; green/zebra fall outside → OOV id 0
+    val out = TextAnalysis.encodeIds(df, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(out(1L) == ((Seq(1L, 1L, 1L, 2L, 2L, 0L), 1L)))
+    assert(out(2L) == ((Seq(2L, 0L, 1L), 1L)))
+    assert(out(3L) == ((Seq.empty[Long], 0L)))
+    // encode adds no exchange beyond the driver-collected vocab
+    val plan = TextAnalysis.encodeIds(df, vocabSize = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"encode must be a pure projection:\n$plan")
+  }
+
   test("quality filter drops short docs and punctuation soup") {
     val df = Seq(
       (1L, "this is a perfectly reasonable document with enough words"),
