@@ -531,6 +531,51 @@ object ScaleCheck {
         println(f"$name%-18s $t1%8.2f $tk%8.2f ${tk / t1}%7.2f  $n1 -> $nk")
     }
 
+    // Purge needs its own shape too (it MUTATES the table, so each
+    // (scale, layout) gets a fresh prepared copy; bloom built untimed
+    // — a production index already exists). The doomed keys are FIXED
+    // and live in the un-offset replica only. The pair of layouts is
+    // the point: HASH-distributed rows smear 20 keys across most
+    // files (rewrite grows with the table — the anti-pattern), while
+    // a table RANGE-CLUSTERED on the deletion key confines them to
+    // ~1 file at any scale (flat — the reason TRUSTED zones cluster
+    // by sk / z-order before a deletion-heavy workload).
+    if (only.exists(_.contains("purge"))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-purge").toString
+      def prep(d: DataFrame, tag: String, files: Int, items: Long,
+          clustered: Boolean): String = {
+        val p = s"$root/$tag"
+        val laid =
+          if (clustered) d.repartitionByRange(files, col("l_orderkey"))
+          else d.repartition(files)
+        laid.write.parquet(p)
+        graft.sinks.BloomIndex.collect(spark, p, "l_orderkey",
+          expectedItems = items)
+        graft.sinks.StatsIndex.collect(spark, p, Seq("l_orderkey"))
+        p
+      }
+      val keys = lineitem.select(col("l_orderkey"))
+        .distinct().orderBy(col("l_orderkey")).limit(20)
+        .withColumnRenamed("l_orderkey", "key")
+      val big = grow(lineitem, "l_orderkey")
+      val cases = Seq(
+        ("purge_hash_1x", prep(lineitem, "h1", 16, 600000L, clustered = false)),
+        (s"purge_hash_${k}x", prep(big, "hk", 16 * k, 600000L * k, clustered = false)),
+        ("purge_clust_1x", prep(lineitem, "c1", 16, 600000L, clustered = true)),
+        (s"purge_clust_${k}x", prep(big, "ck", 16 * k, 600000L * k, clustered = true)))
+      cases.foreach { case (tag, p) =>
+        val t0 = System.nanoTime()
+        val r = graft.sinks.Purge.purge(spark, p, keys, "key", "l_orderkey")
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.core.Sessions.settle(spark)
+        println(f"$tag%-18s $t%8.2f  rewrote ${r.nRewrittenFiles} of " +
+          f"${r.nDataFiles} files, ${r.nRowsDeleted} rows")
+      }
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
+
     // MaxScore retrieval needs a DIFFERENT harness shape: the index +
     // sidecars are the amortized build (untimed — a production index
     // already exists at query time); the timed object is query-time

@@ -180,6 +180,29 @@ object SparkEntry {
       MergeUpsert.merged(trusted, updates)
     }),
 
+    // Purge composed with the K2 lake: bootstrap TRUSTED via the
+    // merge machinery, then delete by SURROGATE KEY (the GDPR shape —
+    // the doomed sk list is broadcast-sized) with the minimal-rewrite
+    // bloom-guided purge; the final table must equal the anti-joined
+    // bootstrap truth
+    "flow_purge_trusted" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-purge-trusted").toString
+      val base = dedupBase(s, dir)
+      val trustedPath = s"$root/trusted"
+      graft.sinks.MergeUpsert.mergeInto(
+        s, trustedPath, base.where(col("l_orderkey") % 2 === 0))
+      graft.sinks.BloomIndex.collect(s, trustedPath, "sk",
+        expectedItems = 1000000)
+      val doomed = base.where(col("l_orderkey") % 10 === 0)
+        .select(col("sk").as("key")).distinct()
+      graft.sinks.Purge.purge(s, trustedPath, doomed, "key", "sk")
+      val out = s.read.parquet(trustedPath).localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Schema-evolution merge: the d8 update batch arrives carrying a
     // column the trusted table has never seen (l_batch). The table
     // widens — union schema, surviving trusted rows NULL in the new
@@ -3660,6 +3683,10 @@ object SparkEntry {
 
     "flow_purge" ->
       "SELECT * FROM documents WHERE doc_id % 97 <> 0",
+
+    "flow_purge_trusted" ->
+      s"""SELECT * FROM ($dedupBaseSql)
+         |WHERE l_orderkey % 2 = 0 AND l_orderkey % 10 <> 0""".stripMargin,
 
     "flow_stream_quarantine" ->
       """SELECT * FROM orders

@@ -250,3 +250,59 @@ case class BloomMightContain(bloom: Expression, value: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(bloom = newLeft, value = newRight)
 }
+
+/** Row-side bloom probe against a SMALL literal hash set:
+  * `bloom_any_contain(bloomCol, hashes)` is true iff ANY hash might
+  * be in the row's bloom. The dual of [[BloomMightContain]] — there
+  * the bloom is the literal and the hashes stream; here the blooms
+  * stream (one per index row, e.g. the per-file `_bloom` sidecar)
+  * and the probe set is the literal. This keeps per-file bloom scans
+  * EXECUTOR-side: the Purge candidate probe with a driver pull of
+  * every file bloom measured ~30s at 160 × 7 MB blooms; streamed,
+  * the same probe rides the index scan. Deliberately
+  * `CodegenFallback`: it runs once per FILE row, not per data row,
+  * and each eval deserializes a multi-MB bitset — codegen would buy
+  * nothing. */
+case class BloomAnyContain(bloom: Expression, hashes: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(hashes.foldable, "bloom_any_contain needs a literal hash set")
+
+  override def left: Expression = bloom
+  override def right: Expression = hashes
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_any_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (bloom.dataType, hashes.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (b, h) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_any_contain expects (BINARY, ARRAY<BIGINT>), got (${b.sql}, ${h.sql})")
+    }
+
+  @transient private lazy val probeHashes: Array[Long] =
+    hashes.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+
+  override def eval(input: InternalRow): Any = {
+    val b = bloom.eval(input)
+    if (b == null) false
+    else {
+      val (k, words) = BloomSketch.fromBytes(b.asInstanceOf[Array[Byte]])
+      var i = 0
+      while (i < probeHashes.length) {
+        if (BloomSketch.contains(words, probeHashes(i), k)) return true
+        i += 1
+      }
+      false
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(bloom = newLeft, hashes = newRight)
+}

@@ -14,16 +14,26 @@ import org.apache.spark.sql.functions._
   * plus a fresh one — exactly the delta [[InvertedIndex.refresh]] /
   * [[BloomIndex.refresh]] / [[StatsIndex]] already handle).
   *
-  * File location is three-staged, cheapest first:
-  *  1. if a [[BloomIndex]] exists on the key column, per-file blooms
-  *     are probed DRIVER-side against the key hashes (|files| rows of
-  *     O(m/8) bytes; a miss is definitive, so non-candidate files are
-  *     never opened);
-  *  2. candidate files are scanned with a broadcast semi-join to drop
-  *     bloom false positives (an FP file would be rewritten
+  * File location is staged cheapest-index-first:
+  *  1. if a [[StatsIndex]] covers the key column, per-file [min, max]
+  *     intervals prune against the broadcast key set — a KB-sized
+  *     read, near-exact on tables CLUSTERED by the deletion key (the
+  *     deletion-workload layout; the 10× ScaleCheck measures purge
+  *     FLAT there);
+  *  2. if a [[BloomIndex]] exists, per-file blooms stream
+  *     EXECUTOR-side against the literal key-hash set
+  *     ([[graft.functions.BloomAnyContain]]) — consulted only when
+  *     stats pruned less than 4× (blooms share the table-cardinality
+  *     geometry, so on an already-pruned table their sidecar scan
+  *     costs more than it saves; on a hash-scattered table they are
+  *     the only thing that prunes). A miss is definitive — the file
+  *     is never opened;
+  *  3. candidate files are scanned with a broadcast semi-join to drop
+  *     index false positives (an FP file would be rewritten
   *     IDENTICALLY — correct but wasted I/O, so it is worth one
-  *     candidate-sliver scan to avoid);
-  *  3. only files with ≥1 actual hit are rewritten (anti-join against
+  *     candidate-sliver scan to avoid); with NEITHER index this
+  *     degrades to the one full broadcast-semi scan;
+  *  4. only files with ≥1 actual hit are rewritten (anti-join against
   *     the broadcast keys), one replacement file per rewritten input.
   *
   * Crash contract (single-writer, same assumption as the K2 merge
@@ -80,26 +90,56 @@ object Purge {
     val keyVals = keys.select(col(keyCol).as("__key"))
       .where(col("__key").isNotNull).distinct().localCheckpoint(true)
 
-    // ── locate: bloom-guided when the index exists ────────────────
+    // ── locate, cheapest index first ──────────────────────────────
+    // 1. `_stats` range pruning: KB-sized read, near-exact on tables
+    //    CLUSTERED by the key (z-order / range layout) — the common
+    //    deletion-workload layout.
+    // 2. `_bloom` membership: per-file blooms streamed EXECUTOR-side
+    //    (BloomAnyContain against the literal key-hash set — pulling
+    //    table-cardinality-geometry blooms to the driver measured
+    //    ~30 s at 160 × 7 MB). Consulted only when stats pruned less
+    //    than 4× — on a clustered table the bloom sidecar scan would
+    //    cost more than it saves; on a hash-scattered table it is
+    //    the only thing that prunes.
+    // 3. Neither index → ONE broadcast-semi scan of the table.
+    val statsIdx = new Path(StatsIndex.indexPath(table))
+    val statsCands: Option[Seq[String]] =
+      if (!fs.exists(statsIdx)) None
+      else {
+        val st = spark.read.parquet(statsIdx.toString)
+        if (!st.columns.contains(s"min_$column")) None
+        else Some(st.join(broadcast(keyVals),
+            col(s"min_$column") <= col("__key") &&
+              col("__key") <= col(s"max_$column"), "left_semi")
+          .select("file").collect().map(_.getString(0)).toSeq.sorted)
+      }
     val bloomIdx = new Path(BloomIndex.indexPath(table))
-    val candidates: Seq[String] =
-      if (fs.exists(bloomIdx)) {
-        val hashes = keyVals
-          .select(xxhash64(col("__key")).as("h")).collect().map(_.getLong(0))
-        spark.read.parquet(bloomIdx.toString)
-          .select("file", "bloom").collect().iterator
-          .filter { r =>
-            val (k, words) = BloomSketch.fromBytes(r.getAs[Array[Byte]](1))
-            hashes.exists(h => BloomSketch.contains(words, h, k))
-          }
-          .map(_.getString(0)).toSeq.sorted
-      } else {
+    def bloomCands(): Seq[String] = {
+      val hashes = keyVals
+        .select(xxhash64(col("__key")).as("h")).collect().map(_.getLong(0))
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      val anyHit = ColumnGlue.column(
+        graft.functions.BloomAnyContain(
+          ColumnGlue.expression(col("bloom")),
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(hashes, org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType))))
+      spark.read.parquet(bloomIdx.toString)
+        .where(anyHit).select("file")
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+    val candidates: Seq[String] = (statsCands, fs.exists(bloomIdx)) match {
+      case (Some(sc), true) if sc.size * 4 <= files.size => sc
+      case (Some(sc), true) => bloomCands().filter(sc.toSet)
+      case (Some(sc), false) => sc
+      case (None, true) => bloomCands()
+      case (None, false) =>
         spark.read.option("basePath", table).parquet(files: _*)
           .select(col("_metadata.file_path").as("__file"), col(column))
           .join(broadcast(keyVals), col(column) === col("__key"), "left_semi")
           .select("__file").distinct().collect().map(_.getString(0))
           .toSeq.sorted
-      }
+    }
     if (candidates.isEmpty) return Report(files.size, 0, 0, 0L)
 
     // ── verify: drop bloom false positives (candidate sliver only) ─
