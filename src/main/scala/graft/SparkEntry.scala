@@ -1442,6 +1442,15 @@ object SparkEntry {
       Sampling.sampleBySourceWeight(tbl(s, dir, "documents"),
         weights = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 0.25))),
 
+    // Per-row weighted Bernoulli keep: quality-weighted downsampling
+    // (here w = min(1, n_chars/1000) — longer docs sampled more),
+    // deterministic md5 draw, shuffle-free, SQL-replayable
+    "ext_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedBernoulli(
+        tbl(s, dir, "documents")
+          .withColumn("w", least(lit(1.0), col("n_chars") / lit(1000.0))),
+        weightCol = "w")),
+
     // Temperature-based domain rebalancing (τ = 0.7 between
     // proportional and uniform): over-represented languages
     // deterministically downsample, under-represented ones repeat
@@ -2111,6 +2120,46 @@ object SparkEntry {
       h1.intersect(h2).withColumn("setop", lit("both"))
         .unionByName(h1.except(h2).withColumn("setop", lit("only_h1")))
         .unionByName(h2.except(h1).withColumn("setop", lit("only_h2")))
+    }),
+
+    // The whole join family against one dimension, graded as tagged
+    // counts: inner/left/full row volumes, right-join dangling side,
+    // semi/anti key filtering, and a (distinct × distinct) cross —
+    // every physical join strategy the engine plans, one result row
+    // each
+    "cap_join_family" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val cond = o("o_custkey") === c("c_custkey")
+      def n(tag: String, df: DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("n")).select(lit(tag).as("jt"), col("n"))
+      n("inner", o.join(c, cond, "inner"))
+        .unionByName(n("left", o.join(c, cond, "left")))
+        .unionByName(n("right_dangling",
+          o.join(c, cond, "right").where(o("o_orderkey").isNull)))
+        .unionByName(n("full", o.join(c, cond, "full")))
+        .unionByName(n("semi", o.join(c, cond, "left_semi")))
+        .unionByName(n("anti", o.join(c, cond, "left_anti")))
+        .unionByName(n("cross",
+          o.select("o_orderstatus").distinct()
+            .crossJoin(c.select("c_mktsegment").distinct())))
+    }),
+
+    // Lag/lead/first/last/nth navigation family over one ordered
+    // partition exchange — values pass through untouched (no float
+    // arithmetic crosses the engine boundary)
+    "cap_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("first_event", first(col("event_id")).over(full))
+        .withColumn("last_event", last(col("event_id")).over(full))
+        .withColumn("second_event", nth_value(col("event_id"), 2).over(full))
     }),
 
     // Recursive CTE (Spark 4 WITH RECURSIVE): the calendar-spine
@@ -3646,6 +3695,54 @@ object SparkEntry {
         |SELECT o_custkey, 'only_h1' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
         |UNION ALL
         |SELECT o_custkey, 'only_h2' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin,
+
+    "cap_join_family" ->
+      """SELECT 'inner' AS jt, count(*) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'left', count(*)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'right_dangling', count(*)
+        |FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'full', count(*)
+        |FROM orders o FULL JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'semi', count(*)
+        |FROM orders o WHERE EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'anti', count(*)
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'cross', count(*)
+        |FROM (SELECT DISTINCT o_orderstatus FROM orders)
+        |CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)""".stripMargin,
+
+    "cap_lag_lead" ->
+      """SELECT event_id, user_id, ts, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  first_value(event_id) OVER wf AS first_event,
+        |  last_value(event_id) OVER wf AS last_event,
+        |  nth_value(event_id, 2) OVER wf AS second_event
+        |FROM events
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "ext_weighted_sample" ->
+      """SELECT * FROM (
+        |  SELECT *, least(CAST(1.0 AS DOUBLE),
+        |    n_chars / CAST(1000.0 AS DOUBLE)) AS w FROM documents)
+        |WHERE ('0x' || substring(md5('graft-wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::UBIGINT::BIGINT % 10000
+        |  < CAST(floor(greatest(CAST(0.0 AS DOUBLE),
+        |      least(CAST(1.0 AS DOUBLE), w)) * 10000) AS BIGINT)""".stripMargin,
 
     "cap_recursive" ->
       """WITH RECURSIVE months(m) AS (

@@ -46,6 +46,30 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Deterministic PER-ROW weighted Bernoulli keep — quality-weighted
+    * downsampling (keep probability = the row's own weight column,
+    * e.g. a quality score): a row survives iff its fine hash bucket
+    * (out of 10,000) falls below `floor(w × 10000)`, w clamped to
+    * [0, 1] (a NULL weight keeps nothing — explicit opt-in
+    * semantics). Same md5 arithmetic as [[assignSplit]], so the draw
+    * is stable under growth, replayable in ANSI SQL, and
+    * shuffle-free; unlike [[sampleBySourceWeight]]'s per-SOURCE map,
+    * the weight here varies row by row — the "sample high-quality
+    * documents more" knob. */
+  def weightedBernoulli(
+      docs: DataFrame,
+      weightCol: String,
+      idCol: String = "doc_id",
+      salt: String = "graft-wsample"): DataFrame = {
+    val fine = pmod(
+      conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long"),
+      lit(10000L))
+    val thresh = floor(
+      greatest(lit(0.0), least(lit(1.0), col(weightCol))) * 10000).cast("long")
+    docs.where(fine < thresh)
+  }
+
   /** Deterministic per-source downsampling — corpus MIXING by weight
     * (e.g. Wikipedia ×1.0, CommonCrawl ×0.3, the standard pretraining
     * recipe knob): a row survives iff its finer-grained hash bucket
