@@ -632,6 +632,69 @@ object SparkEntry {
         .withColumn("sum_v", col("sum_v").cast("double"))
     }),
 
+    // Materialized-view rewrite: the READ side of the IVM loop. The
+    // churned orders snapshot is the stored base table; its aggregate
+    // state — bootstrapped on the BEFORE snapshot and maintained
+    // through signedDelta, never recomputed — is registered as a
+    // materialized view over the base path. The user query then
+    // aggregates the BASE (rollup to a coarser group + a filter on a
+    // group column), and the injected optimizer rule answers it from
+    // the state: the in-query REQUIRE proves the optimized plan scans
+    // the state table and never the base, while the oracle recomputes
+    // the truth from scratch — the rewrite must be invisible in
+    // values. 100 TB posture: the base scan this avoids is the 100 TB
+    // one; what remains is a scan of the group-sized state.
+    "ext_mv_rewrite" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mvrewrite").toString
+      val before = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        (col("o_orderkey") % 4).as("b"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val after = before
+        .where(col("o_orderstatus") =!= "P")
+        .withColumn("v",
+          when(col("o_orderstatus") === "F", lit(null))
+            .when(col("o_orderkey") % 3 === 0, col("v") + 100)
+            .otherwise(col("v"))
+            .cast("decimal(12,2)"))
+      val basePath = s"$root/base"
+      val statePath = s"$root/state"
+      after.write.parquet(basePath)
+      graft.operators.Cdc.maintainAgg(
+          graft.operators.Cdc.aggState(before, Seq("o_orderstatus", "b"), Seq("v")),
+          graft.operators.Cdc.signedDelta(before, after, Seq("o_orderkey")),
+          Seq("o_orderstatus", "b"), Seq("v"))
+        .write.parquet(statePath)
+      graft.plans.MvCatalog.register(basePath,
+        graft.plans.MvDef(Seq("o_orderstatus", "b"), Seq("v"), statePath))
+      val out = try {
+        val q = s.read.parquet(basePath)
+          .where(col("b") =!= 2)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), count(col("v")).as("nn_v"),
+            sum(col("v")).as("sum_v"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.startsWith(statePath)) &&
+          !scanned.exists(_.startsWith(basePath)),
+          s"MV rewrite did not fire; scans: ${scanned.mkString(", ")}")
+        q.withColumn("sum_v", col("sum_v").cast("double"))
+          .localCheckpoint(true)
+      } finally graft.plans.MvCatalog.unregister(basePath)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Incremental EXACT dedup, delta-vs-corpus through the persisted
     // bloom index: the corpus lands in two waves (collect, then an
     // append + O(new files) refresh — BloomSpec's poisoned row proves
@@ -2656,6 +2719,26 @@ object SparkEntry {
     // incremental counting-algorithm result must hash-match it,
     // vanished group absent, all-NULL group's sum NULL
     "ext_ivm_maintain" -> ivmMaintainOracleSql,
+
+    // same churn derivation as ext_ivm_maintain plus the b bucket;
+    // the rewrite answers from the maintained state, the oracle
+    // recomputes from scratch — values must match exactly
+    "ext_mv_rewrite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderkey % 4 AS b,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus, b,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN NULL
+        |              WHEN o_orderkey % 3 = 0 THEN v + 100
+        |              ELSE v END AS DECIMAL(12,2)) AS v
+        |  FROM base WHERE o_orderstatus <> 'P'
+        |)
+        |SELECT o_orderstatus, count(*) AS n, count(v) AS nn_v,
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
+        |FROM aft WHERE b <> 2 GROUP BY o_orderstatus""".stripMargin,
 
     "flow_stream_extrema" ->
       """WITH changes AS (

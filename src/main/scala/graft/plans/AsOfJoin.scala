@@ -269,6 +269,7 @@ case class AsOfJoinExec(
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteAsOfJoin)
+    e.injectOptimizerRule(session => new MvRewriteRule(session))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,240 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal,
+  NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+/** Materialized-view query rewrite over the IVM surface.
+  *
+  * [[graft.operators.Cdc.aggState]] / `maintainAgg` keep a counting
+  * aggregate state table current without rescanning the base; this
+  * rule closes the loop on the READ side: a query that aggregates the
+  * base table is transparently rewritten to answer from the state
+  * table — the 100 TB base scan becomes a scan of the group-sized
+  * state. Registered through [[GraftExtensions]] (the same
+  * `SparkSessionExtensions` installer as the native as-of join), so
+  * it runs in the user-provided optimizer batch AFTER the main
+  * optimization has pruned/pushed the aggregate like any other — the
+  * rule sees the canonical `Aggregate → [Project|Filter]* → scan`
+  * chain.
+  *
+  * Rewritable shapes (anything else is left untouched — the rewrite
+  * is an optimization, never a semantics change):
+  *
+  *  - grouping by any SUBSET of the view's group columns (including
+  *    all of them, and the empty set / global aggregate) — coarser
+  *    groups ROLL UP from the state: `count(*) = sum(n)`,
+  *    `count(c) = sum(nn_c)`, `sum(c) = sum(sum_c)` — all exact,
+  *    because counts and the per-row-cast decimal sums are
+  *    associative,
+  *  - `count(*)` / `count(1)`, `count(c)` and `sum(c)` for `c` in the
+  *    view's sum columns (no DISTINCT, no FILTER clause),
+  *  - filters referencing ONLY group columns — σ on group columns
+  *    commutes with γ, so they apply to the state instead (and from
+  *    there push into the state parquet scan as ordinary data
+  *    filters).
+  *
+  * Exactness of the value mapping:
+  *  - `count(*)`/`count(c)` are longs on both paths; an empty rollup
+  *    input can only arise for the GLOBAL aggregate over an empty
+  *    state, where `coalesce(sum(n), 0)` reproduces SQL's
+  *    count-over-empty = 0 (grouped outputs only exist where state
+  *    rows do, matching base semantics: vanished groups emit no row),
+  *  - `sum(c)`: the state's `sum_c` is the per-row
+  *    `cast(decimal(38,6))` sum ([[graft.operators.Cdc.aggState]]'s
+  *    retraction-safe discipline); `requireMaintainable` already
+  *    restricts sum columns to integers and decimals of scale ≤ 6,
+  *    for which the per-row cast is value-preserving, so
+  *    `cast(sum(sum_c) as <original sum type>)` equals the base
+  *    `sum(c)` exactly (same caveat as any decimal sum: a value
+  *    outside the original result precision overflows on both paths),
+  *  - an all-NULL (or all-retracted) group's `sum_c` is NULL in the
+  *    state and stays NULL through the rollup — SQL sum semantics.
+  *
+  * FRESHNESS is the caller's contract, exactly as with any
+  * materialized view: the state table must reflect the base snapshot
+  * being queried (that is what `maintainAgg`'s maintenance law
+  * guarantees when every delta has been applied). The rule can be
+  * disabled per-session with `spark.graft.mv.rewrite=false`.
+  */
+case class MvDef(groupCols: Seq[String], sumCols: Seq[String], statePath: String)
+
+/** Process-wide registry base-path → view definition. Paths compare
+  * by filesystem path (scheme/authority-stripped — local and
+  * single-filesystem deployments; register the fully-resolved path
+  * the readers use). */
+object MvCatalog {
+  private val mvs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  def normalize(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath.stripSuffix("/")
+
+  def register(basePath: String, mv: MvDef): Unit = {
+    require(mv.groupCols.nonEmpty, "materialized view needs group columns")
+    mvs.put(normalize(basePath), mv)
+  }
+  def unregister(basePath: String): Unit = mvs.remove(normalize(basePath))
+  def clear(): Unit = mvs.clear()
+  def lookup(basePath: String): Option[MvDef] =
+    Option(mvs.get(normalize(basePath)))
+  def isEmpty: Boolean = mvs.isEmpty
+}
+
+class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvCatalog.isEmpty ||
+        session.sessionState.conf.getConfString(
+          "spark.graft.mv.rewrite", "true") != "true") plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** The canonical post-optimization chain under an aggregate:
+    * attribute-only projects (column pruning) and filters over a
+    * single file-source relation. */
+  private def strip(
+      p: LogicalPlan,
+      filters: List[Expression]): Option[(LogicalRelation, List[Expression])] =
+    p match {
+      case f: Filter => strip(f.child, f.condition :: filters)
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(pr.child, filters)
+      case lr: LogicalRelation => Some((lr, filters))
+      case _ => None
+    }
+
+  private sealed trait Out
+  private case class GroupOut(colName: String, orig: NamedExpression) extends Out
+  private case class CountStarOut(orig: NamedExpression) extends Out
+  private case class CountColOut(colName: String, orig: NamedExpression) extends Out
+  private case class SumColOut(colName: String, orig: NamedExpression) extends Out
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (lr, filters) = strip(agg.child, Nil) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val roots = lr.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths
+      case _ => return None
+    }
+    if (roots.length != 1) return None
+    val mv = MvCatalog.lookup(roots.head.toString) match {
+      case Some(m) => m
+      case None => return None
+    }
+
+    // base attribute ids -> view column names (post-pruning the
+    // relation still binds the original names)
+    val groupByExprId = lr.output
+      .filter(a => mv.groupCols.contains(a.name)).map(a => a.exprId -> a.name).toMap
+    val sumByExprId = lr.output
+      .filter(a => mv.sumCols.contains(a.name)).map(a => a.exprId -> a.name).toMap
+    if (groupByExprId.size != mv.groupCols.size) return None
+
+    // filters: deterministic, subquery-free, group-columns-only
+    if (filters.exists(c => !c.deterministic || SubqueryExpression.hasSubquery(c) ||
+        !c.references.forall(a => groupByExprId.contains(a.exprId)))) return None
+
+    // grouping: bare group-column attributes
+    val queriedGroups = agg.groupingExpressions.map {
+      case ar: AttributeReference if groupByExprId.contains(ar.exprId) =>
+        groupByExprId(ar.exprId)
+      case _ => return None
+    }
+
+    def classifyAgg(ae: AggregateExpression, orig: NamedExpression): Option[Out] = {
+      if (ae.isDistinct || ae.filter.nonEmpty || ae.mode != Complete) return None
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null => Some(CountStarOut(orig))
+        case Count(Seq(ar: AttributeReference)) if sumByExprId.contains(ar.exprId) =>
+          Some(CountColOut(sumByExprId(ar.exprId), orig))
+        case s: Sum => s.child match {
+          case ar: AttributeReference if sumByExprId.contains(ar.exprId) =>
+            Some(SumColOut(sumByExprId(ar.exprId), orig))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    val outs: Seq[Out] = agg.aggregateExpressions.map {
+      case ar: AttributeReference if groupByExprId.contains(ar.exprId) =>
+        GroupOut(groupByExprId(ar.exprId), ar)
+      case al @ Alias(child, _) => child match {
+        case ar: AttributeReference if groupByExprId.contains(ar.exprId) =>
+          GroupOut(groupByExprId(ar.exprId), al)
+        case ae: AggregateExpression => classifyAgg(ae, al) match {
+          case Some(o) => o
+          case None => return None
+        }
+        case _ => return None
+      }
+      case _ => return None
+    }
+
+    // ---- build the replacement: Aggregate over the state table ----
+    val stateRel = session.read.parquet(mv.statePath).queryExecution.analyzed
+    val st: Map[String, Attribute] = stateRel.output.map(a => a.name -> a).toMap
+    // the state must actually carry the expected shape; a mismatched
+    // table under statePath is a registration error — fail loudly,
+    // never silently return wrong results
+    val expected = mv.groupCols ++ Seq("n") ++
+      mv.sumCols.flatMap(c => Seq(s"nn_$c", s"sum_$c"))
+    require(expected.forall(st.contains),
+      s"state table ${mv.statePath} lacks columns " +
+        s"${expected.filterNot(st.contains).mkString(", ")} — build it with Cdc.aggState")
+
+    // explicit column pruning for the state scan: this rule runs
+    // after the main optimizer batches, so nothing will prune for us
+    // (FileSourceStrategy derives the scan schema from this Project)
+    val usedState = scala.collection.mutable.LinkedHashSet[Attribute]()
+    queriedGroups.foreach(g => usedState += st(g))
+    filters.foreach(_.references.foreach(a => usedState += st(groupByExprId(a.exprId))))
+    outs.foreach {
+      case GroupOut(c, _) => usedState += st(c)
+      case CountStarOut(_) => usedState += st("n")
+      case CountColOut(c, _) => usedState += st(s"nn_$c")
+      case SumColOut(c, _) => usedState += st(s"sum_$c")
+    }
+    val pruned = Project(usedState.toSeq, stateRel)
+
+    val filtered = filters.foldLeft(pruned: LogicalPlan) { (p, c) =>
+      Filter(c.transform {
+        case ar: AttributeReference => st(groupByExprId(ar.exprId))
+      }, p)
+    }
+
+    def rollup(stCol: String): Expression =
+      AggregateExpression(Sum(st(stCol)), Complete, isDistinct = false)
+    def longRollup(stCol: String): Expression =
+      Coalesce(Seq(Cast(rollup(stCol), LongType), Literal(0L)))
+
+    val newAggExprs: Seq[NamedExpression] = outs.map {
+      case GroupOut(c, orig) =>
+        Alias(st(c), orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+      case CountStarOut(orig) =>
+        Alias(longRollup("n"), orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+      case CountColOut(c, orig) =>
+        Alias(longRollup(s"nn_$c"), orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+      case SumColOut(c, orig) =>
+        Alias(Cast(rollup(s"sum_$c"), orig.dataType), orig.name)(
+          exprId = orig.exprId, qualifier = orig.qualifier)
+    }
+
+    // return the fragment as constructed — re-running the full
+    // optimizer over it would let RemoveRedundantAliases strip the
+    // exprId-preserving group aliases and orphan downstream
+    // references; the aliases keep the original output ids exactly
+    Some(Aggregate(queriedGroups.map(st(_)), newAggExprs, filtered))
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import graft.operators.Cdc
+import graft.plans.{MvCatalog, MvDef}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The materialized-view rewrite must be invisible in VALUES (every
+  * rewritten query equals the base-scan answer bit for bit) and
+  * visible in the PLAN (the base relation is gone, the state relation
+  * is scanned). Every law here grades the rewritten plan against the
+  * same query with the rule disabled, plus plan-shape asserts and the
+  * poisoned-state proof that answers really come from the state.
+  */
+class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  override def afterEach(): Unit = {
+    MvCatalog.clear()
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-mv-$tag").toString
+
+  /** Two group columns (one nullable), a decimal and a long sum
+    * column (both nullable), an all-null sum group. */
+  private def baseDf: DataFrame = Seq(
+    (Option("A"), 1, Option("10.25"), Option(5L)),
+    (Option("A"), 1, Option("2.50"), None),
+    (Option("A"), 2, Option("7.00"), Option(1L)),
+    (Option("B"), 1, None, Option(11L)),
+    (Option("B"), 1, None, Option(4L)),
+    (None, 2, Option("3.75"), Option(2L)),
+    (Option("C"), 3, Option("-1.25"), Option(-9L))
+  ).toDF("g1", "g2", "v", "q")
+    .select(col("g1"), col("g2"), col("v").cast("decimal(12,2)").as("v"), col("q"))
+
+  /** Writes base + its aggState, registers the view, returns
+    * (basePath, statePath, the base read back through its path). */
+  private def fixture(tag: String): (String, String, DataFrame) = {
+    val basePath = tmp(s"$tag-base")
+    val statePath = tmp(s"$tag-state")
+    baseDf.write.mode("overwrite").parquet(basePath)
+    Cdc.aggState(spark.read.parquet(basePath), Seq("g1", "g2"), Seq("v", "q"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.register(basePath, MvDef(Seq("g1", "g2"), Seq("v", "q"), statePath))
+    (basePath, statePath, spark.read.parquet(basePath))
+  }
+
+  /** Root paths of every file relation the optimized plan scans —
+    * the plan's printed form truncates locations, so asserts go
+    * through the relations themselves. */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  private def scansState(df: DataFrame, statePath: String, basePath: String): Boolean = {
+    val paths = scanPaths(df)
+    paths.exists(_.startsWith(statePath)) && !paths.exists(_.startsWith(basePath))
+  }
+
+  /** Same query answered with the rule off — the base-scan truth. */
+  private def baseline(build: => DataFrame): Seq[String] = {
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try build.collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+  }
+
+  test("direct-group rewrite: state scan replaces the base, values identical") {
+    val (basePath, statePath, base) = fixture("direct")
+    def q = base.groupBy("g1", "g2").agg(
+      count(lit(1)).as("n_rows"), count(col("v")).as("n_v"),
+      sum(col("v")).as("sum_v"), sum(col("q")).as("sum_q"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // the rewrite may not change the result schema the caller sees
+    assert(q.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Seq(("g1", q.schema("g1").dataType), ("g2", q.schema("g2").dataType),
+        ("n_rows", org.apache.spark.sql.types.LongType),
+        ("n_v", org.apache.spark.sql.types.LongType),
+        ("sum_v", org.apache.spark.sql.types.DecimalType(22, 2)),
+        ("sum_q", org.apache.spark.sql.types.LongType)))
+  }
+
+  test("rollup to a subset group + filter on a group column commute through the state") {
+    val (basePath, statePath, base) = fixture("rollup")
+    def q = base.where(col("g2") =!= 3)
+      .groupBy("g1")
+      .agg(count(lit(1)).as("n_rows"), sum(col("q")).as("sum_q"),
+        count(col("q")).as("n_q"), sum(col("v")).as("sum_v"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
+  test("global aggregate rolls up the whole state; empty state keeps count-over-empty = 0") {
+    val (basePath, statePath, base) = fixture("global")
+    def q = base.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    assert(scansState(q, statePath, basePath))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+
+    // empty base, empty state: the rewritten global aggregate must
+    // still produce the SQL one-row (0, NULL) answer
+    val emptyBase = tmp("global-emptyb")
+    val emptyState = tmp("global-empties")
+    baseDf.where(lit(false)).write.mode("overwrite").parquet(emptyBase)
+    Cdc.aggState(spark.read.parquet(emptyBase), Seq("g1", "g2"), Seq("v", "q"))
+      .write.mode("overwrite").parquet(emptyState)
+    MvCatalog.register(emptyBase, MvDef(Seq("g1", "g2"), Seq("v", "q"), emptyState))
+    val eq = spark.read.parquet(emptyBase)
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    assert(scanPaths(eq).exists(_.startsWith(emptyState)))
+    val row = eq.collect().head
+    assert(row.getLong(0) === 0L && row.isNullAt(1))
+  }
+
+  test("answers really come from the state: a poisoned state row surfaces (freshness is the caller's contract)") {
+    val (basePath, _, base) = fixture("poison")
+    val poisoned = tmp("poison-state")
+    Cdc.aggState(baseDf, Seq("g1", "g2"), Seq("v", "q"))
+      .withColumn("n",
+        when(col("g1") === "A" && col("g2") === 1, lit(1000L)).otherwise(col("n")))
+      .write.mode("overwrite").parquet(poisoned)
+    MvCatalog.register(basePath, MvDef(Seq("g1", "g2"), Seq("v", "q"), poisoned))
+    val n = base.where(col("g1") === "A" && col("g2") === 1)
+      .groupBy("g1").agg(count(lit(1)).as("n_rows"))
+      .collect().head.getLong(1)
+    assert(n === 1000L, "query did not read the (poisoned) state")
+  }
+
+  test("non-rewritable shapes keep the base scan and stay correct") {
+    val (basePath, statePath, base) = fixture("fallback")
+    val shapes: Seq[(String, DataFrame)] = Seq(
+      // filter on a non-group column
+      "filter on sum col" ->
+        base.where(col("q") > 0).groupBy("g1").agg(count(lit(1)).as("n")),
+      // unsupported aggregate function
+      "avg" -> base.groupBy("g1").agg(avg(col("q")).as("a")),
+      // DISTINCT aggregate
+      "count distinct" ->
+        base.groupBy("g1").agg(countDistinct(col("q")).as("d")),
+      // grouping by an expression, not a bare column
+      "expr group" ->
+        base.groupBy(substring(col("g1"), 1, 1).as("p")).agg(sum(col("q")).as("s")),
+      // aggregating a column the view does not carry sums for
+      "sum of group col" -> base.groupBy("g1").agg(sum(col("g2")).as("s")))
+    for ((label, q) <- shapes) {
+      val paths = scanPaths(q)
+      assert(paths.exists(_.startsWith(basePath)) && !paths.exists(_.startsWith(statePath)),
+        s"$label should not rewrite: ${paths.mkString(", ")}")
+      assert(q.collect().map(_.toString).sorted.toSeq === baseline(q), label)
+    }
+  }
+
+  test("kill switch: spark.graft.mv.rewrite=false scans the base") {
+    val (basePath, statePath, base) = fixture("switch")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val paths = scanPaths(base.groupBy("g1").agg(count(lit(1)).as("n")))
+    assert(paths.exists(_.startsWith(basePath)) && !paths.exists(_.startsWith(statePath)))
+  }
+
+  test("rewritten aggregate composes downstream (exprId stability through joins and filters)") {
+    val (_, statePath, base) = fixture("compose")
+    val agg = base.groupBy("g1", "g2").agg(sum(col("q")).as("sum_q"))
+    val dim = Seq(("A", "alpha"), ("B", "beta")).toDF("g1", "label")
+    def q = agg.join(dim, Seq("g1")).where(col("sum_q") > 0)
+      .select("g1", "g2", "label", "sum_q")
+    assert(scanPaths(q).exists(_.startsWith(statePath)))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
+  test("maintained state answers queries after churn — the IVM loop closed end to end") {
+    val basePath = tmp("loop-base")
+    val statePath = tmp("loop-state")
+    baseDf.write.mode("overwrite").parquet(basePath)
+    val state0 = Cdc.aggState(baseDf, Seq("g1", "g2"), Seq("v", "q"))
+    // churn: drop group (C,3) entirely, reprice one A row
+    val after = baseDf.where(col("g1").isNull || col("g1") =!= "C")
+      .withColumn("v",
+        when(col("g1") === "A" && col("g2") === 2, col("v") + 100)
+          .otherwise(col("v")).cast("decimal(12,2)"))
+    val state1 = Cdc.maintainAgg(state0, Cdc.signedDelta(baseDf, after, Seq("g1", "g2", "q")),
+      Seq("g1", "g2"), Seq("v", "q"))
+    // write the CHURNED base and the MAINTAINED state
+    after.write.mode("overwrite").parquet(basePath)
+    state1.write.mode("overwrite").parquet(statePath)
+    MvCatalog.register(basePath, MvDef(Seq("g1", "g2"), Seq("v", "q"), statePath))
+    def q = spark.read.parquet(basePath).groupBy("g1")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    assert(scanPaths(q).exists(_.startsWith(statePath)))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // the vanished group emits no row on either path
+    assert(!q.collect().exists(r => r.getString(0) == "C"))
+  }
+}
