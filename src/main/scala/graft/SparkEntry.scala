@@ -2225,6 +2225,69 @@ object SparkEntry {
         .withColumn("second_event", nth_value(col("event_id"), 2).over(full))
     }),
 
+    // Dynamic partition pruning: the fact lands hive-partitioned on
+    // l_returnflag; joining it to a dim FILTERED on the other side
+    // plants a DynamicPruningSubquery inside the fact's partition
+    // filter, so the scan reads only the partitions the dim survives
+    // — the runtime analogue of static partition pruning and the
+    // mechanism a 100 TB star join's fact scan stands on (the filter
+    // value isn't known until the dim is evaluated, so no static
+    // pruning could do this). In-query REQUIRE: the executed plan
+    // carries the dynamicpruning subquery on the fact scan.
+    "cap_dpp" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dpp").toString
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .write.partitionBy("ym").parquet(s"$root/fact")
+      val fact = s.read.parquet(s"$root/fact")
+      // calendar dim from the FIXTURE scan (not the partitioned
+      // copy), with the selective predicate on a NON-key column — a
+      // filter on the join key itself would propagate to the fact as
+      // a STATIC partition filter via constraint inference and leave
+      // nothing for runtime pruning to do; here the fact cannot know
+      // which months belong to 1997 until the dim is evaluated, so
+      // only the DPP subquery can skip the other 68 month partitions
+      val dim = broadcast(tbl(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+          year(col("o_orderdate")).as("y"))
+        .distinct().where(col("y") === 1997))
+      val q = fact.join(dim, fact("ym") === dim("m"))
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+      require(q.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "expected a dynamic-partition-pruning subquery on the fact scan")
+      val out = q.localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // JSON path extraction: documents serialized to JSON strings with
+    // deterministic field arithmetic (concat — NOT to_json, whose key
+    // order/number formatting is engine-private), then parsed back
+    // two ways: untyped path extraction (get_json_object) and a
+    // typed from_json through a nested struct schema. Both engines
+    // parse the same strings; values cross the boundary as strings
+    // and longs. Shuffle-free: parse is a pure projection.
+    "cap_json" -> ((s, dir) => {
+      val js = concat(
+        lit("{\"k\": {\"id\": "), col("o_orderkey"),
+        lit(", \"st\": \""), col("o_orderstatus"), lit("\"}, \"pr\": \""),
+        col("o_orderpriority"), lit("\"}"))
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), js.as("js"))
+        .select(
+          col("o_orderkey"),
+          get_json_object(col("js"), "$.k.st").as("st_path"),
+          get_json_object(col("js"), "$.pr").as("pr_path"),
+          from_json(col("js"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "k STRUCT<id: BIGINT, st: STRING>, pr STRING"))
+            .getField("k").getField("id").as("id_typed"))
+    }),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): the calendar-spine
     // pattern — generate a month spine recursively, LEFT JOIN the
     // fact so empty months land as ZERO rows (a plain GROUP BY can't
@@ -3778,6 +3841,36 @@ object SparkEntry {
         |SELECT o_custkey, 'only_h1' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
         |UNION ALL
         |SELECT o_custkey, 'only_h2' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin,
+
+    // same join+agg with the dim CTE; DuckDB sees no partitioning —
+    // pruning must be invisible in values
+    "cap_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m,
+        |    year(o_orderdate) AS y
+        |  FROM orders
+        |)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders JOIN dim ON strftime(o_orderdate, '%Y-%m') = m
+        |WHERE y = 1997
+        |GROUP BY 1""".stripMargin,
+
+    // identical concat-built strings, identical paths; DuckDB's
+    // json_extract_string mirrors get_json_object, the typed read
+    // casts the extracted scalar
+    "cap_json" ->
+      """WITH j AS (
+        |  SELECT o_orderkey,
+        |    '{"k": {"id": ' || o_orderkey || ', "st": "' || o_orderstatus ||
+        |      '"}, "pr": "' || o_orderpriority || '"}' AS js
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |  json_extract_string(js, '$.k.st') AS st_path,
+        |  json_extract_string(js, '$.pr') AS pr_path,
+        |  CAST(json_extract_string(js, '$.k.id') AS BIGINT) AS id_typed
+        |FROM j""".stripMargin,
 
     "cap_join_family" ->
       """SELECT 'inner' AS jt, count(*) AS n
