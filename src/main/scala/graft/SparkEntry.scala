@@ -2467,6 +2467,26 @@ object SparkEntry {
       Profiling.iqrOutliers(
         tbl(s, dir, "documents").select("doc_id", "source", "lang", "n_chars"),
         valueCol = "n_chars", groupCols = Seq("source", "lang"))),
+
+    // Equi-width histogram of document lengths: bin edges in EXACT
+    // integer arithmetic (bin = (v-lo)*k div range — no float edge
+    // crosses the engine boundary); one 1-row range aggregate + one
+    // binned count whose shuffle carries at most nBins rows per map
+    // partition
+    "ext_histogram" -> ((s, dir) =>
+      Profiling.histogram(
+        tbl(s, dir, "documents").select(length(col("text")).cast("long").as("doc_len")),
+        "doc_len", 16)),
+
+    // BPE training statistics — adjacent-character pair counts over
+    // the (distinct word, corpus count) table: the corpus reduces
+    // once to distinct words (the only token-sized shuffle), every
+    // 2-char window then weighs in at its word's frequency. This is
+    // iteration 0 of Bpe.learn, whose argmax IS the first merge —
+    // the full loop is BpeSpec-graded against a local reference
+    // implementation
+    "ext_bpe_pairs" -> ((s, dir) =>
+      graft.ext.Bpe.pairStats(tbl(s, dir, "documents"), "text")),
   )
 
   /** Shared by d7_promote / flow_stream_ingest: the promoted lineitem
@@ -4052,6 +4072,34 @@ object SparkEntry {
         |FROM orders o
         |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
         |  ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    // same integer bin arithmetic (// is floor division; operands are
+    // non-negative, so it matches Spark's div truncation)
+    "ext_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS v FROM documents
+        |  WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT min(v) AS lo, max(v) AS hi FROM v
+        |)
+        |SELECT ((v - lo) * 16) // (hi - lo + 1) AS bin,
+        |  count(*) AS n, lo, hi
+        |FROM v, r GROUP BY 1, lo, hi""".stripMargin,
+
+    // the same two-stage reduction: distinct words with corpus
+    // counts, then every 2-char window weighted by its word's count
+    "ext_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |  FROM documents
+        |), wc AS (
+        |  SELECT w, count(*) AS c FROM words WHERE length(w) >= 2
+        |  GROUP BY w
+        |), idx AS (
+        |  SELECT w, c, unnest(range(1, length(w))) AS i FROM wc
+        |)
+        |SELECT substr(w, i, 2) AS pair, CAST(sum(c) AS BIGINT) AS n
+        |FROM idx GROUP BY 1""".stripMargin,
 
     "ext_outlier_docs" ->
       """WITH q AS (

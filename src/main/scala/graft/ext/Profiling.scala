@@ -73,6 +73,45 @@ object Profiling {
       .select(col("__p.*"))
   }
 
+  /** Equi-width histogram over an integral column, in EXACT integer
+    * arithmetic so bin boundaries are bit-portable across engines:
+    * `bin = ((v − lo) · nBins) div (hi − lo + 1)` — no float edge
+    * ever computed, every value lands in [0, nBins), the max value
+    * in bin nBins−1. Two scans by construction (the textbook
+    * shape): a 1-row (min, max) aggregate — bounded driver read —
+    * then one binned count whose shuffle carries at most nBins
+    * rows per map partition. Only non-empty bins emit (SQL GROUP BY
+    * semantics); NULLs are excluded; `lo`/`hi` ride along as
+    * constant columns so the caller can derive edges. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 100000, s"histogram needs 1 <= nBins <= 100000, got $nBins")
+    import org.apache.spark.sql.types._
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"histogram needs an integral column, got $valueCol: $dt " +
+          "(bins are computed in exact integer arithmetic)")
+    }
+    val vals = df.select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val r = vals.agg(min("__v"), max("__v")).head()
+    if (r.isNullAt(0))
+      return df.sparkSession.range(0).select(
+        col("id").as("bin"), col("id").as("n"),
+        col("id").as("lo"), col("id").as("hi"))
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val range =
+      try Math.addExact(Math.subtractExact(hi, lo), 1L)
+      catch { case _: ArithmeticException => throw new IllegalArgumentException(
+        s"histogram range [$lo, $hi] too wide for exact integer binning") }
+    require(range - 1 <= Long.MaxValue / nBins,
+      s"histogram range [$lo, $hi] x $nBins bins overflows exact integer binning")
+    vals
+      .groupBy(expr(s"((__v - ${lo}L) * $nBins) div ${range}L").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", lit(lo)).withColumn("hi", lit(hi))
+  }
+
   /** IQR outlier flagging per group — the classic Tukey fence
     * (outside [q1 − 1.5·IQR, q3 + 1.5·IQR]) over an integral metric,
     * done in INTEGER arithmetic so the verdict is bit-portable:

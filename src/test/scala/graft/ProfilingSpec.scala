@@ -226,4 +226,37 @@ class ProfilingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+  test("histogram: exact integer bins, max value in the last bin") {
+    val df = (0L to 9L).toDF("v")
+    val out = Profiling.histogram(df, "v", 5)
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect().toSeq
+    // range 10, 5 bins: (v - 0) * 5 div 10 -> pairs of values per bin
+    assert(out === Seq((0L, 2L, 0L, 9L), (1L, 2L, 0L, 9L), (2L, 2L, 0L, 9L),
+      (3L, 2L, 0L, 9L), (4L, 2L, 0L, 9L)))
+  }
+
+  test("histogram: negatives, nulls excluded, only non-empty bins emit") {
+    val df = Seq(Some(-10L), Some(-10L), None, Some(10L)).toDF("v")
+    val out = Profiling.histogram(df, "v", 4)
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect().toSeq
+    // range [-10, 10] = 21; -10 -> bin 0, 10 -> (20*4) div 21 = 3
+    assert(out === Seq((0L, 2L, -10L, 10L), (3L, 1L, -10L, 10L)))
+  }
+
+  test("histogram: constant column lands wholly in bin 0; empty input -> empty typed frame") {
+    val one = Profiling.histogram(Seq(7L, 7L, 7L).toDF("v"), "v", 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(one === Seq((0L, 3L, 7L, 7L)))
+    val empty = Profiling.histogram(
+      Seq.empty[Option[Long]].toDF("v"), "v", 8)
+    assert(empty.columns.toSeq === Seq("bin", "n", "lo", "hi"))
+    assert(empty.count() === 0L)
+  }
+
+  test("histogram: non-integral column rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Profiling.histogram(Seq(1.5).toDF("v"), "v", 4)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
