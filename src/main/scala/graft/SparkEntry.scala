@@ -180,6 +180,45 @@ object SparkEntry {
       MergeUpsert.merged(trusted, updates)
     }),
 
+    // Cross-table atomic commit: the merged fact AND its aggregate
+    // state move in ONE journaled transaction (TxnCommit two-phase:
+    // stage both, marker = commit point, swap both; TxnCommitSpec
+    // proves every crash window rolls the PAIR back or forward, never
+    // a mixed version set). Flow: v1 = pre-merge snapshot + state,
+    // v2 = K2-merged table + recomputed state, committed atomically;
+    // the in-query REQUIRE cross-checks the pair (state row total ==
+    // fact row count) and the graded output is the state, against the
+    // oracle's from-scratch recompute of the merge truth's aggregate.
+    "flow_multi_commit" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-txn-flow").toString
+      val base = dedupBase(s, dir)
+      val trusted = base.where(col("l_orderkey") % 2 === 0)
+      val updates = base.where(col("l_orderkey") % 3 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 1000)
+      val factPath = s"$root/fact"
+      val statePath = s"$root/state"
+      def stateOf(df: DataFrame) = graft.operators.Cdc.aggState(
+        df.select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(12,2)").as("q")),
+        Seq("l_returnflag"), Seq("q"))
+      graft.sinks.TxnCommit.commitAll(s,
+        Seq((trusted, factPath), (stateOf(trusted), statePath)), s"$root/txn")
+      val merged = MergeUpsert.merged(s.read.parquet(factPath), updates)
+      graft.sinks.TxnCommit.commitAll(s,
+        Seq((merged, factPath), (stateOf(merged), statePath)), s"$root/txn")
+      val factN = s.read.parquet(factPath).count()
+      val st = s.read.parquet(statePath)
+      val stateN = st.agg(sum("n")).head().getLong(0)
+      require(factN == stateN,
+        s"cross-table pair out of sync: fact $factN rows vs state total $stateN")
+      val out = st.withColumn("sum_q", col("sum_q").cast("double"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Purge composed with the K2 lake: bootstrap TRUSTED via the
     // merge machinery, then delete by SURROGATE KEY (the GDPR shape —
     // the doomed sk list is broadcast-sized) with the minimal-rewrite
@@ -2708,6 +2747,21 @@ object SparkEntry {
     "flow_stream_compact" -> promoteOracleSql,
 
     "d8_merge" -> mergeOracleSql,
+
+    // the atomically-committed state must equal the from-scratch
+    // aggregate of the same merge truth d8 grades
+    "flow_multi_commit" ->
+      s"""WITH base AS ($dedupBaseSql),
+         |t AS (SELECT * FROM base WHERE l_orderkey % 2 = 0),
+         |u AS (SELECT * REPLACE (l_quantity + 1000 AS l_quantity) FROM base WHERE l_orderkey % 3 = 0),
+         |m AS (
+         |  SELECT * FROM t WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.sk = t.sk)
+         |  UNION ALL SELECT * FROM u
+         |)
+         |SELECT l_returnflag, count(*) AS n, count(q) AS nn_q,
+         |  CAST(CAST(sum(CAST(q AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_q
+         |FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS q FROM m)
+         |GROUP BY l_returnflag""".stripMargin,
 
     // clustering changes layout only: the maintained z-ordered
     // trusted table must hash-match the plain merge truth
