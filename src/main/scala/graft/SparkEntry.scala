@@ -636,6 +636,78 @@ object SparkEntry {
       out
     }),
 
+    // Streaming IVM × MV rewrite — the full loop closed online: the
+    // aggregate state is maintained by a CHECKPOINTED signed-delta
+    // stream (AggStateSink's transactional exactly-once; base snapshot
+    // at +1, then the churn's retractions and additions as separate
+    // batches — valid-prefix tiling), and the maintained state then
+    // serves USER QUERIES through the injected optimizer rule: the
+    // rollup aggregate over the churned base path is answered from
+    // the stream-built state without ever scanning the base (in-query
+    // REQUIRE), and must equal the oracle's from-scratch recompute.
+    // This is the production MV shape: writes maintain, reads rewrite,
+    // the base is scanned by neither.
+    "flow_stream_mv" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-mv").toString
+      val before = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        (col("o_orderkey") % 4).as("b"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val after = before
+        .where(col("o_orderstatus") =!= "P")
+        .withColumn("v",
+          when(col("o_orderstatus") === "F", lit(null))
+            .when(col("o_orderkey") % 3 === 0, col("v") + 100)
+            .otherwise(col("v"))
+            .cast("decimal(12,2)"))
+      val basePath = s"$root/base"
+      val statePath = s"$root/state"
+      after.write.parquet(basePath)
+      val landing = s"$root/deltas"
+      val shape = Seq(col("__sign"), col("o_orderkey"),
+        col("o_orderstatus"), col("b"), col("v"))
+      before.withColumn("__sign", lit(1)).select(shape: _*)
+        .repartition(2).write.parquet(landing)
+      val delta = graft.operators.Cdc.signedDelta(
+        before, after, Seq("o_orderkey")).localCheckpoint(true)
+      delta.where(col("__sign") === -1).select(shape: _*)
+        .coalesce(1).write.mode("append").parquet(landing)
+      delta.where(col("__sign") === 1).select(shape: _*)
+        .coalesce(1).write.mode("append").parquet(landing)
+      graft.streaming.StreamingOps.streamMaintainAgg(
+        s, landing, s.read.parquet(landing).schema,
+        statePath, s"$root/ckpt",
+        Seq("o_orderstatus", "b"), Seq("v"))
+      graft.plans.MvCatalog.register(basePath,
+        graft.plans.MvDef(Seq("o_orderstatus", "b"), Seq("v"), statePath))
+      val out = try {
+        val q = s.read.parquet(basePath)
+          .where(col("b") =!= 2)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), count(col("v")).as("nn_v"),
+            sum(col("v")).as("sum_v"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.startsWith(statePath)) &&
+          !scanned.exists(_.startsWith(basePath)),
+          s"MV rewrite did not fire; scans: ${scanned.mkString(", ")}")
+        q.withColumn("sum_v", col("sum_v").cast("double"))
+          .localCheckpoint(true)
+      } finally graft.plans.MvCatalog.unregister(basePath)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // IVM: bootstrap aggregate state over orders, churn the snapshot
     // (delete ALL of status 'P' so that group's count reaches zero
     // and it vanishes; NULL-out every 'F' value so that group's sum
@@ -2562,6 +2634,27 @@ object SparkEntry {
     * and the streamed, transactionally-checkpointed maintenance must
     * land the identical state, so they share one from-scratch
     * recompute truth. */
+  /** Shared by ext_mv_rewrite / flow_stream_mv: whether the state was
+    * maintained by a batch fold or a checkpointed delta stream, the
+    * rewrite-served rollup must equal the same from-scratch
+    * recompute. */
+  private val mvRewriteOracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderkey % 4 AS b,
+      |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
+      |  FROM orders
+      |), aft AS (
+      |  SELECT o_orderkey, o_orderstatus, b,
+      |    CAST(CASE WHEN o_orderstatus = 'F' THEN NULL
+      |              WHEN o_orderkey % 3 = 0 THEN v + 100
+      |              ELSE v END AS DECIMAL(12,2)) AS v
+      |  FROM base WHERE o_orderstatus <> 'P'
+      |)
+      |SELECT o_orderstatus, count(*) AS n, count(v) AS nn_v,
+      |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
+      |FROM aft WHERE b <> 2 GROUP BY o_orderstatus""".stripMargin
+
   private val ivmMaintainOracleSql: String =
     """WITH base AS (
       |  SELECT o_orderkey, o_orderstatus,
@@ -2860,22 +2953,11 @@ object SparkEntry {
     // same churn derivation as ext_ivm_maintain plus the b bucket;
     // the rewrite answers from the maintained state, the oracle
     // recomputes from scratch — values must match exactly
-    "ext_mv_rewrite" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, o_orderkey % 4 AS b,
-        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
-        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
-        |  FROM orders
-        |), aft AS (
-        |  SELECT o_orderkey, o_orderstatus, b,
-        |    CAST(CASE WHEN o_orderstatus = 'F' THEN NULL
-        |              WHEN o_orderkey % 3 = 0 THEN v + 100
-        |              ELSE v END AS DECIMAL(12,2)) AS v
-        |  FROM base WHERE o_orderstatus <> 'P'
-        |)
-        |SELECT o_orderstatus, count(*) AS n, count(v) AS nn_v,
-        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
-        |FROM aft WHERE b <> 2 GROUP BY o_orderstatus""".stripMargin,
+    "ext_mv_rewrite" -> mvRewriteOracleSql,
+
+    // the STREAM-maintained state must serve the identical rollup
+    // through the rewrite — one truth for batch and streaming MV
+    "flow_stream_mv" -> mvRewriteOracleSql,
 
     "flow_stream_extrema" ->
       """WITH changes AS (
