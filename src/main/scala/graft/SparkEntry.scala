@@ -2589,6 +2589,21 @@ object SparkEntry {
         tbl(s, dir, "documents").select(length(col("text")).cast("long").as("doc_len")),
         "doc_len", 16)),
 
+    // N-gram LM scoring statistics (CCNet-style quality signal): a
+    // word-bigram model counted over the reference third of the
+    // corpus, every other document scored against it — per doc the
+    // bigram total, how many the model knows, and the summed model
+    // counts, all integers (the caller's smoothing/log-prob math
+    // never crosses the engine boundary). One model aggregate + one
+    // bigram-keyed LEFT join; minModelCount prunes the Zipf tail
+    // until the model broadcasts
+    "ext_lm_bigram" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TextAnalysis.lmBigramStats(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 3 === 0))
+    }),
+
     // BPE training statistics — adjacent-character pair counts over
     // the (distinct word, corpus count) table: the corpus reduces
     // once to distinct words (the only token-sized shuffle), every
@@ -4221,6 +4236,30 @@ object SparkEntry {
         |SELECT ((v - lo) * 16) // (hi - lo + 1) AS bin,
         |  count(*) AS n, lo, hi
         |FROM v, r GROUP BY 1, lo, hi""".stripMargin,
+
+    // identical tokenization and bigram windows; the model CTE is the
+    // reference third, the LEFT join preserves per-occurrence
+    // multiplicity (model bigrams are unique)
+    "ext_lm_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |                w -> length(w) > 0) AS a
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM d
+        |), dbg AS (
+        |  SELECT doc_id, a[i] || ' ' || a[i + 1] AS bg FROM idx
+        |), model AS (
+        |  SELECT bg, count(*) AS model_n FROM dbg
+        |  WHERE doc_id % 3 = 0 GROUP BY bg
+        |)
+        |SELECT s.doc_id, count(*) AS n_bigrams,
+        |  count(m.model_n) AS n_known,
+        |  CAST(coalesce(sum(m.model_n), 0) AS BIGINT) AS sum_model_n
+        |FROM dbg s LEFT JOIN model m USING (bg)
+        |WHERE s.doc_id % 3 <> 0
+        |GROUP BY s.doc_id""".stripMargin,
 
     // the same two-stage reduction: distinct words with corpus
     // counts, then every 2-char window weighted by its word's count

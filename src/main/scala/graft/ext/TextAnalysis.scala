@@ -300,6 +300,46 @@ object TextAnalysis {
     scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
 
+  /** N-gram language-model scoring statistics — the CCNet-style
+    * "perplexity vs a reference corpus" quality signal, reduced to
+    * its INTEGER sufficient statistics so the verdict is bit-portable:
+    * a word-bigram model counted over `reference`, then per scored
+    * document the number of bigrams, how many the model knows, and
+    * the summed model counts. The caller turns these (plus any
+    * smoothing) into log-probabilities; the floats never cross an
+    * engine boundary.
+    *
+    * Scale: the model build is one bigram-keyed aggregate over the
+    * reference; scoring is one LEFT join keyed on bigrams — prune the
+    * model with `minModelCount` (rare-bigram mass dominates the
+    * model's cardinality, Zipf) until it broadcasts and the scored
+    * corpus never shuffles. Documents with fewer than two tokens have
+    * no bigrams and emit no row (SQL aggregate-of-nothing semantics).
+    */
+  def lmBigramStats(
+      scored: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      minModelCount: Long = 1L): DataFrame = {
+    def toks = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    // slice length must not go negative on an EMPTY token array
+    def nPairs = greatest(size(toks) - 1, lit(0))
+    def bigramCol = explode(zip_with(
+      slice(toks, lit(1), nPairs),
+      slice(toks, lit(2), nPairs),
+      (a, b) => concat_ws(" ", a, b))).as("bg")
+    val model = reference.select(bigramCol)
+      .groupBy("bg").agg(count(lit(1)).as("model_n"))
+      .where(col("model_n") >= minModelCount)
+    scored.select(col("doc_id"), bigramCol)
+      .join(model, Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("model_n")).as("n_known"),
+        coalesce(sum("model_n"), lit(0L)).as("sum_model_n"))
+  }
+
   /** Language-ID heuristic: stopword-marker occurrence counting per
     * candidate language + CJK codepoint detection; argmax with a fixed
     * tie-break order (en > es > fr > de > und). */

@@ -702,4 +702,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(2L) == "es")
     assert(out(3L) == "und")
   }
+  test("lmBigramStats: hand-checked model counts, OOV, short docs absent") {
+    val ref = Seq(
+      (100L, "the cat sat"),        // bigrams: "the cat", "cat sat"
+      (101L, "the cat ran"),        // "the cat", "cat ran"
+      (102L, "x")                   // no bigrams
+    ).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "the cat sat down"),     // the-cat(2) cat-sat(1) sat-down(OOV)
+      (2L, "dogs bark"),            // dogs-bark(OOV)
+      (3L, "hi"),                   // < 2 tokens: no row
+      (4L, "")                      // empty: no row
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.lmBigramStats(scored, ref)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(out === Map(
+      1L -> ((3L, 2L, 3L)),         // 3 bigrams, 2 known, counts 2+1
+      2L -> ((1L, 0L, 0L))))
+    // frequency pruning drops the count-1 tail: only "the cat" stays
+    val pruned = graft.ext.TextAnalysis.lmBigramStats(
+        scored, ref, minModelCount = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(pruned(1L) === ((3L, 1L, 2L)))
+  }
 }
