@@ -506,6 +506,21 @@ object ScaleCheck {
             T.diff(col("sa"), col("sb")).as("d"))
           .count()
       }, events, "event_id"),
+      // BPE training: the corpus reduces once to DISTINCT words —
+      // replication grows rows k× but the distinct-word table not at
+      // all, so the per-iteration pair counts are flat and only the
+      // initial reduce scales; expect strongly sublinear
+      ("bpe_learn", (df: DataFrame) =>
+        Bpe.learn(df, "text", numMerges = 4).length.toLong,
+        docs, "doc_id"),
+      // Bigram LM scoring: one model aggregate + one bigram-keyed
+      // LEFT join; replicated text grows both sides' rows k× but the
+      // model's DISTINCT bigrams not at all — expect ~scan-linear
+      ("lm_bigram", (df: DataFrame) =>
+        TextAnalysis.lmBigramStats(
+          df.where(col("doc_id") % 3 =!= 0),
+          df.where(col("doc_id") % 3 === 0)).count(),
+        docs, "doc_id"),
       // Expectation suite: scalar rules share one scan; uniqueness is
       // one keyed exchange; RI is a broadcast anti against the FIXED
       // customer dim — expect ~scan-linear
@@ -627,6 +642,51 @@ object ScaleCheck {
           println(f"${s"${tag}_$mode"}%-18s $t1%8.2f $tk%8.2f ${tk / t1}%7.2f  $n1 -> $nk")
         }
       }
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
+
+    // MV rewrite wants the read/maintain separation: the statement is
+    // the READ path — the state-served aggregate stays FLAT as the
+    // base grows (the state is group-sized: 12 groups at any k here)
+    // while the rule-off plan pays the base scan. The state build is
+    // untimed: production states are maintained incrementally
+    // (maintainAgg / the delta stream), never rebuilt per query.
+    if (only.exists(_.contains("mv_rewrite"))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-mv").toString
+      def prep(d: DataFrame, tag: String): String = {
+        val basePath = s"$root/$tag/base"
+        val statePath = s"$root/$tag/state"
+        d.select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 4).as("b"),
+            col("o_totalprice").cast("decimal(12,2)").as("v"))
+          .write.parquet(basePath)
+        graft.operators.Cdc.aggState(spark.read.parquet(basePath),
+          Seq("o_orderstatus", "b"), Seq("v")).write.parquet(statePath)
+        graft.plans.MvCatalog.register(basePath,
+          graft.plans.MvDef(Seq("o_orderstatus", "b"), Seq("v"), statePath))
+        basePath
+      }
+      val p1 = prep(orders, "x1")
+      val pk = prep(grow(orders, "o_orderkey"), "xk")
+      def q(path: String) = spark.read.parquet(path)
+        .where(col("b") =!= 2).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      def bench(path: String, rewrite: Boolean): Double = {
+        spark.conf.set("spark.graft.mv.rewrite", rewrite.toString)
+        val (t, _) = timed(q(path).count())
+        graft.core.Sessions.settle(spark)
+        t
+      }
+      val r1 = bench(p1, rewrite = true)
+      val rk = bench(pk, rewrite = true)
+      val b1 = bench(p1, rewrite = false)
+      val bk = bench(pk, rewrite = false)
+      println(f"mv_read           $r1%8.2f $rk%8.2f ${rk / r1}%7.2f  state-served (flat is the statement)")
+      println(f"mv_base_agg       $b1%8.2f $bk%8.2f ${bk / b1}%7.2f  rule-off base scan (pays k)")
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      graft.plans.MvCatalog.clear()
       new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
         .truncate(root)
     }

@@ -1664,6 +1664,15 @@ object SparkEntry {
     "ext_dedup_ngram" -> ((s, dir) =>
       DedupOps.ngramJaccard(tbl(s, dir, "documents"), numOverDen = (1, 3))),
 
+    // Edit-distance near-dup: prefix-blocked candidate pairs (one
+    // equality shuffle, no all-pairs) + the length bound edit
+    // distance implies, verified by THRESHOLD-bounded Levenshtein
+    // over a 256-char window (early-exit: O(window·maxEdits) per
+    // pair). Fixture text is pure ASCII, so char-based Spark and
+    // DuckDB distances agree byte-for-byte.
+    "ext_dedup_edit" -> ((s, dir) =>
+      DedupOps.editDistanceNearDup(tbl(s, dir, "documents"))),
+
     // Train/eval decontamination: training docs sharing any 13-token
     // n-gram with the (deterministic doc_id % 97 subset) eval set.
     // Eval shingles broadcast; the corpus never shuffles.
@@ -2335,6 +2344,22 @@ object SparkEntry {
         .withColumn("last_event", last(col("event_id")).over(full))
         .withColumn("second_event", nth_value(col("event_id"), 2).over(full))
     }),
+
+    // Unpivot / melt (Spark's Dataset.unpivot — the wide→long
+    // reshape): four measure columns become (metric, value) rows,
+    // values passing through untouched (no arithmetic crosses the
+    // engine boundary). Shuffle-free: unpivot is a Generate-style
+    // projection, 4× the rows, same partitioning
+    "cap_unpivot" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "value")),
 
     // Dynamic partition pruning: the fact lands hive-partitioned on
     // l_returnflag; joining it to a dim FILTERED on the other side
@@ -3567,6 +3592,20 @@ object SparkEntry {
       s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, inter, uni FROM pairs""".stripMargin,
 
+    // same prefix block, length bound, and windowed distance; the
+    // fixtures are ASCII so the engines' Levenshtein semantics align
+    "ext_dedup_edit" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 256) AS w,
+        |    substr(text, 1, 8) AS pfx, length(substr(text, 1, 256)) AS len
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.pfx = b.pfx
+        |WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 3
+        |  AND levenshtein(a.w, b.w) <= 3""".stripMargin,
+
     // Exact 3-word-shingle Jaccard all-pairs — the semantic spec the
     // MinHash+LSH pipeline approximates; at fixture banding recall is
     // 1.0, so the pipeline output equals this exactly. Short docs
@@ -4012,6 +4051,21 @@ object SparkEntry {
         |SELECT o_custkey, 'only_h1' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
         |UNION ALL
         |SELECT o_custkey, 'only_h2' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin,
+
+    // the portable spelling of UNPIVOT: one UNION ALL branch per
+    // measure, metric labels = the source column names
+    "cap_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem""".stripMargin,
 
     // same join+agg with the dim CTE; DuckDB sees no partitioning —
     // pruning must be invisible in values

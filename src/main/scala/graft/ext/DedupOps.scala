@@ -121,6 +121,48 @@ object DedupOps {
       .agg(count(lit(1)).as("n_repeated_spans"))
   }
 
+  /** Edit-distance near-duplicate pairs: prefix-blocked candidates
+    * verified by Levenshtein over a fixed character window. The
+    * block key is the first `prefixLen` characters (near-identical
+    * documents cannot escape an equality block that small without
+    * editing inside it — the standard blocking assumption, shared
+    * with every banding scheme here), refined by the length bound
+    * edit distance implies — on the WINDOWED strings, since that is
+    * what gets compared (two docs identical for `window` chars are
+    * near-dups here regardless of how their tails diverge);
+    * verification computes the THRESHOLD-bounded Levenshtein
+    * (early-exit — cost O(window · maxEdits), not O(window²)) over
+    * the first `window` characters. Emits (low id, high id, dist).
+    *
+    * 100 TB posture: one equality shuffle on the prefix — no
+    * all-pairs term anywhere; the window caps per-pair verify cost.
+    * A pathological shared prefix (boilerplate headers) makes one
+    * hot block — widen `prefixLen` or strip boilerplate first
+    * ([[TextAnalysis.removeBoilerplateLines]]), the same mitigation
+    * family as every blocked near-dup.
+    */
+  def editDistanceNearDup(
+      docs: DataFrame,
+      maxEdits: Int = 3,
+      prefixLen: Int = 8,
+      window: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxEdits >= 0 && prefixLen >= 1 && window >= prefixLen,
+      "editDistanceNearDup needs maxEdits >= 0, prefixLen >= 1, window >= prefixLen")
+    def side(tag: String) = docs.select(
+      col(idCol).as(s"id_$tag"),
+      substring(col(textCol), 1, window).as(s"w_$tag"),
+      substring(col(textCol), 1, prefixLen).as("pfx"),
+      length(substring(col(textCol), 1, window)).as(s"len_$tag"))
+    side("a").join(side("b"), Seq("pfx"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxEdits)
+      .withColumn("dist", levenshtein(col("w_a"), col("w_b"), maxEdits))
+      .where(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
+  }
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     // Norms are computed once per vector, not once per pair (the
     // pair-level expression stays dot/(normA*normB) — identical IEEE

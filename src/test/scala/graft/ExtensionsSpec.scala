@@ -727,4 +727,16 @@ class ExtensionsSpec extends AnyFunSuite {
       .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
     assert(pruned(1L) === ((3L, 1L, 2L)))
   }
+  test("editDistanceNearDup: windowed threshold verify on prefix blocks") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumped"),   // dist 2 vs doc 1 ("s" -> "ed")
+      (3L, "the quick brown cat jumps"),    // dist 3 vs doc 1 (fox -> cat); 5 vs doc 2
+      (4L, "THE quick brown fox jumps"),    // prefix differs: never a candidate
+      (5L, "the quick brown fox leaps far away then rests")  // too far: > 3 edits
+    ).toDF("doc_id", "text")
+    val out = graft.ext.DedupOps.editDistanceNearDup(docs, maxEdits = 3, prefixLen = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 2L, 2), (1L, 3L, 3)))
+  }
 }
