@@ -468,4 +468,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"),
       s"repetition must be the map-side sequence explode:\n$plan")
   }
+  test("mv rewrite: state-served plan is one exchange over the pruned state scan") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-mv").toString
+    val base = SparkEntry.tbl(spark, sf, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("v"))
+    base.write.parquet(s"$root/base")
+    graft.operators.Cdc.aggState(base, Seq("o_orderstatus"), Seq("v"))
+      .write.parquet(s"$root/state")
+    graft.plans.MvCatalog.register(s"$root/base",
+      graft.plans.MvDef(Seq("o_orderstatus"), Seq("v"), s"$root/state"))
+    try {
+      val plan = spark.read.parquet(s"$root/base")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"state rollup must be one group-key shuffle:\n$plan")
+      // explicit pruning Project: the scan reads only the columns the
+      // rollup needs (group col, n, sum_v), not the whole state row
+      assert(plan.contains("ReadSchema: struct<o_orderstatus:string,n:bigint,sum_v:decimal(38,6)>"),
+        s"state scan must prune to the used columns:\n$plan")
+    } finally {
+      graft.plans.MvCatalog.clear()
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
+  }
+
+  test("bpe pair stats: two exchanges (word reduce, pair reduce), map-side partials") {
+    val plan = graft.ext.Bpe.pairStats(
+      SparkEntry.tbl(spark, sf, "documents"), "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"pair stats is word-reduce + pair-reduce, nothing more:\n$plan")
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      s"both reduces must combine map-side:\n$plan")
+  }
 }
