@@ -708,6 +708,43 @@ object SparkEntry {
       out
     }),
 
+    // Join elimination over a registered (and runtime-VERIFIED)
+    // unique key: the query left-joins every order to its customer —
+    // the generated-view shape — but reads no customer column, so
+    // the injected rule drops the join and the whole dimension scan
+    // (unique key ⇒ no duplication; LEFT ⇒ no loss). The in-query
+    // REQUIREs prove the optimized plan has NO join and never scans
+    // the customer table; the oracle EXECUTES the join — elimination
+    // must be invisible in values.
+    "ext_join_elim" -> ((s, dir) => {
+      val dimPath = s"$dir/customer.parquet"
+      graft.plans.ConstraintCatalog.registerUnique(
+        s, dimPath, Seq("c_custkey"), verify = true)
+      try {
+        val o = tbl(s, dir, "orders")
+        val q = o.join(s.read.parquet(dimPath),
+            o("o_custkey") === col("c_custkey"), "left")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_key"))
+        val plan = q.queryExecution.optimizedPlan
+        require(plan.collectFirst {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }.isEmpty, s"join was not eliminated:\n$plan")
+        val scanned = plan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(!scanned.exists(_.contains("customer")),
+          s"dimension must not be scanned: ${scanned.mkString(", ")}")
+        q
+      } finally graft.plans.ConstraintCatalog.unregister(dimPath)
+    }),
+
     // IVM: bootstrap aggregate state over orders, churn the snapshot
     // (delete ALL of status 'P' so that group's count reaches zero
     // and it vanishes; NULL-out every 'F' value so that group's sum
@@ -2988,6 +3025,14 @@ object SparkEntry {
     // aggregate recompute over the churned (after) snapshot — the
     // incremental counting-algorithm result must hash-match it,
     // vanished group absent, all-NULL group's sum NULL
+    // the oracle RUNS the join the engine eliminated — semantic
+    // equality is the whole claim
+    "ext_join_elim" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
     "ext_ivm_maintain" -> ivmMaintainOracleSql,
 
     // same churn derivation as ext_ivm_maintain plus the b bucket;

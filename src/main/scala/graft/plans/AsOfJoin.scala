@@ -270,6 +270,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteAsOfJoin)
     e.injectOptimizerRule(session => new MvRewriteRule(session))
+    e.injectOptimizerRule(session => new JoinElimRule(session))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
