@@ -2382,6 +2382,51 @@ object SparkEntry {
         .withColumn("second_event", nth_value(col("event_id"), 2).over(full))
     }),
 
+    // TTL retention as metadata: the month-partitioned fact expires
+    // everything before 1997-01 by DELETING partition directories —
+    // no data file opened, decoded, or rewritten; O(partitions
+    // dropped) at any table size, the reason time-organized lakes
+    // partition by date. The oracle filters the unpartitioned fixture
+    // — directory drops must equal row-level predicate semantics.
+    "flow_retention" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-retention").toString
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .write.partitionBy("ym").parquet(s"$root/fact")
+      val dropped = graft.sinks.Retention.dropPartitionsBelow(
+        s, s"$root/fact", "ym", "1997-01")
+      require(dropped.nonEmpty && dropped.forall(_ < "1997-01"),
+        s"retention dropped the wrong partitions: ${dropped.mkString(", ")}")
+      val out = s.read.parquet(s"$root/fact")
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // VARIANT (Spark 4's semi-structured type): the same
+    // deterministic concat-built JSON, parsed ONCE into a variant
+    // value and path-extracted with typed variant_get — the
+    // schema-on-read shape for ingest columns whose structure drifts.
+    // Shuffle-free projection.
+    "cap_variant" -> ((s, dir) => {
+      val js = concat(
+        lit("{\"k\": {\"id\": "), col("o_orderkey"),
+        lit(", \"st\": \""), col("o_orderstatus"), lit("\"}, \"pr\": \""),
+        col("o_orderpriority"), lit("\"}"))
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), parse_json(js).as("v"))
+        .select(
+          col("o_orderkey"),
+          variant_get(col("v"), "$.k.st", "string").as("st_v"),
+          variant_get(col("v"), "$.k.id", "bigint").as("id_v"),
+          variant_get(col("v"), "$.pr", "string").as("pr_v"))
+    }),
+
     // Unpivot / melt (Spark's Dataset.unpivot — the wide→long
     // reshape): four measure columns become (metric, value) rows,
     // values passing through untouched (no arithmetic crosses the
@@ -4096,6 +4141,29 @@ object SparkEntry {
         |SELECT o_custkey, 'only_h1' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
         |UNION ALL
         |SELECT o_custkey, 'only_h2' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin,
+
+    // row-level filter semantics the directory drops must reproduce
+    "flow_retention" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |GROUP BY 1""".stripMargin,
+
+    // identical strings, identical paths — variant extraction must
+    // agree with plain JSON extraction
+    "cap_variant" ->
+      """WITH j AS (
+        |  SELECT o_orderkey,
+        |    '{"k": {"id": ' || o_orderkey || ', "st": "' || o_orderstatus ||
+        |      '"}, "pr": "' || o_orderpriority || '"}' AS js
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |  json_extract_string(js, '$.k.st') AS st_v,
+        |  CAST(json_extract_string(js, '$.k.id') AS BIGINT) AS id_v,
+        |  json_extract_string(js, '$.pr') AS pr_v
+        |FROM j""".stripMargin,
 
     // the portable spelling of UNPIVOT: one UNION ALL branch per
     // measure, metric labels = the source column names
