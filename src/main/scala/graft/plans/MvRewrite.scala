@@ -65,7 +65,11 @@ import org.apache.spark.sql.types.LongType
   * guarantees when every delta has been applied). The rule can be
   * disabled per-session with `spark.graft.mv.rewrite=false`.
   */
-case class MvDef(groupCols: Seq[String], sumCols: Seq[String], statePath: String)
+case class MvDef(
+    groupCols: Seq[String],
+    sumCols: Seq[String],
+    statePath: String,
+    baseSignature: Option[String] = None)
 
 /** Process-wide registry base-path → view definition. Paths compare
   * by filesystem path (scheme/authority-stripped — local and
@@ -81,6 +85,43 @@ object MvCatalog {
     require(mv.groupCols.nonEmpty, "materialized view needs group columns")
     mvs.put(normalize(basePath), mv)
   }
+
+  /** File-set fingerprint of a table directory: every data file's
+    * (path, length, mtime) folded into one hash. One recursive
+    * driver-side listing — the same order of work the relation's own
+    * file index pays per query. */
+  def signature(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.toUri.getPath
+      // same visibility rule as the scan: no hidden/metadata files
+      if (!name.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+        entries += s"$name:${st.getLen}:${st.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Registers with the CURRENT base file-set pinned: the rewrite
+    * then fires only while the base is bit-identical to what the
+    * state reflects — any append/rewrite/delete under the base path
+    * makes queries silently FALL BACK to the base scan (correct,
+    * just unaccelerated) until the state is refreshed and
+    * re-registered. Freshness stops being a caller promise and
+    * becomes a checked precondition. */
+  def registerFresh(
+      spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      statePath: String): Unit =
+    register(basePath, MvDef(groupCols, sumCols, statePath,
+      baseSignature = Some(signature(spark, basePath))))
   def unregister(basePath: String): Unit = mvs.remove(normalize(basePath))
   def clear(): Unit = mvs.clear()
   def lookup(basePath: String): Option[MvDef] =
@@ -132,6 +173,11 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case Some(m) => m
       case None => return None
     }
+    // freshness-pinned views only serve a base identical to the one
+    // their state reflects — a drifted file set falls back to the
+    // base scan (correct, unaccelerated) instead of a stale answer
+    if (mv.baseSignature.exists(_ != MvCatalog.signature(session, roots.head.toString)))
+      return None
 
     // base attribute ids -> view column names (post-pruning the
     // relation still binds the original names)

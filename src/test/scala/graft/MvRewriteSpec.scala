@@ -201,4 +201,31 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     // the vanished group emits no row on either path
     assert(!q.collect().exists(r => r.getString(0) == "C"))
   }
+  test("freshness pin: a drifted base falls back to the base scan until re-registered") {
+    val basePath = tmp("fresh-base")
+    val statePath = tmp("fresh-state")
+    baseDf.write.mode("overwrite").parquet(basePath)
+    Cdc.aggState(spark.read.parquet(basePath), Seq("g1", "g2"), Seq("v", "q"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.registerFresh(spark, basePath, Seq("g1", "g2"), Seq("v", "q"), statePath)
+    def q = spark.read.parquet(basePath).groupBy("g1")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+    assert(scansState(q, statePath, basePath), "pinned view must serve while fresh")
+
+    // the base drifts: append a row the state has never seen
+    baseDf.where(col("g1") === "A" && col("g2") === 2)
+      .write.mode("append").parquet(basePath)
+    val paths = scanPaths(q)
+    assert(paths.exists(_.startsWith(basePath)) && !paths.exists(_.startsWith(statePath)),
+      "drifted base must fall back to the base scan")
+    // and the fallback answer reflects the NEW rows (correct, unaccelerated)
+    assert(q.where(col("g1") === "A").select("n").as[Long].head() === 4L)
+
+    // refresh the state, re-pin: serving resumes
+    Cdc.aggState(spark.read.parquet(basePath), Seq("g1", "g2"), Seq("v", "q"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.registerFresh(spark, basePath, Seq("g1", "g2"), Seq("v", "q"), statePath)
+    assert(scansState(q, statePath, basePath), "re-pinned view must serve again")
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
 }
