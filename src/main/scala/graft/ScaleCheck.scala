@@ -513,6 +513,13 @@ object ScaleCheck {
       ("bpe_learn", (df: DataFrame) =>
         Bpe.learn(df, "text", numMerges = 4).length.toLong,
         docs, "doc_id"),
+      // Edit-distance near-dup: prefix-blocked join — replica twins
+      // share prefixes, so like every near-dup here the TRUE pair set
+      // inflates quadratically in k and the ratio bounds worst-case
+      // behavior, not typical growth
+      ("edit_dedup", (df: DataFrame) =>
+        DedupOps.editDistanceNearDup(df).count(),
+        docs, "doc_id"),
       // Bigram LM scoring: one model aggregate + one bigram-keyed
       // LEFT join; replicated text grows both sides' rows k× but the
       // model's DISTINCT bigrams not at all — expect ~scan-linear

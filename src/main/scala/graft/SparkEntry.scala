@@ -2382,6 +2382,39 @@ object SparkEntry {
         .withColumn("second_event", nth_value(col("event_id"), 2).over(full))
     }),
 
+    // SQL pipe syntax (Spark 4's |> operators): the linear FROM →
+    // WHERE → AGGREGATE spelling of the same relational plan — the
+    // surface parses into the identical Catalyst Aggregate, so this
+    // grades the parser path, not new semantics
+    "cap_sql_pipe" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("pipe_orders")
+      s.sql(
+        """FROM pipe_orders
+          ||> WHERE o_orderstatus <> 'P'
+          ||> AGGREGATE count(*) AS n, sum(o_orderkey) AS sum_key
+          |   GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    // Calendar gap-filling: every (user, hour) slot between each
+    // user's first and last event, zero-filled where no event landed
+    // — the generator shape a plain GROUP BY cannot produce (missing
+    // hours have no input row). Per-user sequence() explode over the
+    // group-sized bounds table + one LEFT join; the spine generator
+    // is bounded by each user's own span.
+    "cap_gapfill" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        // date_trunc yields LTZ; session is UTC, so the NTZ cast is
+        // lossless and matches the oracle's naive timestamps
+        .select(col("user_id"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      val bounds = e.groupBy("user_id").agg(min("h").as("lo"), max("h").as("hi"))
+      val spine = bounds.select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      val counts = e.groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     // TTL retention as metadata: the month-partitioned fact expires
     // everything before 1997-01 by DELETING partition directories —
     // no data file opened, decoded, or rewritten; O(partitions
@@ -4141,6 +4174,29 @@ object SparkEntry {
         |SELECT o_custkey, 'only_h1' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
         |UNION ALL
         |SELECT o_custkey, 'only_h2' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin,
+
+    // the pipe chain must equal its classic spelling
+    "cap_sql_pipe" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // generate_series replays the per-user hourly spine
+    "cap_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, min(h) AS lo, max(h) AS hi FROM e GROUP BY user_id
+        |), spine AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM b
+        |), c AS (
+        |  SELECT user_id, h, count(*) AS n FROM e GROUP BY 1, 2
+        |)
+        |SELECT s.user_id, s.h, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM spine s LEFT JOIN c ON s.user_id = c.user_id AND s.h = c.h""".stripMargin,
 
     // row-level filter semantics the directory drops must reproduce
     "flow_retention" ->
