@@ -2729,6 +2729,26 @@ object SparkEntry {
         tbl(s, dir, "documents").select(length(col("text")).cast("long").as("doc_len")),
         "doc_len", 16)),
 
+    // REAL container-header parsing, oracle-graded through a binary
+    // round-trip: the engine BUILDS valid PNG byte streams (signature
+    // + IHDR with big-endian dimensions derived from doc_id), then
+    // the byte-walking HeaderParser reads the dimensions back out of
+    // the raw bytes — no codec library, no stub; the oracle replays
+    // the arithmetic the bytes encoded. Shuffle-free map partition.
+    "ext_multimodal_headers" -> ((s, dir) => {
+      def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+      val pngSig = lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47,
+        0x0d, 0x0a, 0x1a, 0x0a))
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        concat(pngSig,
+          be32(lit(13)), lit("IHDR".getBytes("US-ASCII")),
+          be32(col("doc_id") % 1000 + 1),
+          be32(col("doc_id") % 700 + 1),
+          lit(Array[Byte](8, 6, 0, 0, 0))).as("media"))
+      graft.ext.Multimodal.parseHeaders(s, media).toDF()
+    }),
+
     // N-gram LM scoring statistics (CCNet-style quality signal): a
     // word-bigram model counted over the reference third of the
     // corpus, every other document scored against it — per doc the
@@ -4459,6 +4479,13 @@ object SparkEntry {
         |SELECT ((v - lo) * 16) // (hi - lo + 1) AS bin,
         |  count(*) AS n, lo, hi
         |FROM v, r GROUP BY 1, lo, hi""".stripMargin,
+
+    // the arithmetic the engine encoded into real PNG bytes and
+    // parsed back — the byte round-trip happens engine-side
+    "ext_multimodal_headers" ->
+      """SELECT doc_id, 'png' AS format,
+        |  doc_id % 1000 + 1 AS width, doc_id % 700 + 1 AS height
+        |FROM documents""".stripMargin,
 
     // identical tokenization and bigram windows; the model CTE is the
     // reference third, the LEFT join preserves per-occurrence

@@ -52,6 +52,73 @@ object Multimodal {
     }
   }
 
+  final case class HeaderMeta(
+      doc_id: Long,
+      format: String,
+      width: Long,
+      height: Long)
+
+  /** REAL container-header parsing — no codec library involved, so
+    * nothing here is stubbed: image dimensions live in the first few
+    * bytes of every mainstream container, and reading them is pure
+    * byte arithmetic. This is the production fast path for corpus
+    * audit (resolution filters, aspect-ratio stats, thumbnail
+    * planning) — full pixel decode stays behind [[Decoder]].
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk fixes width and
+    *    height as big-endian u32 at offsets 16 and 20,
+    *  - GIF (87a/97a): little-endian u16 at offsets 6 and 8,
+    *  - JPEG: segment walk from SOI to the first frame header
+    *    (SOF0–SOF15 minus DHT/DAC/RST), height/width big-endian u16
+    *    at +5/+7 inside it — APP/COM segments of any length skip by
+    *    their declared size,
+    *  - anything else (or truncated): `("unknown", -1, -1)` — audit
+    *    rows, never exceptions (quarantine-not-crash, §1.3).
+    */
+  object HeaderParser extends Serializable {
+    private def beU32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def beU16(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 8) | (b(i + 1) & 0xffL)
+    private def leU16(b: Array[Byte], i: Int): Long =
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+
+    private val PngSig =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    def parse(docId: Long, bytes: Array[Byte]): HeaderMeta = {
+      def unknown = HeaderMeta(docId, "unknown", -1L, -1L)
+      if (bytes == null) unknown
+      else if (bytes.length >= 24 && bytes.startsWith(PngSig))
+        HeaderMeta(docId, "png", beU32(bytes, 16), beU32(bytes, 20))
+      else if (bytes.length >= 10 &&
+          bytes.startsWith("GIF8".getBytes("US-ASCII")))
+        HeaderMeta(docId, "gif", leU16(bytes, 6), leU16(bytes, 8))
+      else if (bytes.length >= 4 &&
+          (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+        var i = 2
+        while (i + 9 < bytes.length && (bytes(i) & 0xff) == 0xff) {
+          val marker = bytes(i + 1) & 0xff
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof)
+            return HeaderMeta(docId, "jpeg", beU16(bytes, i + 7), beU16(bytes, i + 5))
+          i += 2 + beU16(bytes, i + 2).toInt
+        }
+        unknown
+      } else unknown
+    }
+  }
+
+  /** Partition-batched REAL header parse: (doc_id, media) →
+    * (doc_id, format, width, height). Shuffle-free; payload bytes
+    * never leave their partition. */
+  def parseHeaders(spark: SparkSession, media: DataFrame): Dataset[HeaderMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(r => HeaderParser.parse(r.doc_id, r.media)))
+  }
+
   /** Binary-column ingestion: any string payload column → opaque
     * binary + byte length (the pass-through posture of §1.3 extended
     * with explicit media typing). */

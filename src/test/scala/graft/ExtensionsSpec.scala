@@ -739,4 +739,41 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(out === Set((1L, 2L, 2), (1L, 3L, 3)))
   }
+  test("HeaderParser: real PNG/GIF/JPEG byte walks, unknown on garbage") {
+    import graft.ext.Multimodal.{HeaderParser, HeaderMeta}
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      bb.put(Array[Byte](8, 6, 0, 0, 0)).array()
+    }
+    assert(HeaderParser.parse(1L, png(800, 600)) === HeaderMeta(1L, "png", 800L, 600L))
+    // dims above 2^15 must not go negative (unsigned reads)
+    assert(HeaderParser.parse(2L, png(70000, 40000)) === HeaderMeta(2L, "png", 70000L, 40000L))
+
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xf0.toByte, 0x00) // 320 x 240 little-endian
+    assert(HeaderParser.parse(3L, gif) === HeaderMeta(3L, "gif", 320L, 240L))
+
+    // JPEG: SOI, APP0 (length 4), COM (length 6), then SOF0 1024 x 768
+    val jpeg = Array[Byte](
+      0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0x00, 0x04, 0x4a, 0x46,
+      0xff.toByte, 0xfe.toByte, 0x00, 0x06, 1, 2, 3, 4,
+      0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08,
+      0x03, 0x00, // height 768
+      0x04, 0x00, // width 1024
+      0x03, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(HeaderParser.parse(4L, jpeg) === HeaderMeta(4L, "jpeg", 1024L, 768L))
+    // progressive (SOF2) parses the same frame header
+    val prog = jpeg.updated(17, 0xc2.toByte)
+    assert(HeaderParser.parse(5L, prog) === HeaderMeta(5L, "jpeg", 1024L, 768L))
+
+    // truncated signature, arbitrary text, DHT-only jpeg, null: audit rows
+    assert(HeaderParser.parse(6L, png(1, 1).take(20)).format === "unknown")
+    assert(HeaderParser.parse(7L, "hello world".getBytes).format === "unknown")
+    assert(HeaderParser.parse(8L, Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc4.toByte, 0x00, 0x04, 0, 0)).format === "unknown")
+    assert(HeaderParser.parse(9L, null).format === "unknown")
+  }
 }
