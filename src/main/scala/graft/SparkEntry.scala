@@ -1729,6 +1729,18 @@ object SparkEntry {
       DedupClusters.clustersLocal(docs, DedupOps.ngramJaccard(docs, numOverDen = (1, 3)))
     }),
 
+    // The edit-distance pair detector composed with the clustering
+    // keep-one machinery: transitively-linked near-identical docs
+    // collapse to components — the full fuzzy-dedup pipeline
+    // (detector → components) on a second pair family, sharing the
+    // recursive-CTE component oracle shape.
+    "ext_dedup_edit_clusters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      DedupClusters.clustersLocal(docs,
+        DedupOps.editDistanceNearDup(docs),
+        aCol = "id_a", bCol = "id_b")
+    }),
+
     // The SAME component truth through the distributed alternating
     // large-star/small-star contraction (keepOnePerCluster's
     // above-cap path — O(log² n) rounds on any topology, no driver
@@ -2380,6 +2392,32 @@ object SparkEntry {
         .withColumn("first_event", first(col("event_id")).over(full))
         .withColumn("last_event", last(col("event_id")).over(full))
         .withColumn("second_event", nth_value(col("event_id"), 2).over(full))
+    }),
+
+    // Parquet AGGREGATE pushdown (DSv2): un-grouped MIN/MAX/COUNT
+    // answered from parquet FOOTER STATISTICS — the scan reads
+    // row-group metadata, not data pages, so the 100 TB audit query
+    // ("how many rows, what key range") costs file listings + footers.
+    // The in-query REQUIRE pins PushedAggregation on the scan; confs
+    // are set/restored around the EAGER materialization.
+    "cap_agg_pushdown" -> ((s, dir) => {
+      val savedV1 = s.conf.get("spark.sql.sources.useV1SourceList")
+      val savedAgg = s.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+      try {
+        s.conf.set("spark.sql.sources.useV1SourceList", "")
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        val q = s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"),
+            count(lit(1)).as("n"))
+        require(q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+          "aggregate must push to the parquet footer scan:\n" +
+            q.queryExecution.executedPlan.toString)
+        q.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.sources.useV1SourceList", savedV1)
+        s.conf.set("spark.sql.parquet.aggregatePushdown", savedAgg)
+      }
     }),
 
     // SQL pipe syntax (Spark 4's |> operators): the linear FROM →
@@ -3867,6 +3905,27 @@ object SparkEntry {
          |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node)
          |SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node""".stripMargin,
 
+    "ext_dedup_edit_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, substr(text, 1, 256) AS w,
+        |    substr(text, 1, 8) AS pfx, length(substr(text, 1, 256)) AS len
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.pfx = b.pfx
+        |  WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 3
+        |    AND levenshtein(a.w, b.w) <= 3
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+        |)
+        |SELECT node AS doc_id, min(root) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
+
     "ext_dedup_clusters_star" ->
       s"""WITH RECURSIVE $ngramPairCtes,
          |edges AS (
@@ -4194,6 +4253,11 @@ object SparkEntry {
         |SELECT o_custkey, 'only_h1' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
         |UNION ALL
         |SELECT o_custkey, 'only_h2' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)""".stripMargin,
+
+    // footer statistics must equal the data-page truth
+    "cap_agg_pushdown" ->
+      """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  count(*) AS n FROM lineitem""".stripMargin,
 
     // the pipe chain must equal its classic spelling
     "cap_sql_pipe" ->

@@ -235,7 +235,12 @@ object DedupClusters {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val labels = parent.keys.map(n => (n, find(n))).toSeq
+    // SNAPSHOT the keys before mapping: find()'s path-compression
+    // writes back into `parent` during the traversal, and iterating
+    // the live keySet view while the map is written loses elements
+    // (observed: 4 of 11 labels silently dropped). An Array detaches
+    // the iteration from the map entirely.
+    val labels = parent.keys.toArray.map(n => (n, find(n))).toSeq
 
     val spark = nodes.sparkSession
     import spark.implicits._

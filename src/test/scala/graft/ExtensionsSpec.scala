@@ -776,4 +776,21 @@ class ExtensionsSpec extends AnyFunSuite {
       0xff.toByte, 0xc4.toByte, 0x00, 0x04, 0, 0)).format === "unknown")
     assert(HeaderParser.parse(9L, null).format === "unknown")
   }
+  test("clustersLocal: live-keySet iteration regression — every union survives labeling") {
+    // the exact 12-edge topology that lost 4 of 11 labels when find()'s
+    // path-compression writes ran against a LIVE keys view (fixed by
+    // snapshotting keys before the label map)
+    val edges = Seq((8L,245L),(45L,413L),(45L,267L),(58L,293L),(61L,185L),
+      (70L,447L),(98L,290L),(166L,323L),(267L,413L),(285L,301L),
+      (393L,420L),(458L,462L))
+    val nodes = (edges.flatMap(e => Seq(e._1, e._2)).distinct ++ Seq(999L))
+      .toDF("doc_id")
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val out = graft.ext.DedupClusters.clustersLocal(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    for ((a, b) <- edges)
+      assert(out(b) === out(a), s"edge ($a,$b) must share a cluster")
+    assert(out(999L) === 999L)
+    assert(out(413L) === 45L && out(185L) === 61L && out(245L) === 8L && out(447L) === 70L)
+  }
 }
