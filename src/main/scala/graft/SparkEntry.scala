@@ -2313,6 +2313,41 @@ object SparkEntry {
             .as("counts_within_bound"))
     }),
 
+    // Count-Min point-frequency sketch over the corpus token stream:
+    // depth×width counters, exact elementwise merge (bit-identical
+    // under any partitioning — CmSketchSpec), answering "how often is
+    // THIS token" in depth·width longs where a GROUP BY ships every
+    // distinct token. Verdicts over the top-200 tokens (bounded
+    // deterministic collect): the NO-UNDERCOUNT direction is a
+    // deterministic law (counters only over-count); the ε-overcount
+    // direction (≤ truth + ceil(e/width·N)) is per-item
+    // probabilistic, deterministic HERE because the fixed-seed hashes
+    // and fixtures are — same epistemics as the ANN bound verdicts.
+    // N itself reads off the sketch (matrix total = depth·N).
+    "ext_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val depth = 5
+      val width = 4096
+      val toks = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("t"))
+        .where(length(col("t")) > 0)
+      val state = toks
+        .agg(graft.functions.CmSketch.state(col("t"), depth, width))
+        .head().getSeq[Long](0).toArray
+      val n = state.sum / depth
+      val bound = math.ceil(math.E / width * n).toLong
+      val probes = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(200)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val ests = probes.map { case (t, c) =>
+        (c, graft.functions.CmSketch.estimate(state, t, depth, width))
+      }
+      Seq((probes.length.toLong,
+        ests.forall { case (c, e) => e >= c },
+        ests.forall { case (c, e) => e <= c + bound }))
+        .toDF("n_probes", "all_lower_ok", "all_upper_ok")
+    }),
+
     // Misra-Gries heavy hitters at k = 64 > |langs| (5): below
     // capacity no decrement ever fires, so the sketch IS the exact
     // GROUP BY histogram and the oracle gates the full
@@ -3526,6 +3561,17 @@ object SparkEntry {
       """SELECT count(*) AS n,
         |  TRUE AS all_frequent_kept, TRUE AS counts_within_bound
         |FROM documents""".stripMargin,
+
+    // the oracle states the probe cardinality and the verdicts the
+    // engine's own exact counts must produce under fixed-seed hashing
+    "ext_countmin" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS t
+        |  FROM documents
+        |), tt AS (SELECT t FROM t WHERE length(t) > 0)
+        |SELECT CAST(least(count(DISTINCT t), 200) AS BIGINT) AS n_probes,
+        |  TRUE AS all_lower_ok, TRUE AS all_upper_ok
+        |FROM tt""".stripMargin,
 
     "cap_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
