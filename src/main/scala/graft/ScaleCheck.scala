@@ -528,6 +528,16 @@ object ScaleCheck {
           df.where(col("doc_id") % 3 =!= 0),
           df.where(col("doc_id") % 3 === 0)).count(),
         docs, "doc_id"),
+      // Count-Min sketch: rows grow k× over a FIXED vocabulary, so
+      // the state stays depth·width longs and the exchange moves one
+      // matrix per partition — expect scan-linear update cost
+      ("cm_sketch", (df: DataFrame) => {
+        val st = df.select(explode(split(col("text"), "\\s+")).as("t"))
+          .where(length(col("t")) > 0)
+          .agg(graft.functions.CmSketch.state(col("t"), 5, 4096))
+          .head().getSeq[Long](0)
+        st.length.toLong
+      }, docs, "doc_id"),
       // Expectation suite: scalar rules share one scan; uniqueness is
       // one keyed exchange; RI is a broadcast anti against the FIXED
       // customer dim — expect ~scan-linear
