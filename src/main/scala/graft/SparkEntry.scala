@@ -2468,6 +2468,27 @@ object SparkEntry {
           |   GROUP BY o_orderstatus""".stripMargin)
     }),
 
+    // Funnel analysis (ordered two-step conversion): per user, the
+    // FIRST click and whether any purchase landed strictly after it
+    // within one hour — the sequence-with-deadline pattern plain
+    // joins express as first-step aggregate → LEFT join the second
+    // step → windowed existence. One group + one key-equi join; at
+    // scale the first-step table is user-sized and broadcasts.
+    "cap_funnel" -> ((s, dir) => {
+      val e = tbl(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_type"))
+      val firstClick = e.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      firstClick.join(purchases, Seq("user_id"), "left")
+        .groupBy("user_id", "first_click")
+        .agg(coalesce(max(
+          when(col("p_ts") > col("first_click") &&
+            col("p_ts") <= col("first_click") + expr("interval 1 hour"), 1)
+            .otherwise(0)), lit(0)).as("converted"))
+    }),
+
     // Calendar gap-filling: every (user, hour) slot between each
     // user's first and last event, zero-filled where no event landed
     // — the generator shape a plain GROUP BY cannot produce (missing
@@ -4311,6 +4332,23 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // the same first-step aggregate + deadline-windowed existence
+    "cap_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |), fc AS (
+        |  SELECT user_id, min(ts) AS first_click FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id
+        |)
+        |SELECT fc.user_id, fc.first_click,
+        |  CAST(coalesce(max(CASE WHEN p.ts > fc.first_click
+        |      AND p.ts <= fc.first_click + INTERVAL 1 HOUR
+        |    THEN 1 ELSE 0 END), 0) AS INTEGER) AS converted
+        |FROM fc LEFT JOIN (
+        |  SELECT user_id, ts FROM e WHERE event_type = 'purchase') p
+        |  ON fc.user_id = p.user_id
+        |GROUP BY fc.user_id, fc.first_click""".stripMargin,
 
     // generate_series replays the per-user hourly spine
     "cap_gapfill" ->

@@ -148,4 +148,19 @@ class JoinElimSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(q.count() === 1L)
     assert(baseline(q).length === 2)
   }
+  test("a CHAIN of unused dimensions drops entirely (fixedpoint re-application)") {
+    val (facts, dimA) = fixture("chain-a")
+    val dimB = tmp("chain-b")
+    Seq((10, "x"), (20, "y")).toDF("mk", "tag")
+      .write.mode("overwrite").parquet(dimB)
+    ConstraintCatalog.registerUnique(spark, dimA, Seq("pk"))
+    ConstraintCatalog.registerUnique(spark, dimB, Seq("mk"))
+    def q = facts
+      .join(dim(dimA), facts("fk") === col("pk"), "left")
+      .join(spark.read.parquet(dimB), facts("m") === col("mk"), "left")
+      .select(facts("fk"), facts("m"))
+      .groupBy("fk").agg(sum("m").as("s"))
+    assert(!hasJoin(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
 }

@@ -228,4 +228,11 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(scansState(q, statePath, basePath), "re-pinned view must serve again")
     assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
   }
+  test("HAVING (a filter above the aggregate) rides on top of the rewrite") {
+    val (basePath, statePath, base) = fixture("having")
+    def q = base.groupBy("g1").agg(sum(col("q")).as("s"))
+      .where(col("s") > 3)
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
 }
