@@ -2468,6 +2468,20 @@ object SparkEntry {
           |   GROUP BY o_orderstatus""".stripMargin)
     }),
 
+    // Higher-order array functions (the codegen'd lambda surface —
+    // transform / filter / aggregate over per-group collected
+    // arrays): one grouped collect, then pure shuffle-free array
+    // projections; sort_array pins the nondeterministic collect
+    // order before anything reads it
+    "cap_hof_arrays" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+        .select(col("l_orderkey"), col("lns"),
+          transform(col("lns"), x => x * 2).as("doubled"),
+          filter(col("lns"), x => x % 2 === 1).as("odds"),
+          aggregate(col("lns"), lit(0), (acc, x) => acc + x).as("ln_sum"))),
+
     // Funnel analysis (ordered two-step conversion): per user, the
     // FIRST click and whether any purchase landed strictly after it
     // within one hour — the sequence-with-deadline pattern plain
@@ -4332,6 +4346,18 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // DuckDB's list lambdas mirror the HOF family; ordered list()
+    // matches sort_array(collect_list)
+    "cap_hof_arrays" ->
+      """SELECT l_orderkey,
+        |  list(l_linenumber ORDER BY l_linenumber) AS lns,
+        |  list_transform(list(l_linenumber ORDER BY l_linenumber),
+        |    x -> x * 2) AS doubled,
+        |  list_filter(list(l_linenumber ORDER BY l_linenumber),
+        |    x -> x % 2 = 1) AS odds,
+        |  CAST(list_aggregate(list(l_linenumber), 'sum') AS INTEGER) AS ln_sum
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
     // the same first-step aggregate + deadline-windowed existence
     "cap_funnel" ->
