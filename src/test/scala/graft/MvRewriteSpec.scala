@@ -235,4 +235,22 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
     assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
   }
+  test("randomized parity sweep: any group subset x filter x agg mix matches the rule-off truth") {
+    val (basePath, statePath, base) = fixture("random")
+    val rnd = new scala.util.Random(271828)
+    val groupChoices = Seq(Seq("g1"), Seq("g2"), Seq("g1", "g2"), Seq.empty)
+    for (i <- 1 to 12) {
+      val groups = groupChoices(rnd.nextInt(groupChoices.length))
+      val aggs = scala.util.Random.javaRandomToRandom(new java.util.Random(i)).shuffle(Seq(
+        count(lit(1)).as(s"n_$i"),
+        count(col("v")).as(s"nv_$i"),
+        sum(col("v")).as(s"sv_$i"),
+        sum(col("q")).as(s"sq_$i"))).take(1 + rnd.nextInt(3))
+      val filtered =
+        if (rnd.nextBoolean()) base.where(col("g2") =!= (1 + rnd.nextInt(3))) else base
+      def q = filtered.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      assert(scansState(q, statePath, basePath), s"case $i (groups=$groups) did not rewrite")
+      assert(q.collect().map(_.toString).sorted.toSeq === baseline(q), s"case $i")
+    }
+  }
 }
