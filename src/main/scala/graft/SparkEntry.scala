@@ -1637,9 +1637,15 @@ object SparkEntry {
 
     // Vocabulary id-encoding: token sequences → integer ids against
     // the corpus top-100 vocabulary (0 = OOV, per-doc OOV audit) —
-    // one vocab aggregation, then a shuffle-free codegen'd encode
+    // one vocab aggregation, then a shuffle-free codegen'd encode.
+    // The id array leaves the query CSV-serialized (lossless for
+    // longs): the driver's pandas harness cannot sort/hash array
+    // cells; the encode path itself is unchanged.
     "ext_encode_ids" -> ((s, dir) =>
-      TextAnalysis.encodeIds(tbl(s, dir, "documents"), vocabSize = 100)),
+      TextAnalysis.encodeIds(tbl(s, dir, "documents"), vocabSize = 100)
+        .select(col("doc_id"),
+          array_join(col("ids").cast("array<string>"), ",").as("ids"),
+          col("n_oov"))),
 
     // Deterministic hash-bucket train/val/test split — stable under
     // corpus growth, shuffle-free, portable arithmetic
@@ -2472,15 +2478,22 @@ object SparkEntry {
     // transform / filter / aggregate over per-group collected
     // arrays): one grouped collect, then pure shuffle-free array
     // projections; sort_array pins the nondeterministic collect
-    // order before anything reads it
+    // order before anything reads it. The array results leave the
+    // query CSV-serialized (array_join over an int array is
+    // lossless): the driver's pandas-based oracle harness cannot
+    // sort/hash array cells, so the gradeable shape is the string —
+    // the lambdas themselves are unchanged and still exercised.
     "cap_hof_arrays" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
-        .select(col("l_orderkey"), col("lns"),
-          transform(col("lns"), x => x * 2).as("doubled"),
-          filter(col("lns"), x => x % 2 === 1).as("odds"),
-          aggregate(col("lns"), lit(0), (acc, x) => acc + x).as("ln_sum"))),
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("__lns"))
+        .select(col("l_orderkey"),
+          array_join(col("__lns").cast("array<string>"), ",").as("lns"),
+          array_join(transform(col("__lns"), x => x * 2)
+            .cast("array<string>"), ",").as("doubled"),
+          array_join(filter(col("__lns"), x => x % 2 === 1)
+            .cast("array<string>"), ",").as("odds"),
+          aggregate(col("__lns"), lit(0), (acc, x) => acc + x).as("ln_sum"))),
 
     // Funnel analysis (ordered two-step conversion): per user, the
     // FIRST click and whether any purchase landed strictly after it
@@ -3727,7 +3740,7 @@ object SparkEntry {
          |  SELECT doc_id, list(id ORDER BY pos) AS ids
          |  FROM enc GROUP BY doc_id)
          |SELECT d.doc_id,
-         |  coalesce(a.ids, CAST([] AS BIGINT[])) AS ids,
+         |  coalesce(array_to_string(a.ids, ','), '') AS ids,
          |  CAST(len(list_filter(coalesce(a.ids, CAST([] AS BIGINT[])),
          |    x -> x = 0)) AS BIGINT) AS n_oov
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
@@ -4348,14 +4361,15 @@ object SparkEntry {
         |GROUP BY o_orderstatus""".stripMargin,
 
     // DuckDB's list lambdas mirror the HOF family; ordered list()
-    // matches sort_array(collect_list)
+    // matches sort_array(collect_list); array_to_string mirrors the
+    // engine's array_join serialization (harness-sortable output)
     "cap_hof_arrays" ->
       """SELECT l_orderkey,
-        |  list(l_linenumber ORDER BY l_linenumber) AS lns,
-        |  list_transform(list(l_linenumber ORDER BY l_linenumber),
-        |    x -> x * 2) AS doubled,
-        |  list_filter(list(l_linenumber ORDER BY l_linenumber),
-        |    x -> x % 2 = 1) AS odds,
+        |  array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lns,
+        |  array_to_string(list_transform(list(l_linenumber ORDER BY l_linenumber),
+        |    x -> x * 2), ',') AS doubled,
+        |  coalesce(array_to_string(list_filter(list(l_linenumber ORDER BY l_linenumber),
+        |    x -> x % 2 = 1), ','), '') AS odds,
         |  CAST(list_aggregate(list(l_linenumber), 'sum') AS INTEGER) AS ln_sum
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
