@@ -921,10 +921,13 @@ object SparkEntry {
     }),
 
     // BM25 statistics served ENTIRELY from the positional index (tf
-    // = size(positions), dl = per-doc position total, df = posting-
-    // list length): ranking never scans the corpus. Graded by the
-    // SAME DuckDB recompute as ext_bm25_stats — the index path must
-    // be value-identical to the corpus path.
+    // = size(positions), df = posting-list length, dl read off the
+    // _doclen sidecar — one O(docs) two-column scan, never an
+    // index-wide fold per query): ranking never scans the corpus.
+    // Build-once-query-many is the production shape, so the build
+    // includes the retrieval-stats sidecars. Graded by the SAME
+    // DuckDB recompute as ext_bm25_stats — the index path must be
+    // value-identical to the corpus path.
     "ext_bm25_indexed" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-bm25idx").toString
@@ -932,6 +935,7 @@ object SparkEntry {
       val corpusPath = s"$root/corpus"
       docs.repartition(2).write.parquet(corpusPath)
       graft.sinks.InvertedIndex.collect(s, corpusPath, "text", "doc_id")
+      graft.sinks.InvertedIndex.buildRetrievalStats(s, corpusPath)
       val out = graft.sinks.InvertedIndex
         .bm25StatsFromIndex(s, corpusPath, "fast key order")
         .localCheckpoint(true)

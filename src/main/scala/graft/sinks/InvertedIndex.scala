@@ -68,6 +68,26 @@ object InvertedIndex {
       .sortWithinPartitions("token", "id")
       .write.mode(SaveMode.Overwrite).parquet(dest)
 
+  /** The index family's layout assumption, ENFORCED at build time: a
+    * document's rows live in ONE data file (appends add new ids,
+    * purge rewrites whole files). The df partials in `_termstats`
+    * and the one-row-per-id `_doclen` read both lean on it — a
+    * document split across files would double-count df and dl. The
+    * check is an index-sized two-column aggregate over the just-
+    * written postings (never the corpus); violations fail LOUDLY
+    * before the index becomes (or replaces) the live one. */
+  private def requireOneFilePerDoc(spark: SparkSession, idxDir: String): Unit = {
+    val offenders = spark.read.parquet(idxDir)
+      .groupBy("id").agg(count_distinct(col("file")).as("__nf"))
+      .where(col("__nf") > 1).limit(5).collect()
+    require(offenders.isEmpty,
+      s"documents present in MORE THAN ONE data file: ids " +
+        s"${offenders.map(_.get(0)).mkString(", ")}${if (offenders.length == 5) ", …" else ""} — " +
+        "the index family's df/dl statistics assume one file per document " +
+        "(append new ids, purge-rewrite whole files); compact the table so " +
+        "each document's rows live in a single file, then rebuild")
+  }
+
   /** Full (re)build. `buckets` sizes the index file count — at test
     * scale a handful; at corpus scale pick ~index-bytes / 128 MB. */
   def collect(
@@ -78,8 +98,16 @@ object InvertedIndex {
       buckets: Int = 4): Unit = {
     val files = BloomIndex.dataFilePaths(spark, table)
     require(files.nonEmpty, s"no data files under $table")
-    writeClustered(
-      postingsOf(spark, table, files, textCol, idCol), indexPath(table), buckets)
+    val idx = indexPath(table)
+    writeClustered(postingsOf(spark, table, files, textCol, idCol), idx, buckets)
+    try requireOneFilePerDoc(spark, idx)
+    catch { case e: Throwable =>
+      // never leave a layout-violating index where queries would
+      // silently trust its statistics
+      new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(idx), true)
+      throw e
+    }
   }
 
   /** Incremental maintenance: postings for files not yet indexed are
@@ -107,6 +135,14 @@ object InvertedIndex {
       if (fresh.isEmpty) kept
       else kept.unionByName(postingsOf(spark, table, fresh, textCol, idCol))
     writeClustered(merged, s"$idx.next", buckets)
+    // layout guard BEFORE the swap: a violating refresh (e.g. an
+    // append that re-introduces an already-indexed id in a new file)
+    // rejects loudly and the CURRENT index stays live and valid
+    try requireOneFilePerDoc(spark, s"$idx.next")
+    catch { case e: Throwable =>
+      fs.delete(new Path(s"$idx.next"), true)
+      throw e
+    }
     fs.delete(new Path(idx), true)
     fs.rename(new Path(s"$idx.next"), new Path(idx))
   }
@@ -176,13 +212,19 @@ object InvertedIndex {
   }
 
   /** BM25 sufficient statistics served ENTIRELY from the index — no
-    * corpus scan at query time: tf reads off `size(positions)`, dl
-    * is the per-document position-count total (an index-sized,
-    * id-keyed aggregate — every word occurrence holds exactly one
-    * position), df counts each query token's posting list. Output
-    * schema and values match [[graft.ext.TextAnalysis.bm25Stats]]
-    * exactly (same oracle grades both): (doc id, token, tf, df, dl)
-    * for documents hitting ≥1 query token. */
+    * corpus scan at query time: tf reads off `size(positions)`, df
+    * counts each query token's posting list, and dl comes from the
+    * `_doclen` sidecar when [[buildRetrievalStats]] has run — a
+    * plain O(docs) two-column scan, one row per id under the
+    * enforced one-file-per-doc layout, joined against the (small,
+    * usually broadcast) query-token tf rows. Without the sidecar the
+    * dl falls back to an id-keyed fold of the WHOLE index — correct,
+    * but an index-sized shuffle per query (the exact hazard the
+    * sidecar exists to kill; Bm25Spec pins the shuffle gap): build
+    * the sidecars for the scale path. Output schema and values match
+    * [[graft.ext.TextAnalysis.bm25Stats]] exactly (same oracle
+    * grades both): (doc id, token, tf, df, dl) for documents hitting
+    * ≥1 query token. */
   def bm25StatsFromIndex(
       spark: SparkSession,
       table: String,
@@ -191,8 +233,12 @@ object InvertedIndex {
     val qtoks = phraseTokens(query)
     require(qtoks.nonEmpty, "empty query")
     val idx = spark.read.parquet(indexPath(table))
-    val dl = idx.groupBy("id")
-      .agg(sum(size(col("positions"))).cast("long").as("dl"))
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dl =
+      if (fs.exists(new Path(docLenPath(table))))
+        spark.read.parquet(docLenPath(table)).select(col("id"), col("dl"))
+      else idx.groupBy("id")
+        .agg(sum(size(col("positions"))).cast("long").as("dl"))
     val tf = idx.where(col("token").isin(qtoks: _*))
       .select(col("id"), col("token"),
         size(col("positions")).cast("long").as("tf"))
@@ -222,9 +268,9 @@ object InvertedIndex {
     * df partials assume a document's rows live in ONE data file (the
     * corpus append/purge model throughout the index family — the
     * same assumption [[bm25StatsFromIndex]] makes): a doc split
-    * across files would double-count df. Pruning stays internally
-    * consistent either way (scoring and bounds share one idf), but
-    * exact corpus-path stats parity needs the one-file layout. */
+    * across files would double-count df. [[collect]]/[[refresh]]
+    * ENFORCE the layout (`requireOneFilePerDoc`), so an index these
+    * sidecars are built from has already proven it. */
   def buildRetrievalStats(spark: SparkSession, table: String): Unit = {
     val idx = spark.read.parquet(indexPath(table))
     writeStatsPartials(spark, table, idx, SaveMode.Overwrite)
@@ -357,10 +403,10 @@ object InvertedIndex {
       .agg(sum(col("df")).cast("long").as("df"),
         max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
       .select("token", "df", "max_tf", "min_dl").collect()
-    // one-file-per-doc layout (the documented index-family
-    // assumption) → the (file, id) partials are already one row per
-    // id; folding them here would shuffle every doc on every query
-    // (the shuffle-metrics spec caught exactly that)
+    // one-file-per-doc layout (ENFORCED at index build by
+    // requireOneFilePerDoc) → the (file, id) partials are already
+    // one row per id; folding them here would shuffle every doc on
+    // every query (the shuffle-metrics spec caught exactly that)
     val doclen = spark.read.parquet(docLenPath(table)).select("id", "dl")
     val scal = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val n = scal.getLong(0)

@@ -69,12 +69,76 @@ class Bm25Spec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25spec").toString + "/docs"
     docs.toDF("doc_id", "text").repartition(2).write.parquet(dir)
     graft.sinks.InvertedIndex.collect(spark, dir, "text", "doc_id")
+    val fromCorpus = TextAnalysis.bm25Stats(spark.read.parquet(dir), "fast key")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    // no sidecar yet → the fallback index fold must still be exact
     val fromIndex = graft.sinks.InvertedIndex
       .bm25StatsFromIndex(spark, dir, "fast key")
       .as[(Long, String, Long, Long, Long)].collect().toSet
-    val fromCorpus = TextAnalysis.bm25Stats(spark.read.parquet(dir), "fast key")
-      .as[(Long, String, Long, Long, Long)].collect().toSet
     assert(fromIndex == fromCorpus)
+    // sidecar built → the _doclen read must be value-identical too
+    graft.sinks.InvertedIndex.buildRetrievalStats(spark, dir)
+    val fromSidecar = graft.sinks.InvertedIndex
+      .bm25StatsFromIndex(spark, dir, "fast key")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(fromSidecar == fromCorpus)
+  }
+
+  test("stats: the _doclen sidecar kills the per-query index-wide dl fold") {
+    // many tokens per doc make the index an order larger than the doc
+    // count: the sidecar path reads one dl row per doc (and usually
+    // broadcasts the query-token tf rows), while the fallback folds
+    // the WHOLE index id-keyed on every query. Shuffle READ records
+    // are the deterministic witness, same protocol as the MaxScore
+    // pin below.
+    val n = 2000L
+    val corpus = (0L until n).map { i =>
+      (i, (0 until 12).map(j => s"w${i}_$j").mkString(" "))
+    } ++ Seq((n + 1, "zzneedle first"), (n + 2, "zzneedle second"),
+      (n + 3, "zzneedle third"))
+    withIndexedCorpus(corpus) { path =>
+      def shuffledRecords(f: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.shuffleReadMetrics.recordsRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue
+            .flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        acc.get
+      }
+      val viaSidecar = shuffledRecords {
+        graft.sinks.InvertedIndex
+          .bm25StatsFromIndex(spark, path, "zzneedle").count()
+      }
+      // deleting the sidecar forces the documented fallback
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.rename(
+        new org.apache.hadoop.fs.Path(graft.sinks.InvertedIndex.docLenPath(path)),
+        new org.apache.hadoop.fs.Path(s"$path/_doclen.aside"))
+      val viaFold = shuffledRecords {
+        graft.sinks.InvertedIndex
+          .bm25StatsFromIndex(spark, path, "zzneedle").count()
+      }
+      fs.rename(
+        new org.apache.hadoop.fs.Path(s"$path/_doclen.aside"),
+        new org.apache.hadoop.fs.Path(graft.sinks.InvertedIndex.docLenPath(path)))
+      // the fold's shuffle floor is (#index partitions × #docs) even
+      // with map-side combine; the sidecar path moves only the rare
+      // token's tf rows (dl rides a broadcast-joined plain scan)
+      assert(viaFold > n,
+        s"fallback must fold the whole index id-keyed: $viaFold")
+      assert(viaSidecar * 20 < viaFold,
+        s"sidecar path must shuffle far below the index fold: " +
+          s"$viaSidecar vs $viaFold")
+    }
   }
 
   test("top-k truncates with the deterministic id tie-break") {

@@ -161,4 +161,44 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [In(token"),
       s"token IN filter must reach the index scan:\n$plan")
   }
+
+  test("collect rejects a document split across two data files — loudly") {
+    // two appends carrying the SAME doc id plant the split the df/dl
+    // sidecar statistics cannot survive; the build must refuse, and
+    // must not leave a half-trusted index behind
+    val dir = Files.createTempDirectory("graft-invidx").toString + "/docs"
+    Seq((1L, "first half of the doc")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir)
+    Seq((1L, "second half elsewhere"), (2L, "clean doc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.collect(spark, dir, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("MORE THAN ONE data file"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      InvertedIndex.indexPath(dir))),
+      "a rejected build must not leave a layout-violating index on disk")
+  }
+
+  test("refresh rejects a split-introducing append and keeps the live index valid") {
+    val table = freshCorpus(Seq((1L, "alpha beta"), (2L, "beta gamma")))
+    InvertedIndex.collect(spark, table, "text", "doc_id")
+    // the append re-introduces doc 1 in a NEW file → refresh must
+    // refuse the swap and the pre-append index must keep answering
+    Seq((1L, "duplicate of doc one")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(table)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.refresh(spark, table, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("MORE THAN ONE data file"))
+    assert(searchIds(table, "alpha beta") == Set(1L),
+      "the pre-refresh index must stay live after a rejected refresh")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      InvertedIndex.indexPath(table) + ".next")),
+      "the rejected staging index must be cleaned up")
+  }
 }
