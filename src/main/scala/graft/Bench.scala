@@ -105,19 +105,24 @@ object Bench {
     // gate (tools/bench_gate.py) and any reader with unbounded input.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
-    // Stdout is read through a BOUNDED tail buffer by the driver — at
-    // 90 queries even the ms-precision single line overflows it and
-    // truncates mid-map (r7 lost 16 entries, r8 parsed null). So the
-    // tail-facing record is SPLIT: the per-query map in <=1 KB
-    // {"bench_part":k,"of":n,...} lines, then the short summary line
-    // LAST — the driver's scraper always sees a complete, parseable
-    // summary, and the parts reassemble the map when wanted.
+    // Stdout is read through a BOUNDED (~2 KB) tail buffer by the
+    // driver — at 150+ queries the full ms-precision map can NEVER
+    // fit it (r7 lost 16 entries, r8/r9 parsed null even after the
+    // part split: parts 1-2 scrolled out and the summary line had no
+    // "queries" key for the scraper). So the tail-facing contract is
+    // now: small {"bench_part":k,...} lines first (<=600 bytes each,
+    // reassembling the full map for any unbounded reader), then ONE
+    // final line carrying every contract field INCLUDING a compact
+    // "queries" map — the headline set (d1-d9 + the two BASELINE.md
+    // flow items), which is what the contract's "headline queries"
+    // asks for and what fits a 2 KB tail with room to spare. The
+    // complete map always lands in bench_out.json.
     val entries = all.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
     val parts = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[String])
     var partLen = 0
     entries.foreach { e =>
-      if (partLen + e.length > 900 && parts.last.nonEmpty) {
+      if (partLen + e.length > 560 && parts.last.nonEmpty) {
         parts += scala.collection.mutable.ArrayBuffer.empty[String]
         partLen = 0
       }
@@ -128,7 +133,11 @@ object Bench {
     parts.zipWithIndex.foreach { case (p, i) =>
       println(s"""{"bench_part":${i + 1},"of":$n,"queries":{${p.mkString(",")}}}""")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"bench_parts":$n,"full":"bench_out.json"}""")
+    val headline = all.filter { case (k, _) =>
+      k.matches("d[0-9].*") || k.startsWith("flow_ingest") || k.startsWith("flow_promote")
+    }.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"bench_parts":$n,"full":"bench_out.json"}""")
     System.out.flush()
   }
 }
