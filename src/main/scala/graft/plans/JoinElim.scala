@@ -38,17 +38,45 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * explicit. Disable per-session with `spark.graft.join.elim=false`.
   */
 object ConstraintCatalog {
+  final case class UniqueDef(cols: Seq[String], baseSignature: Option[String])
+
   private val uniques =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, UniqueDef]()
 
   /** Declares `cols` unique in the table at `path`. With
     * `verify = true` (recommended), proves it first with one
-    * distinct-count aggregate — O(table) once, at registration. */
+    * distinct-count aggregate — O(table) once, at registration.
+    * NOTE: verification proves uniqueness only for the file set at
+    * registration time — a later append can silently break the key
+    * and wrong results follow. [[registerUniqueFresh]] pins the file
+    * set so drift falls back to executing the join instead. */
   def registerUnique(
       spark: SparkSession,
       path: String,
       cols: Seq[String],
-      verify: Boolean = false): Unit = {
+      verify: Boolean = false): Unit =
+    doRegister(spark, path, cols, verify, pinned = false)
+
+  /** [[registerUnique]] with the CURRENT base file set pinned (the
+    * same freshness discipline as [[MvCatalog.registerFresh]]): the
+    * elimination fires only while the dimension is bit-identical to
+    * the verified snapshot; any append/rewrite/delete under the path
+    * makes queries silently FALL BACK to the real join (correct,
+    * unaccelerated) until the constraint is re-verified and
+    * re-registered. */
+  def registerUniqueFresh(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      verify: Boolean = true): Unit =
+    doRegister(spark, path, cols, verify, pinned = true)
+
+  private def doRegister(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      verify: Boolean,
+      pinned: Boolean): Unit = {
     require(cols.nonEmpty, "registerUnique needs key columns")
     if (verify) {
       import org.apache.spark.sql.functions._
@@ -59,11 +87,15 @@ object ConstraintCatalog {
         s"registerUnique: (${cols.mkString(", ")}) is NOT unique in $path " +
           s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct)")
     }
-    uniques.put(MvCatalog.normalize(path), cols)
+    val sig = if (pinned) Some(MvCatalog.signature(spark, path)) else None
+    uniques.put(MvCatalog.normalize(path), UniqueDef(cols, sig))
+    ()
   }
-  def unregister(path: String): Unit = uniques.remove(MvCatalog.normalize(path))
+  def unregister(path: String): Unit = {
+    uniques.remove(MvCatalog.normalize(path)); ()
+  }
   def clear(): Unit = uniques.clear()
-  def uniqueKey(path: String): Option[Seq[String]] =
+  def uniqueKey(path: String): Option[UniqueDef] =
     Option(uniques.get(MvCatalog.normalize(path)))
   def isEmpty: Boolean = uniques.isEmpty
 }
@@ -89,8 +121,18 @@ class JoinElimRule(session: SparkSession)
     * rows). */
   private def eliminable(
       left: LogicalPlan, right: LogicalPlan, cond: Expression): Boolean = {
-    val keyCols = relationPath(right).flatMap(ConstraintCatalog.uniqueKey) match {
-      case Some(k) => k
+    val path = relationPath(right) match {
+      case Some(p) => p
+      case None => return false
+    }
+    val keyCols = ConstraintCatalog.uniqueKey(path) match {
+      case Some(d) =>
+        // freshness-pinned constraints only hold for the verified
+        // file set — a drifted dimension executes the real join
+        // (TTL-memoized listing, same budget as the MV rule)
+        if (d.baseSignature.exists(_ != MvCatalog.cachedSignature(session, path)))
+          return false
+        d.cols
       case None => return false
     }
     // resolve declared names against the right side's visible output

@@ -72,18 +72,42 @@ case class MvDef(
     baseSignature: Option[String] = None)
 
 /** Process-wide registry base-path → view definition. Paths compare
-  * by filesystem path (scheme/authority-stripped — local and
-  * single-filesystem deployments; register the fully-resolved path
-  * the readers use). */
+  * by filesystem path, with scheme/authority kept as a GUARD: a
+  * registration that carries a scheme (e.g. `s3://bucket/data/t`)
+  * only serves queries whose scan root carries the SAME
+  * scheme+authority — `file:/data/t` must never be answered from
+  * state registered for `s3://bucket/data/t` just because the paths
+  * coincide. A bare (scheme-less) registration keeps the old
+  * behavior and matches any filesystem — single-filesystem
+  * deployments registering the path the readers use. Registering a
+  * second, differently-schemed table onto an already-taken
+  * normalized key fails loudly instead of silently aliasing. */
 object MvCatalog {
-  private val mvs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  private val mvs = new java.util.concurrent
+    .ConcurrentHashMap[String, (Option[String], MvDef)]()
 
   def normalize(path: String): String =
     new org.apache.hadoop.fs.Path(path).toUri.getPath.stripSuffix("/")
 
+  /** `scheme://authority` of a path when qualified, else None. */
+  private def fsId(path: String): Option[String] = {
+    val u = new org.apache.hadoop.fs.Path(path).toUri
+    Option(u.getScheme).map(s => s + "://" + Option(u.getAuthority).getOrElse(""))
+  }
+
   def register(basePath: String, mv: MvDef): Unit = {
     require(mv.groupCols.nonEmpty, "materialized view needs group columns")
-    mvs.put(normalize(basePath), mv)
+    val key = normalize(basePath)
+    val id = fsId(basePath)
+    Option(mvs.get(key)).foreach { case (prevId, _) =>
+      require(prevId == id,
+        s"MV registration collision: $basePath normalizes to the key " +
+          s"already registered for filesystem ${prevId.getOrElse("<default>")} — " +
+          "two tables on different filesystems must not share one catalog " +
+          "entry (unregister the other first if this is intentional)")
+    }
+    mvs.put(key, (id, mv))
+    ()
   }
 
   /** File-set fingerprint of a table directory: every data file's
@@ -122,11 +146,49 @@ object MvCatalog {
       statePath: String): Unit =
     register(basePath, MvDef(groupCols, sumCols, statePath,
       baseSignature = Some(signature(spark, basePath))))
-  def unregister(basePath: String): Unit = mvs.remove(normalize(basePath))
-  def clear(): Unit = mvs.clear()
+  def unregister(basePath: String): Unit = { mvs.remove(normalize(basePath)); () }
+  def clear(): Unit = { mvs.clear(); sigCache.clear() }
+
+  /** A hit requires path equality AND filesystem compatibility: a
+    * qualified registration only serves the same scheme+authority; a
+    * bare registration (or bare query path) matches any. */
   def lookup(basePath: String): Option[MvDef] =
-    Option(mvs.get(normalize(basePath)))
+    Option(mvs.get(normalize(basePath))).collect {
+      case (regId, mv) if regId.isEmpty || fsId(basePath).isEmpty ||
+        regId == fsId(basePath) => mv
+    }
   def isEmpty: Boolean = mvs.isEmpty
+
+  /** TTL-memoized [[signature]] for the OPTIMIZER's freshness check:
+    * the rule sits in the operator-optimization batch, which runs to
+    * a fixed point — without memoization every Aggregate over a
+    * registered base pays a full recursive listing PER RULE
+    * ITERATION. The default TTL (500 ms,
+    * `spark.graft.mv.signatureCacheMs`; 0 disables) is sized to span
+    * back-to-back iterations of one optimization, not user-visible
+    * time: any real drift involves file writes that dwarf it. Note
+    * the freshness contract already has an inherent check-to-execute
+    * race — the file set can drift between the optimize-time
+    * signature check and execution — so the cache widens an existing
+    * window rather than opening a new one; deployments wanting the
+    * narrowest window set the TTL to 0 and pay a listing per
+    * iteration. Registration paths ([[registerFresh]]) stay
+    * uncached. */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+  def cachedSignature(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val ttlMs = spark.sessionState.conf
+      .getConfString("spark.graft.mv.signatureCacheMs", "500").toLong
+    val now = System.nanoTime()
+    val hit = Option(sigCache.get(path))
+      .filter { case (t, _) => now - t < ttlMs * 1000000L }
+    hit.map(_._2).getOrElse {
+      val sig = signature(spark, path)
+      sigCache.put(path, (now, sig))
+      sig
+    }
+  }
 }
 
 class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
@@ -175,8 +237,11 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     // freshness-pinned views only serve a base identical to the one
     // their state reflects — a drifted file set falls back to the
-    // base scan (correct, unaccelerated) instead of a stale answer
-    if (mv.baseSignature.exists(_ != MvCatalog.signature(session, roots.head.toString)))
+    // base scan (correct, unaccelerated) instead of a stale answer.
+    // TTL-memoized: the optimizer batch re-runs this rule to a fixed
+    // point, and one listing per query is the budget, not one per
+    // iteration.
+    if (mv.baseSignature.exists(_ != MvCatalog.cachedSignature(session, roots.head.toString)))
       return None
 
     // base attribute ids -> view column names (post-pruning the

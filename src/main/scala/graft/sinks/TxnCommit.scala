@@ -39,6 +39,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * single-table swap has (a rename pair), but never a committed
   * partial SET of tables. Writers must serialize externally (one
   * committer per journalDir) — same contract as every sink here.
+  *
+  * FILESYSTEM CONTRACT: the protocol's atomicity rests on atomic
+  * directory rename and atomic marker-file create, i.e. HDFS-like
+  * semantics (HDFS, local FS, Azure ABFS). On object stores whose
+  * "rename" is copy+delete (plain S3/GCS), the three clean per-table
+  * crash states stop being the only reachable states and the
+  * recovery reasoning does not hold — run the journal and tables on
+  * a rename-atomic store (or an atomic layer like S3+EMRFS-consistent
+  * views / a table format) there. Every table must also live on the
+  * SAME filesystem as the journal — renames cannot cross
+  * filesystems — which [[commitAll]] and [[recover]] enforce by URI.
   */
 object TxnCommit {
 
@@ -50,6 +61,23 @@ object TxnCommit {
 
   private def fsOf(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Renames cannot cross filesystems, and the commit-point ordering
+    * only means something when journal and tables share one: resolve
+    * every table's filesystem and require it IS the journal's. */
+  private def requireOneFilesystem(
+      spark: SparkSession,
+      journalFs: FileSystem,
+      journalDir: String,
+      tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      val tfs = fsOf(spark, t)
+      require(tfs.getUri == journalFs.getUri,
+        s"txn table $t resolves to filesystem ${tfs.getUri}, but the " +
+          s"journal at $journalDir is on ${journalFs.getUri} — the " +
+          "two-phase swap's renames must all run on ONE rename-atomic " +
+          "filesystem")
+    }
 
   /** Writes every (result, tablePath) pair and swaps them in
     * all-or-nothing. `journalDir` must be stable across runs — it is
@@ -63,6 +91,7 @@ object TxnCommit {
       "commitAll: duplicate table path in one transaction")
     recover(spark, journalDir)
     val fs = fsOf(spark, journalDir)
+    requireOneFilesystem(spark, fs, journalDir, staged.map(_._2))
 
     // PREPARE: all stagings complete before anything becomes visible
     staged.foreach { case (df, table) =>
@@ -120,6 +149,7 @@ object TxnCommit {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(_.nonEmpty).toList
       finally in.close()
+    requireOneFilesystem(spark, fs, journalDir, tables)
     if (fs.exists(markerPath(journalDir))) {
       applyForward(fs, tables)
       fs.delete(markerPath(journalDir), false)

@@ -163,4 +163,53 @@ class JoinElimSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(!hasJoin(q), q.queryExecution.optimizedPlan.toString)
     assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
   }
+
+  test("freshness-pinned constraint: a drifted dimension executes the real join") {
+    // registerUniqueFresh proves the key AND pins the file set. The
+    // append below makes pk=1 ambiguous — exactly the silent-
+    // invalidation hazard: an unpinned constraint would still
+    // eliminate and return one row per fact where the true left join
+    // now returns two for fk=1. The pinned constraint must detect
+    // the drift and fall back to executing the join.
+    val (facts, dimPath) = fixture("fresh")
+    ConstraintCatalog.registerUniqueFresh(spark, dimPath, Seq("pk"))
+    // signature memoization must not serve a pre-registration probe:
+    // lower the TTL to zero for the drift check below
+    spark.conf.set("spark.graft.mv.signatureCacheMs", "0")
+    try {
+      def q = facts.join(dim(dimPath), facts("fk") === col("pk"), "left")
+        .select(facts("fk"), facts("m"))
+      assert(!hasJoin(q), "pinned + unchanged dimension must eliminate")
+      // drift: append a duplicate key
+      Seq((1L, "dup")).toDF("pk", "label")
+        .coalesce(1).write.mode("append").parquet(dimPath)
+      assert(hasJoin(q), "drifted dimension must fall back to the join")
+      assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+      // two fk=1 facts each match the duplicated pk=1 twice: 4+1+1
+      assert(q.count() === 6, "the duplicated pk=1 must surface twice per fk=1 fact")
+    } finally spark.conf.unset("spark.graft.mv.signatureCacheMs")
+  }
+
+  test("catalog keys guard scheme/authority: no cross-filesystem aliasing") {
+    import graft.plans.{MvCatalog, MvDef}
+    // a qualified registration must not serve a different filesystem
+    // whose path merely coincides
+    MvCatalog.register("s3://bucket/data/t",
+      MvDef(Seq("g"), Seq.empty, "/state/t"))
+    assert(MvCatalog.lookup("file:/data/t").isEmpty,
+      "file:/data/t must not hit the s3://bucket/data/t registration")
+    assert(MvCatalog.lookup("s3://bucket/data/t").nonEmpty)
+    assert(MvCatalog.lookup("s3://other/data/t").isEmpty,
+      "a different authority is a different filesystem")
+    // bare paths keep the single-filesystem behavior
+    assert(MvCatalog.lookup("/data/t").nonEmpty,
+      "a bare query path matches (single-filesystem deployments)")
+    // registering the colliding other-filesystem table fails loudly
+    val e = intercept[IllegalArgumentException] {
+      MvCatalog.register("file:/data/t", MvDef(Seq("g"), Seq.empty, "/state/t2"))
+    }
+    assert(e.getMessage.contains("collision"))
+    MvCatalog.unregister("s3://bucket/data/t")
+    assert(MvCatalog.lookup("s3://bucket/data/t").isEmpty)
+  }
 }

@@ -21,6 +21,7 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
   override def afterEach(): Unit = {
     MvCatalog.clear()
     spark.conf.set("spark.graft.mv.rewrite", "true")
+    spark.conf.unset("spark.graft.mv.signatureCacheMs")
   }
 
   private def tmp(tag: String): String =
@@ -202,6 +203,9 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(!q.collect().exists(r => r.getString(0) == "C"))
   }
   test("freshness pin: a drifted base falls back to the base scan until re-registered") {
+    // TTL 0: the drift below must be visible on the very next probe,
+    // not after the signature memo expires
+    spark.conf.set("spark.graft.mv.signatureCacheMs", "0")
     val basePath = tmp("fresh-base")
     val statePath = tmp("fresh-state")
     baseDf.write.mode("overwrite").parquet(basePath)

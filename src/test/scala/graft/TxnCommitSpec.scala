@@ -117,4 +117,29 @@ class TxnCommitSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("duplicate"))
   }
+
+  test("a table on a different filesystem than the journal is rejected up front") {
+    // mockfs:// resolves (via fs.mockfs.impl below) to a local FS
+    // whose getUri is NOT the journal's — the cross-filesystem rename
+    // the apply phase would need cannot exist, so commitAll must
+    // refuse BEFORE staging anything
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFsForTxnSpec].getName)
+    val root = tmp("xfs")
+    val e = intercept[IllegalArgumentException] {
+      TxnCommit.commitAll(spark,
+        Seq((v(1, "a"), s"$root/a"), (v(1, "b"), s"mockfs:$root/b")),
+        s"$root/txn")
+    }
+    assert(e.getMessage.contains("rename-atomic"), e.getMessage)
+    assert(!fs.exists(new Path(s"$root/a__txstage")),
+      "nothing may be staged for a rejected transaction")
+  }
+}
+
+/** Local filesystem masquerading under its own URI scheme — the
+  * cheapest way to make two paths resolve to DIFFERENT FileSystem
+  * URIs in a single-machine test. */
+class MockFsForTxnSpec extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
 }
