@@ -2874,6 +2874,40 @@ object SparkEntry {
       graft.ext.Multimodal.parseHeaders(s, media).toDF()
     }),
 
+    // Perceptual-hash image near-dup (aHash + pigeonhole Hamming
+    // blocking — the multimodal sibling of SimHash): the engine
+    // BUILDS deterministic 60-byte synthetic images (doc_id-derived
+    // pixel grid, group = doc_id/16; non-anchor members get one byte
+    // flipped hard across the mean), hashes the RAW BYTES with the
+    // sampling aHash (integer mean test — no float threshold crosses
+    // the engine boundary), and pairs through the 4-chunk pigeonhole
+    // block join — never all-pairs (the in-query REQUIRE pins the
+    // equi-join plan). bits = 60 keeps the fingerprint ANSI-safe in
+    // a signed BIGINT, so DuckDB replays the whole arithmetic and
+    // grades the blocked path against the TRUE all-pairs join:
+    // pigeonhole losslessness is part of what the hash compares.
+    "ext_dedup_images" -> ((s, dir) => {
+      val pix = transform(sequence(lit(0), lit(59)), i => {
+        val base = (floor(col("doc_id") / 16) + 1) * (i + 7) * 13
+        val v = when(
+          col("doc_id") % 16 =!= 0 && i.cast("long") === col("doc_id") % 60,
+          (base + 128) % 256).otherwise(base % 256)
+        lpad(hex(v.cast("long")), 2, "0")
+      })
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id"), unhex(array_join(pix, "")).as("media"))
+      val hashes = graft.ext.ImageDedup.aHashes(s, media, bits = 60).toDF()
+      val out = graft.ext.ImageDedup
+        .nearDupPairs(hashes, maxHamming = 3, bits = 60)
+      val bad = out.queryExecution.executedPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      require(bad.isEmpty,
+        "image near-dup must plan blocked (equi join), not all-pairs")
+      out
+    }),
+
     // N-gram LM scoring statistics (CCNet-style quality signal): a
     // word-bigram model counted over the reference third of the
     // corpus, every other document scored against it — per doc the
@@ -4678,6 +4712,29 @@ object SparkEntry {
       """SELECT doc_id, 'png' AS format,
         |  doc_id % 1000 + 1 AS width, doc_id % 700 + 1 AS height
         |FROM documents""".stripMargin,
+
+    // replays the synthetic pixel grid, the integer mean test, the
+    // bit packing, and — critically — the TRUE all-pairs Hamming
+    // join the engine's pigeonhole blocking must equal exactly
+    "ext_dedup_images" ->
+      """WITH px AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 16 <> 0 AND i = doc_id % 60
+        |         THEN (((doc_id // 16) + 1) * (i + 7) * 13 + 128) % 256
+        |         ELSE (((doc_id // 16) + 1) * (i + 7) * 13) % 256 END AS v
+        |  FROM documents, range(60) t(i)
+        |), tot AS (
+        |  SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id
+        |), h AS (
+        |  SELECT px.doc_id,
+        |    CAST(sum(CASE WHEN v * 60 > total
+        |             THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
 
     // identical tokenization and bigram windows; the model CTE is the
     // reference third, the LEFT join preserves per-occurrence
