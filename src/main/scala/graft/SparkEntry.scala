@@ -843,6 +843,72 @@ object SparkEntry {
       out
     }),
 
+    // MV rewrite over the GROUPING-SETS LATTICE: the same churned
+    // orders base, but the state is a Cdc.cubeState — every rollup
+    // level maintained in ONE pass, __gid-discriminated — and the
+    // user query is a ROLLUP whose Expand form the optimizer rule
+    // answers per grouping set from the matching (or finer) state
+    // slice; grouping_id() folds to a per-branch literal. The
+    // in-query REQUIRE proves the optimized plan scans ONLY the
+    // state; the oracle recomputes the rollup from scratch. 100 TB
+    // posture: the avoided scan is |sets| x base — the lattice
+    // answer costs |groups| state rows per level.
+    "ext_mv_rewrite_cube" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mvrucube").toString
+      val before = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        // string-typed bucket: a NULLABLE int group column degrades
+        // to float64 in the harness's pandas fetch of the oracle
+        (col("o_orderkey") % 4).cast("string").as("b"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val after = before
+        .where(col("o_orderstatus") =!= "P")
+        .withColumn("v",
+          when(col("o_orderstatus") === "F", lit(null))
+            .when(col("o_orderkey") % 3 === 0, col("v") + 100)
+            .otherwise(col("v"))
+            .cast("decimal(12,2)"))
+      val basePath = s"$root/base"
+      val statePath = s"$root/state"
+      after.write.parquet(basePath)
+      val sets = Seq(
+        Seq("o_orderstatus", "b"), Seq("o_orderstatus"), Seq.empty[String])
+      graft.operators.Cdc.maintainCube(
+          graft.operators.Cdc.cubeState(
+            before, Seq("o_orderstatus", "b"), sets, Seq("v")),
+          graft.operators.Cdc.signedDelta(before, after, Seq("o_orderkey")),
+          Seq("o_orderstatus", "b"), sets, Seq("v"))
+        .write.parquet(statePath)
+      graft.plans.MvCatalog.register(basePath,
+        graft.plans.MvDef(Seq("o_orderstatus", "b"), Seq("v"), statePath,
+          sets = sets))
+      val out = try {
+        val q = s.read.parquet(basePath)
+          .rollup("o_orderstatus", "b")
+          .agg(count(lit(1)).as("n"), count(col("v")).as("nn_v"),
+            sum(col("v")).as("sum_v"), grouping_id().as("gid"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.startsWith(statePath)) &&
+          !scanned.exists(_.startsWith(basePath)),
+          s"lattice MV rewrite did not fire; scans: ${scanned.mkString(", ")}")
+        q.withColumn("sum_v", col("sum_v").cast("double"))
+          .localCheckpoint(true)
+      } finally graft.plans.MvCatalog.unregister(basePath)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Incremental EXACT dedup, delta-vs-corpus through the persisted
     // bloom index: the corpus lands in two waves (collect, then an
     // append + O(new files) refresh — BloomSpec's poisoned row proves
@@ -3296,6 +3362,27 @@ object SparkEntry {
     // the rewrite answers from the maintained state, the oracle
     // recomputes from scratch — values must match exactly
     "ext_mv_rewrite" -> mvRewriteOracleSql,
+
+    // from-scratch ROLLUP recompute; DuckDB's GROUPING(a, b) bitmask
+    // matches Spark's grouping_id() convention (0 finest … 3 total)
+    "ext_mv_rewrite_cube" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_orderkey % 4 AS VARCHAR) AS b,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus, b,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN NULL
+        |              WHEN o_orderkey % 3 = 0 THEN v + 100
+        |              ELSE v END AS DECIMAL(12,2)) AS v
+        |  FROM base WHERE o_orderstatus <> 'P'
+        |)
+        |SELECT o_orderstatus, b, count(*) AS n, count(v) AS nn_v,
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v,
+        |  CAST(GROUPING(o_orderstatus, b) AS BIGINT) AS gid
+        |FROM aft GROUP BY ROLLUP(o_orderstatus, b)""".stripMargin,
 
     // the STREAM-maintained state must serve the identical rollup
     // through the rewrite — one truth for batch and streaming MV

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, Filter, LogicalPlan, Project}
+  Aggregate, Expand, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.LongType
@@ -65,11 +65,20 @@ import org.apache.spark.sql.types.LongType
   * guarantees when every delta has been applied). The rule can be
   * disabled per-session with `spark.graft.mv.rewrite=false`.
   */
+/** A registered view. With `sets` EMPTY the state is a plain
+  * [[graft.operators.Cdc.aggState]] table. With `sets` non-empty the
+  * state is a [[graft.operators.Cdc.cubeState]] lattice — one stacked
+  * row set per grouping set, discriminated by `__gid` = the set's
+  * position in `sets` — and the rule additionally rewrites
+  * ROLLUP / CUBE / GROUPING SETS queries (Spark's `Expand`-lowered
+  * form), answering EACH grouping set from its (or a finer
+  * registered) state slice. */
 case class MvDef(
     groupCols: Seq[String],
     sumCols: Seq[String],
     statePath: String,
-    baseSignature: Option[String] = None)
+    baseSignature: Option[String] = None,
+    sets: Seq[Seq[String]] = Nil)
 
 /** Process-wide registry base-path → view definition. Paths compare
   * by filesystem path, with scheme/authority kept as a GUARD: a
@@ -198,7 +207,8 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         session.sessionState.conf.getConfString(
           "spark.graft.mv.rewrite", "true") != "true") plan
     else plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteGroupingSets(agg)).getOrElse(agg)
     }
 
   /** The canonical post-optimization chain under an aggregate:
@@ -215,137 +225,363 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Registered view for this relation, with the freshness pin
+    * checked (TTL-memoized listing: the optimizer batch re-runs this
+    * rule to a fixed point, and one listing per query is the budget,
+    * not one per iteration). */
+  private def lookupMv(lr: LogicalRelation): Option[MvDef] = {
+    val roots = lr.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths
+      case _ => return None
+    }
+    if (roots.length != 1) return None
+    MvCatalog.lookup(roots.head.toString).filterNot(mv =>
+      mv.baseSignature.exists(
+        _ != MvCatalog.cachedSignature(session, roots.head.toString)))
+  }
+
   private sealed trait Out
-  private case class GroupOut(colName: String, orig: NamedExpression) extends Out
+  /** Non-aggregate output whose references are group attributes
+    * and/or the grouping-id attribute — group columns pass through;
+    * `grouping()` / `grouping_id()` arithmetic substitutes to a
+    * per-branch literal. */
+  private case class PassOut(orig: NamedExpression) extends Out
   private case class CountStarOut(orig: NamedExpression) extends Out
   private case class CountColOut(colName: String, orig: NamedExpression) extends Out
   private case class SumColOut(colName: String, orig: NamedExpression) extends Out
+
+  private def classifyAgg(
+      ae: AggregateExpression,
+      orig: NamedExpression,
+      sumByExprId: Map[Long, String]): Option[Out] = {
+    if (ae.isDistinct || ae.filter.nonEmpty || ae.mode != Complete) return None
+    ae.aggregateFunction match {
+      case Count(Seq(Literal(v, _))) if v != null => Some(CountStarOut(orig))
+      case Count(Seq(ar: AttributeReference)) if sumByExprId.contains(ar.exprId.id) =>
+        Some(CountColOut(sumByExprId(ar.exprId.id), orig))
+      case s: Sum => s.child match {
+        case ar: AttributeReference if sumByExprId.contains(ar.exprId.id) =>
+          Some(SumColOut(sumByExprId(ar.exprId.id), orig))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Filters must be deterministic, subquery-free, and reference
+    * only the view's group columns (σ on group columns commutes with
+    * γ); returns the referenced column names. */
+  private def filterCols(
+      filters: List[Expression],
+      baseRefName: Map[Long, String]): Option[Set[String]] =
+    if (filters.exists(c => !c.deterministic || SubqueryExpression.hasSubquery(c) ||
+        !c.references.forall(a => baseRefName.contains(a.exprId.id)))) None
+    else Some(filters.flatMap(_.references.map(a => baseRefName(a.exprId.id))).toSet)
+
+  /** The registered grouping set to answer a branch from: the
+    * SMALLEST registered superset of (branch groups ∪ filter
+    * columns) — any superset rolls up exactly (counts/sums are
+    * associative; the filter applies before the roll-up, mirroring
+    * the base-side σ-before-γ), the smallest scans the fewest state
+    * rows. */
+  private def chooseSet(mv: MvDef, need: Set[String]): Option[Int] = {
+    val cands = mv.sets.zipWithIndex.filter { case (s, _) => need.subsetOf(s.toSet) }
+    if (cands.isEmpty) None else Some(cands.minBy(_._1.size)._2)
+  }
+
+  // ──────────────────────────────────────────────────────────────────
+  // Plain Aggregate → [Project|Filter]* → base relation
+  // ──────────────────────────────────────────────────────────────────
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (lr, filters) = strip(agg.child, Nil) match {
       case Some(x) => x
       case None => return None
     }
-    val roots = lr.relation match {
-      case h: HadoopFsRelation => h.location.rootPaths
-      case _ => return None
-    }
-    if (roots.length != 1) return None
-    val mv = MvCatalog.lookup(roots.head.toString) match {
+    val mv = lookupMv(lr) match {
       case Some(m) => m
       case None => return None
     }
-    // freshness-pinned views only serve a base identical to the one
-    // their state reflects — a drifted file set falls back to the
-    // base scan (correct, unaccelerated) instead of a stale answer.
-    // TTL-memoized: the optimizer batch re-runs this rule to a fixed
-    // point, and one listing per query is the budget, not one per
-    // iteration.
-    if (mv.baseSignature.exists(_ != MvCatalog.cachedSignature(session, roots.head.toString)))
-      return None
 
     // base attribute ids -> view column names (post-pruning the
     // relation still binds the original names)
     val groupByExprId = lr.output
-      .filter(a => mv.groupCols.contains(a.name)).map(a => a.exprId -> a.name).toMap
+      .filter(a => mv.groupCols.contains(a.name))
+      .map(a => a.exprId.id -> a.name).toMap
     val sumByExprId = lr.output
-      .filter(a => mv.sumCols.contains(a.name)).map(a => a.exprId -> a.name).toMap
-    if (groupByExprId.size != mv.groupCols.size) return None
+      .filter(a => mv.sumCols.contains(a.name))
+      .map(a => a.exprId.id -> a.name).toMap
 
-    // filters: deterministic, subquery-free, group-columns-only
-    if (filters.exists(c => !c.deterministic || SubqueryExpression.hasSubquery(c) ||
-        !c.references.forall(a => groupByExprId.contains(a.exprId)))) return None
+    val fCols = filterCols(filters, groupByExprId) match {
+      case Some(cs) => cs
+      case None => return None
+    }
 
     // grouping: bare group-column attributes
     val queriedGroups = agg.groupingExpressions.map {
-      case ar: AttributeReference if groupByExprId.contains(ar.exprId) =>
-        groupByExprId(ar.exprId)
+      case ar: AttributeReference if groupByExprId.contains(ar.exprId.id) =>
+        groupByExprId(ar.exprId.id)
       case _ => return None
     }
 
-    def classifyAgg(ae: AggregateExpression, orig: NamedExpression): Option[Out] = {
-      if (ae.isDistinct || ae.filter.nonEmpty || ae.mode != Complete) return None
-      ae.aggregateFunction match {
-        case Count(Seq(Literal(v, _))) if v != null => Some(CountStarOut(orig))
-        case Count(Seq(ar: AttributeReference)) if sumByExprId.contains(ar.exprId) =>
-          Some(CountColOut(sumByExprId(ar.exprId), orig))
-        case s: Sum => s.child match {
-          case ar: AttributeReference if sumByExprId.contains(ar.exprId) =>
-            Some(SumColOut(sumByExprId(ar.exprId), orig))
-          case _ => None
-        }
-        case _ => None
+    val outs: Seq[Out] = agg.aggregateExpressions.map { ne =>
+      classifyOut(ne, groupByExprId.keySet, None, sumByExprId) match {
+        case Some(o) => o
+        case None => return None
       }
     }
 
-    val outs: Seq[Out] = agg.aggregateExpressions.map {
-      case ar: AttributeReference if groupByExprId.contains(ar.exprId) =>
-        GroupOut(groupByExprId(ar.exprId), ar)
-      case al @ Alias(child, _) => child match {
-        case ar: AttributeReference if groupByExprId.contains(ar.exprId) =>
-          GroupOut(groupByExprId(ar.exprId), al)
-        case ae: AggregateExpression => classifyAgg(ae, al) match {
-          case Some(o) => o
-          case None => return None
-        }
-        case _ => return None
+    // a lattice-registered state answers a plain aggregate from the
+    // smallest registered superset's slice; a plain state serves all
+    val gidIndex =
+      if (mv.sets.isEmpty) None
+      else chooseSet(mv, queriedGroups.toSet ++ fCols) match {
+        case Some(i) => Some(i)
+        case None => return None
       }
+
+    buildBranch(mv, branchGroups = queriedGroups, gidIndex = gidIndex,
+      groupByGid = false, gidOutValue = None, filters = filters,
+      baseRefName = groupByExprId, groupRefName = groupByExprId,
+      gidRefId = None, outs = outs, keepExprIds = true)
+  }
+
+  // ──────────────────────────────────────────────────────────────────
+  // Aggregate → Expand (ROLLUP / CUBE / GROUPING SETS) → … → relation
+  // ──────────────────────────────────────────────────────────────────
+
+  private def tryRewriteGroupingSets(agg: Aggregate): Option[LogicalPlan] = {
+    val expand = agg.child match {
+      case e: Expand => e
+      case _ => return None
+    }
+    val (lr, filters) = strip(expand.child, Nil) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val mv = lookupMv(lr) match {
+      case Some(m) if m.sets.nonEmpty => m
       case _ => return None
     }
 
-    // ---- build the replacement: Aggregate over the state table ----
+    // the grouping-id output: named spark_grouping_id, a literal in
+    // every projection (this is what distinguishes the grouping-sets
+    // Expand from e.g. the distinct-aggregate one)
+    val gidPos = expand.output.indexWhere(
+      _.name == org.apache.spark.sql.catalyst.expressions.VirtualColumn.groupingIdName)
+    if (gidPos < 0) return None
+    val gidAttr = expand.output(gidPos)
+    val gidValues: Seq[Long] = expand.projections.map(_(gidPos)).map {
+      case Literal(v: Long, _) => v
+      case Literal(v: Int, _) => v.toLong
+      case _ => return None
+    }
+    if (!agg.groupingExpressions.exists {
+      case ar: AttributeReference => ar.exprId == gidAttr.exprId
+      case _ => false
+    }) return None
+
+    // classify the other output positions: passthrough (the output
+    // attr IS the projected base attr in every set — aggregate
+    // inputs) vs grouping (a fresh output attr fed the base group
+    // attr where the set keeps the column, null where it rolls away)
+    val groupPosName = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    for (p <- expand.output.indices if p != gidPos) {
+      val out = expand.output(p)
+      val entries = expand.projections.map(_(p))
+      val passthrough = entries.forall {
+        case ar: AttributeReference => ar.exprId == out.exprId
+        case _ => false
+      }
+      if (!passthrough) {
+        val attrs = entries.collect { case ar: AttributeReference => ar }
+        val nulls = entries.count {
+          case Literal(null, _) => true
+          case _ => false
+        }
+        if (attrs.isEmpty || attrs.map(_.exprId).distinct.length != 1 ||
+            attrs.length + nulls != entries.length ||
+            !mv.groupCols.contains(attrs.head.name)) return None
+        groupPosName(p) = attrs.head.name
+      }
+    }
+
+    // one query grouping set per projection: the group positions
+    // whose entry is the attribute (not the null literal)
+    val querySets: Seq[Set[String]] = expand.projections.map { proj =>
+      groupPosName.collect {
+        case (p, name) if proj(p).isInstanceOf[AttributeReference] => name
+      }.toSet
+    }
+
+    // grouping expressions must be exactly bare output attrs + gid
+    val groupRefName: Map[Long, String] =
+      groupPosName.map { case (p, name) => expand.output(p).exprId.id -> name }.toMap
+    agg.groupingExpressions.foreach {
+      case ar: AttributeReference
+        if ar.exprId == gidAttr.exprId || groupRefName.contains(ar.exprId.id) => ()
+      case _ => return None
+    }
+
+    val baseRefName = lr.output
+      .filter(a => mv.groupCols.contains(a.name))
+      .map(a => a.exprId.id -> a.name).toMap
+    val sumByExprId = lr.output
+      .filter(a => mv.sumCols.contains(a.name))
+      .map(a => a.exprId.id -> a.name).toMap
+    val fCols = filterCols(filters, baseRefName) match {
+      case Some(cs) => cs
+      case None => return None
+    }
+
+    val outs: Seq[Out] = agg.aggregateExpressions.map { ne =>
+      classifyOut(ne, groupRefName.keySet, Some(gidAttr.exprId.id), sumByExprId) match {
+        case Some(o) => o
+        case None => return None
+      }
+    }
+
+    // one branch per grouping set, each answered from the smallest
+    // registered superset's state slice; keepExprIds on the FIRST
+    // branch only — Union takes its output from the first child, so
+    // the original Aggregate's output ids survive for any consumer
+    val branches = querySets.zipWithIndex.map { case (qs, i) =>
+      val gidIndex = chooseSet(mv, qs ++ fCols) match {
+        case Some(g) => g
+        case None => return None
+      }
+      buildBranch(mv, branchGroups = qs.toSeq, gidIndex = Some(gidIndex),
+        groupByGid = true, gidOutValue = Some(gidValues(i)), filters = filters,
+        baseRefName = baseRefName, groupRefName = groupRefName,
+        gidRefId = Some(gidAttr.exprId.id), outs = outs,
+        keepExprIds = i == 0) match {
+        case Some(b) => b
+        case None => return None
+      }
+    }
+    Some(if (branches.length == 1) branches.head else Union(branches))
+  }
+
+  /** Non-aggregate outputs over group attrs / the gid attr pass
+    * through (per-branch substitution); aggregate outputs must be
+    * the classifiable count/sum family. */
+  private def classifyOut(
+      ne: NamedExpression,
+      groupRefIds: Set[Long],
+      gidRefId: Option[Long],
+      sumByExprId: Map[Long, String]): Option[Out] = ne match {
+    case al @ Alias(ae: AggregateExpression, _) => classifyAgg(ae, al, sumByExprId)
+    case _ if ne.deterministic &&
+        !ne.exists(_.isInstanceOf[AggregateExpression]) &&
+        ne.references.forall(a =>
+          groupRefIds.contains(a.exprId.id) || gidRefId.contains(a.exprId.id)) =>
+      Some(PassOut(ne))
+    case _ => None
+  }
+
+  /** One Aggregate-over-state plan answering one grouping set.
+    *
+    *  - `gidIndex`: the `__gid` slice to serve from (None = plain
+    *    aggState table),
+    *  - `groupByGid`: grouping-sets branches also group by the
+    *    (constant within the slice) `__gid` so an EMPTY slice yields
+    *    ZERO rows — matching ROLLUP-over-empty-input semantics; the
+    *    plain global aggregate keeps empty grouping so
+    *    count-over-empty stays one row of 0,
+    *  - `gidOutValue`: literal substituted for grouping-id
+    *    references in outputs (grouping()/grouping_id() arithmetic
+    *    folds per branch),
+    *  - `keepExprIds`: the branch whose aliases carry the original
+    *    output ids (the first Union child / the single branch). */
+  private def buildBranch(
+      mv: MvDef,
+      branchGroups: Seq[String],
+      gidIndex: Option[Int],
+      groupByGid: Boolean,
+      gidOutValue: Option[Long],
+      filters: List[Expression],
+      baseRefName: Map[Long, String],
+      groupRefName: Map[Long, String],
+      gidRefId: Option[Long],
+      outs: Seq[Out],
+      keepExprIds: Boolean): Option[LogicalPlan] = {
     val stateRel = session.read.parquet(mv.statePath).queryExecution.analyzed
     val st: Map[String, Attribute] = stateRel.output.map(a => a.name -> a).toMap
     // the state must actually carry the expected shape; a mismatched
     // table under statePath is a registration error — fail loudly,
     // never silently return wrong results
-    val expected = mv.groupCols ++ Seq("n") ++
+    val expected = mv.groupCols ++
+      (if (mv.sets.nonEmpty) Seq("__gid") else Nil) ++ Seq("n") ++
       mv.sumCols.flatMap(c => Seq(s"nn_$c", s"sum_$c"))
     require(expected.forall(st.contains),
       s"state table ${mv.statePath} lacks columns " +
-        s"${expected.filterNot(st.contains).mkString(", ")} — build it with Cdc.aggState")
+        s"${expected.filterNot(st.contains).mkString(", ")} — build it with " +
+        s"Cdc.${if (mv.sets.nonEmpty) "cubeState" else "aggState"}")
+
+    val present = branchGroups.toSet
 
     // explicit column pruning for the state scan: this rule runs
     // after the main optimizer batches, so nothing will prune for us
     // (FileSourceStrategy derives the scan schema from this Project)
     val usedState = scala.collection.mutable.LinkedHashSet[Attribute]()
-    queriedGroups.foreach(g => usedState += st(g))
-    filters.foreach(_.references.foreach(a => usedState += st(groupByExprId(a.exprId))))
+    branchGroups.foreach(g => usedState += st(g))
+    if (gidIndex.isDefined) usedState += st("__gid")
+    filters.foreach(_.references.foreach(a =>
+      usedState += st(baseRefName(a.exprId.id))))
     outs.foreach {
-      case GroupOut(c, _) => usedState += st(c)
+      case PassOut(orig) => orig.references.foreach { a =>
+        groupRefName.get(a.exprId.id)
+          .foreach(c => if (present(c)) usedState += st(c))
+      }
       case CountStarOut(_) => usedState += st("n")
       case CountColOut(c, _) => usedState += st(s"nn_$c")
       case SumColOut(c, _) => usedState += st(s"sum_$c")
     }
     val pruned = Project(usedState.toSeq, stateRel)
 
-    val filtered = filters.foldLeft(pruned: LogicalPlan) { (p, c) =>
-      Filter(c.transform {
-        case ar: AttributeReference => st(groupByExprId(ar.exprId))
-      }, p)
-    }
+    val conds = gidIndex.map(i =>
+        org.apache.spark.sql.catalyst.expressions.EqualTo(
+          st("__gid"), Literal(i)): Expression).toList ++
+      filters.map(_.transform {
+        case ar: AttributeReference => st(baseRefName(ar.exprId.id))
+      })
+    val filtered = conds.foldLeft(pruned: LogicalPlan)((p, c) => Filter(c, p))
 
     def rollup(stCol: String): Expression =
       AggregateExpression(Sum(st(stCol)), Complete, isDistinct = false)
     def longRollup(stCol: String): Expression =
       Coalesce(Seq(Cast(rollup(stCol), LongType), Literal(0L)))
 
-    val newAggExprs: Seq[NamedExpression] = outs.map {
-      case GroupOut(c, orig) =>
-        Alias(st(c), orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
-      case CountStarOut(orig) =>
-        Alias(longRollup("n"), orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
-      case CountColOut(c, orig) =>
-        Alias(longRollup(s"nn_$c"), orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
-      case SumColOut(c, orig) =>
-        Alias(Cast(rollup(s"sum_$c"), orig.dataType), orig.name)(
-          exprId = orig.exprId, qualifier = orig.qualifier)
+    def subst(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if gidRefId.contains(ar.exprId.id) =>
+        Literal(gidOutValue.get, ar.dataType)
+      case ar: AttributeReference if groupRefName.contains(ar.exprId.id) =>
+        val c = groupRefName(ar.exprId.id)
+        if (present(c)) st(c) else Literal(null, ar.dataType)
     }
+    def mkAlias(child: Expression, orig: NamedExpression): NamedExpression =
+      if (keepExprIds)
+        Alias(child, orig.name)(exprId = orig.exprId, qualifier = orig.qualifier)
+      else Alias(child, orig.name)()
+
+    val newAggExprs: Seq[NamedExpression] = outs.map {
+      case PassOut(orig) =>
+        val body = orig match {
+          case Alias(child, _) => child
+          case other => other
+        }
+        mkAlias(subst(body), orig)
+      case CountStarOut(orig) => mkAlias(longRollup("n"), orig)
+      case CountColOut(c, orig) => mkAlias(longRollup(s"nn_$c"), orig)
+      case SumColOut(c, orig) => mkAlias(Cast(rollup(s"sum_$c"), orig.dataType), orig)
+    }
+    val groupExprs: Seq[Expression] = branchGroups.map(st(_)) ++
+      (if (groupByGid) Seq(st("__gid")) else Nil)
 
     // return the fragment as constructed — re-running the full
     // optimizer over it would let RemoveRedundantAliases strip the
     // exprId-preserving group aliases and orphan downstream
     // references; the aliases keep the original output ids exactly
-    Some(Aggregate(queriedGroups.map(st(_)), newAggExprs, filtered))
+    Some(Aggregate(groupExprs, newAggExprs, filtered))
   }
 }

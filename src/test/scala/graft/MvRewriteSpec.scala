@@ -257,4 +257,136 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
       assert(q.collect().map(_.toString).sorted.toSeq === baseline(q), s"case $i")
     }
   }
+
+  // ── grouping-sets lattice (cubeState-backed MvDef.sets) ──────────
+
+  /** Full rollup lattice of (g1, g2) as a cubeState, registered with
+    * MvDef.sets; returns (basePath, statePath, base). */
+  private val RollupSets = Seq(Seq("g1", "g2"), Seq("g1"), Seq.empty[String])
+  private def cubeFixture(
+      tag: String,
+      sets: Seq[Seq[String]] = RollupSets): (String, String, DataFrame) = {
+    val basePath = tmp(s"$tag-base")
+    val statePath = tmp(s"$tag-state")
+    baseDf.write.mode("overwrite").parquet(basePath)
+    Cdc.cubeState(spark.read.parquet(basePath), Seq("g1", "g2"), sets, Seq("v", "q"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.register(basePath,
+      MvDef(Seq("g1", "g2"), Seq("v", "q"), statePath, sets = sets))
+    (basePath, statePath, spark.read.parquet(basePath))
+  }
+
+  test("ROLLUP query answers from the cubeState lattice, values identical") {
+    val (basePath, statePath, base) = cubeFixture("ru")
+    def q = base.rollup("g1", "g2")
+      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("nn_v"),
+        sum(col("v")).as("sum_v"), sum(col("q")).as("sum_q"))
+    assert(scansState(q, statePath, basePath),
+      s"rollup must serve from the lattice; scans: ${scanPaths(q).mkString(", ")}")
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // real-NULL group keys and rolled-up NULLs coexist: the output
+    // carries more NULL-g1 rows than the base has NULL-g1 groups
+    assert(q.where(col("g1").isNull).count() >= 3,
+      "base NULL-g1 set rows + per-g1 rollups must all be present")
+  }
+
+  test("CUBE query: every lattice member answers from its registered slice") {
+    val cubeSets = Seq(Seq("g1", "g2"), Seq("g1"), Seq("g2"), Seq.empty[String])
+    val (basePath, statePath, base) = cubeFixture("cu", cubeSets)
+    def q = base.cube("g1", "g2")
+      .agg(count(lit(1)).as("n_rows"), sum(col("q")).as("sum_q"))
+    assert(scansState(q, statePath, basePath))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
+  test("grouping_id()/grouping() outputs fold to per-branch literals") {
+    val (basePath, statePath, base) = cubeFixture("gid")
+    def q = base.rollup("g1", "g2")
+      .agg(count(lit(1)).as("n_rows"), grouping_id().as("gid"),
+        grouping(col("g2")).as("g2_rolled"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // the literal gid must distinguish the real-NULL g1 row (gid 0)
+    // from the grand total (gid 3)
+    assert(q.where(col("gid") === 3).count() === 1)
+  }
+
+  test("group-column filter commutes through every lattice branch") {
+    val (basePath, statePath, base) = cubeFixture("ruf")
+    def q = base.where(col("g2") =!= 3).rollup("g1", "g2")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
+  test("a query set coarser than every registered set still answers (superset roll-up)") {
+    // CUBE needs (g2), which is NOT registered — but the finest
+    // registered set (g1, g2) is a superset, and counts/sums roll up
+    // from it exactly, so the rewrite still fires for all four sets
+    val (basePath, statePath, base) = cubeFixture("roll")
+    def q = base.cube("g1", "g2").agg(count(lit(1)).as("n_rows"),
+      sum(col("q")).as("sum_q"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
+  test("a query set with NO registered superset keeps the base scan (all-or-nothing)") {
+    // only the coarse half of the lattice is registered: ROLLUP's
+    // finest set (g1, g2) has no registered superset → the WHOLE
+    // query falls back (one Expand output cannot mix sources)
+    val (basePath, statePath, base) =
+      cubeFixture("miss", sets = Seq(Seq("g1"), Seq.empty[String]))
+    def q = base.rollup("g1", "g2").agg(count(lit(1)).as("n_rows"))
+    val paths = scanPaths(q)
+    assert(paths.exists(_.startsWith(basePath)) &&
+      !paths.exists(_.startsWith(statePath)),
+      s"missing finest set must fall back entirely; scans: $paths")
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
+  test("plain aggregate over a lattice-registered base serves from the smallest superset slice") {
+    val (basePath, statePath, base) = cubeFixture("plain")
+    def q = base.groupBy("g1").agg(count(lit(1)).as("n_rows"), sum(col("q")).as("sum_q"))
+    assert(scansState(q, statePath, basePath))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // global aggregate too (the () slice), incl. count-over-empty = 1 row
+    def g = base.groupBy().agg(count(lit(1)).as("n_rows"))
+    assert(scansState(g, statePath, basePath))
+    assert(g.collect().map(_.toString).sorted.toSeq === baseline(g))
+  }
+
+  test("ROLLUP over an empty base yields zero rows on both paths") {
+    val basePath = tmp("rue-base")
+    val statePath = tmp("rue-state")
+    baseDf.where(lit(false)).write.mode("overwrite").parquet(basePath)
+    Cdc.cubeState(spark.read.parquet(basePath), Seq("g1", "g2"),
+      RollupSets, Seq("v", "q"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.register(basePath,
+      MvDef(Seq("g1", "g2"), Seq("v", "q"), statePath, sets = RollupSets))
+    def q = spark.read.parquet(basePath).rollup("g1", "g2")
+      .agg(count(lit(1)).as("n_rows"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.count() === 0, "rollup over empty input emits NO rows, not a 0-total")
+    assert(baseline(q).isEmpty)
+  }
+
+  test("maintained cubeState answers ROLLUP after churn — the lattice IVM loop closed") {
+    val basePath = tmp("rum-base")
+    val statePath = tmp("rum-state")
+    val before = baseDf
+    val after = baseDf.where(col("g2") =!= 2)
+      .withColumn("q", when(col("g1") === "B", col("q") + 100).otherwise(col("q")))
+    after.write.mode("overwrite").parquet(basePath)
+    val state0 = Cdc.cubeState(before, Seq("g1", "g2"), RollupSets, Seq("v", "q"))
+    val delta = Cdc.signedDelta(before, after, Seq("g1", "g2", "v", "q"))
+    Cdc.maintainCube(state0, delta, Seq("g1", "g2"), RollupSets, Seq("v", "q"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.register(basePath,
+      MvDef(Seq("g1", "g2"), Seq("v", "q"), statePath, sets = RollupSets))
+    def q = spark.read.parquet(basePath).rollup("g1", "g2")
+      .agg(count(lit(1)).as("n_rows"), sum(col("q")).as("sum_q"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
 }
