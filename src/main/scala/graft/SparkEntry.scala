@@ -2998,6 +2998,38 @@ object SparkEntry {
     // implementation
     "ext_bpe_pairs" -> ((s, dir) =>
       graft.ext.Bpe.pairStats(tbl(s, dir, "documents"), "text")),
+
+    // BPE tokenizer APPLICATION — train on the corpus (8 merges, the
+    // deterministic loop BpeSpec pins against a from-scratch
+    // reference), then encode the WHOLE corpus as a shuffle-free
+    // projection (frozen merge list = foldable literal — how a
+    // trained tokenizer deploys at 100 TB). Graded verdict-row style
+    // (the ext_bm25_pruned pattern): word/char totals replay in SQL
+    // (they pin the tokenization boundary), `lossless` is the
+    // in-engine proof that every document's tokens concatenate back
+    // to its whitespace-stripped text, `compressed` that the merges
+    // actually shortened the token stream.
+    "ext_bpe_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val merges = graft.ext.Bpe.learn(docs, numMerges = 8)
+      require(merges.nonEmpty, "corpus must yield at least one merge")
+      val enc = graft.ext.Bpe.encode(docs, merges)
+        .select(
+          expr("size(filter(split(text, '\\\\s+'), w -> length(w) > 0))")
+            .cast("long").as("__w"),
+          length(regexp_replace(col("text"), "\\s+", ""))
+            .cast("long").as("__c"),
+          size(col("bpe_tokens")).cast("long").as("__t"),
+          (concat_ws("", col("bpe_tokens")) ===
+            regexp_replace(col("text"), "\\s+", "")).as("__ok"))
+      enc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__c")).as("n_chars"),
+        min(col("__ok")).as("lossless"),
+        (sum(col("__t")) < sum(col("__c"))).as("compressed"))
+        .localCheckpoint(true)
+    }),
   )
 
   /** Shared by d7_promote / flow_stream_ingest: the promoted lineitem
@@ -4792,6 +4824,18 @@ object SparkEntry {
         |SELECT ((v - lo) * 16) // (hi - lo + 1) AS bin,
         |  count(*) AS n, lo, hi
         |FROM v, r GROUP BY 1, lo, hi""".stripMargin,
+
+    // word/char totals pin the tokenization boundary in SQL; the
+    // booleans are the engine's own losslessness and compression
+    // proofs (the verdict-row pattern of ext_bm25_pruned)
+    "ext_bpe_encode" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    w -> length(w) > 0))) AS BIGINT) AS n_words,
+        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+        |    AS n_chars,
+        |  true AS lossless, true AS compressed
+        |FROM documents""".stripMargin,
 
     // the arithmetic the engine encoded into real PNG bytes and
     // parsed back — the byte round-trip happens engine-side
