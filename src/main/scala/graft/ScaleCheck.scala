@@ -114,6 +114,23 @@ object ScaleCheck {
             .withColumn("vec_id", col("vec_id") + lit(2000000000L)),
           df, threshold = 0.9, planes = 12, tables = 2).count(),
         embs, "vec_id"),
+      // perceptual-hash image dedup: synthetic payloads regrow with
+      // the corpus (grow()'s id offsets land every replica in fresh
+      // groups), hashing is a shuffle-free byte loop, and the
+      // pigeonhole block join shuffles 4 fixed-width rows per image —
+      // corpus-linear; true pairs grow ~k (within-group only)
+      ("image_dedup", (df: DataFrame) => {
+        val pix = transform(sequence(lit(0), lit(59)), i => {
+          val base = (floor(col("doc_id") / 16) + 1) * (i + 7) * 13
+          val v = when(
+            col("doc_id") % 16 =!= 0 && i.cast("long") === col("doc_id") % 60,
+            (base + 128) % 256).otherwise(base % 256)
+          lpad(hex(v.cast("long")), 2, "0")
+        })
+        val media = df.select(col("doc_id"), unhex(array_join(pix, "")).as("media"))
+        val hashes = ImageDedup.aHashes(spark, media, bits = 60).toDF()
+        ImageDedup.nearDupPairs(hashes, maxHamming = 3, bits = 60).count()
+      }, docs, "doc_id"),
       ("top_terms", (df: DataFrame) =>
         TextAnalysis.topTerms(df, k = 5).count(),
         docs, "doc_id"),
@@ -702,6 +719,53 @@ object ScaleCheck {
       val bk = bench(pk, rewrite = false)
       println(f"mv_read           $r1%8.2f $rk%8.2f ${rk / r1}%7.2f  state-served (flat is the statement)")
       println(f"mv_base_agg       $b1%8.2f $bk%8.2f ${bk / b1}%7.2f  rule-off base scan (pays k)")
+      spark.conf.set("spark.graft.mv.rewrite", "true")
+      graft.plans.MvCatalog.clear()
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
+
+    // Lattice form: a ROLLUP answered from the cubeState stays flat
+    // (|groups| x |sets| state rows at any k) while the rule-off plan
+    // pays the base scan THROUGH the Expand — i.e. |sets| x base rows
+    // into the aggregate. The avoided work grows faster than the
+    // plain-MV case by the |sets| factor.
+    if (only.exists(_.contains("mv_cube"))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-mvcube").toString
+      val sets = Seq(Seq("o_orderstatus", "b"), Seq("o_orderstatus"),
+        Seq.empty[String])
+      def prep(d: DataFrame, tag: String): String = {
+        val basePath = s"$root/$tag/base"
+        val statePath = s"$root/$tag/state"
+        d.select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_orderkey") % 4).cast("string").as("b"),
+            col("o_totalprice").cast("decimal(12,2)").as("v"))
+          .write.parquet(basePath)
+        graft.operators.Cdc.cubeState(spark.read.parquet(basePath),
+          Seq("o_orderstatus", "b"), sets, Seq("v")).write.parquet(statePath)
+        graft.plans.MvCatalog.register(basePath,
+          graft.plans.MvDef(Seq("o_orderstatus", "b"), Seq("v"), statePath,
+            sets = sets))
+        basePath
+      }
+      val p1 = prep(orders, "x1")
+      val pk = prep(grow(orders, "o_orderkey"), "xk")
+      def q(path: String) = spark.read.parquet(path)
+        .rollup("o_orderstatus", "b")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      def bench(path: String, rewrite: Boolean): Double = {
+        spark.conf.set("spark.graft.mv.rewrite", rewrite.toString)
+        val (t, _) = timed(q(path).count())
+        graft.core.Sessions.settle(spark)
+        t
+      }
+      val r1 = bench(p1, rewrite = true)
+      val rk = bench(pk, rewrite = true)
+      val b1 = bench(p1, rewrite = false)
+      val bk = bench(pk, rewrite = false)
+      println(f"mv_cube_read      $r1%8.2f $rk%8.2f ${rk / r1}%7.2f  lattice-served rollup (flat is the statement)")
+      println(f"mv_cube_base      $b1%8.2f $bk%8.2f ${bk / b1}%7.2f  rule-off Expand scan (pays |sets| x k)")
       spark.conf.set("spark.graft.mv.rewrite", "true")
       graft.plans.MvCatalog.clear()
       new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
