@@ -754,18 +754,35 @@ object ScaleCheck {
       def q(path: String) = spark.read.parquet(path)
         .rollup("o_orderstatus", "b")
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
-      def bench(path: String, rewrite: Boolean): Double = {
+      // wall-clock cannot resolve the gap at fixture scale (a 4.5M-row
+      // scan aggregates in half a second on 32 threads) — INPUT ROWS
+      // READ is the deterministic witness: the lattice answer reads
+      // |groups| x |sets| state rows at ANY k, the rule-off plan reads
+      // the whole base through the Expand
+      def bench(path: String, rewrite: Boolean): (Double, Long) = {
         spark.conf.set("spark.graft.mv.rewrite", rewrite.toString)
-        val (t, _) = timed(q(path).count())
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        val (t, _) =
+          try { val r = timed(q(path).count())
+            org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
+            r }
+          finally spark.sparkContext.removeSparkListener(l)
         graft.core.Sessions.settle(spark)
-        t
+        (t, acc.get)
       }
-      val r1 = bench(p1, rewrite = true)
-      val rk = bench(pk, rewrite = true)
-      val b1 = bench(p1, rewrite = false)
-      val bk = bench(pk, rewrite = false)
-      println(f"mv_cube_read      $r1%8.2f $rk%8.2f ${rk / r1}%7.2f  lattice-served rollup (flat is the statement)")
-      println(f"mv_cube_base      $b1%8.2f $bk%8.2f ${bk / b1}%7.2f  rule-off Expand scan (pays |sets| x k)")
+      val (r1, rr1) = bench(p1, rewrite = true)
+      val (rk, rrk) = bench(pk, rewrite = true)
+      val (b1, br1) = bench(p1, rewrite = false)
+      val (bk, brk) = bench(pk, rewrite = false)
+      println(f"mv_cube_read      $r1%8.2f $rk%8.2f ${rk / r1}%7.2f  rows read $rr1 -> $rrk (state-sized, flat)")
+      println(f"mv_cube_base      $b1%8.2f $bk%8.2f ${bk / b1}%7.2f  rows read $br1 -> $brk (whole base, pays k)")
       spark.conf.set("spark.graft.mv.rewrite", "true")
       graft.plans.MvCatalog.clear()
       new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
