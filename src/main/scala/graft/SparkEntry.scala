@@ -1717,6 +1717,25 @@ object SparkEntry {
           array_join(col("ids").cast("array<string>"), ",").as("ids"),
           col("n_oov"))),
 
+    // Fixed-window training chunks with overlap (window 64, stride
+    // 48): long documents split into training sequences — the
+    // inverse-shaped sibling of ext_pack_sequences. Shuffle-free
+    // projection; every boundary is integer arithmetic the oracle
+    // replays (trailing chunk runs short, coverage is complete by
+    // the ceil((n-w)/s) start count).
+    "ext_chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(
+        tbl(s, dir, "documents"), window = 64, stride = 48)),
+
+    // Hash-trick linear quality scorer (fastText-style inference):
+    // tokens hash to 1024 buckets via the portable md5 hash, the doc
+    // score is the buckets' weight sum with multiplicity — one
+    // shuffle-free integer projection, the deploy shape of a trained
+    // quality classifier at corpus scale (weights here are a
+    // deterministic surrogate so the oracle replays the whole path).
+    "ext_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(tbl(s, dir, "documents"), dims = 1024)),
+
     // Deterministic hash-bucket train/val/test split — stable under
     // corpus growth, shuffle-free, portable arithmetic
     "ext_split_assign" -> ((s, dir) =>
@@ -2971,6 +2990,37 @@ object SparkEntry {
       }
       require(bad.isEmpty,
         "image near-dup must plan blocked (equi join), not all-pairs")
+      out
+    }),
+
+    // Incremental image near-dup — the daily-batch shape: the #1
+    // member of each synthetic group arrives as the DELTA and pairs
+    // against the already-deduplicated corpus through the same
+    // pigeonhole blocking, delta side broadcast so the corpus chunks
+    // never shuffle and never self-pair. Oracle: the TRUE all-pairs
+    // delta x corpus Hamming join over replayed hashes.
+    "ext_dedup_images_delta" -> ((s, dir) => {
+      val pix = transform(sequence(lit(0), lit(59)), i => {
+        val base = (floor(col("doc_id") / 16) + 1) * (i + 7) * 13
+        val v = when(
+          col("doc_id") % 16 =!= 0 && i.cast("long") === col("doc_id") % 60,
+          (base + 128) % 256).otherwise(base % 256)
+        lpad(hex(v.cast("long")), 2, "0")
+      })
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id"), unhex(array_join(pix, "")).as("media"))
+      val hashes = graft.ext.ImageDedup.aHashes(s, media, bits = 60).toDF()
+        .localCheckpoint(true)
+      val out = graft.ext.ImageDedup.nearDupPairsAgainst(
+        hashes.where(col("doc_id") % 16 === 1),
+        hashes.where(col("doc_id") % 16 =!= 1),
+        maxHamming = 3, bits = 60)
+      val bad = out.queryExecution.executedPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      require(bad.isEmpty,
+        "incremental image near-dup must plan blocked, not all-pairs")
       out
     }),
 
@@ -4844,6 +4894,42 @@ object SparkEntry {
         |  doc_id % 1000 + 1 AS width, doc_id % 700 + 1 AS height
         |FROM documents""".stripMargin,
 
+    // identical window arithmetic: starts every 48, width-64 slices
+    // clamp at the end; list_slice is 1-based inclusive like Spark's
+    // slice(arr, start, length) with the same overrun clamping
+    "ext_chunk_documents" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $wordsNormSql AS toks FROM documents
+         |), nz AS (
+         |  SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+         |), idx AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + greatest(0,
+         |      CAST(ceil((n - 64) / 48.0) AS BIGINT)))) AS i
+         |  FROM nz
+         |)
+         |SELECT doc_id, i AS chunk_idx,
+         |  CAST(len(list_slice(toks, i*48 + 1, i*48 + 64)) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+         |FROM idx""".stripMargin,
+
+    // same portable md5 bucket, same integer surrogate weights, same
+    // null-free sum; docs with no tokens score 0 via the LEFT join
+    "ext_quality_classifier" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($wordsNormSql) AS w FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    (('0x' || substring(md5(w), 1, 15))::UBIGINT % 1024)::BIGINT AS b
+         |  FROM toks
+         |), sc AS (
+         |  SELECT doc_id, CAST(sum((b * 37 + 11) % 17 - 8) AS BIGINT) AS score
+         |  FROM f GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(sc.score, 0) AS score,
+         |  coalesce(sc.score, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
     // replays the synthetic pixel grid, the integer mean test, the
     // bit packing, and — critically — the TRUE all-pairs Hamming
     // join the engine's pigeonhole blocking must equal exactly
@@ -4865,6 +4951,27 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+
+    // the delta x corpus truth — no corpus self-pairs by construction
+    "ext_dedup_images_delta" ->
+      """WITH px AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 16 <> 0 AND i = doc_id % 60
+        |         THEN (((doc_id // 16) + 1) * (i + 7) * 13 + 128) % 256
+        |         ELSE (((doc_id // 16) + 1) * (i + 7) * 13) % 256 END AS v
+        |  FROM documents, range(60) t(i)
+        |), tot AS (
+        |  SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id
+        |), h AS (
+        |  SELECT px.doc_id,
+        |    CAST(sum(CASE WHEN v * 60 > total
+        |             THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
+        |)
+        |SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id % 16 = 1 AND b.doc_id % 16 <> 1
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
 
     // identical tokenization and bigram windows; the model CTE is the

@@ -113,25 +113,61 @@ object ImageDedup {
       hashes: DataFrame,
       maxHamming: Int = 3,
       bits: Int = 64): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      "4-chunk pigeonhole blocking covers distance <= 3")
-    require(bits % 4 == 0,
-      s"bits must split into 4 equal pigeonhole chunks, got $bits")
-    val chunkBits = bits / 4
-    val chunkMask = (1L << chunkBits) - 1
-    val chunked = hashes
-      .withColumn("chunk", explode(expr("sequence(0, 3)")))
-      .withColumn("chunk_val",
-        expr(s"shiftright(phash, chunk * $chunkBits) & ${chunkMask}L"))
+    val chunked = chunkedHashes(hashes, bits)
     val l = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("phash").as("h_a"))
     val r = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("phash").as("h_b"))
+    requireBlocking(maxHamming, bits)
     l.join(r, Seq("chunk", "chunk_val"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(expr("h_a ^ h_b")).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Incremental form — a (small) DELTA of new images against the
+    * already-deduplicated corpus, the same daily-batch shape as
+    * [[MinHashLSH.nearDupPairsAgainst]] / the embedding delta: pairs
+    * are (delta image, corpus image) within `maxHamming` ONLY — no
+    * corpus self-pairs, and the corpus hash table never self-joins.
+    * At scale the delta side broadcasts, so the corpus chunks ride
+    * their scan into a broadcast hash join without an exchange. Both
+    * inputs are (doc_id, phash) frames ([[aHashes]] output); ids
+    * must be disjoint across the two sides. */
+  def nearDupPairsAgainst(
+      deltaHashes: DataFrame,
+      corpusHashes: DataFrame,
+      maxHamming: Int = 3,
+      bits: Int = 64): DataFrame = {
+    requireBlocking(maxHamming, bits)
+    val l = chunkedHashes(deltaHashes, bits)
+      .select(col("chunk"), col("chunk_val"),
+        col("doc_id").as("delta_id"), col("phash").as("h_a"))
+    val r = chunkedHashes(corpusHashes, bits)
+      .select(col("chunk"), col("chunk_val"),
+        col("doc_id").as("corpus_id"), col("phash").as("h_b"))
+    r.join(broadcast(l), Seq("chunk", "chunk_val"))
+      .select(col("delta_id"), col("corpus_id"),
+        bit_count(expr("h_a ^ h_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  private def requireBlocking(maxHamming: Int, bits: Int): Unit = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4-chunk pigeonhole blocking covers distance <= 3")
+    require(bits % 4 == 0,
+      s"bits must split into 4 equal pigeonhole chunks, got $bits")
+  }
+
+  private def chunkedHashes(hashes: DataFrame, bits: Int): DataFrame = {
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    hashes
+      .withColumn("chunk", explode(expr("sequence(0, 3)")))
+      .withColumn("chunk_val",
+        expr(s"shiftright(phash, chunk * $chunkBits) & ${chunkMask}L"))
   }
 }

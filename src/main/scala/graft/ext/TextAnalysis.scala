@@ -25,6 +25,76 @@ object TextAnalysis {
       rollingHash(textCol).as("rolling_fp"))
   }
 
+  /** Fixed-window training chunks with overlap: every document's
+    * canonical word sequence splits into windows of `window` tokens
+    * starting every `stride` tokens (overlap = window − stride; the
+    * trailing chunk may run short) — the "split long documents into
+    * training sequences" step of an LLM pipeline, the inverse-shaped
+    * sibling of [[Sampling.packSequences]] (that PACKS short docs;
+    * this SPLITS long ones). Chunk starts are pure arithmetic over
+    * the per-document token count, so a SQL oracle replays every
+    * boundary exactly.
+    *
+    * Scale shape: a shuffle-free projection — tokenize, slice
+    * `⌈(n−window)/stride⌉+1` windows per document, posexplode. Output
+    * grows by the overlap factor only; payload bytes never leave
+    * their input partition. */
+  def chunkDocuments(
+      docs: DataFrame,
+      window: Int,
+      stride: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"chunkDocuments needs window >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    val toks = words(normalized(col(textCol)))
+    val n = size(toks)
+    // number of chunk starts: 1 + max(0, ceil((n - window) / stride))
+    val extra = greatest(lit(0L),
+      ceil((n - window).cast("double") / stride).cast("long"))
+    docs
+      .where(n > 0)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0L), extra),
+          i => slice(toks, (i * stride).cast("int") + 1, lit(window)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
+  /** Hash-trick linear scorer (Weinberger et al., ICML 2009 — the
+    * fastText-style inference path of a quality classifier): every
+    * token hashes to one of `dims` buckets via the PORTABLE md5 hash
+    * (the [[SimHash.portableTokenHash]] construction, so any engine
+    * with md5 reproduces the featurization), and the document score
+    * is the sum of the buckets' weights with multiplicity — one
+    * shuffle-free projection, exactly how a trained linear model
+    * deploys over a 100 TB corpus (real deployments broadcast the
+    * weight vector; here the weights are a deterministic surrogate
+    * `((bucket · 37 + 11) mod 17) − 8` so the whole pipeline stays
+    * integer-exact and oracle-replayable — swap `weightOf` for a
+    * broadcast lookup to serve a real model).
+    *
+    * Output: (id, score, keep = score > 0) — integer score, no float
+    * crosses the engine boundary. */
+  def hashedLinearScore(
+      docs: DataFrame,
+      dims: Int = 1024,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(dims >= 2, s"hashedLinearScore needs dims >= 2, got $dims")
+    val bucket = (t: org.apache.spark.sql.Column) =>
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(dims.toLong))
+    val weight = (b: org.apache.spark.sql.Column) => (b * 37L + 11L) % 17L - 8L
+    docs.select(
+      col(idCol),
+      aggregate(
+        transform(words(normalized(col(textCol))), w => weight(bucket(w))),
+        lit(0L), (acc, x) => acc + x).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
   /** Corpus card: per-source rollup (doc/token/char volume, language
     * spread) — the summary table every pretraining-mix decision reads.
     * One hash aggregation with map-side partials; count-distinct adds

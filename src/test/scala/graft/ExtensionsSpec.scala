@@ -793,4 +793,71 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(999L) === 999L)
     assert(out(413L) === 45L && out(185L) === 61L && out(245L) === 8L && out(447L) === 70L)
   }
+
+  test("chunkDocuments: window/stride boundaries, clamped tail, full coverage") {
+    import spark.implicits._
+    def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (0L, ""),               // no tokens -> no chunks
+      (1L, "solo"),           // 1 token -> one short chunk
+      (4L, doc(4)),           // n == window -> exactly one chunk
+      (5L, doc(5)),           // n == window + 1 -> second chunk of 3
+      (10L, doc(10))          // starts at 0, 2, 4, 6: ceil((10-4)/2)=3
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis
+      .chunkDocuments(df, window = 4, stride = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(!out.contains(0L))
+    assert(out(1L) === Seq((1L, 0L, 1L, "solo")))
+    assert(out(4L) === Seq((4L, 0L, 4L, "t1 t2 t3 t4")))
+    assert(out(5L) === Seq(
+      (5L, 0L, 4L, "t1 t2 t3 t4"), (5L, 1L, 3L, "t3 t4 t5")))
+    assert(out(10L).map(_._2) === Seq(0L, 1L, 2L, 3L))
+    assert(out(10L).last === ((10L, 3L, 4L, "t7 t8 t9 t10")))
+    // coverage property: every token of every doc appears in >= 1
+    // chunk, and consecutive chunks overlap by window - stride
+    for (n <- Seq(1, 3, 4, 7, 9, 23, 24, 25)) {
+      val chunks = graft.ext.TextAnalysis
+        .chunkDocuments(Seq((99L, doc(n))).toDF("doc_id", "text"),
+          window = 8, stride = 5)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+      val covered = chunks.flatMap(_._4.split(" ")).toSet
+      assert(covered === (1 to n).map(i => s"t$i").toSet, s"n=$n coverage")
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          val overlap = a._4.split(" ").toSet intersect b._4.split(" ").toSet
+          assert(overlap.size == math.min(8 - 5, a._4.split(" ").length),
+            s"n=$n overlap between chunk ${a._2} and ${b._2}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("hashedLinearScore: integer, deterministic, zero on empty docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "ALPHA  beta\talpha"),  // normalizes to the same tokens
+      (3L, ""),
+      (4L, "gamma")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.hashedLinearScore(df, dims = 64)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === out(2L), "normalization must make scores identical")
+    assert(out(3L)._1 === 0L && !out(3L)._2)
+    assert(out(1L)._2 === (out(1L)._1 > 0))
+    // multiplicity: doubling a token moves the score by its weight
+    val single = graft.ext.TextAnalysis
+      .hashedLinearScore(Seq((9L, "alpha")).toDF("doc_id", "text"), dims = 64)
+      .as[(Long, Long, Boolean)].head()._2
+    val double = graft.ext.TextAnalysis
+      .hashedLinearScore(Seq((9L, "alpha alpha")).toDF("doc_id", "text"), dims = 64)
+      .as[(Long, Long, Boolean)].head()._2
+    assert(double === 2 * single)
+    // shuffle-free plan: a pure projection, no exchange
+    val plan = graft.ext.TextAnalysis.hashedLinearScore(df, dims = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scorer must not shuffle:\n$plan")
+  }
 }

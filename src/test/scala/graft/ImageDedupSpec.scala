@@ -86,6 +86,32 @@ class ImageDedupSpec extends AnyFunSuite {
       s"pigeonhole blocking must plan as an equi join:\n${q.queryExecution.executedPlan}")
   }
 
+  test("incremental delta-vs-corpus pairs equal brute force, never corpus self-pairs") {
+    // corpus holds two near-identical families; the delta carries one
+    // twin of each plus one stranger
+    val corpus: Seq[(Long, Long)] = Seq(
+      10L -> 0x0000000000000000L, 11L -> 0x0000000000000001L,
+      20L -> 0x7777000000000000L, 21L -> 0x7777000000000003L,
+      30L -> 0x123456789abcdefL)
+    val delta: Seq[(Long, Long)] = Seq(
+      100L -> 0x0000000000000003L, // near family 1
+      200L -> 0x7777000000000001L, // near family 2
+      300L -> 0x5555555555555555L) // stranger
+    val got = ImageDedup.nearDupPairsAgainst(
+        delta.toDF("doc_id", "phash"), corpus.toDF("doc_id", "phash"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (d, hd) <- delta; (c, hc) <- corpus
+      dist = java.lang.Long.bitCount(hd ^ hc) if dist <= 3
+    } yield (d, c, dist.toLong)).toSet
+    assert(got === want, s"got $got want $want")
+    // corpus self-pairs (10, 11) and (20, 21) are within distance 3
+    // but must NOT appear — the incremental form never re-pairs the
+    // already-deduplicated corpus
+    assert(!got.exists { case (a, b, _) => a < 100L || b >= 100L })
+    assert(!got.exists(_._1 == 300L), "the stranger pairs with nothing")
+  }
+
   test("end-to-end over binary payloads: perturbed copies pair up, strangers do not") {
     // 3 groups of 4 images: group members share a base byte grid,
     // each member flips one byte hard across the mean — within-group
