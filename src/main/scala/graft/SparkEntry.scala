@@ -843,6 +843,26 @@ object SparkEntry {
       out
     }),
 
+    // REAL audio-container round-trip: the engine WRITES canonical
+    // RIFF/WAV bytes (PCM16 LE mono, samples from doc_id arithmetic),
+    // the chunk-walking WavParser locates the data chunk in the raw
+    // container, and pcmEnergy reads exact integer Σ sample² per
+    // 64-sample window out of the bytes — no codec, nothing stubbed;
+    // the oracle replays the arithmetic the bytes encoded (the
+    // ext_multimodal_headers pattern, extended to audio). Shuffle-
+    // free partition loop; the trailing window runs short (8 of 200).
+    "ext_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val samples = Array.tabulate[Short](200)(j =>
+            (((id * 31 + j * 17) % 4096) - 2048).toShort)
+          graft.ext.Multimodal.MediaRow(
+            id, graft.ext.Multimodal.buildPcm16Wav(samples))
+        }).toDF()
+      graft.ext.Multimodal.pcmEnergy(s, media, window = 64).toDF()
+    }),
+
     // MV rewrite over the GROUPING-SETS LATTICE: the same churned
     // orders base, but the state is a Cdc.cubeState — every rollup
     // level maintained in ONE pass, __gid-discriminated — and the
@@ -4886,6 +4906,19 @@ object SparkEntry {
         |    AS n_chars,
         |  true AS lossless, true AS compressed
         |FROM documents""".stripMargin,
+
+    // the sample arithmetic the engine encoded into real WAV bytes
+    // and read back per window — integer sums of squares, exact
+    "ext_multimodal_audio" ->
+      """WITH w AS (
+        |  SELECT doc_id, i // 64 AS window_idx,
+        |    ((doc_id * 31 + i * 17) % 4096 - 2048) AS v
+        |  FROM documents, range(200) t(i)
+        |)
+        |SELECT doc_id, window_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM w GROUP BY doc_id, window_idx""".stripMargin,
 
     // the arithmetic the engine encoded into real PNG bytes and
     // parsed back — the byte round-trip happens engine-side
