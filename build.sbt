@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver reads `runMain graft.Bench` through a BOUNDED
+// (~2 KB) stdout tail and tries to parse the bench summary line from
+// it. Ten rounds of BENCH_rN.json show "parsed": null with two sbt
+// artifacts in every tail: each app line is re-logged with an
+// "[info] " prefix, and the final stdout line is sbt's own
+// "[success] Total time ..." banner. Both defeat any line-oriented
+// JSON scraper. StdoutOutput makes the forked JVM inherit sbt's
+// stdout (bare lines, no logger prefix); showSuccess := false drops
+// the trailing banner, so the LAST stdout line is exactly the
+// summary JSON that Bench/Verify print.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-
+// key lint cannot see; exclude it rather than lose the suppression.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -51,6 +51,13 @@ object ScaleCheck {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // trained once OUTSIDE the timed windows (the deployment
+    // posture: frozen tokenizer, growing corpus) — and only when the
+    // bpe_encode case is actually selected
+    val bpeMerges: Seq[(String, String)] =
+      if (only.forall(_.contains("bpe_encode"))) Bpe.learn(docs, numMerges = 32)
+      else Nil
+
     val cases: Seq[(String, DataFrame => Long, DataFrame, String)] = Seq(
       ("promote_t1_t5", (df: DataFrame) =>
         Promote.transform(df, Seq("l_orderkey", "l_linenumber"), hyphen = true,
@@ -131,6 +138,27 @@ object ScaleCheck {
         val hashes = ImageDedup.aHashes(spark, media, bits = 60).toDF()
         ImageDedup.nearDupPairs(hashes, maxHamming = 3, bits = 60).count()
       }, docs, "doc_id"),
+      // energy-fingerprint audio dedup: real WAV containers regrow
+      // with the corpus; hashing is a shuffle-free byte loop over
+      // the raw bytes, pairing the same 4-rows-per-recording
+      // pigeonhole join as images — corpus-linear; replicas plant
+      // real twins so the TRUE pair set inflates super-linearly and
+      // the ratio bounds worst-case, output-bound behavior
+      ("audio_dedup", (df: DataFrame) => {
+        import spark.implicits._
+        val media = df.select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val fam = id / 16 + 1
+            val samples = Array.tabulate[Short](240) { j =>
+              val p = if (id % 16 != 0 && j / 4 == id % 60) 1024L else 0L
+              ((fam * (j * 7 + 11) + p) % 4096 - 2048).toShort
+            }
+            Multimodal.MediaRow(id, Multimodal.buildPcm16Wav(samples))
+          }).toDF()
+        val hashes = AudioDedup.energyHashes(spark, media,
+          window = 4, bits = 60).toDF()
+        AudioDedup.nearDupPairs(hashes, maxHamming = 3, bits = 60).count()
+      }, docs, "doc_id"),
       ("top_terms", (df: DataFrame) =>
         TextAnalysis.topTerms(df, k = 5).count(),
         docs, "doc_id"),
@@ -142,6 +170,16 @@ object ScaleCheck {
           df.withColumn("n_tokens",
             graft.functions.TextFunctions.wordCount(col("text"))),
           capacity = 2048, shards = 64).count(),
+        docs, "doc_id"),
+      // frozen-tokenizer deployment: the merge table is trained ONCE
+      // on the base corpus (bpeMerges, outside the timed window), the
+      // corpus grows k× — encodeRank is one codegen'd projection
+      // node, so the only scale term is the row scan itself (the
+      // per-thread word memo keeps repeated words at hash-probe cost)
+      ("bpe_encode", (df: DataFrame) =>
+        Bpe.encodeRank(df, bpeMerges)
+          .selectExpr("count(*)", "sum(size(bpe_tokens))")
+          .head().getLong(0),
         docs, "doc_id"),
       // key space fixed (150 users) while rows-per-key grow k× — the
       // worst case for the per-key window sort, so the ratio bounds

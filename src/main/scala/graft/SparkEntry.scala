@@ -3044,6 +3044,103 @@ object SparkEntry {
       out
     }),
 
+    // Audio near-dup completes the multimodal dedup family: the
+    // engine WRITES real RIFF/WAV containers (PCM16 LE mono, samples
+    // from doc_id arithmetic in 16-doc families — member k != 0
+    // gain-shifts one window), the energy-profile fingerprint reads
+    // back out of the raw bytes (WavParser chunk walk + the
+    // pcmEnergy sample arithmetic + the aHash integer mean test over
+    // per-window energies), and candidate pairs come from the SAME
+    // 4-chunk pigeonhole join as images (HammingBlocking — lossless
+    // <= 3, REQUIREd blocked in-query). Oracle: the TRUE all-pairs
+    // Hamming join over hashes replayed from the sample arithmetic.
+    // 240 samples, window 4 -> 60 windows = 60 hash bits, identity
+    // sampling — every stage integer-exact on both sides.
+    "ext_dedup_audio" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fam = id / 16 + 1
+          val samples = Array.tabulate[Short](240) { j =>
+            val p = if (id % 16 != 0 && j / 4 == id % 60) 1024L else 0L
+            ((fam * (j * 7 + 11) + p) % 4096 - 2048).toShort
+          }
+          graft.ext.Multimodal.MediaRow(
+            id, graft.ext.Multimodal.buildPcm16Wav(samples))
+        }).toDF()
+      val hashes = graft.ext.AudioDedup
+        .energyHashes(s, media, window = 4, bits = 60).toDF()
+      val out = graft.ext.AudioDedup
+        .nearDupPairs(hashes, maxHamming = 3, bits = 60)
+      val bad = out.queryExecution.executedPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      require(bad.isEmpty,
+        "audio near-dup must plan blocked (equi join), not all-pairs")
+      out
+    }),
+
+    // Incremental audio near-dup — the daily-batch delta shape shared
+    // with images/minhash/embeddings: member-1 recordings are the
+    // delta, everything else the already-deduplicated corpus; the
+    // delta side broadcasts so corpus chunks never shuffle and never
+    // self-pair. Oracle: the TRUE delta x corpus Hamming join.
+    "ext_dedup_audio_delta" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fam = id / 16 + 1
+          val samples = Array.tabulate[Short](240) { j =>
+            val p = if (id % 16 != 0 && j / 4 == id % 60) 1024L else 0L
+            ((fam * (j * 7 + 11) + p) % 4096 - 2048).toShort
+          }
+          graft.ext.Multimodal.MediaRow(
+            id, graft.ext.Multimodal.buildPcm16Wav(samples))
+        }).toDF()
+      val hashes = graft.ext.AudioDedup
+        .energyHashes(s, media, window = 4, bits = 60).toDF()
+        .localCheckpoint(true)
+      val out = graft.ext.AudioDedup.nearDupPairsAgainst(
+        hashes.where(col("doc_id") % 16 === 1),
+        hashes.where(col("doc_id") % 16 =!= 1),
+        maxHamming = 3, bits = 60)
+      val bad = out.queryExecution.executedPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      require(bad.isEmpty,
+        "incremental audio near-dup must plan blocked, not all-pairs")
+      out
+    }),
+
+    // Near-dup recordings → connected components: the SAME generic
+    // cluster machinery that serves text detectors (alternating
+    // large-star/small-star contraction — O(log² n) rounds on any
+    // topology, no driver collect) consumes the audio Hamming pairs;
+    // downstream keep-one-per-cluster is then modality-blind. Oracle:
+    // exact components via recursive-CTE reachability over the
+    // replayed pair set.
+    "ext_dedup_audio_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val media = docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fam = id / 16 + 1
+          val samples = Array.tabulate[Short](240) { j =>
+            val p = if (id % 16 != 0 && j / 4 == id % 60) 1024L else 0L
+            ((fam * (j * 7 + 11) + p) % 4096 - 2048).toShort
+          }
+          graft.ext.Multimodal.MediaRow(
+            id, graft.ext.Multimodal.buildPcm16Wav(samples))
+        }).toDF()
+      val hashes = graft.ext.AudioDedup
+        .energyHashes(s, media, window = 4, bits = 60).toDF()
+      val pairs = graft.ext.AudioDedup
+        .nearDupPairs(hashes, maxHamming = 3, bits = 60)
+      DedupClusters.clustersAlternating(docs, pairs)
+    }),
+
     // N-gram LM scoring statistics (CCNet-style quality signal): a
     // word-bigram model counted over the reference third of the
     // corpus, every other document scored against it — per doc the
@@ -3083,7 +3180,9 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       val merges = graft.ext.Bpe.learn(docs, numMerges = 8)
       require(merges.nonEmpty, "corpus must yield at least one merge")
-      val enc = graft.ext.Bpe.encode(docs, merges)
+      // the vocabulary-scale path (single codegen'd apply-loop node;
+      // BpeSpec pins it value-identical to Bpe.encode's regex chain)
+      val enc = graft.ext.Bpe.encodeRank(docs, merges)
         .select(
           expr("size(filter(split(text, '\\\\s+'), w -> length(w) > 0))")
             .cast("long").as("__w"),
@@ -5006,6 +5105,90 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id % 16 = 1 AND b.doc_id % 16 <> 1
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+
+    // replays the PCM sample arithmetic the engine wrote into real
+    // WAV bytes, the per-window integer energies, the aHash mean
+    // test over energies, and the TRUE all-pairs Hamming join the
+    // pigeonhole blocking must equal exactly
+    "ext_dedup_audio" ->
+      """WITH s AS (
+        |  SELECT doc_id, j,
+        |    ((((doc_id // 16) + 1) * (j * 7 + 11)
+        |      + CASE WHEN doc_id % 16 <> 0 AND j // 4 = doc_id % 60
+        |             THEN 1024 ELSE 0 END) % 4096) - 2048 AS v
+        |  FROM documents, range(240) t(j)
+        |), e AS (
+        |  SELECT doc_id, j // 4 AS w, sum(v * v) AS energy
+        |  FROM s GROUP BY doc_id, j // 4
+        |), tot AS (
+        |  SELECT doc_id, sum(energy) AS total FROM e GROUP BY doc_id
+        |), h AS (
+        |  SELECT e.doc_id,
+        |    CAST(sum(CASE WHEN energy * 60 > total
+        |             THEN (1::BIGINT << w) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM e JOIN tot USING (doc_id) GROUP BY e.doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+
+    // the delta x corpus audio truth — no corpus self-pairs
+    "ext_dedup_audio_delta" ->
+      """WITH s AS (
+        |  SELECT doc_id, j,
+        |    ((((doc_id // 16) + 1) * (j * 7 + 11)
+        |      + CASE WHEN doc_id % 16 <> 0 AND j // 4 = doc_id % 60
+        |             THEN 1024 ELSE 0 END) % 4096) - 2048 AS v
+        |  FROM documents, range(240) t(j)
+        |), e AS (
+        |  SELECT doc_id, j // 4 AS w, sum(v * v) AS energy
+        |  FROM s GROUP BY doc_id, j // 4
+        |), tot AS (
+        |  SELECT doc_id, sum(energy) AS total FROM e GROUP BY doc_id
+        |), h AS (
+        |  SELECT e.doc_id,
+        |    CAST(sum(CASE WHEN energy * 60 > total
+        |             THEN (1::BIGINT << w) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM e JOIN tot USING (doc_id) GROUP BY e.doc_id
+        |)
+        |SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id % 16 = 1 AND b.doc_id % 16 <> 1
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+
+    // exact connected components over the replayed audio pair set
+    "ext_dedup_audio_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, j,
+        |    ((((doc_id // 16) + 1) * (j * 7 + 11)
+        |      + CASE WHEN doc_id % 16 <> 0 AND j // 4 = doc_id % 60
+        |             THEN 1024 ELSE 0 END) % 4096) - 2048 AS v
+        |  FROM documents, range(240) t(j)
+        |), e AS (
+        |  SELECT doc_id, j // 4 AS w, sum(v * v) AS energy
+        |  FROM s GROUP BY doc_id, j // 4
+        |), tot AS (
+        |  SELECT doc_id, sum(energy) AS total FROM e GROUP BY doc_id
+        |), h AS (
+        |  SELECT e.doc_id,
+        |    CAST(sum(CASE WHEN energy * 60 > total
+        |             THEN (1::BIGINT << w) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM e JOIN tot USING (doc_id) GROUP BY e.doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e2.b AS node, r.root FROM reach r JOIN edges e2 ON e2.a = r.node
+        |)
+        |SELECT node AS doc_id, min(root) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
 
     // identical tokenization and bigram windows; the model CTE is the
     // reference third, the LEFT join preserves per-occurrence

@@ -165,4 +165,26 @@ object Bpe {
           "U+0001 separator")).cast("array<string>"))
         .otherwise(tokens))
   }
+
+  /** Vocabulary-scale form of [[encode]]: the frozen merge list
+    * rides the plan as ONE codegen'd expression node
+    * ([[graft.functions.BpeEncode]] — rank-priority greedy apply
+    * loop, word-memoized per thread), so a production 30k-merge
+    * vocabulary costs the same plan depth and the same single row
+    * scan as 8 merges. [[encode]]'s chained `regexp_replace` stays
+    * as the SQL-expressible semantic spec (one plan node and one
+    * full-document pass per merge — fine at single-digit merges,
+    * unusable at vocabulary scale); BpeSpec pins the two paths
+    * value-identical on trained merge tables and pins this plan's
+    * size flat in the merge count. Same projection contract: word
+    * boundaries respected, lossless per word, no shuffle, no driver
+    * state. */
+  def encodeRank(
+      df: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text",
+      outCol: String = "bpe_tokens"): DataFrame = {
+    require(!df.columns.contains(outCol), s"column $outCol already exists")
+    df.withColumn(outCol, graft.functions.BpeEncode(col(textCol), merges))
+  }
 }

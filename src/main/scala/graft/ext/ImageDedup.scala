@@ -95,37 +95,28 @@ object ImageDedup {
       .mapPartitions(_.map(r => ImageHash(r.doc_id, aHashBytes(r.media, bits))))
   }
 
-  /** dHash variant of [[aHashes]]. */
-  def dHashes(spark: SparkSession, media: DataFrame, bits: Int = 63): Dataset[ImageHash] = {
+  /** dHash variant of [[aHashes]]. Default width is 60, not the
+    * maximum 63: [[nearDupPairs]]/[[nearDupPairsAgainst]] require a
+    * width divisible into 4 pigeonhole chunks, so the default output
+    * must feed the pairing step at its own width — `dHashes(s, m)
+    * |> nearDupPairs(_)` composes without the caller knowing the
+    * chunking rule (ADVICE r10). */
+  def dHashes(spark: SparkSession, media: DataFrame, bits: Int = 60): Dataset[ImageHash] = {
     import spark.implicits._
     media.as[Multimodal.MediaRow]
       .mapPartitions(_.map(r => ImageHash(r.doc_id, dHashBytes(r.media, bits))))
   }
 
   /** Near-duplicate pairs with Hamming(phash_a, phash_b) ≤
-    * `maxHamming`, found WITHOUT an all-pairs comparison: each hash
-    * splits into 4 chunks; a pair within distance 3 must agree on at
-    * least one whole chunk (pigeonhole), so the equality self-join on
-    * (chunk, chunk_value) is lossless for `maxHamming ≤ 3` and only
-    * its candidates pay the popcount verify. Input: (doc_id, phash)
-    * — the output of [[aHashes]]/[[dHashes]]. */
+    * `maxHamming`, via the modality-shared 4-chunk pigeonhole
+    * blocking ([[HammingBlocking]] — lossless for distance ≤ 3,
+    * never all-pairs). Input: (doc_id, phash) — the output of
+    * [[aHashes]]/[[dHashes]]. */
   def nearDupPairs(
       hashes: DataFrame,
       maxHamming: Int = 3,
-      bits: Int = 64): DataFrame = {
-    val chunked = chunkedHashes(hashes, bits)
-    val l = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc_id").as("doc_a"), col("phash").as("h_a"))
-    val r = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc_id").as("doc_b"), col("phash").as("h_b"))
-    requireBlocking(maxHamming, bits)
-    l.join(r, Seq("chunk", "chunk_val"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("h_a ^ h_b")).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
-  }
+      bits: Int = 64): DataFrame =
+    HammingBlocking.nearDupPairs(hashes, maxHamming, bits)
 
   /** Incremental form — a (small) DELTA of new images against the
     * already-deduplicated corpus, the same daily-batch shape as
@@ -140,34 +131,7 @@ object ImageDedup {
       deltaHashes: DataFrame,
       corpusHashes: DataFrame,
       maxHamming: Int = 3,
-      bits: Int = 64): DataFrame = {
-    requireBlocking(maxHamming, bits)
-    val l = chunkedHashes(deltaHashes, bits)
-      .select(col("chunk"), col("chunk_val"),
-        col("doc_id").as("delta_id"), col("phash").as("h_a"))
-    val r = chunkedHashes(corpusHashes, bits)
-      .select(col("chunk"), col("chunk_val"),
-        col("doc_id").as("corpus_id"), col("phash").as("h_b"))
-    r.join(broadcast(l), Seq("chunk", "chunk_val"))
-      .select(col("delta_id"), col("corpus_id"),
-        bit_count(expr("h_a ^ h_b")).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
-  }
-
-  private def requireBlocking(maxHamming: Int, bits: Int): Unit = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      "4-chunk pigeonhole blocking covers distance <= 3")
-    require(bits % 4 == 0,
-      s"bits must split into 4 equal pigeonhole chunks, got $bits")
-  }
-
-  private def chunkedHashes(hashes: DataFrame, bits: Int): DataFrame = {
-    val chunkBits = bits / 4
-    val chunkMask = (1L << chunkBits) - 1
-    hashes
-      .withColumn("chunk", explode(expr("sequence(0, 3)")))
-      .withColumn("chunk_val",
-        expr(s"shiftright(phash, chunk * $chunkBits) & ${chunkMask}L"))
-  }
+      bits: Int = 64): DataFrame =
+    HammingBlocking.nearDupPairsAgainst(
+      deltaHashes, corpusHashes, maxHamming, bits)
 }

@@ -151,7 +151,11 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val id = tag(b, i)
         val size = leU32(b, i + 4).toInt
-        if (size < 0 || i + 8 + size > b.length) return None
+        // Long arithmetic: a declared size near Int.MaxValue would
+        // wrap `i + 8 + size` negative and sneak past an Int check,
+        // handing pcmEnergy an out-of-range length on adversarial
+        // payloads (the contract is audit rows, never exceptions).
+        if (size < 0 || i.toLong + 8L + size > b.length) return None
         if (id == "data") return Some((i + 8, size))
         i += 8 + size + (size & 1) // RIFF chunks pad to even offsets
       }
@@ -165,7 +169,7 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val id = tag(b, i)
         val size = leU32(b, i + 4).toInt
-        if (size < 0 || i + 8 + size > b.length) return None
+        if (size < 0 || i.toLong + 8L + size > b.length) return None
         if (id == "fmt " && size >= 16) return Some(i + 8)
         i += 8 + size + (size & 1)
       }
@@ -176,15 +180,32 @@ object Multimodal {
       def unknown = WavMeta(docId, "unknown", -1L, -1L, -1L, -1L)
       (fmtChunk(bytes), dataChunk(bytes)) match {
         case (Some(f), Some((_, dLen))) =>
+          val audioFormat = leU16(bytes, f)
           val channels = leU16(bytes, f + 2)
           val rate = leU32(bytes, f + 4)
           val bits = leU16(bytes, f + 14)
           val blockAlign = leU16(bytes, f + 12)
-          if (channels < 1 || bits < 8 || blockAlign < 1) unknown
+          // audio_format 1 = integer PCM; compressed/float formats
+          // (or a zero-sample data chunk) are outside the engine's
+          // codec-free contract and degrade to the audit row.
+          if (audioFormat != 1L || channels < 1 || bits < 8 ||
+            blockAlign < 1 || dLen == 0) unknown
           else WavMeta(docId, "wav", channels, rate, bits, dLen / blockAlign)
         case _ => unknown
       }
     }
+
+    /** `data` chunk location, but only for containers whose `fmt `
+      * chunk declares integer PCM at 16 bits — the one layout
+      * [[Multimodal.pcmEnergy]]'s sample arithmetic is valid for.
+      * Anything else (non-PCM format tag, 8/24-bit samples, missing
+      * or empty chunks) is None, so callers degrade to audit rows
+      * instead of summing garbage. */
+    private[graft] def pcm16DataChunk(b: Array[Byte]): Option[(Int, Int)] =
+      fmtChunk(b).flatMap { f =>
+        if (leU16(b, f) != 1L || leU16(b, f + 14) != 16L) None
+        else dataChunk(b).filter(_._2 > 0)
+      }
   }
 
   /** REAL canonical-WAV writer (PCM16 LE mono) — the other half of
@@ -226,7 +247,7 @@ object Multimodal {
     import spark.implicits._
     require(window >= 1, s"pcmEnergy needs window >= 1, got $window")
     media.as[MediaRow].flatMap { r =>
-      WavParser.dataChunk(r.media) match {
+      WavParser.pcm16DataChunk(r.media) match {
         case None => Seq(EnergyRow(r.doc_id, -1L, -1L, -1L))
         case Some((off, len)) =>
           val n = len / 2

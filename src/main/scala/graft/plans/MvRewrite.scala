@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Expand, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Materialized-view query rewrite over the IVM surface.
   *
@@ -554,7 +554,13 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     def subst(e: Expression): Expression = e.transform {
       case ar: AttributeReference if gidRefId.contains(ar.exprId.id) =>
-        Literal(gidOutValue.get, ar.dataType)
+        // the literal's VALUE class must match the attribute's type:
+        // a legacy integer grouping-id attribute (IntegerType) given
+        // a Long-boxed Literal would ClassCastException at eval
+        ar.dataType match {
+          case IntegerType => Literal(gidOutValue.get.toInt, IntegerType)
+          case dt => Literal(gidOutValue.get, dt)
+        }
       case ar: AttributeReference if groupRefName.contains(ar.exprId.id) =>
         val c = groupRefName(ar.exprId.id)
         if (present(c)) st(c) else Literal(null, ar.dataType)

@@ -145,6 +145,16 @@ object InvertedIndex {
     }
     fs.delete(new Path(idx), true)
     fs.rename(new Path(s"$idx.next"), new Path(idx))
+    // Sidecar freshness is COUPLED to the index (ADVICE r10): if the
+    // retrieval-stats sidecars exist, a refresh that left them stale
+    // would silently drop refreshed-in documents from BM25 (dl is
+    // inner-joined on id in bm25StatsFromIndex) and serve stale dl
+    // for survivors — correctness by caller discipline. The
+    // incremental refresher is O(changed files' index slice), so the
+    // coupling costs only the delta the refresh itself just built.
+    if (fs.exists(new Path(docLenPath(table))) ||
+      fs.exists(new Path(termStatsPath(table))))
+      refreshRetrievalStats(spark, table)
   }
 
   /** Canonical word sequence of a query phrase (order and repeats

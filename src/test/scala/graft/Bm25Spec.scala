@@ -297,6 +297,29 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
+  test("refresh alone keeps the _doclen sidecar fresh — no caller discipline") {
+    // ADVICE r10: bm25StatsFromIndex prefers the sidecar whenever the
+    // file exists, but refresh() used to update only the index —
+    // documents appended after buildRetrievalStats silently vanished
+    // from BM25 (dl inner-joins on id) unless the caller remembered
+    // refreshRetrievalStats. refresh() now couples the two.
+    withIndexedCorpus(docs) { path =>
+      Seq((200L, "fast key appended later"), (201L, "key only here"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(path)
+      // refresh WITHOUT an explicit refreshRetrievalStats call
+      graft.sinks.InvertedIndex.refresh(spark, path, "text", "doc_id")
+      val fromIndex = graft.sinks.InvertedIndex
+        .bm25StatsFromIndex(spark, path, "fast key")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val truth = TextAnalysis.bm25Stats(spark.read.parquet(path), "fast key")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(fromIndex == truth,
+        "refreshed-in docs must be visible through the sidecar path")
+      assert(fromIndex.exists(_._1 == 200L) && fromIndex.exists(_._1 == 201L))
+    }
+  }
+
   test("maxscore: termstats sidecar carries exact df/max_tf/min_dl") {
     withIndexedCorpus(docs) { path =>
       val ts = spark.read

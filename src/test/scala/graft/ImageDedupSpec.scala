@@ -112,6 +112,39 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 300L), "the stranger pairs with nothing")
   }
 
+  test("dHashes composes with nearDupPairs at DEFAULTS (ADVICE r10 footgun)") {
+    // r10 shipped dHashes with bits = 63, which nearDupPairs'
+    // `bits % 4 == 0` requirement rejects — the documented pipeline
+    // threw at its own defaults. Now: default 60-bit dHash output
+    // feeds the pairing step directly at its own width.
+    val rows = for (g <- 0 until 2; k <- 0 until 3) yield {
+      val base = Array.tabulate[Byte](64)(i => ((g * 91 + i * 13) % 256).toByte)
+      if (k > 0) base(k * 7) = ((base(k * 7) & 0xff) + 128).toByte
+      (g * 10L + k, base)
+    }
+    val media = rows.toDF("doc_id", "media")
+    val hashes = ImageDedup.dHashes(spark, media).toDF() // all defaults
+    val pairs = ImageDedup.nearDupPairs(hashes, maxHamming = 3, bits = 60)
+      .as[(Long, Long, Long)].collect()
+    val hs = hashes.as[(Long, Long)].collect()
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs.toSet === want)
+    // and the delta form accepts the same default-width hashes
+    val delta = ImageDedup.dHashes(spark, media.where(col("doc_id") === 1L)).toDF()
+    val corpus = ImageDedup.dHashes(spark,
+      media.where(col("doc_id") =!= 1L)).toDF()
+    val got = ImageDedup.nearDupPairsAgainst(delta, corpus, maxHamming = 3, bits = 60)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantDelta = (for {
+      (a, ha) <- hs if a == 1L; (b, hb) <- hs if b != 1L
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got === wantDelta)
+  }
+
   test("end-to-end over binary payloads: perturbed copies pair up, strangers do not") {
     // 3 groups of 4 images: group members share a base byte grid,
     // each member flips one byte hard across the mean — within-group
