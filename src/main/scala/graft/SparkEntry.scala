@@ -1115,6 +1115,31 @@ object SparkEntry {
       out
     }),
 
+    // Streaming vector ingest with LIVE ANN-index maintenance (the
+    // IVF analogue of flow_stream_index): vectors land as a
+    // checkpointed file stream (2 files per micro-batch), the first
+    // batch trains the frozen quantizer, every later batch refreshes
+    // by file-set arithmetic — probes are index-served per batch and
+    // the final exhaustive-probe search must equal the brute-force
+    // truth over everything that landed.
+    "flow_stream_ivf" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-ivf").toString
+      val landing = s"$root/landing"
+      tbl(s, dir, "embeddings").repartition(4).write.parquet(landing)
+      val corpus = s"$root/vectors"
+      graft.streaming.StreamingOps.streamIngestWithIvfIndex(
+        s, landing, s.read.parquet(landing).schema, corpus,
+        s"$root/ckpt", nCells = 8, maxFilesPerTrigger = 2)
+      val q = s.read.parquet(corpus).where(col("vec_id") < 5)
+      val out = graft.sinks.IvfIndex
+        .topK(s, corpus, q, k = 10, nProbe = 8)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Bloom-prefiltered join: the semi-join reduction for dims too
     // big to broadcast as a hash relation but whose key set fits in
     // bloom bits. The 20%-selective dim (orders > 400k) builds its
@@ -1970,6 +1995,62 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       IvfSearch.topK(e.where(col("vec_id") < 5),
         IvfSearch.buildIndex(e, nCells = 8), k = 10, nProbe = 8)
+    }),
+
+    // PERSISTED IVF index (build-once-query-many, the index-family
+    // discipline): centroids + cell-partitioned vector sidecars on
+    // the lake, probes push a STATIC partition filter so nProbe of
+    // nCells directories are all a query reads (IvfIndexSpec pins
+    // the records-read separation; the in-query REQUIRE pins the
+    // partition filter on the cells scan). Declared at exhaustive
+    // probes — exact regardless of clustering — against the same
+    // brute-force oracle as the in-memory form.
+    "ext_ann_ivf_indexed" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfidx").toString
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(path)
+      graft.sinks.IvfIndex.collect(s, path, nCells = 8)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val res = graft.sinks.IvfIndex.topK(s, path, q, k = 10, nProbe = 8)
+      // a NON-EMPTY PartitionFilters naming __cell on the cells scan
+      // (the scan line prints `PartitionFilters: [__cell IN (...)]`;
+      // an unpruned read prints `PartitionFilters: []`)
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") &&
+          !l.replace(" ", "").contains("PartitionFilters:[]") &&
+          l.contains("__cell")),
+        "the cells scan must carry a __cell partition filter (pruned inverted file)")
+      val out = res.localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // The REFRESH path end-to-end: index bootstrapped on 4/5 of the
+    // corpus, the remaining fifth appended as new files, file-set
+    // refresh assigns ONLY those vectors to the frozen centroids —
+    // then exhaustive probes must equal the brute-force truth over
+    // the FULL corpus (stale or dropped vectors would break the
+    // hash).
+    "ext_ann_ivf_indexed_delta" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfdelta").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      graft.sinks.IvfIndex.collect(s, path, nCells = 8)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      graft.sinks.IvfIndex.refresh(s, path)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val out = graft.sinks.IvfIndex
+        .topK(s, path, q, k = 10, nProbe = 8)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
     }),
 
     // PQ ANN (codebook train + codegen encode + ADC-scored candidates
@@ -4434,6 +4515,43 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "ext_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    // the persisted-index forms carry the SAME exhaustive-probe
+    // exactness contract, so both grade against the identical
+    // brute-force truth (the delta form over the full corpus: its
+    // refresh must leave no vector stale or missing)
+    "ext_ann_ivf_indexed" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_indexed_delta" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "flow_stream_ivf" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

@@ -416,6 +416,48 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Streaming vector ingest with LIVE ANN-index maintenance — the
+    * IVF analogue of [[streamIngestWithInvertedIndex]]: each
+    * checkpointed micro-batch appends to the vector table and runs
+    * the persisted index's file-set arithmetic
+    * ([[graft.sinks.IvfIndex.collect]] on first contact — the
+    * centroids train on that batch and stay FROZEN —
+    * [[graft.sinks.IvfIndex.refresh]] after: only the batch's files
+    * are read and argmin-assigned). Probes are index-served the
+    * moment a batch lands; at exhaustive probes results are exact
+    * regardless of which prefix of the stream trained the
+    * quantizer. Same replay-proof crash posture: refresh derives
+    * purely from the file set on disk. */
+  def streamIngestWithIvfIndex(
+      spark: SparkSession,
+      landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corpusDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCells: Int = 16,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.sinks.IvfIndex
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(corpusDir)
+        val cells = new org.apache.hadoop.fs.Path(IvfIndex.cellsPath(corpusDir))
+        val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(cells)) IvfIndex.refresh(spark, corpusDir, idCol, vecCol)
+        else IvfIndex.collect(spark, corpusDir, idCol, vecCol, nCells)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming delete-aware CDC apply: each micro-batch of an
     * ordered I/U/D change-log stream is folded (latest change per
     * key within the batch) and applied into the TRUSTED table behind

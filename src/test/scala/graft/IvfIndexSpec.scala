@@ -1,0 +1,156 @@
+package graft
+
+import graft.ext.IvfSearch
+import graft.sinks.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF sidecar must be value-identical to the
+  * in-memory build at exhaustive probes (where IVF is exact by
+  * construction), maintain itself by file-set arithmetic with FROZEN
+  * centroids, enforce the one-file-per-vector layout, and actually
+  * READ less when probing fewer cells (the records-read witness for
+  * the directory-partitioned layout). */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withTable(n: Int = 200)(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    val path = s"$root/vectors"
+    SparkEntry.tbl(spark, sf, "embeddings")
+      .where(col("vec_id") < n).repartition(3)
+      .write.parquet(path)
+    try f(path)
+    finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  private def ranks(df: DataFrame): Set[(Long, Long, Long)] =
+    df.as[(Long, Long, Long)].collect().toSet
+
+  test("exhaustive-probe topK off the sidecar equals the in-memory build and brute force") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 8)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 5)
+      val persisted = ranks(IvfIndex.topK(spark, path, queries, k = 10, nProbe = 8))
+      val inMemory = ranks(IvfSearch.topK(queries,
+        IvfSearch.buildIndex(spark.read.parquet(path), nCells = 8), k = 10, nProbe = 8))
+      assert(persisted === inMemory)
+      // brute force truth — exhaustive probes make IVF exact
+      val brute = ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+        queries, spark.read.parquet(path), k = 10))
+      assert(persisted === brute)
+    }
+  }
+
+  test("refresh: fresh files assigned to FROZEN centroids, vanished files drop") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val centsBefore = spark.read.parquet(IvfIndex.centroidsPath(path))
+        .as[(Int, Array[Double])].collect().toMap
+      // append new vectors in a fresh file
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 200 && col("vec_id") < 240)
+        .coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refresh(spark, path)
+      // centroids untouched
+      val centsAfter = spark.read.parquet(IvfIndex.centroidsPath(path))
+        .as[(Int, Array[Double])].collect().toMap
+      assert(centsAfter.keySet === centsBefore.keySet)
+      centsAfter.foreach { case (c, v) =>
+        assert(v.toSeq === centsBefore(c).toSeq) }
+      // every appended vector present, assigned to its true argmin cell
+      val cells = spark.read.parquet(IvfIndex.cellsPath(path))
+        .select(col("vec_id").cast("long"), col("__cell").cast("int"),
+          col("embedding"))
+        .as[(Long, Int, Array[Float])].collect()
+      val appended = cells.filter(_._1 >= 200)
+      assert(appended.length === 40)
+      def argmin(v: Array[Float]): Int =
+        centsBefore.toSeq.map { case (c, cent) =>
+          val d = v.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, c)
+        }.minBy(identity)._2
+      appended.foreach { case (id, cell, v) =>
+        assert(cell === argmin(v), s"vec $id assigned to $cell") }
+      // exhaustive topK over the refreshed index equals brute force
+      // over the grown corpus — the refresh path is query-equivalent
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+      val got = ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+      val brute = ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+        queries, spark.read.parquet(path), k = 5))
+      assert(got === brute)
+      // purge-shaped deletion: drop one corpus file -> its vectors
+      // leave the index on the next refresh
+      val victim = spark.read.parquet(IvfIndex.cellsPath(path))
+        .select("file").as[String].head()
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+      IvfIndex.refresh(spark, path)
+      val files = spark.read.parquet(IvfIndex.cellsPath(path))
+        .select("file").distinct().as[String].collect().toSet
+      assert(!files.contains(victim))
+    }
+  }
+
+  test("probing fewer cells reads fewer index rows (partition-pruned scan)") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 8)
+      // pin the query frame OUTSIDE the measured windows so the only
+      // differing input-records term is the cells scan itself
+      val queries = spark.read.parquet(path).where(col("vec_id") < 2)
+        .localCheckpoint(true)
+      def inputRecords(f: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue
+            .flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        acc.get
+      }
+      val narrow = inputRecords {
+        IvfIndex.topK(spark, path, queries, k = 3, nProbe = 1).count() }
+      val full = inputRecords {
+        IvfIndex.topK(spark, path, queries, k = 3, nProbe = 8).count() }
+      // both runs pay the same query/centroid reads; the cells scan
+      // is where they must separate — 2 queries x 1 probe covers at
+      // most 2 of 8 cell directories
+      assert(narrow < full,
+        s"1-probe read $narrow records vs exhaustive $full — partition pruning is dead")
+      assert(narrow.toDouble < full * 0.7,
+        s"1-probe should skip most cell directories: $narrow vs $full")
+    }
+  }
+
+  test("one-file-per-vector layout is enforced before any swap") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      // duplicate an existing vec_id into a NEW file, then refresh:
+      // the guard must reject and the LIVE index must stay valid
+      spark.read.parquet(path).where(col("vec_id") === 7)
+        .coalesce(1).write.mode("append").parquet(path)
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.refresh(spark, path)
+      }
+      assert(e.getMessage.contains("indexed more than once"))
+      // live index still serves exhaustive-exact results
+      val queries = spark.read.parquet(path)
+        .where(col("vec_id") < 2).dropDuplicates("vec_id")
+      assert(IvfIndex.topK(spark, path, queries, k = 3, nProbe = 4)
+        .count() === 6L)
+    }
+  }
+}
