@@ -2068,6 +2068,52 @@ object SparkEntry {
         candidateK = Int.MaxValue)
     }),
 
+    // PERSISTED PQ index — the one ANN sidecar SMALLER than its
+    // corpus (m bytes per vector): the scan that touches every row
+    // reads the codes sidecar only (PqIndexSpec pins embeddings out
+    // of its ReadSchema), the exact re-rank broadcast-joins
+    // candidates back into a column-pruned corpus pass. Declared at
+    // the exact configuration (candidateK >= corpus) against the
+    // same brute-force oracle as the in-memory form.
+    "ext_ann_pq_indexed" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pqidx").toString
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(path)
+      graft.sinks.PqIndex.collect(s, path, m = 8, ks = 16)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val out = graft.sinks.PqIndex
+        .topK(s, path, q, k = 10, candidateK = Int.MaxValue)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // The PQ refresh path end-to-end (the ext_ann_ivf_indexed_delta
+    // shape): bootstrap on 4/5 of the corpus, append the rest,
+    // file-set refresh encodes ONLY the new files with the frozen
+    // codebooks — exact-config search must equal the brute-force
+    // truth over the full corpus.
+    "ext_ann_pq_indexed_delta" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pqdelta").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      graft.sinks.PqIndex.collect(s, path, m = 8, ks = 16)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      graft.sinks.PqIndex.refresh(s, path)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val out = graft.sinks.PqIndex
+        .topK(s, path, q, k = 10, candidateK = Int.MaxValue)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // IVF in its APPROXIMATE regime (nProbe = 8 of 16 cells), driver-
     // graded against the engine's own exact brute-force truth — the
     // ext_quantiles_bound pattern for the ANN family: the engine joins
@@ -4552,6 +4598,28 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "flow_stream_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_pq_indexed" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_pq_indexed_delta" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
