@@ -2068,6 +2068,56 @@ object SparkEntry {
         candidateK = Int.MaxValue)
     }),
 
+    // PERSISTED LSH index — the training-free member of the
+    // persisted ANN family: the whole "model" is one (planes, seed)
+    // metadata row (hyperplanes derive deterministically inside the
+    // codegen'd signature expression), buckets are
+    // directory-partitioned and the multi-probe Hamming ball pushes
+    // as a static partition filter (REQUIREd in-query). Declared at
+    // radius = planes — probes every bucket of the partition, exact
+    // brute force through the LSH machinery.
+    "ext_ann_lsh_indexed" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lshidx").toString
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(path)
+      graft.sinks.LshIndex.collect(s, path, planes = 4)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val res = graft.sinks.LshIndex.topK(s, path, q, k = 10, probeRadius = 4)
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") &&
+          !l.replace(" ", "").contains("PartitionFilters:[]") &&
+          l.contains("bucket")),
+        "the buckets scan must carry a bucket partition filter")
+      val out = res.localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // The LSH refresh path end-to-end: bootstrap on 4/5, append,
+    // metadata-only file-set refresh — exhaustive radius must equal
+    // the brute-force truth over the full corpus.
+    "ext_ann_lsh_indexed_delta" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lshdelta").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      graft.sinks.LshIndex.collect(s, path, planes = 4)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      graft.sinks.LshIndex.refresh(s, path)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val out = graft.sinks.LshIndex
+        .topK(s, path, q, k = 10, probeRadius = 4)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // PERSISTED PQ index — the one ANN sidecar SMALLER than its
     // corpus (m bytes per vector): the scan that touches every row
     // reads the codes sidecar only (PqIndexSpec pins embeddings out
@@ -4598,6 +4648,28 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "flow_stream_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_lsh_indexed" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_lsh_indexed_delta" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

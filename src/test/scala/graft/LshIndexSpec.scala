@@ -1,0 +1,134 @@
+package graft
+
+import graft.ext.SimilaritySearch
+import graft.sinks.LshIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted LSH sidecar: exhaustive-radius equality with the
+  * in-memory form and brute force, model-free refresh by file-set
+  * arithmetic, the records-read pruning witness for the
+  * bucket-partitioned layout, and the duplicate-vector guard. */
+class LshIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withTable(n: Int = 200)(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    val path = s"$root/vectors"
+    SparkEntry.tbl(spark, sf, "embeddings")
+      .where(col("vec_id") < n).repartition(3)
+      .write.parquet(path)
+    try f(path)
+    finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  private def ranks(df: DataFrame): Set[(Long, Long, Long)] =
+    df.as[(Long, Long, Long)].collect().toSet
+
+  test("exhaustive-radius topK off the sidecar equals the in-memory form and brute force") {
+    withTable() { path =>
+      LshIndex.collect(spark, path, planes = 4)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 5)
+      val persisted = ranks(LshIndex.topK(spark, path, queries,
+        k = 10, probeRadius = 4))
+      val inMemory = ranks(SimilaritySearch.lshTopK(queries,
+        spark.read.parquet(path), k = 10, planes = 4, probeRadius = 4))
+      assert(persisted === inMemory)
+      val brute = ranks(SimilaritySearch.bruteForceTopK(
+        queries, spark.read.parquet(path), k = 10))
+      assert(persisted === brute)
+    }
+  }
+
+  test("refresh: new files signed off the metadata row alone, vanished files drop") {
+    withTable() { path =>
+      LshIndex.collect(spark, path, planes = 4, seed = 3L)
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 200 && col("vec_id") < 240)
+        .coalesce(1).write.mode("append").parquet(path)
+      LshIndex.refresh(spark, path)
+      assert(LshIndex.readMeta(spark, path) === ((4, 3L)))
+      // appended vectors present once, bucket = the codegen'd
+      // signature under the SAME (planes, seed)
+      val got = spark.read.parquet(LshIndex.bucketsPath(path))
+        .where(col("vec_id") >= 200)
+        .select(col("vec_id").cast("long"), col("bucket").cast("long"))
+        .as[(Long, Long)].collect().toMap
+      assert(got.size === 40)
+      val want = spark.read.parquet(path).where(col("vec_id") >= 200)
+        .select(col("vec_id").cast("long"),
+          graft.functions.VectorFunctions
+            .hyperplaneSignature(col("embedding"), 4, 3L).as("b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === want)
+      // exhaustive search over the refreshed index = brute force
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+      assert(ranks(LshIndex.topK(spark, path, queries, k = 5, probeRadius = 4))
+        === ranks(SimilaritySearch.bruteForceTopK(
+          queries, spark.read.parquet(path), k = 5)))
+      // vanished file drops
+      val victim = spark.read.parquet(LshIndex.bucketsPath(path))
+        .select("file").as[String].head()
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+      LshIndex.refresh(spark, path)
+      assert(!spark.read.parquet(LshIndex.bucketsPath(path))
+        .select("file").distinct().as[String].collect().toSet
+        .contains(victim))
+    }
+  }
+
+  test("narrow probes read fewer index rows than the exhaustive ball") {
+    withTable() { path =>
+      LshIndex.collect(spark, path, planes = 4)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 2)
+        .localCheckpoint(true)
+      def inputRecords(f: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue
+            .flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        acc.get
+      }
+      val home = inputRecords {
+        LshIndex.topK(spark, path, queries, k = 3, probeRadius = 0).count() }
+      val full = inputRecords {
+        LshIndex.topK(spark, path, queries, k = 3, probeRadius = 4).count() }
+      assert(home < full,
+        s"radius-0 read $home records vs exhaustive $full — pruning is dead")
+      assert(home.toDouble < full * 0.7,
+        s"radius-0 should skip most bucket directories: $home vs $full")
+    }
+  }
+
+  test("one-row-per-vector layout is enforced before any swap") {
+    withTable() { path =>
+      LshIndex.collect(spark, path, planes = 4)
+      spark.read.parquet(path).where(col("vec_id") === 7)
+        .coalesce(1).write.mode("append").parquet(path)
+      val e = intercept[IllegalArgumentException] {
+        LshIndex.refresh(spark, path)
+      }
+      assert(e.getMessage.contains("indexed more than once"))
+      val queries = spark.read.parquet(path)
+        .where(col("vec_id") < 2).dropDuplicates("vec_id")
+      assert(LshIndex.topK(spark, path, queries, k = 3, probeRadius = 4)
+        .count() === 6L)
+    }
+  }
+}
