@@ -826,6 +826,61 @@ object ScaleCheck {
       new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
         .truncate(root)
     }
+
+    // Persisted ANN probes: the statement is the PRUNED READ — a
+    // probe reads ~nProbe/nCells of the cells sidecar at ANY corpus
+    // scale (the probed FRACTION is the invariant; absolute rows
+    // grow with the corpus, as they must — the probed cells hold
+    // k× the vectors). Index builds are untimed: production indexes
+    // are built once and maintained by refresh(), never rebuilt per
+    // query. Wall-clock at fixture scale is overhead-bound, so
+    // rows-read is the witness (the mv_cube protocol).
+    if (only.exists(_.contains("ann_indexed"))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-annidx").toString
+      def prep(d: DataFrame, tag: String): String = {
+        val p = s"$root/$tag"
+        d.repartition(8).write.parquet(p)
+        graft.sinks.IvfIndex.collect(spark, p, nCells = 16)
+        p
+      }
+      val p1 = prep(embs, "v1")
+      val pk = prep(grow(embs, "vec_id"), "vk")
+      def recordsRead(f: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        // no settle() here: it would drop the localCheckpoint blocks
+        // of the pinned query frames between measurements
+        acc.get
+      }
+      // replica 0 of grow() keeps original ids, so the same query
+      // set exists at both scales; the READ covers the UNION of the
+      // batch's probed cells, so a small batch keeps the fraction
+      // statement sharp (2 queries x 1 probe <= 2 of 16 directories)
+      val q1 = spark.read.parquet(p1).where(col("vec_id") < 2)
+        .localCheckpoint(true)
+      val qk = spark.read.parquet(pk).where(col("vec_id") < 2)
+        .localCheckpoint(true)
+      Seq(("ivfidx_probe1", 1), ("ivfidx_full", 16)).foreach { case (tag, np) =>
+        val r1 = recordsRead {
+          graft.sinks.IvfIndex.topK(spark, p1, q1, k = 10, nProbe = np).count() }
+        val rk = recordsRead {
+          graft.sinks.IvfIndex.topK(spark, pk, qk, k = 10, nProbe = np).count() }
+        println(f"$tag%-18s rows read $r1 -> $rk (x${rk.toDouble / r1}%.2f)")
+      }
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
     spark.stop()
   }
 }
