@@ -2028,6 +2028,38 @@ object SparkEntry {
       out
     }),
 
+    // APPROXIMATE regime off the PERSISTED index (the
+    // ext_ann_ivf_bound epistemics, moved onto the sidecar path):
+    // partial probes (8 of 16 cells) against the in-engine exact
+    // truth, oracle states the per-query verdicts — a probe,
+    // assignment, partition-pruning, or refresh regression that
+    // degrades recall below the floor fails the hash.
+    "ext_ann_ivf_indexed_bound" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfbound").toString
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(path)
+      graft.sinks.IvfIndex.collect(s, path, nCells = 16)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val ivf = graft.sinks.IvfIndex.topK(s, path, q, k = 10, nProbe = 8)
+      val exact = SimilaritySearch.bruteForceTopK(q, s.read.parquet(path), k = 10)
+      val perQ = exact
+        .join(ivf.select(col("q_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__hits"))
+      val returned = ivf.groupBy("q_id").agg(count(lit(1)).as("__n_ret"))
+      val out = perQ.join(returned, Seq("q_id"))
+        .select(col("q_id"), col("n_exact"),
+          (col("__n_ret") === col("n_exact")).as("returned_ok"),
+          (col("__hits") >= 6).as("recall_ok"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // The REFRESH path end-to-end: index bootstrapped on 4/5 of the
     // corpus, the remaining fifth appended as new files, file-set
     // refresh assigns ONLY those vectors to the frozen centroids —
@@ -4657,6 +4689,20 @@ object SparkEntry {
         |SELECT q_id, neighbor_id,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_indexed_bound" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id),
+        |t AS (SELECT q_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS returned_ok, TRUE AS recall_ok
+        |FROM t GROUP BY q_id""".stripMargin,
 
     "ext_ann_lsh_indexed" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
