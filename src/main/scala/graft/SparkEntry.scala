@@ -1140,6 +1140,47 @@ object SparkEntry {
       out
     }),
 
+    // PQ and LSH streaming maintenance (the flow_stream_ivf shape
+    // through the shared streaming-maintenance driver): first batch
+    // trains/derives the frozen model, later batches refresh by
+    // file-set arithmetic; the final exact-config search must equal
+    // the brute-force truth over everything that landed.
+    "flow_stream_pq" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-pq").toString
+      val landing = s"$root/landing"
+      tbl(s, dir, "embeddings").repartition(4).write.parquet(landing)
+      val corpus = s"$root/vectors"
+      graft.streaming.StreamingOps.streamIngestWithPqIndex(
+        s, landing, s.read.parquet(landing).schema, corpus,
+        s"$root/ckpt", m = 8, ks = 16, maxFilesPerTrigger = 2)
+      val q = s.read.parquet(corpus).where(col("vec_id") < 5)
+      val out = graft.sinks.PqIndex
+        .topK(s, corpus, q, k = 10, candidateK = Int.MaxValue)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    "flow_stream_lsh" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-lsh").toString
+      val landing = s"$root/landing"
+      tbl(s, dir, "embeddings").repartition(4).write.parquet(landing)
+      val corpus = s"$root/vectors"
+      graft.streaming.StreamingOps.streamIngestWithLshIndex(
+        s, landing, s.read.parquet(landing).schema, corpus,
+        s"$root/ckpt", planes = 4, maxFilesPerTrigger = 2)
+      val q = s.read.parquet(corpus).where(col("vec_id") < 5)
+      val out = graft.sinks.LshIndex
+        .topK(s, corpus, q, k = 10, probeRadius = 4)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Bloom-prefiltered join: the semi-join reduction for dims too
     // big to broadcast as a hash relation but whose key set fits in
     // bloom bits. The 20%-selective dim (orders > 400k) builds its
@@ -4680,6 +4721,28 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "flow_stream_ivf" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "flow_stream_pq" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "flow_stream_lsh" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

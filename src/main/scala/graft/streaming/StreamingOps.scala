@@ -439,6 +439,68 @@ object StreamingOps {
       nCells: Int = 16,
       maxFilesPerTrigger: Int = 1): Unit = {
     import graft.sinks.IvfIndex
+    streamIngestMaintaining(spark, landingDir, schema, corpusDir,
+      checkpointDir, IvfIndex.cellsPath(corpusDir), maxFilesPerTrigger)(
+      bootstrap = IvfIndex.collect(spark, corpusDir, idCol, vecCol, nCells),
+      refresh = IvfIndex.refresh(spark, corpusDir, idCol, vecCol))
+  }
+
+  /** PQ sibling of [[streamIngestWithIvfIndex]]: the first batch
+    * trains the frozen codebooks, every later micro-batch encodes
+    * only its own files. */
+  def streamIngestWithPqIndex(
+      spark: SparkSession,
+      landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corpusDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 8,
+      ks: Int = 16,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.sinks.PqIndex
+    streamIngestMaintaining(spark, landingDir, schema, corpusDir,
+      checkpointDir, PqIndex.codesPath(corpusDir), maxFilesPerTrigger)(
+      bootstrap = PqIndex.collect(spark, corpusDir, idCol, vecCol, m, ks),
+      refresh = PqIndex.refresh(spark, corpusDir, idCol, vecCol))
+  }
+
+  /** LSH sibling — the training-free one: maintenance needs only the
+    * (planes, seed) metadata row. */
+  def streamIngestWithLshIndex(
+      spark: SparkSession,
+      landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corpusDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      planes: Int = 4,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.sinks.LshIndex
+    streamIngestMaintaining(spark, landingDir, schema, corpusDir,
+      checkpointDir, LshIndex.bucketsPath(corpusDir), maxFilesPerTrigger)(
+      bootstrap = LshIndex.collect(spark, corpusDir, idCol, vecCol, planes),
+      refresh = LshIndex.refresh(spark, corpusDir, idCol, vecCol))
+  }
+
+  /** The shared streaming-maintenance driver behind the three index
+    * flows: each checkpointed micro-batch appends to the corpus, then
+    * bootstraps the index on first contact (`indexMarker` absent) or
+    * runs its file-set refresh. Replay-proof by construction —
+    * maintenance derives purely from the file set on disk, so a
+    * replayed append's files are simply indexed like any others. */
+  private def streamIngestMaintaining(
+      spark: SparkSession,
+      landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corpusDir: String,
+      checkpointDir: String,
+      indexMarker: String,
+      maxFilesPerTrigger: Int)(
+      bootstrap: => Unit,
+      refresh: => Unit): Unit = {
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -447,10 +509,9 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.write.mode("append").parquet(corpusDir)
-        val cells = new org.apache.hadoop.fs.Path(IvfIndex.cellsPath(corpusDir))
-        val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(cells)) IvfIndex.refresh(spark, corpusDir, idCol, vecCol)
-        else IvfIndex.collect(spark, corpusDir, idCol, vecCol, nCells)
+        val marker = new org.apache.hadoop.fs.Path(indexMarker)
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) refresh else bootstrap
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
