@@ -14,27 +14,36 @@ import org.apache.spark.sql.functions._
   * arithmetic.
   *
   * Layout, next to the vector table:
-  *  - `_ivf_centroids`: (\_\_cell, \_\_centroid) — the frozen coarse
-  *    quantizer, nCells rows.
   *  - `_ivf_cells`: (file, vec_id, embedding, \_\_cell), written
   *    DIRECTORY-PARTITIONED BY CELL — this is what makes the
   *    persisted form an actual inverted file: a query that probes
   *    `nProbe` of `nCells` cells pushes a static partition filter
   *    and READS only those cells' files (`IvfIndexSpec` pins the
   *    records-read separation), instead of filtering a full scan.
+  *  - `_ivf_cells/_centroids`: (\_\_cell, \_\_centroid) — the frozen
+  *    coarse quantizer, nCells rows, stored INSIDE the cells dir
+  *    (underscore-prefixed, so cells reads never see it) so
+  *    [[collect]]'s single directory rename publishes quantizer and
+  *    assignments together: no crash point can pair new centroids
+  *    with old cells or vice versa.
   *
   * [[refresh]] keeps the centroids FROZEN (the production IVF
   * maintenance model — assignment is cheap, re-clustering is a
-  * rebuild): vanished corpus files' rows drop, files already covered
-  * carry verbatim, and ONLY new files' vectors are read and assigned
-  * to their nearest centroid — O(new vectors × nCells) work, no
-  * corpus rescan, no model refit. Assignment uses the same
-  * squared-euclidean argmin (ties → lowest cell id) as the KMeans
-  * transform that built the index. Same `.next`-then-swap discipline
-  * as the siblings; one-row-per-vec-per-file is ENFORCED before any
-  * swap. [[collect]] is the bootstrap/rebuild: it writes BOTH
-  * sidecars (centroids first), so a crash between the two writes is
-  * repaired by re-running collect.
+  * rebuild) and is O(delta) in write I/O via
+  * [[SidecarMaintenance.commitDelta]]: new corpus files' vectors are
+  * read, argmin-assigned and APPENDED as fresh sidecar files inside
+  * the cell directories; vanished corpus files' rows drop by
+  * rewriting ONLY the sidecar files that carried them. The untouched
+  * remainder of the sidecar — at 100 TB, essentially all of it — is
+  * never rewritten (the per-file-partial discipline of
+  * [[InvertedIndex]]'s `_termstats`/`_doclen`, applied to the vector
+  * family). Assignment uses the same squared-euclidean argmin
+  * (ties → lowest cell id) as the KMeans transform that built the
+  * index, windowed per (file, vec_id) so an id duplicated across
+  * fresh files SURVIVES to the one-row-per-vector guard and fails
+  * loudly instead of silently collapsing. The guard runs BEFORE any
+  * mutation; small-file accumulation from repeated refreshes is
+  * repacked by [[compact]].
   *
   * Exactness contract mirrors IvfSearch: `nProbe = nCells` probes
   * every cell, so top-k is EXACT regardless of the clustering —
@@ -44,57 +53,118 @@ import org.apache.spark.sql.functions._
   * same cell geometry as the in-memory form. */
 object IvfIndex {
 
-  private[graft] def centroidsPath(table: String): String = s"$table/_ivf_centroids"
   private[graft] def cellsPath(table: String): String = s"$table/_ivf_cells"
+  private[graft] def centroidsPath(table: String): String =
+    s"${cellsPath(table)}/_centroids"
+
+  /** Spread the partition-dir write across `writeSalt` tasks PER
+    * CELL while keeping the `__cell=` directory layout — without the
+    * salt, write parallelism is capped at nCells tasks. */
+  private def salted(rows: DataFrame, writeSalt: Int): DataFrame = {
+    val cols = rows.select("file", "vec_id", "embedding", "__cell")
+    if (writeSalt <= 1) cols.repartition(col("__cell"))
+    else cols.repartition( // explicit count — AQE must not re-coalesce
+      cols.sparkSession.sessionState.conf.numShufflePartitions,
+      col("__cell"), pmod(xxhash64(col("vec_id")), lit(writeSalt.toLong)))
+  }
 
   /** Bootstrap / rebuild: sampled seeded KMeans over the table (via
-    * [[IvfSearch.buildIndex]]), then both sidecars. */
+    * [[IvfSearch.buildIndex]]), both sidecars built under
+    * `_ivf_cells.next` and published by ONE rename — a crash
+    * anywhere before it (including a layout-guard trip) leaves the
+    * previous index fully consistent and serving. */
   def collect(
       spark: SparkSession,
       table: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nCells: Int = 16,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L,
+      writeSalt: Int = 1): Unit = {
     val corpus = spark.read.parquet(table)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val idx = IvfSearch.buildIndex(corpus, nCells, seed)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = cellsPath(table)
+    val next = s"$dest.next"
+    fs.delete(new Path(next), true)
+    salted(idx.assigned, writeSalt)
+      .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(next)
     idx.centroids.coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(centroidsPath(table))
-    writeCells(spark, idx.assigned, cellsPath(table), fs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$next/_centroids")
+    requireOneRowPerVector(spark.read.parquet(next), onTrip = {
+      fs.delete(new Path(next), true)
+    })
+    fs.delete(new Path(dest), true)
+    fs.rename(new Path(next), new Path(dest))
   }
 
   /** Incremental maintenance, pure file-set arithmetic over the
-    * FROZEN centroids. */
+    * FROZEN centroids — O(delta) write I/O: appends new files' rows,
+    * rewrites only the sidecar files holding vanished files' rows. */
   def refresh(
       spark: SparkSession,
       table: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      writeSalt: Int = 1): Unit = {
+    import spark.implicits._
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SidecarMaintenance.recover(spark, cellsPath(table))
     Seq(centroidsPath(table), cellsPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no IVF index at $p — bootstrap with collect()"))
     val current = BloomIndex.dataFilePaths(spark, table).toSet
-    // the swap deletes the dir being read — pin the old cells first
-    val cells = spark.read.parquet(cellsPath(table)).localCheckpoint(true)
-    val indexed = cells.select("file").distinct()
-      .collect().map(_.getString(0)).toSet
+    val cells = spark.read.parquet(cellsPath(table))
+    // one column-pruned pass: which corpus files are indexed, and
+    // which SIDECAR files carry each (the rewrite-targeting map)
+    val pairs = cells
+      .select(col("file"), col("_metadata.file_path").as("__sfile"))
+      .distinct().as[(String, String)].collect()
+    val indexed = pairs.map(_._1).toSet
+    val vanished = indexed -- current
     val fresh = (current -- indexed).toSeq.sorted
-    val kept = cells.where(col("file").isin(current.toSeq: _*))
-      .select("file", "vec_id", "embedding", "__cell")
-    val merged =
-      if (fresh.isEmpty) kept
-      else kept.unionByName(assignFiles(spark, table, fresh, idCol, vecCol))
-    writeCells(spark, merged, cellsPath(table), fs)
+    if (fresh.isEmpty && vanished.isEmpty) return
+    val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
+    val vanishedDf = vanished.toSeq.toDF("file")
+    val freshAssigned =
+      if (fresh.isEmpty) None
+      else {
+        val fa = assignFiles(spark, table, fresh, idCol, vecCol)
+          .localCheckpoint(true)
+        // guard BEFORE any mutation: a trip leaves the live index
+        // untouched. Rows of vanished files don't count — a
+        // purge-rewritten file's ids legitimately reappear fresh.
+        requireNoVectorClash(fa,
+          cells.join(broadcast(vanishedDf), Seq("file"), "left_anti"))
+        Some(fa)
+      }
+    val survivors =
+      if (doomed.isEmpty) None
+      else Some(spark.read.option("basePath", cellsPath(table))
+        .parquet(doomed: _*)
+        .join(broadcast(vanishedDf), Seq("file"), "left_anti")
+        .select("file", "vec_id", "embedding", "__cell"))
+    val newRows = (survivors.toSeq ++ freshAssigned.toSeq)
+      .reduceOption(_.unionByName(_)).map(salted(_, writeSalt))
+    SidecarMaintenance.commitDelta(
+      spark, cellsPath(table), newRows, doomed, Seq("__cell"))
   }
+
+  /** Repack refresh-accumulated small sidecar files (one journaled
+    * whole-sidecar rewrite — the periodic amortizer, not the
+    * per-refresh path). */
+  def compact(spark: SparkSession, table: String, writeSalt: Int = 1): Unit =
+    SidecarMaintenance.compact(spark, cellsPath(table), Seq("__cell"))(
+      salted(_, writeSalt))
 
   /** Nearest-centroid assignment for specific corpus files: each new
     * vector × the broadcast nCells centroids, squared-euclidean
     * argmin, ties to the lowest cell id — the same rule KMeans
-    * transform applies at build time. */
+    * transform applies at build time. Windowed per (file, vec_id):
+    * an id appearing in two fresh files keeps BOTH rows here, so the
+    * layout guard sees and rejects it. */
   private def assignFiles(
       spark: SparkSession,
       table: String,
@@ -105,7 +175,7 @@ object IvfIndex {
     val freshVecs = spark.read.option("basePath", table).parquet(paths: _*)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val w = Window.partitionBy(col("vec_id"))
+    val w = Window.partitionBy(col("file"), col("vec_id"))
       .orderBy(col("__d").asc, col("__cell").asc)
     freshVecs.crossJoin(cents)
       .withColumn("__d", VectorFunctions.l2Sq(col("embedding"), col("__centroid")))
@@ -114,31 +184,36 @@ object IvfIndex {
       .select("file", "vec_id", "embedding", "__cell")
   }
 
-  private def writeCells(
-      spark: SparkSession,
-      assigned: DataFrame,
-      dest: String,
-      fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    assigned.select("file", "vec_id", "embedding", "__cell")
-      .repartition(col("__cell"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("__cell").parquet(s"$dest.next")
-    // layout guard BEFORE the swap (the family's append-new-ids /
-    // purge-rewrite-whole-files model): a vec_id carried by two data
-    // files would surface twice in every probe
-    val offenders = spark.read.parquet(s"$dest.next")
-      .groupBy("vec_id").agg(count(lit(1)).as("__n"))
+  /** The family's layout contract: a vector's row must live in ONE
+    * corpus data file (append new ids, purge-rewrite whole files). */
+  private[sinks] def requireOneRowPerVector(
+      rows: DataFrame, onTrip: => Unit): Unit = {
+    val offenders = rows.groupBy("vec_id").agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1).limit(5).collect()
     if (offenders.nonEmpty) {
-      fs.delete(new Path(s"$dest.next"), true)
+      onTrip
       require(offenders.isEmpty,
         s"vectors indexed more than once: ids " +
           s"${offenders.map(_.get(0)).mkString(", ")} — a vector's row " +
           "must live in ONE corpus data file (append new ids, " +
           "purge-rewrite whole files); compact, then rebuild")
     }
-    fs.delete(new Path(dest), true)
-    fs.rename(new Path(s"$dest.next"), new Path(dest))
+  }
+
+  /** Pre-append guard: the fresh batch must be duplicate-free both
+    * within itself and against the rows staying in the index. */
+  private[sinks] def requireNoVectorClash(
+      freshRows: DataFrame, keptRows: DataFrame): Unit = {
+    requireOneRowPerVector(freshRows, onTrip = ())
+    val clash = keptRows.select("vec_id")
+      .join(broadcast(freshRows.select("vec_id").distinct()),
+        Seq("vec_id"), "left_semi")
+      .limit(5).collect()
+    require(clash.isEmpty,
+      s"vectors indexed more than once: ids " +
+        s"${clash.map(_.get(0)).mkString(", ")} — a vector's row " +
+        "must live in ONE corpus data file (append new ids, " +
+        "purge-rewrite whole files); compact, then rebuild")
   }
 
   /** Probe the persisted index: rank cells per query against the
@@ -154,6 +229,7 @@ object IvfIndex {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    SidecarMaintenance.requireClean(spark, cellsPath(table))
     val cents = spark.read.parquet(centroidsPath(table))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val cellRank = Window.partitionBy(col("q_id"))

@@ -10,19 +10,28 @@ import org.apache.spark.sql.functions._
   * persisted ANN family ([[IvfIndex]] data-adaptive cells,
   * [[PqIndex]] compressed codes, this one TRAINING-FREE buckets):
   *
-  *  - `_lsh_meta`: one row (planes, seed) — the whole "model". The
-  *    hyperplanes derive deterministically from (planes, seed)
-  *    inside the codegen'd signature expression, so refresh carries
-  *    NO learned state at all: any machine can extend the index
-  *    from the metadata row alone.
   *  - `_lsh_buckets`: (file, vec_id, embedding, bucket),
   *    DIRECTORY-PARTITIONED BY BUCKET (2^planes directories) — a
   *    probe pushes its bucket set as a static partition filter and
   *    reads only the probed directories.
+  *  - `_lsh_buckets/_meta`: one row (planes, seed) — the whole
+  *    "model". The hyperplanes derive deterministically from
+  *    (planes, seed) inside the codegen'd signature expression, so
+  *    refresh carries NO learned state at all: any machine can
+  *    extend the index from the metadata row alone. Stored INSIDE
+  *    the buckets dir (underscore-prefixed, invisible to bucket
+  *    reads) so [[collect]]'s single rename publishes model and
+  *    buckets together — no crash point can pair a new (planes,
+  *    seed) with old signatures.
   *
-  * [[refresh]] is file-set arithmetic: vanished corpus files' rows
-  * drop, covered files carry, new files' vectors get their signature
-  * in one codegen'd pass (no refit — there is nothing to fit).
+  * [[refresh]] is file-set arithmetic at O(delta) write I/O
+  * ([[SidecarMaintenance.commitDelta]]): new corpus files' vectors
+  * get their signature in one codegen'd pass and APPEND as fresh
+  * sidecar files inside the bucket directories; vanished corpus
+  * files' rows drop by rewriting only the sidecar files that carried
+  * them — the untouched remainder is never rewritten. The
+  * one-row-per-vector guard runs BEFORE any mutation; [[compact]]
+  * repacks refresh-accumulated small files.
   *
   * Exactness contract matches [[graft.ext.SimilaritySearch.lshTopK]]:
   * `probeRadius = planes` probes every bucket of the partition, so
@@ -31,27 +40,48 @@ import org.apache.spark.sql.functions._
   * partial-radius recall is the approximate regime. */
 object LshIndex {
 
-  private[graft] def metaPath(table: String): String = s"$table/_lsh_meta"
   private[graft] def bucketsPath(table: String): String = s"$table/_lsh_buckets"
+  private[graft] def metaPath(table: String): String =
+    s"${bucketsPath(table)}/_meta"
 
-  /** Bootstrap / rebuild: one signature pass, both sidecars. */
+  /** Spread the bucket-dir write across `writeSalt` tasks per bucket
+    * while keeping the `bucket=` directory layout. */
+  private def salted(rows: DataFrame, writeSalt: Int): DataFrame = {
+    val cols = rows.select("file", "vec_id", "embedding", "bucket")
+    if (writeSalt <= 1) cols.repartition(col("bucket"))
+    else cols.repartition( // explicit count — AQE must not re-coalesce
+      cols.sparkSession.sessionState.conf.numShufflePartitions,
+      col("bucket"), pmod(xxhash64(col("vec_id")), lit(writeSalt.toLong)))
+  }
+
+  /** Bootstrap / rebuild: one signature pass; buckets and the
+    * (planes, seed) row are built under `_lsh_buckets.next` and
+    * published by ONE rename. */
   def collect(
       spark: SparkSession,
       table: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       planes: Int = 4,
-      seed: Long = 0L): Unit = {
+      seed: Long = 0L,
+      writeSalt: Int = 1): Unit = {
     import spark.implicits._
     require(planes >= 1 && planes <= 12,
       s"bucket directories number 2^planes; planes=$planes")
-    Seq((planes, seed)).toDF("planes", "seed").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(metaPath(table))
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    writeBuckets(spark,
-      signFiles(spark, table, BloomIndex.dataFilePaths(spark, table),
-        idCol, vecCol, planes, seed),
-      bucketsPath(table), fs)
+    val dest = bucketsPath(table)
+    val next = s"$dest.next"
+    fs.delete(new Path(next), true)
+    salted(signFiles(spark, table, BloomIndex.dataFilePaths(spark, table),
+        idCol, vecCol, planes, seed), writeSalt)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(next)
+    Seq((planes, seed)).toDF("planes", "seed").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$next/_meta")
+    IvfIndex.requireOneRowPerVector(spark.read.parquet(next), onTrip = {
+      fs.delete(new Path(next), true)
+    })
+    fs.delete(new Path(dest), true)
+    fs.rename(new Path(next), new Path(dest))
   }
 
   private[graft] def readMeta(spark: SparkSession, table: String): (Int, Long) = {
@@ -59,31 +89,57 @@ object LshIndex {
     (r.getAs[Int]("planes"), r.getAs[Long]("seed"))
   }
 
-  /** Incremental maintenance — pure file-set arithmetic; the
-    * "model" is the (planes, seed) metadata row. */
+  /** Incremental maintenance — pure file-set arithmetic at O(delta)
+    * write I/O; the "model" is the (planes, seed) metadata row. */
   def refresh(
       spark: SparkSession,
       table: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      writeSalt: Int = 1): Unit = {
+    import spark.implicits._
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SidecarMaintenance.recover(spark, bucketsPath(table))
     Seq(metaPath(table), bucketsPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no LSH index at $p — bootstrap with collect()"))
     val (planes, seed) = readMeta(spark, table)
     val current = BloomIndex.dataFilePaths(spark, table).toSet
-    val buckets = spark.read.parquet(bucketsPath(table)).localCheckpoint(true)
-    val indexed = buckets.select("file").distinct()
-      .collect().map(_.getString(0)).toSet
+    val buckets = spark.read.parquet(bucketsPath(table))
+    val pairs = buckets
+      .select(col("file"), col("_metadata.file_path").as("__sfile"))
+      .distinct().as[(String, String)].collect()
+    val indexed = pairs.map(_._1).toSet
+    val vanished = indexed -- current
     val fresh = (current -- indexed).toSeq.sorted
-    val kept = buckets.where(col("file").isin(current.toSeq: _*))
-      .select("file", "vec_id", "embedding", "bucket")
-    val merged =
-      if (fresh.isEmpty) kept
-      else kept.unionByName(
-        signFiles(spark, table, fresh, idCol, vecCol, planes, seed))
-    writeBuckets(spark, merged, bucketsPath(table), fs)
+    if (fresh.isEmpty && vanished.isEmpty) return
+    val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
+    val vanishedDf = vanished.toSeq.toDF("file")
+    val freshSigned =
+      if (fresh.isEmpty) None
+      else {
+        val fa = signFiles(spark, table, fresh, idCol, vecCol, planes, seed)
+          .localCheckpoint(true)
+        IvfIndex.requireNoVectorClash(fa,
+          buckets.join(broadcast(vanishedDf), Seq("file"), "left_anti"))
+        Some(fa)
+      }
+    val survivors =
+      if (doomed.isEmpty) None
+      else Some(spark.read.option("basePath", bucketsPath(table))
+        .parquet(doomed: _*)
+        .join(broadcast(vanishedDf), Seq("file"), "left_anti")
+        .select("file", "vec_id", "embedding", "bucket"))
+    val newRows = (survivors.toSeq ++ freshSigned.toSeq)
+      .reduceOption(_.unionByName(_)).map(salted(_, writeSalt))
+    SidecarMaintenance.commitDelta(
+      spark, bucketsPath(table), newRows, doomed, Seq("bucket"))
   }
+
+  /** Repack refresh-accumulated small sidecar files. */
+  def compact(spark: SparkSession, table: String, writeSalt: Int = 1): Unit =
+    SidecarMaintenance.compact(spark, bucketsPath(table), Seq("bucket"))(
+      salted(_, writeSalt))
 
   private def signFiles(
       spark: SparkSession,
@@ -99,30 +155,6 @@ object LshIndex {
         VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed)
           .as("bucket"))
 
-  private def writeBuckets(
-      spark: SparkSession,
-      rows: DataFrame,
-      dest: String,
-      fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    rows.select("file", "vec_id", "embedding", "bucket")
-      .repartition(col("bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(s"$dest.next")
-    val offenders = spark.read.parquet(s"$dest.next")
-      .groupBy("vec_id").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > 1).limit(5).collect()
-    if (offenders.nonEmpty) {
-      fs.delete(new Path(s"$dest.next"), true)
-      require(offenders.isEmpty,
-        s"vectors indexed more than once: ids " +
-          s"${offenders.map(_.get(0)).mkString(", ")} — a vector's row " +
-          "must live in ONE corpus data file (append new ids, " +
-          "purge-rewrite whole files); compact, then rebuild")
-    }
-    fs.delete(new Path(dest), true)
-    fs.rename(new Path(s"$dest.next"), new Path(dest))
-  }
-
   /** Multi-probe search off the persisted buckets: each query probes
     * every bucket within Hamming radius `probeRadius` of its home
     * signature; the probed bucket set (bounded by queries × the
@@ -135,6 +167,7 @@ object LshIndex {
       probeRadius: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    SidecarMaintenance.requireClean(spark, bucketsPath(table))
     val (planes, seed) = readMeta(spark, table)
     require(probeRadius >= 0 && probeRadius <= planes,
       s"probeRadius ($probeRadius) must be in [0, planes=$planes]")

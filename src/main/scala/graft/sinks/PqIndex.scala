@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * to lake sidecars with the index family's discipline, and the one
   * member of the ANN family whose index is SMALLER than the corpus:
   *
-  *  - `_pq_codebooks`: one row (m, ks, dsub, flat) — the frozen
-  *    driver-trained sub-space codebooks.
   *  - `_pq_codes`: (file, vec_id, \_\_codes) — m bytes per vector
   *    (64 float dims → 8 ids at m=8, a ~32× I/O reduction against
-  *    re-scanning embeddings), range-clustered by vec_id.
+  *    re-scanning embeddings), range-clustered by vec_id per commit.
+  *  - `_pq_codes/_codebooks`: one row (m, ks, dsub, flat) — the
+  *    frozen driver-trained sub-space codebooks, stored INSIDE the
+  *    codes dir (underscore-prefixed, invisible to codes reads) so
+  *    [[collect]]'s single rename publishes codebooks and codes
+  *    together — no crash point can pair new codebooks with codes
+  *    encoded under old ones.
   *
   * Unlike [[IvfIndex]] (which stores vectors cell-partitioned,
   * because cells are what it prunes by), the codes sidecar
@@ -31,10 +35,12 @@ import org.apache.spark.sql.functions._
   * trade a 100 TB corpus wants.
   *
   * [[refresh]] keeps the codebooks FROZEN (assignment is one
-  * codegen'd encode pass; retraining is a rebuild): vanished corpus
-  * files' codes drop, covered files carry verbatim, only new files'
-  * vectors are read and encoded. Same `.next`-then-swap and
-  * one-row-per-vector enforcement as the siblings.
+  * codegen'd encode pass; retraining is a rebuild) and is O(delta)
+  * in write I/O ([[SidecarMaintenance.commitDelta]]): new corpus
+  * files' vectors are encoded and APPENDED as fresh code files;
+  * vanished files' codes drop by rewriting only the sidecar files
+  * that carried them. The one-row-per-vector guard runs BEFORE any
+  * mutation; [[compact]] repacks per-commit small files.
   *
   * Exactness contract matches [[PqSearch]]: `candidateK` at or above
   * the corpus size degenerates to exact brute force evaluated
@@ -42,13 +48,21 @@ import org.apache.spark.sql.functions._
   * queries grade build and refresh at that setting. */
 object PqIndex {
 
-  private[graft] def codebooksPath(table: String): String = s"$table/_pq_codebooks"
   private[graft] def codesPath(table: String): String = s"$table/_pq_codes"
+  private[graft] def codebooksPath(table: String): String =
+    s"${codesPath(table)}/_codebooks"
+
+  /** Range-cluster a commit's codes by vec_id (compression locality;
+    * the ADC scan reads everything regardless). */
+  private def clustered(rows: DataFrame, buckets: Int): DataFrame =
+    rows.select("file", "vec_id", "__codes")
+      .repartitionByRange(buckets, col("vec_id"))
+      .sortWithinPartitions("vec_id")
 
   /** Bootstrap / rebuild: driver-trained codebooks on a bounded
     * no-count sample (via [[PqSearch.buildIndex]]), one codegen'd
-    * encode pass, both sidecars written (codebooks first — a crash
-    * between the writes is repaired by re-running collect). */
+    * encode pass; codes and codebooks built under `_pq_codes.next`
+    * and published by ONE rename. */
   def collect(
       spark: SparkSession,
       table: String,
@@ -57,19 +71,28 @@ object PqIndex {
       m: Int = 8,
       ks: Int = 16,
       iters: Int = 10,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L,
+      buckets: Int = 4): Unit = {
     import spark.implicits._
     val corpus = spark.read.parquet(table)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val idx = PqSearch.buildIndex(corpus, m, ks, iters, seed)
     val cb = idx.codebooks
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = codesPath(table)
+    val next = s"$dest.next"
+    fs.delete(new Path(next), true)
+    clustered(idx.encoded, buckets)
+      .write.mode(SaveMode.Overwrite).parquet(next)
     Seq((cb.m, cb.ks, cb.dsub, cb.flat))
       .toDF("m", "ks", "dsub", "flat").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(codebooksPath(table))
-    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    writeCodes(spark,
-      idx.encoded.select("file", "vec_id", "__codes"), codesPath(table), fs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$next/_codebooks")
+    IvfIndex.requireOneRowPerVector(spark.read.parquet(next), onTrip = {
+      fs.delete(new Path(next), true)
+    })
+    fs.delete(new Path(dest), true)
+    fs.rename(new Path(next), new Path(dest))
   }
 
   private[graft] def readCodebooks(spark: SparkSession, table: String): PqCodebooks = {
@@ -79,59 +102,59 @@ object PqIndex {
   }
 
   /** Incremental maintenance, pure file-set arithmetic over the
-    * FROZEN codebooks. */
+    * FROZEN codebooks — O(delta) write I/O. */
   def refresh(
       spark: SparkSession,
       table: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      buckets: Int = 4): Unit = {
+    import spark.implicits._
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SidecarMaintenance.recover(spark, codesPath(table))
     Seq(codebooksPath(table), codesPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no PQ index at $p — bootstrap with collect()"))
     val current = BloomIndex.dataFilePaths(spark, table).toSet
-    val codes = spark.read.parquet(codesPath(table)).localCheckpoint(true)
-    val indexed = codes.select("file").distinct()
-      .collect().map(_.getString(0)).toSet
+    val codes = spark.read.parquet(codesPath(table))
+    val pairs = codes
+      .select(col("file"), col("_metadata.file_path").as("__sfile"))
+      .distinct().as[(String, String)].collect()
+    val indexed = pairs.map(_._1).toSet
+    val vanished = indexed -- current
     val fresh = (current -- indexed).toSeq.sorted
-    val kept = codes.where(col("file").isin(current.toSeq: _*))
-      .select("file", "vec_id", "__codes")
-    val merged =
-      if (fresh.isEmpty) kept
+    if (fresh.isEmpty && vanished.isEmpty) return
+    val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
+    val vanishedDf = vanished.toSeq.toDF("file")
+    val freshCodes =
+      if (fresh.isEmpty) None
       else {
         val cb = readCodebooks(spark, table)
-        val freshCodes = spark.read.option("basePath", table).parquet(fresh: _*)
+        val fc = spark.read.option("basePath", table).parquet(fresh: _*)
           .select(col("_metadata.file_path").as("file"),
             col(idCol).as("vec_id"),
             PqEncode(col(vecCol), cb).as("__codes"))
-        kept.unionByName(freshCodes)
+          .localCheckpoint(true)
+        IvfIndex.requireNoVectorClash(fc,
+          codes.join(broadcast(vanishedDf), Seq("file"), "left_anti"))
+        Some(fc)
       }
-    writeCodes(spark, merged, codesPath(table), fs)
+    val survivors =
+      if (doomed.isEmpty) None
+      else Some(spark.read.option("basePath", codesPath(table))
+        .parquet(doomed: _*)
+        .join(broadcast(vanishedDf), Seq("file"), "left_anti")
+        .select("file", "vec_id", "__codes"))
+    val newRows = (survivors.toSeq ++ freshCodes.toSeq)
+      .reduceOption(_.unionByName(_)).map(clustered(_, buckets))
+    SidecarMaintenance.commitDelta(
+      spark, codesPath(table), newRows, doomed, Seq.empty)
   }
 
-  private def writeCodes(
-      spark: SparkSession,
-      codes: DataFrame,
-      dest: String,
-      fs: org.apache.hadoop.fs.FileSystem,
-      buckets: Int = 4): Unit = {
-    codes.repartitionByRange(buckets, col("vec_id"))
-      .sortWithinPartitions("vec_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dest.next")
-    val offenders = spark.read.parquet(s"$dest.next")
-      .groupBy("vec_id").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > 1).limit(5).collect()
-    if (offenders.nonEmpty) {
-      fs.delete(new Path(s"$dest.next"), true)
-      require(offenders.isEmpty,
-        s"vectors indexed more than once: ids " +
-          s"${offenders.map(_.get(0)).mkString(", ")} — a vector's row " +
-          "must live in ONE corpus data file (append new ids, " +
-          "purge-rewrite whole files); compact, then rebuild")
-    }
-    fs.delete(new Path(dest), true)
-    fs.rename(new Path(s"$dest.next"), new Path(dest))
-  }
+  /** Repack refresh-accumulated small code files. */
+  def compact(spark: SparkSession, table: String, buckets: Int = 4): Unit =
+    SidecarMaintenance.compact(spark, codesPath(table), Seq.empty)(
+      clustered(_, buckets))
 
   /** ADC over the codes sidecar, exact re-rank against the
     * column-pruned corpus. Output (q_id, neighbor_id, rank) —
@@ -145,6 +168,7 @@ object PqIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
+    SidecarMaintenance.requireClean(spark, codesPath(table))
     val cb = readCodebooks(spark, table)
     val qLut = broadcast(queries.select(
       col(idCol).as("q_id"), PqLut(col(vecCol), cb).as("__lut")))

@@ -1,0 +1,279 @@
+package graft
+
+import graft.sinks.{IvfIndex, LshIndex, PqIndex, SidecarMaintenance}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted-index family's O(delta) maintenance contract:
+  * refresh APPENDS new corpus files' rows as fresh sidecar files and
+  * rewrites ONLY the sidecar files that carried a vanished corpus
+  * file's rows — the untouched remainder stays byte-identical on
+  * disk. Plus the crash protocol (journaled delta-commit: every
+  * crash point recovers to old-or-new, reads refuse a torn journal),
+  * the intra-batch duplicate guard, the atomic single-rename
+  * rebuild, salted write parallelism, and compaction. */
+class SidecarMaintenanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withTable(n: Int = 200)(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val path = s"$root/vectors"
+    SparkEntry.tbl(spark, sf, "embeddings")
+      .where(col("vec_id") < n).repartition(3)
+      .write.parquet(path)
+    try f(path)
+    finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (path -> length) of every visible sidecar data file. */
+  private def fileSig(dir: String): Map[String, Long] = {
+    val fs = fsOf(dir)
+    SidecarMaintenance.dataFiles(spark, dir)
+      .map(f => f -> fs.getFileStatus(new Path(f)).getLen).toMap
+  }
+
+  private def ranks(df: DataFrame): Set[(Long, Long, Long)] =
+    df.as[(Long, Long, Long)].collect().toSet
+
+  // ── O(delta) write I/O ──────────────────────────────────────────
+
+  test("IVF refresh appends new files' rows without rewriting any pre-existing sidecar file") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val before = fileSig(IvfIndex.cellsPath(path))
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 200 && col("vec_id") < 240)
+        .coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refresh(spark, path)
+      val after = fileSig(IvfIndex.cellsPath(path))
+      // every pre-existing sidecar file survives byte-identical...
+      before.foreach { case (f, len) =>
+        assert(after.get(f).contains(len), s"pre-existing $f was rewritten") }
+      // ...and the delta landed as strictly new files
+      assert(after.size > before.size)
+      val appended = spark.read.parquet(IvfIndex.cellsPath(path))
+        .where(col("vec_id") >= 200)
+      assert(appended.count() === 40L)
+    }
+  }
+
+  test("IVF refresh after a vanished corpus file rewrites ONLY the sidecar files that carried it") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      // two refresh-appended corpus files: each lands in its OWN
+      // sidecar commit, so each has a carrier set disjoint from the
+      // bootstrap's files — the layout that makes a later vanish a
+      // targeted rewrite instead of a sidecar-wide one
+      val e = SparkEntry.tbl(spark, sf, "embeddings")
+      e.where(col("vec_id") >= 200 && col("vec_id") < 240)
+        .coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refresh(spark, path)
+      e.where(col("vec_id") >= 240 && col("vec_id") < 280)
+        .coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refresh(spark, path)
+      val cellsDir = IvfIndex.cellsPath(path)
+      // victim: the FIRST appended corpus file; carriers: the sidecar
+      // files holding its rows (its refresh commit's files only)
+      val victim = spark.read.parquet(cellsDir)
+        .where(col("vec_id") >= 200 && col("vec_id") < 240)
+        .select("file").as[String].head()
+      val carriers = spark.read.parquet(cellsDir)
+        .select(col("_metadata.file_path").as("sf"), col("file"))
+        .where(col("file") === victim)
+        .select("sf").distinct().as[String].collect().toSet
+      val before = fileSig(cellsDir)
+      assert(carriers.nonEmpty && carriers.size < before.size,
+        "fixture needs untouched sidecar files to witness the non-rewrite")
+      fsOf(path).delete(new Path(victim), false)
+      IvfIndex.refresh(spark, path)
+      val after = fileSig(cellsDir)
+      // non-carriers byte-identical, carriers gone
+      before.foreach { case (f, len) =>
+        if (carriers(f)) assert(!after.contains(f), s"carrier $f not dropped")
+        else assert(after.get(f).contains(len), s"non-carrier $f rewritten")
+      }
+      // and no victim rows survive anywhere
+      assert(spark.read.parquet(cellsDir)
+        .where(col("file") === victim).count() === 0L)
+    }
+  }
+
+  test("PQ and LSH refresh share the append-don't-rewrite discipline") {
+    withTable() { path =>
+      PqIndex.collect(spark, path, m = 8, ks = 16)
+      LshIndex.collect(spark, path, planes = 4)
+      val beforePq = fileSig(PqIndex.codesPath(path))
+      val beforeLsh = fileSig(LshIndex.bucketsPath(path))
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 200 && col("vec_id") < 240)
+        .coalesce(1).write.mode("append").parquet(path)
+      PqIndex.refresh(spark, path)
+      LshIndex.refresh(spark, path)
+      beforePq.foreach { case (f, len) =>
+        assert(fileSig(PqIndex.codesPath(path)).get(f).contains(len)) }
+      beforeLsh.foreach { case (f, len) =>
+        assert(fileSig(LshIndex.bucketsPath(path)).get(f).contains(len)) }
+      assert(spark.read.parquet(PqIndex.codesPath(path)).count() === 240L)
+      assert(spark.read.parquet(LshIndex.bucketsPath(path)).count() === 240L)
+    }
+  }
+
+  // ── the intra-batch duplicate guard (the (file, vec_id) window) ─
+
+  test("a vec_id arriving in TWO fresh files within one refresh trips the guard, index untouched") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val before = fileSig(IvfIndex.cellsPath(path))
+      // the same NEW vector lands twice, in two separate fresh files
+      val dup = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") === 450)
+      dup.coalesce(1).write.mode("append").parquet(path)
+      dup.coalesce(1).write.mode("append").parquet(path)
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.refresh(spark, path)
+      }
+      assert(e.getMessage.contains("indexed more than once"))
+      // nothing appended, nothing dropped — the guard ran pre-mutation
+      assert(fileSig(IvfIndex.cellsPath(path)) === before)
+    }
+  }
+
+  // ── atomic rebuild: aborted collect leaves the OLD index serving ─
+
+  test("an aborted IVF rebuild (guard trip) leaves old centroids AND old cells consistent") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+        .localCheckpoint(true)
+      val served = ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+      val centsBefore = spark.read.parquet(IvfIndex.centroidsPath(path))
+        .as[(Int, Array[Double])].collect().toMap
+      // corrupt the corpus so the rebuild's layout guard trips
+      spark.read.parquet(path).where(col("vec_id") === 7)
+        .coalesce(1).write.mode("append").parquet(path)
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.collect(spark, path, nCells = 8)
+      }
+      assert(e.getMessage.contains("indexed more than once"))
+      // BOTH sidecars are the old pair: same centroids, same answers —
+      // the single-rename publish means no crash point can tear them
+      val centsAfter = spark.read.parquet(IvfIndex.centroidsPath(path))
+        .as[(Int, Array[Double])].collect().toMap
+      assert(centsAfter.keySet === centsBefore.keySet)
+      centsAfter.foreach { case (c, v) =>
+        assert(v.toSeq === centsBefore(c).toSeq) }
+      assert(ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+        === served)
+    }
+  }
+
+  // ── crash protocol: journaled delta-commit recovers old-or-new ──
+
+  test("a journal WITHOUT a commit marker rolls back; WITH one completes — and reads refuse a torn journal") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = fsOf(path)
+      val before = fileSig(cellsDir)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+        .localCheckpoint(true)
+      val served = ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+
+      // crash point A: staging written, NO marker, journal present —
+      // an uncommitted delta must roll back wholesale
+      val staging = SidecarMaintenance.stagingPath(cellsDir)
+      fs.mkdirs(staging)
+      val out = fs.create(SidecarMaintenance.journalPath(cellsDir))
+      out.write(before.keys.head.getBytes("UTF-8")) // journaled a doomed file
+      out.close()
+      // reads refuse while the journal is live
+      val torn = intercept[IllegalArgumentException] {
+        IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4).count()
+      }
+      assert(torn.getMessage.contains("interrupted maintenance"))
+      SidecarMaintenance.recover(spark, cellsDir)
+      assert(fileSig(cellsDir) === before, "rollback must keep every original")
+      assert(!fs.exists(SidecarMaintenance.journalPath(cellsDir)))
+
+      // crash point B: staging sealed WITH marker + journal — recovery
+      // must COMPLETE the swap (doomed file out, staged rows in)
+      val doomed = before.keys.head
+      val doomedRows = spark.read.option("basePath", cellsDir)
+        .parquet(doomed).localCheckpoint(true)
+      doomedRows.write.partitionBy("__cell").parquet(staging.toString)
+      fs.create(new Path(staging, SidecarMaintenance.CommitMarker)).close()
+      val out2 = fs.create(SidecarMaintenance.journalPath(cellsDir))
+      out2.write(doomed.getBytes("UTF-8"))
+      out2.close()
+      SidecarMaintenance.recover(spark, cellsDir)
+      assert(!fs.exists(new Path(doomed)), "doomed file must be deleted")
+      assert(!fs.exists(staging) &&
+        !fs.exists(SidecarMaintenance.journalPath(cellsDir)))
+      // content unchanged (the staged rows WERE the doomed rows) —
+      // probes serve identical answers through the completed swap
+      assert(ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+        === served)
+    }
+  }
+
+  // ── salted write parallelism (#6) and compaction ────────────────
+
+  test("writeSalt spreads a cell's sidecar write across >1 file per cell, layout unchanged") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 2, writeSalt = 8)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val files = SidecarMaintenance.dataFiles(spark, cellsDir)
+      // 2 cells, salt 8: the write must not be capped at nCells tasks
+      assert(files.size > 2,
+        s"expected >2 sidecar files from a salted build, got ${files.size}")
+      // directory layout is still one dir per cell — pruning intact
+      val dirs = files.map(f => new Path(f).getParent.getName).toSet
+      assert(dirs.forall(_.startsWith("__cell=")) && dirs.size === 2)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+      val brute = ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+        queries, spark.read.parquet(path), k = 5))
+      assert(ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 2))
+        === brute)
+    }
+  }
+
+  test("compact repacks refresh-accumulated small files; answers unchanged") {
+    withTable(120) { path =>
+      IvfIndex.collect(spark, path, nCells = 2)
+      // five single-file refresh rounds -> small-file accumulation
+      (0 until 5).foreach { i =>
+        SparkEntry.tbl(spark, sf, "embeddings")
+          .where(col("vec_id") >= 200 + i * 10 && col("vec_id") < 210 + i * 10)
+          .coalesce(1).write.mode("append").parquet(path)
+        IvfIndex.refresh(spark, path)
+      }
+      val cellsDir = IvfIndex.cellsPath(path)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+        .localCheckpoint(true)
+      val served = ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 2))
+      val nBefore = SidecarMaintenance.dataFiles(spark, cellsDir).size
+      IvfIndex.compact(spark, path)
+      val nAfter = SidecarMaintenance.dataFiles(spark, cellsDir).size
+      assert(nAfter < nBefore,
+        s"compaction must shrink the file count ($nBefore -> $nAfter)")
+      assert(spark.read.parquet(cellsDir).count() === 170L)
+      assert(ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 2))
+        === served)
+      // and the NEXT refresh still works off the compacted layout
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 300 && col("vec_id") < 310)
+        .coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refresh(spark, path)
+      assert(spark.read.parquet(cellsDir).count() === 180L)
+    }
+  }
+}
