@@ -373,9 +373,55 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** IDEMPOTENT corpus append for foreachBatch ingest: the batch is
+    * staged under a hidden dir, then published as data files with
+    * BATCH-ID-DERIVED DETERMINISTIC NAMES (`ingest-b<id>-p<i>`),
+    * deleting any files a prior delivery of the same batch left
+    * behind. A replayed batch therefore converges to the SAME file
+    * set with the same contents instead of appending duplicates —
+    * which is what keeps the sidecar indexes' one-row-per-key layout
+    * guards satisfied across crash/replay: a plain `mode("append")`
+    * would re-land the same ids in new files and wedge every
+    * subsequent refresh on the duplicate guard.
+    *
+    * Crash points: staging is invisible to corpus reads (dot
+    * prefix); the delete-then-rename publish is re-run from scratch
+    * by the replay that follows any crash inside it. Spark's
+    * partition layout is deterministic for a deterministic batch, so
+    * a replayed publish rebinds the same rows to the same file
+    * names — file-set arithmetic sees an already-indexed batch as
+    * fully covered and does nothing. */
+  private[graft] def idempotentBatchAppend(
+      spark: SparkSession,
+      batch: DataFrame,
+      corpusDir: String,
+      batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      corpusDir, s".ingest-staging-b$batchId")
+    fs.delete(staging, true)
+    batch.write.mode("overwrite").parquet(staging.toString)
+    val prefix = s"ingest-b$batchId-"
+    fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, false))
+    val parts = fs.listStatus(staging)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+        dir, s"${prefix}p$i.parquet"))
+    }
+    fs.delete(staging, true)
+  }
+
   /** Streaming corpus ingest with LIVE inverted-index maintenance:
-    * each checkpointed micro-batch appends to the corpus and then
-    * runs the index's file-set arithmetic
+    * each checkpointed micro-batch appends to the corpus
+    * (idempotently — [[idempotentBatchAppend]]) and then runs the
+    * index's file-set arithmetic
     * ([[graft.sinks.InvertedIndex.collect]] on first contact,
     * [[graft.sinks.InvertedIndex.refresh]] after) — so search is
     * index-served the moment a batch lands, and maintenance cost per
@@ -383,10 +429,10 @@ object StreamingOps {
     * (`InvertedIndexSpec` proves the no-rescan property with a
     * poisoned posting across a checkpointed restart).
     *
-    * Crash posture: the append is at-least-once under batch replay
-    * (standard foreachBatch), but the INDEX cannot diverge from the
-    * corpus — refresh derives purely from the file set on disk, so a
-    * replayed append's files are simply indexed like any others. */
+    * Crash posture: a replayed batch republishes the SAME corpus
+    * files (deterministic names), so the index cannot diverge from
+    * the corpus and the one-file-per-doc layout survives replay —
+    * refresh derives purely from the file set on disk. */
   def streamIngestWithInvertedIndex(
       spark: SparkSession,
       landingDir: String,
@@ -403,8 +449,8 @@ object StreamingOps {
       .parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(corpusDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        idempotentBatchAppend(spark, batch.toDF(), corpusDir, batchId)
         val idx = new org.apache.hadoop.fs.Path(InvertedIndex.indexPath(corpusDir))
         val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(idx)) InvertedIndex.refresh(spark, corpusDir, textCol, idCol)
@@ -437,12 +483,15 @@ object StreamingOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nCells: Int = 16,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      compactEvery: Int = 16): Unit = {
     import graft.sinks.IvfIndex
     streamIngestMaintaining(spark, landingDir, schema, corpusDir,
-      checkpointDir, IvfIndex.cellsPath(corpusDir), maxFilesPerTrigger)(
+      checkpointDir, IvfIndex.cellsPath(corpusDir), maxFilesPerTrigger,
+      compactEvery)(
       bootstrap = IvfIndex.collect(spark, corpusDir, idCol, vecCol, nCells),
-      refresh = IvfIndex.refresh(spark, corpusDir, idCol, vecCol))
+      refresh = IvfIndex.refresh(spark, corpusDir, idCol, vecCol),
+      compact = IvfIndex.compact(spark, corpusDir))
   }
 
   /** PQ sibling of [[streamIngestWithIvfIndex]]: the first batch
@@ -458,12 +507,15 @@ object StreamingOps {
       vecCol: String = "embedding",
       m: Int = 8,
       ks: Int = 16,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      compactEvery: Int = 16): Unit = {
     import graft.sinks.PqIndex
     streamIngestMaintaining(spark, landingDir, schema, corpusDir,
-      checkpointDir, PqIndex.codesPath(corpusDir), maxFilesPerTrigger)(
+      checkpointDir, PqIndex.codesPath(corpusDir), maxFilesPerTrigger,
+      compactEvery)(
       bootstrap = PqIndex.collect(spark, corpusDir, idCol, vecCol, m, ks),
-      refresh = PqIndex.refresh(spark, corpusDir, idCol, vecCol))
+      refresh = PqIndex.refresh(spark, corpusDir, idCol, vecCol),
+      compact = PqIndex.compact(spark, corpusDir))
   }
 
   /** LSH sibling — the training-free one: maintenance needs only the
@@ -477,20 +529,32 @@ object StreamingOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       planes: Int = 4,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      compactEvery: Int = 16): Unit = {
     import graft.sinks.LshIndex
     streamIngestMaintaining(spark, landingDir, schema, corpusDir,
-      checkpointDir, LshIndex.bucketsPath(corpusDir), maxFilesPerTrigger)(
+      checkpointDir, LshIndex.bucketsPath(corpusDir), maxFilesPerTrigger,
+      compactEvery)(
       bootstrap = LshIndex.collect(spark, corpusDir, idCol, vecCol, planes),
-      refresh = LshIndex.refresh(spark, corpusDir, idCol, vecCol))
+      refresh = LshIndex.refresh(spark, corpusDir, idCol, vecCol),
+      compact = LshIndex.compact(spark, corpusDir))
   }
 
   /** The shared streaming-maintenance driver behind the three index
-    * flows: each checkpointed micro-batch appends to the corpus, then
-    * bootstraps the index on first contact (`indexMarker` absent) or
-    * runs its file-set refresh. Replay-proof by construction —
-    * maintenance derives purely from the file set on disk, so a
-    * replayed append's files are simply indexed like any others. */
+    * flows: each checkpointed micro-batch appends to the corpus
+    * IDEMPOTENTLY ([[idempotentBatchAppend]] — a replayed batch
+    * republishes the same deterministic file names instead of
+    * duplicating rows), then bootstraps the index on first contact
+    * (`indexMarker` absent) or runs its O(delta) file-set refresh.
+    * Replay-proof by construction: maintenance derives purely from
+    * the file set on disk, and replay converges to the same file
+    * set — so a batch re-delivered after any crash point is either
+    * already covered (refresh no-ops) or indexed like any other.
+    *
+    * Every `compactEvery`-th batch additionally repacks the sidecar's
+    * per-refresh small-file accumulation (the amortizer the O(delta)
+    * appends need; batchId-keyed, so the cadence is itself stable
+    * under replay). */
   private def streamIngestMaintaining(
       spark: SparkSession,
       landingDir: String,
@@ -498,20 +562,24 @@ object StreamingOps {
       corpusDir: String,
       checkpointDir: String,
       indexMarker: String,
-      maxFilesPerTrigger: Int)(
+      maxFilesPerTrigger: Int,
+      compactEvery: Int)(
       bootstrap: => Unit,
-      refresh: => Unit): Unit = {
+      refresh: => Unit,
+      compact: => Unit): Unit = {
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(corpusDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        idempotentBatchAppend(spark, batch.toDF(), corpusDir, batchId)
         val marker = new org.apache.hadoop.fs.Path(indexMarker)
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(marker)) refresh else bootstrap
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compact
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

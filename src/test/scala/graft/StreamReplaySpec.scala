@@ -1,0 +1,133 @@
+package graft
+
+import graft.sinks.{IvfIndex, SidecarMaintenance}
+import graft.streaming.StreamingOps
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crash-replay behavior of the streaming index-maintenance flows:
+  * foreachBatch gives AT-LEAST-ONCE batch delivery, so the corpus
+  * append must be IDEMPOTENT — a replayed batch has to converge to
+  * the same corpus file set instead of landing the same vec_ids in
+  * new files (which would trip every subsequent refresh's
+  * one-row-per-vector guard and wedge the stream). */
+class StreamReplaySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ranks(df: DataFrame): Set[(Long, Long, Long)] =
+    df.as[(Long, Long, Long)].collect().toSet
+
+  test("idempotentBatchAppend: re-delivering a batch republishes the SAME files, no duplicates") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-idemp-append").toString
+    val corpus = s"$root/corpus"
+    try {
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 50).repartition(2).localCheckpoint(true)
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L)
+      val firstFiles = SidecarMaintenance.dataFiles(spark, corpus)
+      assert(spark.read.parquet(corpus).count() === 50L)
+      // index the first publish, then re-deliver the SAME batch —
+      // the crash-between-append-and-checkpoint-commit scenario
+      IvfIndex.collect(spark, corpus, nCells = 4)
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L)
+      assert(SidecarMaintenance.dataFiles(spark, corpus) === firstFiles,
+        "replay must republish the same deterministic file names")
+      assert(spark.read.parquet(corpus).count() === 50L)
+      // and the refresh that follows the replayed batch must NOT
+      // wedge: the file set is already covered, so it no-ops
+      IvfIndex.refresh(spark, corpus)
+      val q = spark.read.parquet(corpus).where(col("vec_id") < 3)
+      assert(ranks(IvfIndex.topK(spark, corpus, q, k = 5, nProbe = 4))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+          q, spark.read.parquet(corpus), k = 5)))
+      // a DIFFERENT batch id appends rather than replaces
+      val batch2 = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 50 && col("vec_id") < 80)
+        .localCheckpoint(true)
+      StreamingOps.idempotentBatchAppend(spark, batch2, corpus, batchId = 1L)
+      assert(spark.read.parquet(corpus).count() === 80L)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  test("IVF stream: replaying the last committed batch after a 'crash' keeps the stream green") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-replay-ivf").toString
+    try {
+      val landing = s"$root/landing"
+      val corpus = s"$root/vectors"
+      val ckpt = s"$root/ckpt"
+      SparkEntry.tbl(spark, sf, "embeddings").repartition(4)
+        .write.parquet(landing)
+      val schema = spark.read.parquet(landing).schema
+      StreamingOps.streamIngestWithIvfIndex(
+        spark, landing, schema, corpus, ckpt, nCells = 8,
+        maxFilesPerTrigger = 2)
+      val countAfter = spark.read.parquet(corpus).count()
+      val filesAfter = SidecarMaintenance.dataFiles(spark, corpus)
+      // simulate a crash between the batch's effects and its
+      // checkpoint commit: drop the LAST commit record, so the
+      // restarted stream re-delivers that batch
+      val fs = fsOf(ckpt)
+      val commits = fs.listStatus(new Path(ckpt, "commits"))
+        .map(_.getPath).filter(p => p.getName.forall(_.isDigit))
+      val last = commits.maxBy(_.getName.toInt)
+      fs.delete(last, false)
+      StreamingOps.streamIngestWithIvfIndex(
+        spark, landing, schema, corpus, ckpt, nCells = 8,
+        maxFilesPerTrigger = 2)
+      // replay converged: same corpus, no duplicate rows, index sane
+      assert(spark.read.parquet(corpus).count() === countAfter)
+      assert(SidecarMaintenance.dataFiles(spark, corpus) === filesAfter)
+      val q = spark.read.parquet(corpus).where(col("vec_id") < 5)
+      assert(ranks(IvfIndex.topK(spark, corpus, q, k = 10, nProbe = 8))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+          q, spark.read.parquet(corpus), k = 10)))
+      // and the stream keeps ingesting NEW data afterwards
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .withColumn("vec_id", col("vec_id") + 1000)
+        .limit(20).coalesce(1).write.mode("append").parquet(landing)
+      StreamingOps.streamIngestWithIvfIndex(
+        spark, landing, schema, corpus, ckpt, nCells = 8,
+        maxFilesPerTrigger = 2)
+      assert(spark.read.parquet(corpus).count() === countAfter + 20)
+      assert(spark.read.parquet(IvfIndex.cellsPath(corpus)).count()
+        === countAfter + 20)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  test("streaming compaction cadence repacks the sidecar without changing answers") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-compact-ann").toString
+    try {
+      val landing = s"$root/landing"
+      val corpus = s"$root/vectors"
+      // 8 landing files at 1 file/trigger -> batches 0..7; cadence 4
+      // compacts at batch 4 — so the final sidecar file count is far
+      // below the one-commit-per-batch accumulation
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 160).repartition(8)
+        .write.parquet(landing)
+      val schema = spark.read.parquet(landing).schema
+      StreamingOps.streamIngestWithIvfIndex(
+        spark, landing, schema, corpus, s"$root/ckpt", nCells = 4,
+        maxFilesPerTrigger = 1, compactEvery = 4)
+      val q = spark.read.parquet(corpus).where(col("vec_id") < 3)
+      assert(ranks(IvfIndex.topK(spark, corpus, q, k = 5, nProbe = 4))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+          q, spark.read.parquet(corpus), k = 5)))
+      assert(spark.read.parquet(IvfIndex.cellsPath(corpus)).count() === 160L)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+}
