@@ -881,6 +881,63 @@ object ScaleCheck {
       new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
         .truncate(root)
     }
+
+    // Persisted-index MAINTENANCE: the statement is O(delta) WRITE
+    // I/O — refreshing a FIXED delta writes the same sidecar bytes
+    // whatever the corpus size, because the delta lands as fresh
+    // sidecar files and nothing else is rewritten (the journaled
+    // delta-commit; the read side of the coverage/guard arithmetic
+    // legitimately grows with the corpus, so bytes WRITTEN is the
+    // witness). Before round 14 the ratio here was ~k: refresh
+    // rewrote the whole corpus-sized sidecar through an
+    // overwrite-swap.
+    if (only.exists(_.contains("ann_refresh"))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-annref").toString
+      def prep(d: DataFrame, tag: String): String = {
+        val p = s"$root/$tag"
+        d.repartition(8).write.parquet(p)
+        graft.sinks.IvfIndex.collect(spark, p, nCells = 16)
+        graft.sinks.LshIndex.collect(spark, p, planes = 4)
+        graft.sinks.PqIndex.collect(spark, p, m = 8, ks = 16)
+        p
+      }
+      val p1 = prep(embs, "v1")
+      val pk = prep(grow(embs, "vec_id"), "vk")
+      def bytesWritten(f: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        acc.get
+      }
+      // the FIXED delta: 500 fresh vectors, ids disjoint from every
+      // grow() replica, appended identically to both corpora
+      val delta = embs.limit(500)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000000L))
+        .localCheckpoint(true)
+      delta.coalesce(1).write.mode("append").parquet(p1)
+      delta.coalesce(1).write.mode("append").parquet(pk)
+      Seq[(String, String => Unit)](
+        ("ivfidx_refresh", p => graft.sinks.IvfIndex.refresh(spark, p)),
+        ("lshidx_refresh", p => graft.sinks.LshIndex.refresh(spark, p)),
+        ("pqidx_refresh", p => graft.sinks.PqIndex.refresh(spark, p))
+      ).foreach { case (tag, go) =>
+        val b1 = bytesWritten(go(p1))
+        val bk = bytesWritten(go(pk))
+        println(f"$tag%-18s bytes written $b1 -> $bk (x${bk.toDouble / b1}%.2f, O(delta) iff ~1)")
+      }
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
     spark.stop()
   }
 }
