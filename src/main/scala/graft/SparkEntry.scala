@@ -2237,6 +2237,86 @@ object SparkEntry {
       out
     }),
 
+    // APPROXIMATE regime off the PERSISTED LSH sidecar — the
+    // ext_ann_ivf_indexed_bound epistemics for the training-free
+    // member: partial-radius probes (Hamming ball r=2 of planes=4,
+    // 11 of 16 bucket dirs) against the in-engine exact truth,
+    // oracle states the per-query verdicts. At 4 planes the ball
+    // covers most of the partition, so the floor (>= 5; measured
+    // mins 7/7/7 at sf0.001/0.01/0.1) gates the MACHINERY of the
+    // persisted path — meta-row signature derivation, ball
+    // enumeration, partition-pruned scan, cosine ranking: lost or
+    // fabricated rows flip returned_ok, an empty/misrouted probe
+    // craters recall_ok — while the sharper geometry separation
+    // lives in ext_ann_lsh_bound's planes=6 in-memory form.
+    "ext_ann_lsh_indexed_bound" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lshibound").toString
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(path)
+      graft.sinks.LshIndex.collect(s, path, planes = 4)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val lsh = graft.sinks.LshIndex.topK(s, path, q, k = 10, probeRadius = 2)
+      val exact = SimilaritySearch.bruteForceTopK(q, s.read.parquet(path), k = 10)
+      val perQ = exact
+        .join(lsh.select(col("q_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__hits"))
+      val returned = lsh.groupBy("q_id").agg(count(lit(1)).as("__n_ret"))
+      val out = perQ.join(returned, Seq("q_id"))
+        .select(col("q_id"), col("n_exact"),
+          (col("__n_ret") === col("n_exact")).as("returned_ok"),
+          (col("__hits") >= 5).as("recall_ok"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // APPROXIMATE regime off the PERSISTED PQ sidecar — partial
+    // candidateK = 50 (the exact declared config is candidateK >=
+    // corpus), the ext_ann_pq_bound verdicts moved onto the sidecar
+    // path: the ADC scan reads the persisted codes (never
+    // embeddings), the candidate cut happens in the compressed
+    // domain, and the exact re-rank joins back into the corpus.
+    // Verdicts: (a) exactly n_exact rows per query, (b) per-query
+    // hit floor >= 1 (measured mins 5/7/1 at sf0.001/0.01/0.1), (c)
+    // aggregate quantization lift >= 12 of 50 total hits (measured
+    // 34/41/18) — where BLIND candidate selection expects
+    // k·candidateK/n total hits: ~5 at n=500 and ~0.05 at n=50000,
+    // so the lift verdict flips if the persisted codebooks, code
+    // layout, LUT, or ADC ranking regress to noise.
+    "ext_ann_pq_indexed_bound" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pqibound").toString
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(path)
+      graft.sinks.PqIndex.collect(s, path, m = 8, ks = 16)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val pq = graft.sinks.PqIndex.topK(s, path, q, k = 10, candidateK = 50)
+      val exact = SimilaritySearch.bruteForceTopK(q, s.read.parquet(path), k = 10)
+      val perQ = exact
+        .join(pq.select(col("q_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("__hits"))
+      val returned = pq.groupBy("q_id").agg(count(lit(1)).as("__n_ret"))
+      val out = perQ.join(returned, Seq("q_id"))
+        .withColumn("__total", sum(col("__hits"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("q_id"), col("n_exact"),
+          (col("__n_ret") === col("n_exact")).as("returned_ok"),
+          (col("__hits") >= 1).as("floor_ok"),
+          (col("__total") >= 12).as("lift_ok"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // IVF in its APPROXIMATE regime (nProbe = 8 of 16 cells), driver-
     // graded against the engine's own exact brute-force truth — the
     // ext_quantiles_bound pattern for the ANN family: the engine joins
@@ -4810,6 +4890,34 @@ object SparkEntry {
         |SELECT q_id, neighbor_id,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_lsh_indexed_bound" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id),
+        |t AS (SELECT q_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS returned_ok, TRUE AS recall_ok
+        |FROM t GROUP BY q_id""".stripMargin,
+
+    "ext_ann_pq_indexed_bound" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id),
+        |t AS (SELECT q_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS returned_ok, TRUE AS floor_ok, TRUE AS lift_ok
+        |FROM t GROUP BY q_id""".stripMargin,
 
     // Approximate-regime verdicts: the oracle derives the exact-side
     // counts from the same brute-force truth and states the expected
