@@ -95,7 +95,14 @@ object BloomIndex {
     val existing = spark.read.parquet(idx).localCheckpoint(true)
     val indexed = existing.select("file").collect().map(_.getString(0)).toSet
     val fresh = (current -- indexed).toSeq.sorted
-    val kept = existing.where(col("file").isin(current.toSeq: _*))
+    // anti-join on the (small) vanished set — never a
+    // file-count-sized IN expression
+    val kept = {
+      import spark.implicits._
+      existing.join(
+        broadcast((indexed -- current).toSeq.toDF("file")),
+        Seq("file"), "left_anti")
+    }
     val merged =
       if (fresh.isEmpty) kept
       else {

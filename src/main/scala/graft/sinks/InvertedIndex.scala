@@ -88,8 +88,11 @@ object InvertedIndex {
         "each document's rows live in a single file, then rebuild")
   }
 
-  /** Full (re)build. `buckets` sizes the index file count — at test
-    * scale a handful; at corpus scale pick ~index-bytes / 128 MB. */
+  /** Full (re)build, staged under `.next` and published by one
+    * rename — an aborted rebuild (including a layout-guard trip)
+    * leaves any previous index serving. `buckets` sizes the index
+    * file count — at test scale a handful; at corpus scale pick
+    * ~index-bytes / 128 MB. */
   def collect(
       spark: SparkSession,
       table: String,
@@ -99,52 +102,94 @@ object InvertedIndex {
     val files = BloomIndex.dataFilePaths(spark, table)
     require(files.nonEmpty, s"no data files under $table")
     val idx = indexPath(table)
-    writeClustered(postingsOf(spark, table, files, textCol, idCol), idx, buckets)
-    try requireOneFilePerDoc(spark, idx)
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$idx.next"), true)
+    writeClustered(
+      postingsOf(spark, table, files, textCol, idCol), s"$idx.next", buckets)
+    try requireOneFilePerDoc(spark, s"$idx.next")
     catch { case e: Throwable =>
       // never leave a layout-violating index where queries would
       // silently trust its statistics
-      new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(new Path(idx), true)
+      fs.delete(new Path(s"$idx.next"), true)
       throw e
     }
+    fs.delete(new Path(idx), true)
+    fs.rename(new Path(s"$idx.next"), new Path(idx))
   }
 
-  /** Incremental maintenance: postings for files not yet indexed are
-    * built (the ONLY corpus reads), vanished files' postings drop,
-    * everything else carries verbatim; the rewrite is index-sized.
-    * Same `.next`-then-swap discipline as the sibling indexes. */
+  /** The pre-mutation form of the layout guard for O(delta) refresh:
+    * the fresh files' postings must not split a document within the
+    * delta, nor re-introduce an id the kept index already carries. */
+  private def requireDeltaOneFilePerDoc(
+      freshPost: DataFrame, keptIdx: DataFrame): Unit = {
+    def fail(ids: Array[org.apache.spark.sql.Row]): Unit =
+      require(ids.isEmpty,
+        s"documents present in MORE THAN ONE data file: ids " +
+          s"${ids.map(_.get(0)).mkString(", ")}${if (ids.length == 5) ", …" else ""} — " +
+          "the index family's df/dl statistics assume one file per document " +
+          "(append new ids, purge-rewrite whole files); compact the table so " +
+          "each document's rows live in a single file, then rebuild")
+    fail(freshPost.groupBy("id").agg(count_distinct(col("file")).as("__nf"))
+      .where(col("__nf") > 1).limit(5).collect())
+    fail(keptIdx.select("id")
+      .join(broadcast(freshPost.select("id").distinct()), Seq("id"), "left_semi")
+      .limit(5).collect())
+  }
+
+  /** Incremental maintenance at O(delta) WRITE I/O
+    * ([[SidecarMaintenance.commitDelta]], the same journaled
+    * delta-commit as the ANN sidecars): postings for files not yet
+    * indexed are built (the ONLY corpus reads) and APPENDED as fresh
+    * index files — token-range-clustered within the commit, so the
+    * pushed `token IN` read still prunes row groups per commit;
+    * vanished files' postings drop by rewriting only the index files
+    * that carried them. The layout guard runs BEFORE any mutation,
+    * so a violating refresh (e.g. an append that re-introduces an
+    * already-indexed id in a new file) rejects loudly with the
+    * CURRENT index untouched. */
   def refresh(
       spark: SparkSession,
       table: String,
       textCol: String,
       idCol: String,
       buckets: Int = 4): Unit = {
+    import spark.implicits._
     val idx = indexPath(table)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(idx)),
       s"no inverted index at $idx — bootstrap with collect()")
+    SidecarMaintenance.recover(spark, idx)
     val current = BloomIndex.dataFilePaths(spark, table).toSet
-    // the swap deletes the dir being read — pin the old index first
-    val existing = spark.read.parquet(idx).localCheckpoint(true)
-    val indexed = existing.select("file").distinct()
-      .collect().map(_.getString(0)).toSet
+    val existing = spark.read.parquet(idx)
+    val pairs = existing
+      .select(col("file"), col("_metadata.file_path").as("__sfile"))
+      .distinct().as[(String, String)].collect()
+    val indexed = pairs.map(_._1).toSet
+    val vanished = indexed -- current
     val fresh = (current -- indexed).toSeq.sorted
-    val kept = existing.where(col("file").isin(current.toSeq: _*))
-    val merged =
-      if (fresh.isEmpty) kept
-      else kept.unionByName(postingsOf(spark, table, fresh, textCol, idCol))
-    writeClustered(merged, s"$idx.next", buckets)
-    // layout guard BEFORE the swap: a violating refresh (e.g. an
-    // append that re-introduces an already-indexed id in a new file)
-    // rejects loudly and the CURRENT index stays live and valid
-    try requireOneFilePerDoc(spark, s"$idx.next")
-    catch { case e: Throwable =>
-      fs.delete(new Path(s"$idx.next"), true)
-      throw e
+    if (fresh.nonEmpty || vanished.nonEmpty) {
+      val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
+      val vanishedDf = vanished.toSeq.toDF("file")
+      val freshPost =
+        if (fresh.isEmpty) None
+        else {
+          val fp = postingsOf(spark, table, fresh, textCol, idCol)
+            .localCheckpoint(true)
+          requireDeltaOneFilePerDoc(fp,
+            existing.join(broadcast(vanishedDf), Seq("file"), "left_anti"))
+          Some(fp)
+        }
+      val survivors =
+        if (doomed.isEmpty) None
+        else Some(spark.read.option("basePath", idx).parquet(doomed: _*)
+          .join(broadcast(vanishedDf), Seq("file"), "left_anti")
+          .select("file", "token", "id", "positions"))
+      val newRows = (survivors.toSeq ++ freshPost.toSeq)
+        .reduceOption(_.unionByName(_))
+        .map(_.repartitionByRange(buckets, col("token"), col("id"))
+          .sortWithinPartitions("token", "id"))
+      SidecarMaintenance.commitDelta(spark, idx, newRows, doomed, Seq.empty)
     }
-    fs.delete(new Path(idx), true)
-    fs.rename(new Path(s"$idx.next"), new Path(idx))
     // Sidecar freshness is COUPLED to the index (ADVICE r10): if the
     // retrieval-stats sidecars exist, a refresh that left them stale
     // would silently drop refreshed-in documents from BM25 (dl is
@@ -304,54 +349,63 @@ object InvertedIndex {
       .write.mode(mode).parquet(termStatsPath(table))
   }
 
-  /** Incremental sidecar maintenance, pure file-set arithmetic:
-    * partial rows of vanished data files drop, files already covered
-    * carry verbatim, and only files newly present in the INDEX get
-    * their postings aggregated. Same `.next`-then-swap discipline as
-    * [[refresh]]. Call after [[refresh]] (the index is the source of
-    * truth for which files exist). */
+  /** Incremental sidecar maintenance, pure file-set arithmetic at
+    * O(delta) WRITE I/O ([[SidecarMaintenance.commitDelta]], each
+    * sidecar its own recoverable commit): partial rows of vanished
+    * data files drop by rewriting only the sidecar files carrying
+    * them, files already covered stay byte-identical on disk, and
+    * only files newly present in the INDEX get their postings
+    * aggregated (an index-sized read, a delta-sized write). Call
+    * after [[refresh]] (the index is the source of truth for which
+    * files exist); the two sidecars are diffed independently, so a
+    * crash between their commits heals on the next call. */
   def refreshRetrievalStats(spark: SparkSession, table: String): Unit = {
+    import spark.implicits._
     val fs = new Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(termStatsPath(table), docLenPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no retrieval stats at $p — bootstrap with buildRetrievalStats()"))
-    val idx = spark.read.parquet(indexPath(table)).localCheckpoint(true)
+    Seq(termStatsPath(table), docLenPath(table))
+      .foreach(SidecarMaintenance.recover(spark, _))
+    val idx = spark.read.parquet(indexPath(table))
     val current = idx.select("file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val ts = spark.read.parquet(termStatsPath(table)).localCheckpoint(true)
-    val dlp = spark.read.parquet(docLenPath(table)).localCheckpoint(true)
-    val covered = ts.select("file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val freshFiles = (current -- covered).toSeq.sorted
-    val keptTs = ts.where(col("file").isin(current.toSeq: _*))
-    val keptDl = dlp.where(col("file").isin(current.toSeq: _*))
-    if (freshFiles.isEmpty) {
-      swapIn(fs, termStatsPath(table), keptTs)
-      swapIn(fs, docLenPath(table), keptDl)
-    } else {
-      val freshPost = idx.where(col("file").isin(freshFiles: _*))
-      val freshDl = freshPost.groupBy("file", "id")
+      .as[String].collect().toSet
+    // postings slice of the given index files -> (dl, ts) partials
+    def partialsOf(files: Seq[String]): (DataFrame, DataFrame) = {
+      val post = idx.join(broadcast(files.toDF("file")), Seq("file"), "left_semi")
+      val dl = post.groupBy("file", "id")
         .agg(sum(size(col("positions"))).cast("long").as("dl"))
         .localCheckpoint(true)
-      val freshTs = freshPost.select(col("file"), col("id"), col("token"),
+      val ts = post.select(col("file"), col("id"), col("token"),
           size(col("positions")).cast("long").as("tf"))
-        .join(freshDl, Seq("file", "id"))
+        .join(dl, Seq("file", "id"))
         .groupBy("file", "token")
         .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
           min(col("dl")).as("min_dl"))
-      swapIn(fs, termStatsPath(table), keptTs.unionByName(freshTs))
-      swapIn(fs, docLenPath(table), keptDl.unionByName(freshDl))
+      (dl, ts)
     }
-  }
-
-  private def swapIn(
-      fs: org.apache.hadoop.fs.FileSystem,
-      dest: String,
-      df: DataFrame): Unit = {
-    df.write.mode(SaveMode.Overwrite).parquet(s"$dest.next")
-    fs.delete(new Path(dest), true)
-    fs.rename(new Path(s"$dest.next"), new Path(dest))
+    def refreshOne(dir: String, freshRows: Seq[String] => DataFrame): Unit = {
+      val pairs = spark.read.parquet(dir)
+        .select(col("file"), col("_metadata.file_path").as("__sfile"))
+        .distinct().as[(String, String)].collect()
+      val covered = pairs.map(_._1).toSet
+      val vanished = covered -- current
+      val freshFiles = (current -- covered).toSeq.sorted
+      if (freshFiles.isEmpty && vanished.isEmpty) return
+      val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
+      val vanishedDf = vanished.toSeq.toDF("file")
+      val survivors =
+        if (doomed.isEmpty) None
+        else Some(spark.read.option("basePath", dir).parquet(doomed: _*)
+          .join(broadcast(vanishedDf), Seq("file"), "left_anti"))
+      val freshDf = if (freshFiles.isEmpty) None else Some(freshRows(freshFiles))
+      val newRows = (survivors.toSeq ++ freshDf.toSeq)
+        .reduceOption((a, b) => a.unionByName(b.select(a.columns.map(col): _*)))
+      SidecarMaintenance.commitDelta(spark, dir, newRows, doomed, Seq.empty)
+    }
+    refreshOne(docLenPath(table), fs => partialsOf(fs)._1)
+    refreshOne(termStatsPath(table), fs => partialsOf(fs)._2)
   }
 
   /** Result of [[bm25TopKPruned]]: the top-k rows, how many terms the

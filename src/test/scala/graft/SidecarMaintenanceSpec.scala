@@ -127,6 +127,52 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted-index refresh (postings + retrieval stats) appends without rewriting pre-existing sidecar files") {
+    import graft.sinks.InvertedIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-maint-inv").toString
+    val table = s"$root/docs"
+    try {
+      Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(table)
+      InvertedIndex.collect(spark, table, "text", "doc_id")
+      InvertedIndex.buildRetrievalStats(spark, table)
+      val idxDir = InvertedIndex.indexPath(table)
+      val tsDir = InvertedIndex.termStatsPath(table)
+      val dlDir = InvertedIndex.docLenPath(table)
+      val before = Seq(idxDir, tsDir, dlDir).map(fileSig)
+      Seq((3L, "delta epsilon"), (4L, "epsilon zeta"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(table)
+      InvertedIndex.refresh(spark, table, "text", "doc_id")
+      Seq(idxDir, tsDir, dlDir).zip(before).foreach { case (dir, sig) =>
+        val after = fileSig(dir)
+        sig.foreach { case (f, len) =>
+          assert(after.get(f).contains(len), s"pre-existing $f in $dir rewritten") }
+        assert(after.size > sig.size, s"$dir gained no delta files")
+      }
+      // the refreshed index answers over the whole corpus, stats served
+      val hits = InvertedIndex.phraseSearchIndexOnly(spark, table, "delta epsilon")
+        .as[Long].collect().toSet
+      assert(hits === Set(3L))
+      assert(InvertedIndex.bm25StatsFromIndex(spark, table, "epsilon")
+        .count() === 2L)
+      // vanish path: purge-delete doc 1's corpus file -> only carrier
+      // sidecar files rewrite; the bootstrap commit carried docs 1+2,
+      // so its files go, the delta commit's files stay byte-identical
+      val victim = spark.read.parquet(idxDir)
+        .where(col("id") === 1L).select("file").as[String].head()
+      fsOf(table).delete(new Path(victim), false)
+      val deltaSig = fileSig(idxDir).filter { case (f, _) =>
+        !before.head.contains(f) }
+      InvertedIndex.refresh(spark, table, "text", "doc_id")
+      deltaSig.foreach { case (f, len) =>
+        assert(fileSig(idxDir).get(f).contains(len),
+          s"non-carrier delta file $f rewritten on vanish") }
+      assert(spark.read.parquet(idxDir).where(col("id") === 1L).count() === 0L)
+      assert(spark.read.parquet(dlDir).where(col("id") === 1L).count() === 0L)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   // ── the intra-batch duplicate guard (the (file, vec_id) window) ─
 
   test("a vec_id arriving in TWO fresh files within one refresh trips the guard, index untouched") {
