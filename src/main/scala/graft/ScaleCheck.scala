@@ -935,6 +935,27 @@ object ScaleCheck {
         val bk = bytesWritten(go(pk))
         println(f"$tag%-18s bytes written $b1 -> $bk (x${bk.toDouble / b1}%.2f, O(delta) iff ~1)")
       }
+      // the text-index family shares the delta-commit: postings +
+      // BOTH retrieval-stats sidecars refresh on a fixed doc delta
+      def prepDocs(d: DataFrame, tag: String): String = {
+        val p = s"$root/$tag"
+        d.select("doc_id", "text").repartition(8).write.parquet(p)
+        graft.sinks.InvertedIndex.collect(spark, p, "text", "doc_id")
+        graft.sinks.InvertedIndex.buildRetrievalStats(spark, p)
+        p
+      }
+      val d1 = prepDocs(docs, "d1")
+      val dk = prepDocs(grow(docs, "doc_id"), "dk")
+      val docDelta = docs.limit(500)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000000L))
+        .select("doc_id", "text").localCheckpoint(true)
+      docDelta.coalesce(1).write.mode("append").parquet(d1)
+      docDelta.coalesce(1).write.mode("append").parquet(dk)
+      val i1 = bytesWritten(
+        graft.sinks.InvertedIndex.refresh(spark, d1, "text", "doc_id"))
+      val ik = bytesWritten(
+        graft.sinks.InvertedIndex.refresh(spark, dk, "text", "doc_id"))
+      println(f"invidx_refresh     bytes written $i1 -> $ik (x${ik.toDouble / i1}%.2f, O(delta) iff ~1)")
       new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
         .truncate(root)
     }

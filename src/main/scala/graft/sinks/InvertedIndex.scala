@@ -117,6 +117,28 @@ object InvertedIndex {
     fs.rename(new Path(s"$idx.next"), new Path(idx))
   }
 
+  /** Repack refresh-accumulated per-commit index files into `buckets`
+    * GLOBALLY token-range-clustered files (one journaled whole-index
+    * rewrite — the periodic amortizer for [[refresh]]'s O(delta)
+    * appends, which cluster per commit only), plus the retrieval-
+    * stats sidecars when present. */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      buckets: Int = 4): Unit = {
+    SidecarMaintenance.compact(spark, indexPath(table), Seq.empty)(
+      _.select("file", "token", "id", "positions")
+        .repartitionByRange(buckets, col("token"), col("id"))
+        .sortWithinPartitions("token", "id"))
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(termStatsPath(table), docLenPath(table)).foreach { p =>
+      if (fs.exists(new Path(p)))
+        SidecarMaintenance.compact(spark, p, Seq.empty)(
+          _.repartitionByRange(1, col("file")).sortWithinPartitions("file"))
+    }
+  }
+
   /** The pre-mutation form of the layout guard for O(delta) refresh:
     * the fresh files' postings must not split a document within the
     * delta, nor re-introduce an id the kept index already carries. */

@@ -441,7 +441,8 @@ object StreamingOps {
       checkpointDir: String,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      compactEvery: Int = 16): Unit = {
     import graft.sinks.InvertedIndex
     val q = spark.readStream
       .schema(schema)
@@ -455,6 +456,8 @@ object StreamingOps {
         val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(idx)) InvertedIndex.refresh(spark, corpusDir, textCol, idCol)
         else InvertedIndex.collect(spark, corpusDir, textCol, idCol)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          InvertedIndex.compact(spark, corpusDir)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
