@@ -222,6 +222,39 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("aborted LSH and PQ rebuilds leave model+rows consistent (single-rename publish)") {
+    withTable() { path =>
+      LshIndex.collect(spark, path, planes = 4, seed = 0L)
+      PqIndex.collect(spark, path, m = 8, ks = 16)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+        .localCheckpoint(true)
+      val lshServed = ranks(LshIndex.topK(spark, path, queries, k = 5, probeRadius = 4))
+      val pqServed = ranks(PqIndex.topK(spark, path, queries, k = 5,
+        candidateK = Int.MaxValue))
+      // corrupt the corpus: rebuilds must trip the guard...
+      spark.read.parquet(path).where(col("vec_id") === 7)
+        .coalesce(1).write.mode("append").parquet(path)
+      // ...even when the attempted rebuild changes the MODEL (new
+      // seed / different codebook geometry) — the old (model, rows)
+      // pair must keep serving as a unit
+      assert(intercept[IllegalArgumentException] {
+        LshIndex.collect(spark, path, planes = 4, seed = 99L)
+      }.getMessage.contains("indexed more than once"))
+      assert(intercept[IllegalArgumentException] {
+        PqIndex.collect(spark, path, m = 4, ks = 8)
+      }.getMessage.contains("indexed more than once"))
+      assert(LshIndex.readMeta(spark, path) === ((4, 0L)),
+        "aborted rebuild must not replace the (planes, seed) model row")
+      val cb = PqIndex.readCodebooks(spark, path)
+      assert(cb.m === 8 && cb.ks === 16,
+        "aborted rebuild must not replace the codebooks")
+      assert(ranks(LshIndex.topK(spark, path, queries, k = 5, probeRadius = 4))
+        === lshServed)
+      assert(ranks(PqIndex.topK(spark, path, queries, k = 5,
+        candidateK = Int.MaxValue)) === pqServed)
+    }
+  }
+
   // ── crash protocol: journaled delta-commit recovers old-or-new ──
 
   test("a journal WITHOUT a commit marker rolls back; WITH one completes — and reads refuse a torn journal") {
