@@ -1181,6 +1181,45 @@ object SparkEntry {
       out
     }),
 
+    // CRASH-REPLAY of the streaming index flow, hash-graded: after
+    // the stream drains, the last batch's checkpoint COMMIT RECORD
+    // is deleted — exactly the on-disk state a crash between the
+    // batch's effects and its commit leaves — and the stream is
+    // restarted, re-delivering that batch. The idempotent
+    // batchId-named corpus append converges to the same file set
+    // (a plain mode-append here would duplicate the batch's vectors
+    // and wedge the refresh guard), so the exhaustive-probe search
+    // must STILL equal the brute-force truth over the corpus, with
+    // no duplicated neighbors and no wedged stream. The oracle is
+    // the same truth as flow_stream_ivf — replay must be invisible.
+    "flow_stream_ivf_replay" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-ivf-replay").toString
+      val landing = s"$root/landing"
+      tbl(s, dir, "embeddings").repartition(4).write.parquet(landing)
+      val corpus = s"$root/vectors"
+      val ckpt = s"$root/ckpt"
+      val schema = s.read.parquet(landing).schema
+      graft.streaming.StreamingOps.streamIngestWithIvfIndex(
+        s, landing, schema, corpus, ckpt, nCells = 8, maxFilesPerTrigger = 2)
+      // crash injection: drop the LAST commit record, restart
+      val cfs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val commits = cfs.listStatus(
+          new org.apache.hadoop.fs.Path(ckpt, "commits"))
+        .map(_.getPath).filter(_.getName.forall(_.isDigit))
+      cfs.delete(commits.maxBy(_.getName.toInt), false)
+      graft.streaming.StreamingOps.streamIngestWithIvfIndex(
+        s, landing, schema, corpus, ckpt, nCells = 8, maxFilesPerTrigger = 2)
+      val q = s.read.parquet(corpus).where(col("vec_id") < 5)
+      val out = graft.sinks.IvfIndex
+        .topK(s, corpus, q, k = 10, nProbe = 8)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Bloom-prefiltered join: the semi-join reduction for dims too
     // big to broadcast as a hash relation but whose key set fits in
     // bloom bits. The 20%-selective dim (orders > 400k) builds its
@@ -2116,6 +2155,44 @@ object SparkEntry {
       graft.sinks.IvfIndex.collect(s, path, nCells = 8)
       e.where(col("vec_id") % 5 === 0).coalesce(1)
         .write.mode("append").parquet(path)
+      graft.sinks.IvfIndex.refresh(s, path)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val out = graft.sinks.IvfIndex
+        .topK(s, path, q, k = 10, nProbe = 8)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // The PURGE-SHAPED maintenance path end-to-end, hash-graded:
+    // bootstrap over a corpus laid out in two DETERMINISTIC files
+    // (vec_id % 5 split), delete one whole corpus file — the delta a
+    // GDPR purge-rewrite or retention drop produces — then the
+    // O(delta) refresh rewrites ONLY the sidecar files that carried
+    // it (SidecarMaintenanceSpec pins the byte-identity of the
+    // rest). Exhaustive probes must equal the brute-force truth over
+    // the SURVIVING slice: a stale carried row (deleted vector still
+    // indexed) or an over-dropped survivor breaks the hash. The
+    // oracle can state the survivor set exactly BECAUSE the file
+    // split is deterministic (vec_id % 5 != 0).
+    "ext_ann_ivf_indexed_purge" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpurge").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).coalesce(1).write.parquet(path)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      graft.sinks.IvfIndex.collect(s, path, nCells = 8)
+      // locate and delete the %5==0 corpus file via the index itself
+      val victim = s.read.parquet(graft.sinks.IvfIndex.cellsPath(path))
+        .where(col("vec_id") % 5 === 0)
+        .select("file").distinct().collect().map(_.getString(0))
+      require(victim.length == 1, s"fixture wrote ${victim.length} victim files")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(victim.head), false)
       graft.sinks.IvfIndex.refresh(s, path)
       val q = s.read.parquet(path).where(col("vec_id") < 5)
       val out = graft.sinks.IvfIndex
@@ -4881,6 +4958,28 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "ext_ann_pq_indexed_delta" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_indexed_purge" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5 AND vec_id % 5 != 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id % 5 != 0),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "flow_stream_ivf_replay" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
