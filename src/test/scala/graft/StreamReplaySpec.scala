@@ -106,6 +106,44 @@ class StreamReplaySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
 
+  test("inverted-index stream: replaying the last committed batch keeps search exact, no duplicate docs") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-replay-inv").toString
+    try {
+      val landing = s"$root/landing"
+      val corpus = s"$root/corpus"
+      val ckpt = s"$root/ckpt"
+      SparkEntry.tbl(spark, sf, "documents")
+        .select("doc_id", "lang", "text").repartition(4)
+        .write.parquet(landing)
+      val schema = spark.read.parquet(landing).schema
+      StreamingOps.streamIngestWithInvertedIndex(
+        spark, landing, schema, corpus, ckpt, maxFilesPerTrigger = 2)
+      val nDocs = spark.read.parquet(corpus).count()
+      val served = graft.sinks.InvertedIndex
+        .phraseSearchIndexOnly(spark, corpus, "key order")
+        .as[Long].collect().toSet
+      val fs = fsOf(ckpt)
+      val commits = fs.listStatus(new Path(ckpt, "commits"))
+        .map(_.getPath).filter(p => p.getName.forall(_.isDigit))
+      fs.delete(commits.maxBy(_.getName.toInt), false)
+      StreamingOps.streamIngestWithInvertedIndex(
+        spark, landing, schema, corpus, ckpt, maxFilesPerTrigger = 2)
+      assert(spark.read.parquet(corpus).count() === nDocs,
+        "replay must not duplicate corpus rows")
+      assert(graft.sinks.InvertedIndex
+        .phraseSearchIndexOnly(spark, corpus, "key order")
+        .as[Long].collect().toSet === served)
+      // one-file-per-doc layout survived replay: a fresh stats build
+      // (which enforces it via the index) still succeeds
+      graft.sinks.InvertedIndex.buildRetrievalStats(spark, corpus)
+      assert(spark.read.parquet(
+        graft.sinks.InvertedIndex.docLenPath(corpus))
+        .groupBy("id").count().where(col("count") > 1).count() === 0L)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("streaming compaction cadence repacks the sidecar without changing answers") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-stream-compact-ann").toString
