@@ -175,43 +175,25 @@ object InvertedIndex {
       textCol: String,
       idCol: String,
       buckets: Int = 4): Unit = {
-    import spark.implicits._
     val idx = indexPath(table)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(idx)),
       s"no inverted index at $idx — bootstrap with collect()")
-    SidecarMaintenance.recover(spark, idx)
-    val current = BloomIndex.dataFilePaths(spark, table).toSet
-    val existing = spark.read.parquet(idx)
-    val pairs = existing
-      .select(col("file"), col("_metadata.file_path").as("__sfile"))
-      .distinct().as[(String, String)].collect()
-    val indexed = pairs.map(_._1).toSet
-    val vanished = indexed -- current
-    val fresh = (current -- indexed).toSeq.sorted
-    if (fresh.nonEmpty || vanished.nonEmpty) {
-      val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
-      val vanishedDf = vanished.toSeq.toDF("file")
-      val freshPost =
-        if (fresh.isEmpty) None
-        else {
-          val fp = postingsOf(spark, table, fresh, textCol, idCol)
-            .localCheckpoint(true)
-          requireDeltaOneFilePerDoc(fp,
-            existing.join(broadcast(vanishedDf), Seq("file"), "left_anti"))
-          Some(fp)
-        }
-      val survivors =
-        if (doomed.isEmpty) None
-        else Some(spark.read.option("basePath", idx).parquet(doomed: _*)
-          .join(broadcast(vanishedDf), Seq("file"), "left_anti")
-          .select("file", "token", "id", "positions"))
-      val newRows = (survivors.toSeq ++ freshPost.toSeq)
-        .reduceOption(_.unionByName(_))
-        .map(_.repartitionByRange(buckets, col("token"), col("id"))
-          .sortWithinPartitions("token", "id"))
-      SidecarMaintenance.commitDelta(spark, idx, newRows, doomed, Seq.empty)
-    }
+    val plan = SidecarMaintenance.planDelta(spark, idx,
+      BloomIndex.dataFilePaths(spark, table).toSet)
+    val freshPost =
+      if (plan.fresh.isEmpty) None
+      else {
+        val fp = postingsOf(spark, table, plan.fresh, textCol, idCol)
+          .localCheckpoint(true)
+        requireDeltaOneFilePerDoc(fp,
+          SidecarMaintenance.keptRows(spark, idx, plan))
+        Some(fp)
+      }
+    SidecarMaintenance.applyDelta(spark, idx, plan, freshPost, Seq.empty,
+      _.select("file", "token", "id", "positions")
+        .repartitionByRange(buckets, col("token"), col("id"))
+        .sortWithinPartitions("token", "id"))
     // Sidecar freshness is COUPLED to the index (ADVICE r10): if the
     // retrieval-stats sidecars exist, a refresh that left them stale
     // would silently drop refreshed-in documents from BM25 (dl is
@@ -240,6 +222,7 @@ object InvertedIndex {
   def candidates(spark: SparkSession, table: String, phrase: String): DataFrame = {
     val toks = phraseTokens(phrase)
     require(toks.nonEmpty, "empty search phrase")
+    SidecarMaintenance.requireClean(spark, indexPath(table))
     spark.read.parquet(indexPath(table))
       .where(col("token").isin(toks: _*))
       .groupBy("id")
@@ -271,6 +254,7 @@ object InvertedIndex {
       phrase: String): DataFrame = {
     val ws = phraseWords(phrase)
     require(ws.nonEmpty, "empty search phrase")
+    SidecarMaintenance.requireClean(spark, indexPath(table))
     val idx = spark.read.parquet(indexPath(table))
     def postings(t: String): DataFrame =
       idx.where(col("token") === t).select(col("id"), col("positions"))
@@ -309,11 +293,14 @@ object InvertedIndex {
       idOut: String = "doc_id"): DataFrame = {
     val qtoks = phraseTokens(query)
     require(qtoks.nonEmpty, "empty query")
+    SidecarMaintenance.requireClean(spark, indexPath(table))
     val idx = spark.read.parquet(indexPath(table))
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dl =
-      if (fs.exists(new Path(docLenPath(table))))
+      if (fs.exists(new Path(docLenPath(table)))) {
+        SidecarMaintenance.requireClean(spark, docLenPath(table))
         spark.read.parquet(docLenPath(table)).select(col("id"), col("dl"))
+      }
       else idx.groupBy("id")
         .agg(sum(size(col("positions"))).cast("long").as("dl"))
     val tf = idx.where(col("token").isin(qtoks: _*))
@@ -388,8 +375,6 @@ object InvertedIndex {
     Seq(termStatsPath(table), docLenPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no retrieval stats at $p — bootstrap with buildRetrievalStats()"))
-    Seq(termStatsPath(table), docLenPath(table))
-      .foreach(SidecarMaintenance.recover(spark, _))
     val idx = spark.read.parquet(indexPath(table))
     val current = idx.select("file").distinct()
       .as[String].collect().toSet
@@ -407,27 +392,22 @@ object InvertedIndex {
           min(col("dl")).as("min_dl"))
       (dl, ts)
     }
-    def refreshOne(dir: String, freshRows: Seq[String] => DataFrame): Unit = {
-      val pairs = spark.read.parquet(dir)
-        .select(col("file"), col("_metadata.file_path").as("__sfile"))
-        .distinct().as[(String, String)].collect()
-      val covered = pairs.map(_._1).toSet
-      val vanished = covered -- current
-      val freshFiles = (current -- covered).toSeq.sorted
-      if (freshFiles.isEmpty && vanished.isEmpty) return
-      val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
-      val vanishedDf = vanished.toSeq.toDF("file")
-      val survivors =
-        if (doomed.isEmpty) None
-        else Some(spark.read.option("basePath", dir).parquet(doomed: _*)
-          .join(broadcast(vanishedDf), Seq("file"), "left_anti"))
-      val freshDf = if (freshFiles.isEmpty) None else Some(freshRows(freshFiles))
-      val newRows = (survivors.toSeq ++ freshDf.toSeq)
-        .reduceOption((a, b) => a.unionByName(b.select(a.columns.map(col): _*)))
-      SidecarMaintenance.commitDelta(spark, dir, newRows, doomed, Seq.empty)
-    }
-    refreshOne(docLenPath(table), fs => partialsOf(fs)._1)
-    refreshOne(termStatsPath(table), fs => partialsOf(fs)._2)
+    val dlPlan = SidecarMaintenance.planDelta(spark, docLenPath(table), current)
+    val tsPlan = SidecarMaintenance.planDelta(spark, termStatsPath(table), current)
+    // the eagerly-executed dl aggregation (partialsOf checkpoints it)
+    // runs ONCE for the union of the two sidecars' fresh sets — they
+    // are identical except after a crash between the two commits,
+    // where each sidecar still gets exactly its own missing slice
+    val unionFresh = (dlPlan.fresh ++ tsPlan.fresh).distinct.sorted
+    lazy val partials = partialsOf(unionFresh)
+    def sliceOf(all: => DataFrame, fresh: Seq[String]): Option[DataFrame] =
+      if (fresh.isEmpty) None
+      else if (fresh == unionFresh) Some(all)
+      else Some(all.join(broadcast(fresh.toDF("file")), Seq("file"), "left_semi"))
+    SidecarMaintenance.applyDelta(spark, docLenPath(table), dlPlan,
+      sliceOf(partials._1, dlPlan.fresh), Seq.empty, identity)
+    SidecarMaintenance.applyDelta(spark, termStatsPath(table), tsPlan,
+      sliceOf(partials._2, tsPlan.fresh), Seq.empty, identity)
   }
 
   /** Result of [[bm25TopKPruned]]: the top-k rows, how many terms the
@@ -480,6 +460,8 @@ object InvertedIndex {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     val qtoks = phraseTokens(query).distinct
     require(qtoks.nonEmpty, "empty query")
+    Seq(indexPath(table), termStatsPath(table), docLenPath(table))
+      .foreach(SidecarMaintenance.requireClean(spark, _))
     // fold the per-file partials for just the q tokens (pushed IN):
     // df sums, max_tf maxes, min_dl mins — the merge that makes the
     // sidecar file-set-refreshable

@@ -57,16 +57,11 @@ object IvfIndex {
   private[graft] def centroidsPath(table: String): String =
     s"${cellsPath(table)}/_centroids"
 
-  /** Spread the partition-dir write across `writeSalt` tasks PER
-    * CELL while keeping the `__cell=` directory layout — without the
-    * salt, write parallelism is capped at nCells tasks. */
-  private def salted(rows: DataFrame, writeSalt: Int): DataFrame = {
-    val cols = rows.select("file", "vec_id", "embedding", "__cell")
-    if (writeSalt <= 1) cols.repartition(col("__cell"))
-    else cols.repartition( // explicit count — AQE must not re-coalesce
-      cols.sparkSession.sessionState.conf.numShufflePartitions,
-      col("__cell"), pmod(xxhash64(col("vec_id")), lit(writeSalt.toLong)))
-  }
+  /** Spread the `__cell=` partition-dir write across `writeSalt`
+    * tasks per cell ([[SidecarMaintenance.saltedByPartition]]). */
+  private def salted(rows: DataFrame, writeSalt: Int): DataFrame =
+    SidecarMaintenance.saltedByPartition(rows, "__cell",
+      Seq("file", "vec_id", "embedding", "__cell"), writeSalt)
 
   /** Bootstrap / rebuild: sampled seeded KMeans over the table (via
     * [[IvfSearch.buildIndex]]), both sidecars built under
@@ -109,47 +104,26 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       writeSalt: Int = 1): Unit = {
-    import spark.implicits._
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    SidecarMaintenance.recover(spark, cellsPath(table))
     Seq(centroidsPath(table), cellsPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no IVF index at $p — bootstrap with collect()"))
-    val current = BloomIndex.dataFilePaths(spark, table).toSet
-    val cells = spark.read.parquet(cellsPath(table))
-    // one column-pruned pass: which corpus files are indexed, and
-    // which SIDECAR files carry each (the rewrite-targeting map)
-    val pairs = cells
-      .select(col("file"), col("_metadata.file_path").as("__sfile"))
-      .distinct().as[(String, String)].collect()
-    val indexed = pairs.map(_._1).toSet
-    val vanished = indexed -- current
-    val fresh = (current -- indexed).toSeq.sorted
-    if (fresh.isEmpty && vanished.isEmpty) return
-    val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
-    val vanishedDf = vanished.toSeq.toDF("file")
+    val plan = SidecarMaintenance.planDelta(spark, cellsPath(table),
+      BloomIndex.dataFilePaths(spark, table).toSet)
     val freshAssigned =
-      if (fresh.isEmpty) None
+      if (plan.fresh.isEmpty) None
       else {
-        val fa = assignFiles(spark, table, fresh, idCol, vecCol)
+        val fa = assignFiles(spark, table, plan.fresh, idCol, vecCol)
           .localCheckpoint(true)
         // guard BEFORE any mutation: a trip leaves the live index
         // untouched. Rows of vanished files don't count — a
         // purge-rewritten file's ids legitimately reappear fresh.
         requireNoVectorClash(fa,
-          cells.join(broadcast(vanishedDf), Seq("file"), "left_anti"))
+          SidecarMaintenance.keptRows(spark, cellsPath(table), plan))
         Some(fa)
       }
-    val survivors =
-      if (doomed.isEmpty) None
-      else Some(spark.read.option("basePath", cellsPath(table))
-        .parquet(doomed: _*)
-        .join(broadcast(vanishedDf), Seq("file"), "left_anti")
-        .select("file", "vec_id", "embedding", "__cell"))
-    val newRows = (survivors.toSeq ++ freshAssigned.toSeq)
-      .reduceOption(_.unionByName(_)).map(salted(_, writeSalt))
-    SidecarMaintenance.commitDelta(
-      spark, cellsPath(table), newRows, doomed, Seq("__cell"))
+    SidecarMaintenance.applyDelta(spark, cellsPath(table), plan,
+      freshAssigned, Seq("__cell"), salted(_, writeSalt))
   }
 
   /** Repack refresh-accumulated small sidecar files (one journaled

@@ -44,15 +44,11 @@ object LshIndex {
   private[graft] def metaPath(table: String): String =
     s"${bucketsPath(table)}/_meta"
 
-  /** Spread the bucket-dir write across `writeSalt` tasks per bucket
-    * while keeping the `bucket=` directory layout. */
-  private def salted(rows: DataFrame, writeSalt: Int): DataFrame = {
-    val cols = rows.select("file", "vec_id", "embedding", "bucket")
-    if (writeSalt <= 1) cols.repartition(col("bucket"))
-    else cols.repartition( // explicit count — AQE must not re-coalesce
-      cols.sparkSession.sessionState.conf.numShufflePartitions,
-      col("bucket"), pmod(xxhash64(col("vec_id")), lit(writeSalt.toLong)))
-  }
+  /** Spread the `bucket=` partition-dir write across `writeSalt`
+    * tasks per bucket ([[SidecarMaintenance.saltedByPartition]]). */
+  private def salted(rows: DataFrame, writeSalt: Int): DataFrame =
+    SidecarMaintenance.saltedByPartition(rows, "bucket",
+      Seq("file", "vec_id", "embedding", "bucket"), writeSalt)
 
   /** Bootstrap / rebuild: one signature pass; buckets and the
     * (planes, seed) row are built under `_lsh_buckets.next` and
@@ -97,43 +93,24 @@ object LshIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       writeSalt: Int = 1): Unit = {
-    import spark.implicits._
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    SidecarMaintenance.recover(spark, bucketsPath(table))
     Seq(metaPath(table), bucketsPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no LSH index at $p — bootstrap with collect()"))
     val (planes, seed) = readMeta(spark, table)
-    val current = BloomIndex.dataFilePaths(spark, table).toSet
-    val buckets = spark.read.parquet(bucketsPath(table))
-    val pairs = buckets
-      .select(col("file"), col("_metadata.file_path").as("__sfile"))
-      .distinct().as[(String, String)].collect()
-    val indexed = pairs.map(_._1).toSet
-    val vanished = indexed -- current
-    val fresh = (current -- indexed).toSeq.sorted
-    if (fresh.isEmpty && vanished.isEmpty) return
-    val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
-    val vanishedDf = vanished.toSeq.toDF("file")
+    val plan = SidecarMaintenance.planDelta(spark, bucketsPath(table),
+      BloomIndex.dataFilePaths(spark, table).toSet)
     val freshSigned =
-      if (fresh.isEmpty) None
+      if (plan.fresh.isEmpty) None
       else {
-        val fa = signFiles(spark, table, fresh, idCol, vecCol, planes, seed)
+        val fa = signFiles(spark, table, plan.fresh, idCol, vecCol, planes, seed)
           .localCheckpoint(true)
         IvfIndex.requireNoVectorClash(fa,
-          buckets.join(broadcast(vanishedDf), Seq("file"), "left_anti"))
+          SidecarMaintenance.keptRows(spark, bucketsPath(table), plan))
         Some(fa)
       }
-    val survivors =
-      if (doomed.isEmpty) None
-      else Some(spark.read.option("basePath", bucketsPath(table))
-        .parquet(doomed: _*)
-        .join(broadcast(vanishedDf), Seq("file"), "left_anti")
-        .select("file", "vec_id", "embedding", "bucket"))
-    val newRows = (survivors.toSeq ++ freshSigned.toSeq)
-      .reduceOption(_.unionByName(_)).map(salted(_, writeSalt))
-    SidecarMaintenance.commitDelta(
-      spark, bucketsPath(table), newRows, doomed, Seq("bucket"))
+    SidecarMaintenance.applyDelta(spark, bucketsPath(table), plan,
+      freshSigned, Seq("bucket"), salted(_, writeSalt))
   }
 
   /** Repack refresh-accumulated small sidecar files. */

@@ -109,46 +109,27 @@ object PqIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       buckets: Int = 4): Unit = {
-    import spark.implicits._
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    SidecarMaintenance.recover(spark, codesPath(table))
     Seq(codebooksPath(table), codesPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no PQ index at $p — bootstrap with collect()"))
-    val current = BloomIndex.dataFilePaths(spark, table).toSet
-    val codes = spark.read.parquet(codesPath(table))
-    val pairs = codes
-      .select(col("file"), col("_metadata.file_path").as("__sfile"))
-      .distinct().as[(String, String)].collect()
-    val indexed = pairs.map(_._1).toSet
-    val vanished = indexed -- current
-    val fresh = (current -- indexed).toSeq.sorted
-    if (fresh.isEmpty && vanished.isEmpty) return
-    val doomed = pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
-    val vanishedDf = vanished.toSeq.toDF("file")
+    val plan = SidecarMaintenance.planDelta(spark, codesPath(table),
+      BloomIndex.dataFilePaths(spark, table).toSet)
     val freshCodes =
-      if (fresh.isEmpty) None
+      if (plan.fresh.isEmpty) None
       else {
         val cb = readCodebooks(spark, table)
-        val fc = spark.read.option("basePath", table).parquet(fresh: _*)
+        val fc = spark.read.option("basePath", table).parquet(plan.fresh: _*)
           .select(col("_metadata.file_path").as("file"),
             col(idCol).as("vec_id"),
             PqEncode(col(vecCol), cb).as("__codes"))
           .localCheckpoint(true)
         IvfIndex.requireNoVectorClash(fc,
-          codes.join(broadcast(vanishedDf), Seq("file"), "left_anti"))
+          SidecarMaintenance.keptRows(spark, codesPath(table), plan))
         Some(fc)
       }
-    val survivors =
-      if (doomed.isEmpty) None
-      else Some(spark.read.option("basePath", codesPath(table))
-        .parquet(doomed: _*)
-        .join(broadcast(vanishedDf), Seq("file"), "left_anti")
-        .select("file", "vec_id", "__codes"))
-    val newRows = (survivors.toSeq ++ freshCodes.toSeq)
-      .reduceOption(_.unionByName(_)).map(clustered(_, buckets))
-    SidecarMaintenance.commitDelta(
-      spark, codesPath(table), newRows, doomed, Seq.empty)
+    SidecarMaintenance.applyDelta(spark, codesPath(table), plan,
+      freshCodes, Seq.empty, clustered(_, buckets))
   }
 
   /** Repack refresh-accumulated small code files. */

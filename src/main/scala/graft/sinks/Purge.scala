@@ -162,12 +162,17 @@ object Purge {
     survivors.coalesce(touched.size)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val nAfter = spark.read.parquet(staging.toString).count()
-    fs.create(new Path(staging, CommitMarker)).close()
 
-    // ── journal, then swap (recover() can finish from any crash) ───
+    // ── journal, then marker, then swap ────────────────────────────
+    // journal BEFORE marker: the journal write is not atomic, so it
+    // must land while recover() still rolls BACK (no marker). The
+    // atomic marker create is the single commit point; a roll-forward
+    // therefore always reads a complete journal — a truncated one
+    // would delete too few originals and leave duplicates behind.
     val out = fs.create(journalPath(table))
     out.write(touched.mkString("\n").getBytes("UTF-8"))
     out.close()
+    fs.create(new Path(staging, CommitMarker)).close()
     finishSwap(fs, table)
     Report(files.size, candidates.size, touched.size, nBefore - nAfter)
   }

@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The index family's shared DELTA-COMMIT protocol: mutate a parquet
   * sidecar directory by ADDING a batch of new rows (written as fresh
@@ -94,11 +95,100 @@ object SidecarMaintenance {
           .parquet(staging.toString)
       case None => fs.mkdirs(staging)
     }
-    fs.create(new Path(staging, CommitMarker)).close()
+    // journal BEFORE marker: the journal write is multi-byte and not
+    // atomic, so it must land while a crash still rolls BACK (no
+    // marker → recover discards staging+journal, originals intact).
+    // The marker create — an atomic empty-file create — is the one
+    // and only commit point; after it, recover rolls FORWARD off a
+    // journal that is known complete.
     val out = fs.create(journalPath(dir))
     out.write(doomed.mkString("\n").getBytes("UTF-8"))
     out.close()
+    fs.create(new Path(staging, CommitMarker)).close()
     finishSwap(fs, dir)
+  }
+
+  /** A refresh's file-set arithmetic, shared by every index family
+    * member (IVF cells, LSH buckets, PQ codes, inverted postings,
+    * retrieval stats): which corpus files the sidecar covers, which
+    * SIDECAR files carry each (the rewrite-targeting map), diffed
+    * against the corpus' current file set. Built by [[planDelta]]
+    * in one column-pruned pass; consumed by [[applyDelta]]. */
+  final case class DeltaPlan(
+      pairs: Array[(String, String)],
+      vanished: Set[String],
+      fresh: Seq[String]) {
+    def isEmpty: Boolean = fresh.isEmpty && vanished.isEmpty
+    /** Sidecar files that carry a vanished corpus file's rows — the
+      * ONLY sidecar files the delta rewrites. */
+    def doomed: Seq[String] =
+      pairs.filter(p => vanished(p._1)).map(_._2).distinct.sorted
+  }
+
+  /** Heals any interrupted commit, then plans the delta between the
+    * sidecar's covered file set and `current`. */
+  def planDelta(
+      spark: SparkSession,
+      dir: String,
+      current: Set[String]): DeltaPlan = {
+    import spark.implicits._
+    recover(spark, dir)
+    val pairs = spark.read.parquet(dir)
+      .select(col("file"), col("_metadata.file_path").as("__sfile"))
+      .distinct().as[(String, String)].collect()
+    val indexed = pairs.map(_._1).toSet
+    DeltaPlan(pairs, indexed -- current, (current -- indexed).toSeq.sorted)
+  }
+
+  /** The sidecar rows the delta KEEPS (everything but vanished
+    * files' rows) — what pre-mutation layout guards check the fresh
+    * rows against. */
+  def keptRows(spark: SparkSession, dir: String, plan: DeltaPlan): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(dir).join(
+      broadcast(plan.vanished.toSeq.toDF("file")), Seq("file"), "left_anti")
+  }
+
+  /** Executes a [[planDelta]]: survivor rows of the doomed sidecar
+    * files (read by explicit path list — delta-sized, never the
+    * whole sidecar) union the caller's fresh rows, shaped by
+    * `layout`, and commit with the doomed deletions as ONE
+    * recoverable delta. No-op on an empty plan. */
+  def applyDelta(
+      spark: SparkSession,
+      dir: String,
+      plan: DeltaPlan,
+      freshRows: Option[DataFrame],
+      partCols: Seq[String],
+      layout: DataFrame => DataFrame): Unit = {
+    import spark.implicits._
+    if (plan.isEmpty) return
+    val doomed = plan.doomed
+    val survivors =
+      if (doomed.isEmpty) None
+      else Some(spark.read.option("basePath", dir).parquet(doomed: _*)
+        .join(broadcast(plan.vanished.toSeq.toDF("file")),
+          Seq("file"), "left_anti"))
+    val newRows = (survivors.toSeq ++ freshRows.toSeq)
+      .reduceOption(_.unionByName(_)).map(layout)
+    commitDelta(spark, dir, newRows, doomed, partCols)
+  }
+
+  /** Spread a partition-dir write across `writeSalt` tasks PER
+    * partition value while keeping the `part=` directory layout —
+    * without the salt, write parallelism is capped at the
+    * partition-value count (nCells / 2^planes tasks). */
+  private[sinks] def saltedByPartition(
+      rows: DataFrame,
+      partCol: String,
+      cols: Seq[String],
+      writeSalt: Int,
+      saltCol: String = "vec_id"): DataFrame = {
+    val sel = rows.select(cols.map(col): _*)
+    if (writeSalt <= 1) sel.repartition(col(partCol))
+    else sel.repartition( // explicit count — AQE must not re-coalesce
+      sel.sparkSession.sessionState.conf.numShufflePartitions,
+      col(partCol), pmod(xxhash64(col(saltCol)), lit(writeSalt.toLong)))
   }
 
   /** Completes or rolls back an interrupted [[commitDelta]] — the

@@ -386,22 +386,34 @@ object StreamingOps {
     *
     * Crash points: staging is invisible to corpus reads (dot
     * prefix); the delete-then-rename publish is re-run from scratch
-    * by the replay that follows any crash inside it. Spark's
-    * partition layout is deterministic for a deterministic batch, so
-    * a replayed publish rebinds the same rows to the same file
-    * names — file-set arithmetic sees an already-indexed batch as
+    * by the replay that follows any crash inside it. The row→file
+    * binding must NOT depend on runtime parallelism (a restart on a
+    * different core count re-packs file splits differently, and a
+    * replayed publish would then put different rows under the SAME
+    * already-indexed file names — rows silently skipped or
+    * double-indexed), so the batch is hash-repartitioned on its own
+    * columns with an EXPLICIT partition count derived from the
+    * batch's row count: same rows → same hash → same file, whatever
+    * the cluster looks like on replay. (Explicit numPartitions also
+    * keeps AQE from re-coalescing the exchange.) The index's
+    * file-set arithmetic then sees an already-indexed batch as
     * fully covered and does nothing. */
   private[graft] def idempotentBatchAppend(
       spark: SparkSession,
       batch: DataFrame,
       corpusDir: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      targetRowsPerFile: Long = 1L << 20): Unit = {
     val dir = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(
       corpusDir, s".ingest-staging-b$batchId")
     fs.delete(staging, true)
-    batch.write.mode("overwrite").parquet(staging.toString)
+    val stable = batch.localCheckpoint(true)
+    val nParts = math.max(1L,
+      (stable.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    stable.repartition(nParts, stable.columns.map(col): _*)
+      .write.mode("overwrite").parquet(staging.toString)
     val prefix = s"ingest-b$batchId-"
     fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
       .foreach(st => fs.delete(st.getPath, false))

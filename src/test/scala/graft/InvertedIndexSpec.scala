@@ -201,4 +201,34 @@ class InvertedIndexSpec extends AnyFunSuite {
       InvertedIndex.indexPath(table) + ".next")),
       "the rejected staging index must be cleaned up")
   }
+
+  test("every index-serving read path refuses a torn maintenance journal") {
+    import graft.sinks.SidecarMaintenance
+    val table = freshCorpus(Seq((1L, "alpha beta"), (2L, "beta gamma")))
+    InvertedIndex.collect(spark, table, "text", "doc_id")
+    InvertedIndex.buildRetrievalStats(spark, table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed refresh leaves a journal at the index root — every
+    // query path must refuse loudly rather than serve partial postings
+    val journal = SidecarMaintenance.journalPath(InvertedIndex.indexPath(table))
+    fs.create(journal).close()
+    def refuses(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("interrupted maintenance journal"))
+    }
+    refuses(InvertedIndex.candidates(spark, table, "alpha").collect())
+    refuses(InvertedIndex.phraseSearchIndexOnly(spark, table, "alpha beta").collect())
+    refuses(InvertedIndex.bm25StatsFromIndex(spark, table, "alpha").collect())
+    refuses(InvertedIndex.bm25TopKPruned(spark, table, "alpha beta", 2))
+    fs.delete(journal, false)
+    // a torn STATS sidecar blocks the paths that read it, too
+    val dlJournal = SidecarMaintenance.journalPath(InvertedIndex.docLenPath(table))
+    fs.create(dlJournal).close()
+    refuses(InvertedIndex.bm25StatsFromIndex(spark, table, "alpha").collect())
+    refuses(InvertedIndex.bm25TopKPruned(spark, table, "alpha beta", 2))
+    fs.delete(dlJournal, false)
+    assert(searchIds(table, "alpha beta") == Set(1L),
+      "clean journal-free reads serve normally again")
+  }
 }

@@ -32,16 +32,31 @@ class StreamReplaySpec extends AnyFunSuite {
     try {
       val batch = SparkEntry.tbl(spark, sf, "embeddings")
         .where(col("vec_id") < 50).repartition(2).localCheckpoint(true)
-      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L)
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L,
+        targetRowsPerFile = 16)
       val firstFiles = SidecarMaintenance.dataFiles(spark, corpus)
+      assert(firstFiles.size > 1, "fixture must exercise a multi-file publish")
       assert(spark.read.parquet(corpus).count() === 50L)
+      val firstBinding = spark.read.parquet(corpus)
+        .select(col("_metadata.file_path").as("f"), col("vec_id"))
+        .as[(String, Long)].collect().toSet
       // index the first publish, then re-deliver the SAME batch —
-      // the crash-between-append-and-checkpoint-commit scenario
+      // the crash-between-append-and-checkpoint-commit scenario.
+      // The replayed delivery arrives with DIFFERENT incoming
+      // partitioning (a restart on different parallelism re-packs
+      // file splits): the publish must still bind the same rows to
+      // the same file names, because coverage is name-keyed.
       IvfIndex.collect(spark, corpus, nCells = 4)
-      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L)
+      StreamingOps.idempotentBatchAppend(
+        spark, batch.repartition(7), corpus, batchId = 0L,
+        targetRowsPerFile = 16)
       assert(SidecarMaintenance.dataFiles(spark, corpus) === firstFiles,
         "replay must republish the same deterministic file names")
       assert(spark.read.parquet(corpus).count() === 50L)
+      assert(spark.read.parquet(corpus)
+        .select(col("_metadata.file_path").as("f"), col("vec_id"))
+        .as[(String, Long)].collect().toSet === firstBinding,
+        "row→file binding must not depend on the incoming partitioning")
       // and the refresh that follows the replayed batch must NOT
       // wedge: the file set is already covered, so it no-ops
       IvfIndex.refresh(spark, corpus)
