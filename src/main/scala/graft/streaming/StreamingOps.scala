@@ -409,10 +409,13 @@ object StreamingOps {
     val staging = new org.apache.hadoop.fs.Path(
       corpusDir, s".ingest-staging-b$batchId")
     fs.delete(staging, true)
-    val stable = batch.localCheckpoint(true)
+    // two passes over the batch (count, then shuffle+write), no
+    // materialization: a micro-batch plan re-reads the trigger's own
+    // file list, so recompute is deterministic — which is all the
+    // row→file binding needs
     val nParts = math.max(1L,
-      (stable.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    stable.repartition(nParts, stable.columns.map(col): _*)
+      (batch.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    batch.repartition(nParts, batch.columns.map(col): _*)
       .write.mode("overwrite").parquet(staging.toString)
     val prefix = s"ingest-b$batchId-"
     fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))

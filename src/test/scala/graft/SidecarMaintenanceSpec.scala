@@ -304,6 +304,60 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-swap crash states (doomed already deleted; staged partially moved) roll FORWARD") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = fsOf(cellsDir)
+      val staging = SidecarMaintenance.stagingPath(cellsDir)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+        .localCheckpoint(true)
+      val served = ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+
+      // Stage a committed swap whose staged rows ARE the doomed
+      // file's rows, so every crash state must converge to the same
+      // served answers — then wind the swap to each crash point by
+      // hand and let recover finish from there.
+      def stageCommittedSwap(): String = {
+        val doomed = fileSig(cellsDir).keys.min
+        spark.read.option("basePath", cellsDir).parquet(doomed)
+          .localCheckpoint(true)
+          .write.partitionBy("__cell").parquet(staging.toString)
+        fs.create(new Path(staging, SidecarMaintenance.CommitMarker)).close()
+        val out = fs.create(SidecarMaintenance.journalPath(cellsDir))
+        out.write(doomed.getBytes("UTF-8")); out.close()
+        doomed
+      }
+
+      // crash point C: finishSwap died AFTER deleting the doomed file
+      // (journal + marker still present, nothing moved in yet)
+      val doomedC = stageCommittedSwap()
+      fs.delete(new Path(doomedC), false)
+      SidecarMaintenance.recover(spark, cellsDir)
+      assert(!fs.exists(staging) &&
+        !fs.exists(SidecarMaintenance.journalPath(cellsDir)))
+      assert(ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+        === served, "crash after doomed-delete must complete to the new index")
+
+      // crash point D: finishSwap died mid-move — doomed gone AND one
+      // staged file already renamed into its destination
+      val doomedD = stageCommittedSwap()
+      fs.delete(new Path(doomedD), false)
+      val movedOne = SidecarMaintenance.dataFiles(spark, staging.toString).min
+      // dataFiles returns scheme-qualified paths; compare scheme-free
+      val rel = new Path(movedOne).toUri.getPath
+        .stripPrefix(staging.toUri.getPath).stripPrefix("/")
+      val dest = new Path(cellsDir, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(new Path(movedOne), dest)
+      SidecarMaintenance.recover(spark, cellsDir)
+      assert(!fs.exists(staging) &&
+        !fs.exists(SidecarMaintenance.journalPath(cellsDir)))
+      assert(ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+        === served, "crash mid-move must complete without double-moving rows")
+    }
+  }
+
   // ── salted write parallelism (#6) and compaction ────────────────
 
   test("writeSalt spreads a cell's sidecar write across >1 file per cell, layout unchanged") {
