@@ -882,15 +882,17 @@ object ScaleCheck {
         .truncate(root)
     }
 
-    // Persisted-index MAINTENANCE: the statement is O(delta) WRITE
-    // I/O — refreshing a FIXED delta writes the same sidecar bytes
-    // whatever the corpus size, because the delta lands as fresh
-    // sidecar files and nothing else is rewritten (the journaled
-    // delta-commit; the read side of the coverage/guard arithmetic
-    // legitimately grows with the corpus, so bytes WRITTEN is the
-    // witness). Before round 14 the ratio here was ~k: refresh
-    // rewrote the whole corpus-sized sidecar through an
-    // overwrite-swap.
+    // Persisted-index MAINTENANCE: the statement is O(delta) refresh
+    // I/O on BOTH sides — a FIXED delta writes the same sidecar bytes
+    // whatever the corpus size (the delta lands as fresh sidecar
+    // files, nothing else is rewritten — the journaled delta-commit)
+    // AND reads a delta-sized record count (the _coverage cache
+    // replaces the sidecar `file`-column scan; the clash guard's
+    // kept-side range filter prunes non-overlapping files by parquet
+    // footer stats). Before round 14 the write ratio here was ~k:
+    // refresh rewrote the whole corpus-sized sidecar through an
+    // overwrite-swap; mid-round-14 the read side still scanned the
+    // sidecar per refresh.
     if (only.exists(_.contains("ann_refresh"))) {
       val root = java.nio.file.Files
         .createTempDirectory("graft-scale-annref").toString
@@ -904,21 +906,30 @@ object ScaleCheck {
       }
       val p1 = prep(embs, "v1")
       val pk = prep(grow(embs, "vec_id"), "vk")
-      def bytesWritten(f: => Unit): Long = {
-        val acc = new java.util.concurrent.atomic.AtomicLong
+      // (bytes written, records read) per refresh: written is the
+      // O(delta) COMMIT witness; read is the O(delta) PLANNING
+      // witness — the coverage cache replaces the sidecar `file`
+      // scan and the guard's kept-side range filter prunes whole
+      // files by footer stats, so neither side scales with corpus
+      def refreshIo(f: => Unit): (Long, Long) = {
+        val w = new java.util.concurrent.atomic.AtomicLong
+        val r = new java.util.concurrent.atomic.AtomicLong
         val l = new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
               t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (t.taskMetrics != null)
-              acc.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
+            if (t.taskMetrics != null) {
+              w.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
+              r.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+            }
         }
         spark.sparkContext.addSparkListener(l)
         try {
           f
           org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
         } finally spark.sparkContext.removeSparkListener(l)
-        acc.get
+        (w.get, r.get)
       }
+      def bytesWritten(f: => Unit): Long = refreshIo(f)._1
       // the FIXED delta: 500 fresh vectors, ids disjoint from every
       // grow() replica, appended identically to both corpora
       val delta = embs.limit(500)
@@ -931,9 +942,10 @@ object ScaleCheck {
         ("lshidx_refresh", p => graft.sinks.LshIndex.refresh(spark, p)),
         ("pqidx_refresh", p => graft.sinks.PqIndex.refresh(spark, p))
       ).foreach { case (tag, go) =>
-        val b1 = bytesWritten(go(p1))
-        val bk = bytesWritten(go(pk))
+        val (b1, r1) = refreshIo(go(p1))
+        val (bk, rk) = refreshIo(go(pk))
         println(f"$tag%-18s bytes written $b1 -> $bk (x${bk.toDouble / b1}%.2f, O(delta) iff ~1)")
+        println(f"$tag%-18s records read  $r1 -> $rk (x${rk.toDouble / math.max(1L, r1)}%.2f, O(delta) iff ~1)")
       }
       // the text-index family shares the delta-commit: postings +
       // BOTH retrieval-stats sidecars refresh on a fixed doc delta

@@ -115,6 +115,7 @@ object InvertedIndex {
     }
     fs.delete(new Path(idx), true)
     fs.rename(new Path(s"$idx.next"), new Path(idx))
+    SidecarMaintenance.rebuildCoverage(spark, idx)
   }
 
   /** Repack refresh-accumulated per-commit index files into `buckets`
@@ -153,7 +154,14 @@ object InvertedIndex {
           "each document's rows live in a single file, then rebuild")
     fail(freshPost.groupBy("id").agg(count_distinct(col("file")).as("__nf"))
       .where(col("__nf") > 1).limit(5).collect())
+    // a clash id lies inside the fresh batch's [min, max], so that
+    // range is pushed onto the kept side — parquet row-group stats
+    // skip index files whose id range can't overlap the batch
+    val Array(bounds) = freshPost
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi")).collect()
+    if (bounds.isNullAt(0)) return
     fail(keptIdx.select("id")
+      .where(col("id").between(lit(bounds.get(0)), lit(bounds.get(1))))
       .join(broadcast(freshPost.select("id").distinct()), Seq("id"), "left_semi")
       .limit(5).collect())
   }
@@ -356,6 +364,8 @@ object InvertedIndex {
       .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
         min(col("dl")).as("min_dl"))
       .write.mode(mode).parquet(termStatsPath(table))
+    Seq(docLenPath(table), termStatsPath(table))
+      .foreach(SidecarMaintenance.rebuildCoverage(spark, _))
   }
 
   /** Incremental sidecar maintenance, pure file-set arithmetic at

@@ -93,6 +93,7 @@ object IvfIndex {
     })
     fs.delete(new Path(dest), true)
     fs.rename(new Path(next), new Path(dest))
+    SidecarMaintenance.rebuildCoverage(spark, dest)
   }
 
   /** Incremental maintenance, pure file-set arithmetic over the
@@ -175,11 +176,23 @@ object IvfIndex {
   }
 
   /** Pre-append guard: the fresh batch must be duplicate-free both
-    * within itself and against the rows staying in the index. */
+    * within itself and against the rows staying in the index.
+    *
+    * A clash id lies inside the fresh batch's [min, max] by
+    * definition, so that range is pushed as a filter on the kept
+    * side — parquet row-group stats then skip every sidecar file
+    * whose id range doesn't overlap the batch. Monotonic ingest ids
+    * (the common case) make the guard read ~nothing instead of the
+    * whole sidecar's id column per refresh. */
   private[sinks] def requireNoVectorClash(
       freshRows: DataFrame, keptRows: DataFrame): Unit = {
     requireOneRowPerVector(freshRows, onTrip = ())
+    val Array(bounds) = freshRows
+      .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+      .collect()
+    if (bounds.isNullAt(0)) return // empty or all-null fresh batch
     val clash = keptRows.select("vec_id")
+      .where(col("vec_id").between(lit(bounds.get(0)), lit(bounds.get(1))))
       .join(broadcast(freshRows.select("vec_id").distinct()),
         Seq("vec_id"), "left_semi")
       .limit(5).collect()

@@ -126,19 +126,84 @@ object SidecarMaintenance {
   }
 
   /** Heals any interrupted commit, then plans the delta between the
-    * sidecar's covered file set and `current`. */
+    * sidecar's covered file set and `current`. The coverage map
+    * comes from the `_coverage` cache when it verifies against the
+    * directory's actual file set (a file-count-sized driver read —
+    * no corpus-scaled scan), else from one column-pruned scan. */
   def planDelta(
       spark: SparkSession,
       dir: String,
       current: Set[String]): DeltaPlan = {
-    import spark.implicits._
     recover(spark, dir)
-    val pairs = spark.read.parquet(dir)
-      .select(col("file"), col("_metadata.file_path").as("__sfile"))
-      .distinct().as[(String, String)].collect()
+    val pairs = readCoverage(spark, dir).getOrElse(scanPairs(spark, dir))
     val indexed = pairs.map(_._1).toSet
     DeltaPlan(pairs, indexed -- current, (current -- indexed).toSeq.sorted)
   }
+
+  // ── coverage cache ──────────────────────────────────────────────
+  // planDelta's (corpus file → sidecar file) map, persisted at the
+  // sidecar root so a refresh PLANS from a file-count-sized read
+  // instead of scanning the sidecar's `file` column (O(rows) — the
+  // last corpus-scaled read on the maintenance path). STRICTLY a
+  // cache, never truth: it is trusted only when its recorded sidecar
+  // file set matches the directory's actual data files, so any crash
+  // point, torn write, compaction, or out-of-band change fails the
+  // check, planDelta falls back to the scan, and the next commit
+  // heals the cache. Correctness never depends on it.
+
+  private[graft] def coveragePath(dir: String) = new Path(dir, "_coverage")
+
+  private def relPath(dir: String, f: String): String = {
+    val base = new Path(dir).toUri.getPath.stripSuffix("/")
+    new Path(f).toUri.getPath.stripPrefix(base).stripPrefix("/")
+  }
+
+  private def scanPairs(
+      spark: SparkSession, dir: String): Array[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .select(col("file"), col("_metadata.file_path").as("__sfile"))
+      .distinct().as[(String, String)].collect()
+  }
+
+  private def readCoverage(
+      spark: SparkSession, dir: String): Option[Array[(String, String)]] = {
+    val fs = fsFor(spark, dir)
+    val p = coveragePath(dir)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val pairs = txt.split("\n").filter(_.nonEmpty).flatMap { line =>
+      line.split("\t") match {
+        case Array(corpus, sfile) => Some(corpus -> sfile)
+        case _ => None // torn line — the set check below rejects
+      }
+    }
+    val actual = dataFiles(spark, dir).map(relPath(dir, _)).toSet
+    if (pairs.map(p => relPath(dir, p._2)).toSet == actual) Some(pairs)
+    else None
+  }
+
+  private def writeCoverage(
+      spark: SparkSession, dir: String,
+      pairs: Array[(String, String)]): Unit = {
+    val fs = fsFor(spark, dir)
+    val tmp = new Path(dir, "._coverage.tmp")
+    val out = fs.create(tmp, true)
+    out.write(pairs.map(p => p._1 + "\t" + p._2).mkString("\n")
+      .getBytes("UTF-8"))
+    out.close()
+    fs.delete(coveragePath(dir), false)
+    if (!fs.rename(tmp, coveragePath(dir))) fs.delete(tmp, false)
+  }
+
+  /** Rebuild the coverage cache from one full column-pruned scan —
+    * for the paths that rewrite the sidecar wholesale (bootstrap,
+    * compaction), which are already O(sidecar) by design. */
+  def rebuildCoverage(spark: SparkSession, dir: String): Unit =
+    writeCoverage(spark, dir, scanPairs(spark, dir))
 
   /** The sidecar rows the delta KEEPS (everything but vanished
     * files' rows) — what pre-mutation layout guards check the fresh
@@ -172,6 +237,21 @@ object SidecarMaintenance {
     val newRows = (survivors.toSeq ++ freshRows.toSeq)
       .reduceOption(_.unionByName(_)).map(layout)
     commitDelta(spark, dir, newRows, doomed, partCols)
+    // advance the coverage cache: untouched sidecar files keep their
+    // pairs; only the files this commit created are scanned
+    // (delta-sized). A crash before this line just leaves the cache
+    // stale — the next planDelta detects that and falls back.
+    val doomedRel = doomed.map(relPath(dir, _)).toSet
+    val untouched = plan.pairs.filterNot(p => doomedRel(relPath(dir, p._2)))
+    val untouchedRel = untouched.map(p => relPath(dir, p._2)).toSet
+    val created = dataFiles(spark, dir)
+      .filterNot(f => untouchedRel(relPath(dir, f)))
+    val createdPairs =
+      if (created.isEmpty) Array.empty[(String, String)]
+      else spark.read.option("basePath", dir).parquet(created: _*)
+        .select(col("file"), col("_metadata.file_path").as("__sfile"))
+        .distinct().as[(String, String)].collect()
+    writeCoverage(spark, dir, untouched ++ createdPairs)
   }
 
   /** Spread a partition-dir write across `writeSalt` tasks PER
@@ -185,10 +265,18 @@ object SidecarMaintenance {
       writeSalt: Int,
       saltCol: String = "vec_id"): DataFrame = {
     val sel = rows.select(cols.map(col): _*)
-    if (writeSalt <= 1) sel.repartition(col(partCol))
-    else sel.repartition( // explicit count — AQE must not re-coalesce
-      sel.sparkSession.sessionState.conf.numShufflePartitions,
-      col(partCol), pmod(xxhash64(col(saltCol)), lit(writeSalt.toLong)))
+    val parts =
+      if (writeSalt <= 1) sel.repartition(col(partCol))
+      else sel.repartition( // explicit count — AQE must not re-coalesce
+        sel.sparkSession.sessionState.conf.numShufflePartitions,
+        col(partCol), pmod(xxhash64(col(saltCol)), lit(writeSalt.toLong)))
+    // id-sorted within each written file so parquet row-group stats
+    // stay tight on the id column even after compaction repacks many
+    // batches — the refresh guard's kept-side range filter prunes on
+    // those stats. partCol leads the sort: the partitionBy writer
+    // requires partition-column order and would otherwise re-sort,
+    // discarding the id order.
+    parts.sortWithinPartitions(col(partCol), col(saltCol))
   }
 
   /** Completes or rolls back an interrupted [[commitDelta]] — the
@@ -229,6 +317,7 @@ object SidecarMaintenance {
     if (files.isEmpty) return
     val all = spark.read.option("basePath", dir).parquet(files: _*)
     commitDelta(spark, dir, Some(layout(all)), files, partCols)
+    rebuildCoverage(spark, dir)
   }
 
   private def finishSwap(fs: FileSystem, dir: String): Unit = {

@@ -358,6 +358,72 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  // ── coverage cache: O(delta) refresh PLANNING ───────────────────
+
+  private def recordsRead(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(l)
+    acc.get
+  }
+
+  test("refresh plans from the coverage cache: a no-op refresh reads ZERO data records") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      assert(recordsRead(IvfIndex.refresh(spark, path)) === 0L,
+        "an unchanged corpus must plan entirely from _coverage + the " +
+          "file listing — no sidecar scan, no corpus scan")
+    }
+  }
+
+  test("a mutating refresh reads O(delta) records; a torn cache falls back and heals") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = fsOf(cellsDir)
+      // delta of 40 ids far above the corpus range: the clash
+      // guard's range filter must prune every kept sidecar file
+      val delta = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 40)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        .localCheckpoint(true)
+      delta.coalesce(1).write.mode("append").parquet(path)
+      val read = recordsRead(IvfIndex.refresh(spark, path))
+      // every read is delta-sized: the assign pass, the cached
+      // delta's re-reads (block-manager reads count as input
+      // records), the cache-advance scan of created sidecar files —
+      // while the 200-row kept sidecar contributes ZERO (coverage
+      // cache replaces the pairs scan; footer stats prune the
+      // guard). 8x delta bounds the multiplicity with slack; the
+      // old code's two 200-row scans would blow through it.
+      assert(read <= 8 * 40,
+        s"mutating refresh read $read records — should be O(delta)")
+      // torn cache: garbage content must be detected and bypassed
+      val out = fs.create(SidecarMaintenance.coveragePath(cellsDir), true)
+      out.write("garbage with no tabs\nand\ttwo\tmany\n".getBytes("UTF-8"))
+      out.close()
+      val delta2 = delta.withColumn("vec_id", col("vec_id") + lit(1000000L))
+      delta2.coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refresh(spark, path)
+      val ids = spark.read.parquet(cellsDir).select("vec_id")
+        .as[Long].collect().toSet
+      assert(ids.count(_ >= 2000000L) === 40 && ids.count(_ < 1000L) === 200,
+        "fallback refresh must still index the delta correctly")
+      // and the commit healed the cache: the next no-op plans free
+      assert(recordsRead(IvfIndex.refresh(spark, path)) === 0L,
+        "the commit must rewrite a valid cache")
+    }
+  }
+
   // ── salted write parallelism (#6) and compaction ────────────────
 
   test("writeSalt spreads a cell's sidecar write across >1 file per cell, layout unchanged") {
