@@ -902,6 +902,12 @@ object ScaleCheck {
         graft.sinks.IvfIndex.collect(spark, p, nCells = 16)
         graft.sinks.LshIndex.collect(spark, p, planes = 4)
         graft.sinks.PqIndex.collect(spark, p, m = 8, ks = 16)
+        // warm the coverage caches: the measured refresh below is
+        // the steady-state one (streaming batch N), not the single
+        // post-bootstrap heal
+        graft.sinks.IvfIndex.refresh(spark, p)
+        graft.sinks.LshIndex.refresh(spark, p)
+        graft.sinks.PqIndex.refresh(spark, p)
         p
       }
       val p1 = prep(embs, "v1")
@@ -954,6 +960,7 @@ object ScaleCheck {
         d.select("doc_id", "text").repartition(8).write.parquet(p)
         graft.sinks.InvertedIndex.collect(spark, p, "text", "doc_id")
         graft.sinks.InvertedIndex.buildRetrievalStats(spark, p)
+        graft.sinks.InvertedIndex.refresh(spark, p, "text", "doc_id")
         p
       }
       val d1 = prepDocs(docs, "d1")

@@ -115,7 +115,6 @@ object InvertedIndex {
     }
     fs.delete(new Path(idx), true)
     fs.rename(new Path(s"$idx.next"), new Path(idx))
-    SidecarMaintenance.rebuildCoverage(spark, idx)
   }
 
   /** Repack refresh-accumulated per-commit index files into `buckets`
@@ -364,8 +363,6 @@ object InvertedIndex {
       .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
         min(col("dl")).as("min_dl"))
       .write.mode(mode).parquet(termStatsPath(table))
-    Seq(docLenPath(table), termStatsPath(table))
-      .foreach(SidecarMaintenance.rebuildCoverage(spark, _))
   }
 
   /** Incremental sidecar maintenance, pure file-set arithmetic at

@@ -93,7 +93,6 @@ object IvfIndex {
     })
     fs.delete(new Path(dest), true)
     fs.rename(new Path(next), new Path(dest))
-    SidecarMaintenance.rebuildCoverage(spark, dest)
   }
 
   /** Incremental maintenance, pure file-set arithmetic over the

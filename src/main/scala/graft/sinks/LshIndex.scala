@@ -78,7 +78,6 @@ object LshIndex {
     })
     fs.delete(new Path(dest), true)
     fs.rename(new Path(next), new Path(dest))
-    SidecarMaintenance.rebuildCoverage(spark, dest)
   }
 
   private[graft] def readMeta(spark: SparkSession, table: String): (Int, Long) = {

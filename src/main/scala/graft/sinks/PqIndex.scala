@@ -93,7 +93,6 @@ object PqIndex {
     })
     fs.delete(new Path(dest), true)
     fs.rename(new Path(next), new Path(dest))
-    SidecarMaintenance.rebuildCoverage(spark, dest)
   }
 
   private[graft] def readCodebooks(spark: SparkSession, table: String): PqCodebooks = {

@@ -135,7 +135,14 @@ object SidecarMaintenance {
       dir: String,
       current: Set[String]): DeltaPlan = {
     recover(spark, dir)
-    val pairs = readCoverage(spark, dir).getOrElse(scanPairs(spark, dir))
+    val pairs = readCoverage(spark, dir).getOrElse {
+      // heal LAZILY: bootstrap and compaction don't pay an extra
+      // scan — the first refresh after them does this one fallback
+      // scan and every refresh from then on plans for free
+      val scanned = scanPairs(spark, dir)
+      writeCoverage(spark, dir, scanned)
+      scanned
+    }
     val indexed = pairs.map(_._1).toSet
     DeltaPlan(pairs, indexed -- current, (current -- indexed).toSeq.sorted)
   }
@@ -147,9 +154,11 @@ object SidecarMaintenance {
   // last corpus-scaled read on the maintenance path). STRICTLY a
   // cache, never truth: it is trusted only when its recorded sidecar
   // file set matches the directory's actual data files, so any crash
-  // point, torn write, compaction, or out-of-band change fails the
-  // check, planDelta falls back to the scan, and the next commit
-  // heals the cache. Correctness never depends on it.
+  // point, torn write, bootstrap/compaction rewrite, or out-of-band
+  // change fails the check and planDelta falls back to the scan —
+  // healing the cache in place, so only the FIRST plan after such an
+  // event pays the scan (delta-commits advance it incrementally).
+  // Correctness never depends on it.
 
   private[graft] def coveragePath(dir: String) = new Path(dir, "_coverage")
 
@@ -199,11 +208,6 @@ object SidecarMaintenance {
     if (!fs.rename(tmp, coveragePath(dir))) fs.delete(tmp, false)
   }
 
-  /** Rebuild the coverage cache from one full column-pruned scan —
-    * for the paths that rewrite the sidecar wholesale (bootstrap,
-    * compaction), which are already O(sidecar) by design. */
-  def rebuildCoverage(spark: SparkSession, dir: String): Unit =
-    writeCoverage(spark, dir, scanPairs(spark, dir))
 
   /** The sidecar rows the delta KEEPS (everything but vanished
     * files' rows) — what pre-mutation layout guards check the fresh
@@ -317,7 +321,6 @@ object SidecarMaintenance {
     if (files.isEmpty) return
     val all = spark.read.option("basePath", dir).parquet(files: _*)
     commitDelta(spark, dir, Some(layout(all)), files, partCols)
-    rebuildCoverage(spark, dir)
   }
 
   private def finishSwap(fs: FileSystem, dir: String): Unit = {

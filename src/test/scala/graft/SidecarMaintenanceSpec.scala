@@ -376,18 +376,23 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     acc.get
   }
 
-  test("refresh plans from the coverage cache: a no-op refresh reads ZERO data records") {
+  test("refresh plans from the coverage cache: the first plan heals it, every later no-op reads ZERO") {
     withTable() { path =>
       IvfIndex.collect(spark, path, nCells = 4)
-      assert(recordsRead(IvfIndex.refresh(spark, path)) === 0L,
-        "an unchanged corpus must plan entirely from _coverage + the " +
-          "file listing — no sidecar scan, no corpus scan")
+      // bootstrap writes no cache — the FIRST plan pays one scan
+      // and heals it in place...
+      assert(recordsRead(IvfIndex.refresh(spark, path)) > 0L)
+      // ...after which an unchanged corpus plans entirely from
+      // _coverage + the file listing — no sidecar scan, no corpus
+      // scan, no Spark job at all
+      assert(recordsRead(IvfIndex.refresh(spark, path)) === 0L)
     }
   }
 
   test("a mutating refresh reads O(delta) records; a torn cache falls back and heals") {
     withTable() { path =>
       IvfIndex.collect(spark, path, nCells = 4)
+      IvfIndex.refresh(spark, path) // no-op: warms the coverage cache
       val cellsDir = IvfIndex.cellsPath(path)
       val fs = fsOf(cellsDir)
       // delta of 40 ids far above the corpus range: the clash
