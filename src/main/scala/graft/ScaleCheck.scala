@@ -978,6 +978,66 @@ object ScaleCheck {
       new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
         .truncate(root)
     }
+
+    // The same statement measured THROUGH the streaming driver: land
+    // a fixed delta batch into the landing dir, resume the
+    // checkpointed stream (AvailableNow picks it up as one
+    // micro-batch), and measure everything the resumed run does —
+    // idempotent corpus append + O(delta) index refresh + checkpoint
+    // bookkeeping. Flat between 1× and 10× corpus means per-batch
+    // streaming maintenance is O(batch), which is what lets the
+    // flows call refresh EVERY micro-batch.
+    if (only.exists(_.contains("stream_refresh"))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-streamref").toString
+      def refreshIo(f: => Unit): (Long, Long) = {
+        val w = new java.util.concurrent.atomic.AtomicLong
+        val r = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) {
+              w.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
+              r.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+            }
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        (w.get, r.get)
+      }
+      def prep(d: DataFrame, tag: String): (String, String, String) = {
+        val landing = s"$root/$tag/landing"
+        val corpus = s"$root/$tag/vectors"
+        val ckpt = s"$root/$tag/ckpt"
+        d.repartition(8).write.parquet(landing)
+        graft.streaming.StreamingOps.streamIngestWithIvfIndex(
+          spark, landing, spark.read.parquet(landing).schema, corpus,
+          ckpt, nCells = 16, maxFilesPerTrigger = 8)
+        // steady state: the coverage cache is warm before measuring
+        graft.sinks.IvfIndex.refresh(spark, corpus)
+        (landing, corpus, ckpt)
+      }
+      val (l1, c1, k1) = prep(embs, "s1")
+      val (lk, ck, kk) = prep(grow(embs, "vec_id"), "sk")
+      val delta = embs.limit(500)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000000L))
+        .localCheckpoint(true)
+      delta.coalesce(1).write.mode("append").parquet(l1)
+      delta.coalesce(1).write.mode("append").parquet(lk)
+      def resume(landing: String, corpus: String, ckpt: String): Unit =
+        graft.streaming.StreamingOps.streamIngestWithIvfIndex(
+          spark, landing, spark.read.parquet(landing).schema, corpus,
+          ckpt, nCells = 16, maxFilesPerTrigger = 8)
+      val (w1, r1) = refreshIo(resume(l1, c1, k1))
+      val (wk, rk) = refreshIo(resume(lk, ck, kk))
+      println(f"stream_refresh     bytes written $w1 -> $wk (x${wk.toDouble / math.max(1L, w1)}%.2f, O(batch) iff ~1)")
+      println(f"stream_refresh     records read  $r1 -> $rk (x${rk.toDouble / math.max(1L, r1)}%.2f, O(batch) iff ~1)")
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
     spark.stop()
   }
 }
