@@ -2203,6 +2203,53 @@ object SparkEntry {
       out
     }),
 
+    // CRASH-RECOVERY of index maintenance, hash-graded: the exact
+    // on-disk state a crash mid-swap leaves — staging sealed with
+    // the commit marker, the doomed-file journal at the sidecar
+    // root, the doomed file already deleted — is constructed
+    // in-query. A direct probe must REFUSE the torn journal loudly;
+    // the next maintenance entry must roll the commit FORWARD; and
+    // the exhaustive probes after recovery must equal the
+    // brute-force truth over the whole corpus (no lost rows, no
+    // duplicated neighbors). The staged rows re-home one sidecar
+    // file's rows, so recovery changes file layout but not content —
+    // which is exactly what the hash grade checks.
+    "ext_ann_ivf_indexed_recover" -> ((s, dir) => {
+      import graft.sinks.{IvfIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfrecover").toString
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(path)
+      IvfIndex.collect(s, path, nCells = 8)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val doomed = SidecarMaintenance.dataFiles(s, cellsDir).min
+      val staging = SidecarMaintenance.stagingPath(cellsDir)
+      s.read.option("basePath", cellsDir).parquet(doomed)
+        .localCheckpoint(true)
+        .write.partitionBy("__cell").parquet(staging.toString)
+      fs.create(new org.apache.hadoop.fs.Path(
+        staging, SidecarMaintenance.CommitMarker)).close()
+      val jr = fs.create(SidecarMaintenance.journalPath(cellsDir))
+      jr.write(doomed.getBytes("UTF-8")); jr.close()
+      fs.delete(new org.apache.hadoop.fs.Path(doomed), false)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val refused =
+        try { IvfIndex.topK(s, path, q, k = 10, nProbe = 8).count(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("interrupted maintenance journal") }
+      require(refused,
+        "a probe against a crashed maintenance journal must refuse loudly")
+      IvfIndex.refresh(s, path) // entry recover() rolls the commit forward
+      val out = IvfIndex.topK(s, path, q, k = 10, nProbe = 8)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // PQ ANN (codebook train + codegen encode + ADC-scored candidates
     // + exact re-rank; index built inside the query, so the bench
     // number includes codebook training). candidateK = MaxValue
@@ -4973,6 +5020,17 @@ object SparkEntry {
         |           FROM embeddings WHERE vec_id < 5 AND vec_id % 5 != 0),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
         |      FROM embeddings WHERE vec_id % 5 != 0),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_indexed_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
         |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
         |      FROM q, c WHERE q_id != neighbor_id)
         |SELECT q_id, neighbor_id,
