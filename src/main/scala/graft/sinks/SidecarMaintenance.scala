@@ -175,8 +175,26 @@ object SidecarMaintenance {
       .distinct().as[(String, String)].collect()
   }
 
+  // In-JVM memo of the LAST coverage written or read per sidecar
+  // dir, keyed by the sidecar file-set signature it describes. A
+  // streaming driver refreshing every micro-batch then validates
+  // with ONE directory listing instead of re-reading and re-parsing
+  // the corpus-file-count-sized manifest each batch. Safe under any
+  // writer topology: a signature mismatch (another process moved the
+  // sidecar) just misses and falls through to the manifest/scan.
+  private val covMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Set[String], Array[(String, String)])]()
+
+  /** Test hook: simulate a fresh driver JVM (memo empty, only the
+    * on-disk manifest to go on). */
+  private[graft] def clearCoverageMemo(): Unit = covMemo.clear()
+
   private def readCoverage(
       spark: SparkSession, dir: String): Option[Array[(String, String)]] = {
+    val actual = dataFiles(spark, dir).map(relPath(dir, _)).toSet
+    val memo = covMemo.get(dir)
+    if (memo != null && memo._1 == actual) return Some(memo._2)
     val fs = fsFor(spark, dir)
     val p = coveragePath(dir)
     if (!fs.exists(p)) return None
@@ -190,9 +208,10 @@ object SidecarMaintenance {
         case _ => None // torn line — the set check below rejects
       }
     }
-    val actual = dataFiles(spark, dir).map(relPath(dir, _)).toSet
-    if (pairs.map(p => relPath(dir, p._2)).toSet == actual) Some(pairs)
-    else None
+    if (pairs.map(p => relPath(dir, p._2)).toSet == actual) {
+      covMemo.put(dir, (actual, pairs))
+      Some(pairs)
+    } else None
   }
 
   private def writeCoverage(
@@ -205,7 +224,10 @@ object SidecarMaintenance {
       .getBytes("UTF-8"))
     out.close()
     fs.delete(coveragePath(dir), false)
-    if (!fs.rename(tmp, coveragePath(dir))) fs.delete(tmp, false)
+    if (fs.rename(tmp, coveragePath(dir)))
+      covMemo.put(dir,
+        (pairs.map(p => relPath(dir, p._2)).toSet, pairs))
+    else fs.delete(tmp, false)
   }
 
 

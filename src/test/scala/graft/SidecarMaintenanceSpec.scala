@@ -386,6 +386,10 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
       // _coverage + the file listing — no sidecar scan, no corpus
       // scan, no Spark job at all
       assert(recordsRead(IvfIndex.refresh(spark, path)) === 0L)
+      // and the zero-read plan survives a driver restart: with the
+      // in-JVM memo gone, the on-disk manifest alone serves it
+      graft.sinks.SidecarMaintenance.clearCoverageMemo()
+      assert(recordsRead(IvfIndex.refresh(spark, path)) === 0L)
     }
   }
 
@@ -412,10 +416,13 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
       // old code's two 200-row scans would blow through it.
       assert(read <= 8 * 40,
         s"mutating refresh read $read records — should be O(delta)")
-      // torn cache: garbage content must be detected and bypassed
+      // torn cache: garbage content must be detected and bypassed.
+      // Clear the in-JVM memo first — this models a NEW driver
+      // process finding only the corrupt on-disk manifest.
       val out = fs.create(SidecarMaintenance.coveragePath(cellsDir), true)
       out.write("garbage with no tabs\nand\ttwo\tmany\n".getBytes("UTF-8"))
       out.close()
+      SidecarMaintenance.clearCoverageMemo()
       val delta2 = delta.withColumn("vec_id", col("vec_id") + lit(1000000L))
       delta2.coalesce(1).write.mode("append").parquet(path)
       IvfIndex.refresh(spark, path)
