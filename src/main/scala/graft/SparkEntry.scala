@@ -2315,6 +2315,47 @@ object SparkEntry {
       out
     }),
 
+    // LSH crash-recovery, hash-graded (the ext_ann_ivf_indexed_recover
+    // shape on the bucket-partitioned sidecar): mid-swap crash state
+    // constructed on disk, torn-journal probe refusal REQUIREd,
+    // recovery through the normal maintenance entry, exhaustive-radius
+    // probes graded against the brute-force truth.
+    "ext_ann_lsh_indexed_recover" -> ((s, dir) => {
+      import graft.sinks.{LshIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lshrecover").toString
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(path)
+      LshIndex.collect(s, path, planes = 4)
+      val bucketsDir = LshIndex.bucketsPath(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val doomed = SidecarMaintenance.dataFiles(s, bucketsDir).min
+      val staging = SidecarMaintenance.stagingPath(bucketsDir)
+      s.read.option("basePath", bucketsDir).parquet(doomed)
+        .localCheckpoint(true)
+        .write.partitionBy("bucket").parquet(staging.toString)
+      fs.create(new org.apache.hadoop.fs.Path(
+        staging, SidecarMaintenance.CommitMarker)).close()
+      val jr = fs.create(SidecarMaintenance.journalPath(bucketsDir))
+      jr.write(doomed.getBytes("UTF-8")); jr.close()
+      fs.delete(new org.apache.hadoop.fs.Path(doomed), false)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val refused =
+        try { LshIndex.topK(s, path, q, k = 10, probeRadius = 4).count(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("interrupted maintenance journal") }
+      require(refused,
+        "a probe against a crashed maintenance journal must refuse loudly")
+      LshIndex.refresh(s, path)
+      val out = LshIndex.topK(s, path, q, k = 10, probeRadius = 4)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // PERSISTED PQ index — the one ANN sidecar SMALLER than its
     // corpus (m bytes per vector): the scan that touches every row
     // reads the codes sidecar only (PqIndexSpec pins embeddings out
@@ -2354,6 +2395,50 @@ object SparkEntry {
       graft.sinks.PqIndex.refresh(s, path)
       val q = s.read.parquet(path).where(col("vec_id") < 5)
       val out = graft.sinks.PqIndex
+        .topK(s, path, q, k = 10, candidateK = Int.MaxValue)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // PQ crash-recovery, hash-graded (the ext_ann_ivf_indexed_recover
+    // shape on the codes-only sidecar — no partition dirs, the staged
+    // rows are the doomed file's codes): torn-journal probe refusal
+    // REQUIREd, recovery through the normal maintenance entry,
+    // exact-config search graded against the brute-force truth.
+    "ext_ann_pq_indexed_recover" -> ((s, dir) => {
+      import graft.sinks.{PqIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pqrecover").toString
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(path)
+      PqIndex.collect(s, path, m = 8, ks = 16)
+      val codesDir = PqIndex.codesPath(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val doomed = SidecarMaintenance.dataFiles(s, codesDir).min
+      val staging = SidecarMaintenance.stagingPath(codesDir)
+      s.read.option("basePath", codesDir).parquet(doomed)
+        .localCheckpoint(true)
+        .write.parquet(staging.toString)
+      fs.create(new org.apache.hadoop.fs.Path(
+        staging, SidecarMaintenance.CommitMarker)).close()
+      val jr = fs.create(SidecarMaintenance.journalPath(codesDir))
+      jr.write(doomed.getBytes("UTF-8")); jr.close()
+      fs.delete(new org.apache.hadoop.fs.Path(doomed), false)
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val refused =
+        try {
+          PqIndex.topK(s, path, q, k = 10, candidateK = Int.MaxValue).count()
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("interrupted maintenance journal") }
+      require(refused,
+        "a probe against a crashed maintenance journal must refuse loudly")
+      PqIndex.refresh(s, path)
+      val out = PqIndex
         .topK(s, path, q, k = 10, candidateK = Int.MaxValue)
         .localCheckpoint(true)
       new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
@@ -5027,6 +5112,28 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "ext_ann_ivf_indexed_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_lsh_indexed_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_pq_indexed_recover" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
