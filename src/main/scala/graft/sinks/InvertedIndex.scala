@@ -88,9 +88,11 @@ object InvertedIndex {
         "each document's rows live in a single file, then rebuild")
   }
 
-  /** Full (re)build, staged under `.next` and published by one
-    * rename — an aborted rebuild (including a layout-guard trip)
-    * leaves any previous index serving. `buckets` sizes the index
+  /** Full (re)build, staged under `.next` and published by the
+    * journaled [[SidecarMaintenance.publishDir]] dance — an aborted
+    * rebuild (including a layout-guard trip) leaves any previous
+    * index serving, and a crash mid-publish is rolled forward by
+    * the next maintenance entry. `buckets` sizes the index
     * file count — at test scale a handful; at corpus scale pick
     * ~index-bytes / 128 MB. */
   def collect(
@@ -103,6 +105,7 @@ object InvertedIndex {
     require(files.nonEmpty, s"no data files under $table")
     val idx = indexPath(table)
     val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SidecarMaintenance.recoverPublish(spark, idx)
     fs.delete(new Path(s"$idx.next"), true)
     writeClustered(
       postingsOf(spark, table, files, textCol, idCol), s"$idx.next", buckets)
@@ -113,15 +116,14 @@ object InvertedIndex {
       fs.delete(new Path(s"$idx.next"), true)
       throw e
     }
-    fs.delete(new Path(idx), true)
-    fs.rename(new Path(s"$idx.next"), new Path(idx))
+    SidecarMaintenance.publishDir(spark, idx)
   }
 
-  /** Repack refresh-accumulated per-commit index files into `buckets`
-    * GLOBALLY token-range-clustered files (one journaled whole-index
-    * rewrite — the periodic amortizer for [[refresh]]'s O(delta)
-    * appends, which cluster per commit only), plus the retrieval-
-    * stats sidecars when present. */
+  /** Repack the WHOLE index into `buckets` GLOBALLY token-range-
+    * clustered files (one journaled whole-index rewrite), plus the
+    * retrieval-stats sidecars when present. O(index) by design —
+    * an explicit offline layout reset (global re-clustering); the
+    * streaming-cadence amortizer is [[compactSmall]]. */
   def compact(
       spark: SparkSession,
       table: String,
@@ -139,11 +141,39 @@ object InvertedIndex {
     }
   }
 
+  /** Size-tiered repack of refresh-accumulated SMALL index files
+    * only ([[SidecarMaintenance.compactSmall]]) — O(accumulated
+    * deltas), never O(index): postings are text-scale, so the whole-
+    * index form is a scheduled corpus-sized rewrite a streaming
+    * cadence must not pay. The merged tier lands as ONE token-
+    * clustered file (clustered within the tier, not globally — probe
+    * correctness never depends on global clustering, only file-skip
+    * efficiency, and graduated tiers keep their clustering). */
+  def compactSmall(
+      spark: SparkSession,
+      table: String,
+      smallBytes: Long = 32L << 20): Unit = {
+    SidecarMaintenance.compactSmall(
+      spark, indexPath(table), Seq.empty, smallBytes)(
+      _.select("file", "token", "id", "positions")
+        .repartitionByRange(1, col("token"), col("id"))
+        .sortWithinPartitions("token", "id"))
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(termStatsPath(table), docLenPath(table)).foreach { p =>
+      if (fs.exists(new Path(p)))
+        SidecarMaintenance.compactSmall(spark, p, Seq.empty, smallBytes)(
+          _.repartitionByRange(1, col("file")).sortWithinPartitions("file"))
+    }
+  }
+
   /** The pre-mutation form of the layout guard for O(delta) refresh:
     * the fresh files' postings must not split a document within the
-    * delta, nor re-introduce an id the kept index already carries. */
+    * delta, nor re-introduce an id the kept index already carries
+    * (`keptIdx` is None when no index rows survive — nothing to
+    * clash with). */
   private def requireDeltaOneFilePerDoc(
-      freshPost: DataFrame, keptIdx: DataFrame): Unit = {
+      freshPost: DataFrame, keptIdx: Option[DataFrame]): Unit = {
     def fail(ids: Array[org.apache.spark.sql.Row]): Unit =
       require(ids.isEmpty,
         s"documents present in MORE THAN ONE data file: ids " +
@@ -156,10 +186,11 @@ object InvertedIndex {
     // a clash id lies inside the fresh batch's [min, max], so that
     // range is pushed onto the kept side — parquet row-group stats
     // skip index files whose id range can't overlap the batch
+    if (keptIdx.isEmpty) return
     val Array(bounds) = freshPost
       .agg(min(col("id")).as("lo"), max(col("id")).as("hi")).collect()
     if (bounds.isNullAt(0)) return
-    fail(keptIdx.select("id")
+    fail(keptIdx.get.select("id")
       .where(col("id").between(lit(bounds.get(0)), lit(bounds.get(1))))
       .join(broadcast(freshPost.select("id").distinct()), Seq("id"), "left_semi")
       .limit(5).collect())

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *  - `_ivf_cells/_centroids`: (\_\_cell, \_\_centroid) — the frozen
   *    coarse quantizer, nCells rows, stored INSIDE the cells dir
   *    (underscore-prefixed, so cells reads never see it) so
-  *    [[collect]]'s single directory rename publishes quantizer and
+  *    [[collect]]'s journaled publish moves quantizer and
   *    assignments together: no crash point can pair new centroids
   *    with old cells or vice versa.
   *
@@ -65,9 +65,12 @@ object IvfIndex {
 
   /** Bootstrap / rebuild: sampled seeded KMeans over the table (via
     * [[IvfSearch.buildIndex]]), both sidecars built under
-    * `_ivf_cells.next` and published by ONE rename — a crash
-    * anywhere before it (including a layout-guard trip) leaves the
-    * previous index fully consistent and serving. */
+    * `_ivf_cells.next` and published by the journaled
+    * [[SidecarMaintenance.publishDir]] dance — a crash anywhere
+    * before the marker (including a layout-guard trip) leaves the
+    * previous index fully consistent and serving; a crash anywhere
+    * after it is rolled forward by the next maintenance entry, so
+    * no crash point leaves the table without a serving index. */
   def collect(
       spark: SparkSession,
       table: String,
@@ -82,6 +85,7 @@ object IvfIndex {
     val idx = IvfSearch.buildIndex(corpus, nCells, seed)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = cellsPath(table)
+    SidecarMaintenance.recoverPublish(spark, dest)
     val next = s"$dest.next"
     fs.delete(new Path(next), true)
     salted(idx.assigned, writeSalt)
@@ -91,8 +95,7 @@ object IvfIndex {
     requireOneRowPerVector(spark.read.parquet(next), onTrip = {
       fs.delete(new Path(next), true)
     })
-    fs.delete(new Path(dest), true)
-    fs.rename(new Path(next), new Path(dest))
+    SidecarMaintenance.publishDir(spark, dest)
   }
 
   /** Incremental maintenance, pure file-set arithmetic over the
@@ -126,11 +129,25 @@ object IvfIndex {
       freshAssigned, Seq("__cell"), salted(_, writeSalt))
   }
 
-  /** Repack refresh-accumulated small sidecar files (one journaled
-    * whole-sidecar rewrite — the periodic amortizer, not the
-    * per-refresh path). */
+  /** Repack the WHOLE cells sidecar (one journaled rewrite) —
+    * O(sidecar) by design, an explicit offline layout reset. The
+    * scheduled amortizer on streaming cadences is [[compactSmall]]. */
   def compact(spark: SparkSession, table: String, writeSalt: Int = 1): Unit =
     SidecarMaintenance.compact(spark, cellsPath(table), Seq("__cell"))(
+      salted(_, writeSalt))
+
+  /** Size-tiered repack of refresh-accumulated SMALL sidecar files
+    * only ([[SidecarMaintenance.compactSmall]]) — O(accumulated
+    * deltas), never O(sidecar): the cells sidecar carries full
+    * embeddings (corpus-scale), so this is what a streaming cadence
+    * may schedule without a periodic corpus rewrite. */
+  def compactSmall(
+      spark: SparkSession,
+      table: String,
+      smallBytes: Long = 32L << 20,
+      writeSalt: Int = 1): Unit =
+    SidecarMaintenance.compactSmall(
+      spark, cellsPath(table), Seq("__cell"), smallBytes)(
       salted(_, writeSalt))
 
   /** Nearest-centroid assignment for specific corpus files: each new
@@ -182,15 +199,19 @@ object IvfIndex {
     * side — parquet row-group stats then skip every sidecar file
     * whose id range doesn't overlap the batch. Monotonic ingest ids
     * (the common case) make the guard read ~nothing instead of the
-    * whole sidecar's id column per refresh. */
+    * whole sidecar's id column per refresh. `keptRows` is None when
+    * the sidecar carries no surviving rows at all (every corpus file
+    * vanished) — nothing to clash with, only the batch-internal
+    * check applies. */
   private[sinks] def requireNoVectorClash(
-      freshRows: DataFrame, keptRows: DataFrame): Unit = {
+      freshRows: DataFrame, keptRows: Option[DataFrame]): Unit = {
     requireOneRowPerVector(freshRows, onTrip = ())
+    if (keptRows.isEmpty) return
     val Array(bounds) = freshRows
       .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
       .collect()
     if (bounds.isNullAt(0)) return // empty or all-null fresh batch
-    val clash = keptRows.select("vec_id")
+    val clash = keptRows.get.select("vec_id")
       .where(col("vec_id").between(lit(bounds.get(0)), lit(bounds.get(1))))
       .join(broadcast(freshRows.select("vec_id").distinct()),
         Seq("vec_id"), "left_semi")

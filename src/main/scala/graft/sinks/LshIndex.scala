@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    refresh carries NO learned state at all: any machine can
   *    extend the index from the metadata row alone. Stored INSIDE
   *    the buckets dir (underscore-prefixed, invisible to bucket
-  *    reads) so [[collect]]'s single rename publishes model and
+  *    reads) so [[collect]]'s journaled publish moves model and
   *    buckets together — no crash point can pair a new (planes,
   *    seed) with old signatures.
   *
@@ -52,7 +52,8 @@ object LshIndex {
 
   /** Bootstrap / rebuild: one signature pass; buckets and the
     * (planes, seed) row are built under `_lsh_buckets.next` and
-    * published by ONE rename. */
+    * published by the journaled, crash-recoverable
+    * [[SidecarMaintenance.publishDir]] dance. */
   def collect(
       spark: SparkSession,
       table: String,
@@ -66,6 +67,7 @@ object LshIndex {
       s"bucket directories number 2^planes; planes=$planes")
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = bucketsPath(table)
+    SidecarMaintenance.recoverPublish(spark, dest)
     val next = s"$dest.next"
     fs.delete(new Path(next), true)
     salted(signFiles(spark, table, BloomIndex.dataFilePaths(spark, table),
@@ -76,8 +78,7 @@ object LshIndex {
     IvfIndex.requireOneRowPerVector(spark.read.parquet(next), onTrip = {
       fs.delete(new Path(next), true)
     })
-    fs.delete(new Path(dest), true)
-    fs.rename(new Path(next), new Path(dest))
+    SidecarMaintenance.publishDir(spark, dest)
   }
 
   private[graft] def readMeta(spark: SparkSession, table: String): (Int, Long) = {
@@ -113,9 +114,22 @@ object LshIndex {
       freshSigned, Seq("bucket"), salted(_, writeSalt))
   }
 
-  /** Repack refresh-accumulated small sidecar files. */
+  /** Repack the WHOLE buckets sidecar — explicit offline op; the
+    * streaming-cadence amortizer is [[compactSmall]]. */
   def compact(spark: SparkSession, table: String, writeSalt: Int = 1): Unit =
     SidecarMaintenance.compact(spark, bucketsPath(table), Seq("bucket"))(
+      salted(_, writeSalt))
+
+  /** Size-tiered repack of SMALL bucket files only — O(accumulated
+    * deltas), never O(sidecar); the buckets sidecar carries full
+    * embeddings, so the distinction is corpus-sized. */
+  def compactSmall(
+      spark: SparkSession,
+      table: String,
+      smallBytes: Long = 32L << 20,
+      writeSalt: Int = 1): Unit =
+    SidecarMaintenance.compactSmall(
+      spark, bucketsPath(table), Seq("bucket"), smallBytes)(
       salted(_, writeSalt))
 
   private def signFiles(

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *  - `_pq_codes/_codebooks`: one row (m, ks, dsub, flat) — the
   *    frozen driver-trained sub-space codebooks, stored INSIDE the
   *    codes dir (underscore-prefixed, invisible to codes reads) so
-  *    [[collect]]'s single rename publishes codebooks and codes
+  *    [[collect]]'s journaled publish moves codebooks and codes
   *    together — no crash point can pair new codebooks with codes
   *    encoded under old ones.
   *
@@ -62,7 +62,8 @@ object PqIndex {
   /** Bootstrap / rebuild: driver-trained codebooks on a bounded
     * no-count sample (via [[PqSearch.buildIndex]]), one codegen'd
     * encode pass; codes and codebooks built under `_pq_codes.next`
-    * and published by ONE rename. */
+    * and published by the journaled, crash-recoverable
+    * [[SidecarMaintenance.publishDir]] dance. */
   def collect(
       spark: SparkSession,
       table: String,
@@ -81,6 +82,7 @@ object PqIndex {
     val cb = idx.codebooks
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = codesPath(table)
+    SidecarMaintenance.recoverPublish(spark, dest)
     val next = s"$dest.next"
     fs.delete(new Path(next), true)
     clustered(idx.encoded, buckets)
@@ -91,8 +93,7 @@ object PqIndex {
     IvfIndex.requireOneRowPerVector(spark.read.parquet(next), onTrip = {
       fs.delete(new Path(next), true)
     })
-    fs.delete(new Path(dest), true)
-    fs.rename(new Path(next), new Path(dest))
+    SidecarMaintenance.publishDir(spark, dest)
   }
 
   private[graft] def readCodebooks(spark: SparkSession, table: String): PqCodebooks = {
@@ -132,10 +133,22 @@ object PqIndex {
       freshCodes, Seq.empty, clustered(_, buckets))
   }
 
-  /** Repack refresh-accumulated small code files. */
+  /** Repack the WHOLE codes sidecar — explicit offline op; the
+    * streaming-cadence amortizer is [[compactSmall]]. */
   def compact(spark: SparkSession, table: String, buckets: Int = 4): Unit =
     SidecarMaintenance.compact(spark, codesPath(table), Seq.empty)(
       clustered(_, buckets))
+
+  /** Size-tiered repack of SMALL code files only — the merged tier
+    * lands as ONE id-sorted file (row-group stats stay tight) so it
+    * graduates past the threshold instead of churning. */
+  def compactSmall(
+      spark: SparkSession,
+      table: String,
+      smallBytes: Long = 32L << 20): Unit =
+    SidecarMaintenance.compactSmall(
+      spark, codesPath(table), Seq.empty, smallBytes)(
+      clustered(_, 1))
 
   /** ADC over the codes sidecar, exact re-rank against the
     * column-pruned corpus. Output (q_id, neighbor_id, rank) —

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,23 +19,27 @@ import org.apache.spark.sql.functions._
   * Crash contract (single-writer, the family's standing assumption —
   * same as the K2 merge swap and [[Purge]]):
   *  1. new rows are staged under `.maint-staging` (dot-prefixed, so
-  *     readers of the sidecar never see them) and sealed with a
-  *     commit marker;
+  *     readers of the sidecar never see them), together with this
+  *     commit's COVERAGE DELTA record, and sealed with a commit
+  *     marker;
   *  2. a JOURNAL listing the doomed files is written at the sidecar
   *     root (`_maint_journal`, underscore-prefixed — invisible to
   *     parquet reads);
   *  3. doomed files are deleted, staged files move in (file renames
-  *     preserving their partition-relative paths), journal and
-  *     staging vanish.
+  *     preserving their partition-relative paths), the coverage
+  *     delta moves into the `_coverage` log, journal and staging
+  *     vanish.
   * [[recover]] — called on entry by every maintenance operation —
   * finishes a journaled swap (marker present: deletes and moves are
   * idempotent) or rolls one back (no marker: originals are all still
   * in place, staging is garbage). Every crash point therefore lands
-  * in exactly one of two states: the old sidecar, or the new one.
+  * in exactly one of two states: the old sidecar, or the new one —
+  * and because the coverage delta rides INSIDE the same commit
+  * window, the coverage log lands in the matching state too.
   * Readers racing a live swap can see a torn view for the duration
   * of step 3 only — the window the single-writer contract already
   * accepts; [[requireClean]] lets read paths refuse loudly when a
-  * CRASHED (not racing) maintenance run left a journal behind.
+  * maintenance journal is present (see its doc for the race caveat).
   *
   * 100 TB posture: bytes written per commit = staged batch +
   * survivors of the doomed files. A refresh that appends 1 GB to a
@@ -43,9 +47,11 @@ import org.apache.spark.sql.functions._
   * the O(corpus) rewrite this protocol replaces is the difference
   * between "refresh per micro-batch" being a design and a disaster.
   * The cost shifted to: small sidecar files accumulate per commit —
-  * [[compact]] repacks a partition-dir's accumulation through the
-  * SAME journaled protocol, invoked periodically (streaming drivers
-  * compact on a batch cadence).
+  * [[compactSmall]] repacks ONLY that accumulation (files below a
+  * size threshold) through the same journaled protocol, so the
+  * periodic amortizer is O(accumulated deltas), never O(sidecar);
+  * [[compact]] (the full repack) stays available as an explicit
+  * offline operation.
   */
 object SidecarMaintenance {
 
@@ -64,26 +70,38 @@ object SidecarMaintenance {
     n.contains("=") || (!n.startsWith("_") && !n.startsWith("."))
   }
 
-  /** Every visible data file under `dir`, any partition depth. */
-  def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val fs = fsFor(spark, dir)
-    def walk(p: Path): Seq[String] =
+  private def walkStatuses(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    def walk(p: Path): Seq[FileStatus] =
       fs.listStatus(p).toSeq.filter(s => visible(s.getPath)).flatMap { s =>
-        if (s.isDirectory) walk(s.getPath) else Seq(s.getPath.toString)
+        if (s.isDirectory) walk(s.getPath) else Seq(s)
       }
-    walk(new Path(dir)).sorted
+    walk(root)
   }
+
+  /** Every visible data file under `dir`, any partition depth. */
+  def dataFiles(spark: SparkSession, dir: String): Seq[String] =
+    walkStatuses(fsFor(spark, dir), new Path(dir))
+      .map(_.getPath.toString).sorted
+
+  /** (path, length) of every visible data file under `dir` — the
+    * size-tier selector for [[compactSmall]]. */
+  def dataFileSizes(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    walkStatuses(fsFor(spark, dir), new Path(dir))
+      .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
 
   /** Add `newRows` (laid out under `partCols` directories) and drop
     * `doomed` (absolute sidecar file paths) as ONE recoverable
     * commit. Caller shapes `newRows`' partitioning/order (salting,
-    * range-sort) before the call; rows must carry `partCols`. */
+    * range-sort) before the call; rows must carry `partCols` and the
+    * covered-corpus `file` column (every family sidecar does — it is
+    * what the coverage log records). */
   def commitDelta(
       spark: SparkSession,
       dir: String,
       newRows: Option[DataFrame],
       doomed: Seq[String],
       partCols: Seq[String]): Unit = {
+    import spark.implicits._
     if (newRows.isEmpty && doomed.isEmpty) return
     val fs = fsFor(spark, dir)
     val staging = stagingPath(dir)
@@ -95,6 +113,28 @@ object SidecarMaintenance {
           .parquet(staging.toString)
       case None => fs.mkdirs(staging)
     }
+    // The commit's coverage delta — computed from the STAGED files
+    // (a delta-sized read) BEFORE the commit point, so the coverage
+    // log can never drift from the sidecar: rollback discards it
+    // with the staging dir, roll-forward moves it into `_coverage`
+    // alongside the data files it describes.
+    val doomedRel = doomed.map(relPath(dir, _))
+    val stagedFiles = walkStatuses(fs, staging)
+      .map(_.getPath.toString).filterNot(_.endsWith(CommitMarker))
+    val stagedPairs: Array[(String, String)] =
+      if (stagedFiles.isEmpty) Array.empty
+      else spark.read.option("basePath", staging.toString)
+        .parquet(stagedFiles: _*)
+        .select(col("file"), col("_metadata.file_path").as("__sfile"))
+        .distinct().as[(String, String)].collect()
+        .map { case (c, sf) => (c, relPath(staging.toString, sf)) }
+    val seq = nextSeq(fs, dir)
+    val covOut = fs.create(new Path(staging, f"$CovDeltaPrefix$seq%09d"))
+    covOut.write((
+      doomedRel.map(r => s"-\t$r") ++
+        stagedPairs.map { case (c, r) => s"+\t$c\t$r" })
+      .mkString("\n").getBytes("UTF-8"))
+    covOut.close()
     // journal BEFORE marker: the journal write is multi-byte and not
     // atomic, so it must land while a crash still rolls BACK (no
     // marker → recover discards staging+journal, originals intact).
@@ -106,6 +146,7 @@ object SidecarMaintenance {
     out.close()
     fs.create(new Path(staging, CommitMarker)).close()
     finishSwap(fs, dir)
+    advanceMemo(fs, dir, doomedRel.toSet, stagedPairs)
   }
 
   /** A refresh's file-set arithmetic, shared by every index family
@@ -113,7 +154,8 @@ object SidecarMaintenance {
     * retrieval stats): which corpus files the sidecar covers, which
     * SIDECAR files carry each (the rewrite-targeting map), diffed
     * against the corpus' current file set. Built by [[planDelta]]
-    * in one column-pruned pass; consumed by [[applyDelta]]. */
+    * from the coverage log (or one column-pruned scan); consumed by
+    * [[applyDelta]]. */
   final case class DeltaPlan(
       pairs: Array[(String, String)],
       vanished: Set[String],
@@ -127,40 +169,59 @@ object SidecarMaintenance {
 
   /** Heals any interrupted commit, then plans the delta between the
     * sidecar's covered file set and `current`. The coverage map
-    * comes from the `_coverage` cache when it verifies against the
-    * directory's actual file set (a file-count-sized driver read —
-    * no corpus-scaled scan), else from one column-pruned scan. */
+    * comes from the `_coverage` log when it reconstructs cleanly
+    * (steady state: one small directory listing against the in-JVM
+    * memo — no corpus-file-count work at all), else from one
+    * column-pruned scan that re-checkpoints the log. */
   def planDelta(
       spark: SparkSession,
       dir: String,
       current: Set[String]): DeltaPlan = {
     recover(spark, dir)
     val pairs = readCoverage(spark, dir).getOrElse {
-      // heal LAZILY: bootstrap and compaction don't pay an extra
-      // scan — the first refresh after them does this one fallback
-      // scan and every refresh from then on plans for free
-      val scanned = scanPairs(spark, dir)
-      writeCoverage(spark, dir, scanned)
-      scanned
+      // heal LAZILY: bootstrap and out-of-band rewrites don't pay an
+      // extra scan — the first refresh after them does this one
+      // fallback scan and every refresh from then on plans for free
+      val scanned = scanPairs(spark, dir) // relative sidecar paths
+      checkpointCoverage(spark, dir, scanned)
+      scanned.map { case (c, r) => (c, s"$dir/$r") }
     }
     val indexed = pairs.map(_._1).toSet
     DeltaPlan(pairs, indexed -- current, (current -- indexed).toSeq.sorted)
   }
 
-  // ── coverage cache ──────────────────────────────────────────────
+  // ── coverage log ────────────────────────────────────────────────
   // planDelta's (corpus file → sidecar file) map, persisted at the
-  // sidecar root so a refresh PLANS from a file-count-sized read
-  // instead of scanning the sidecar's `file` column (O(rows) — the
-  // last corpus-scaled read on the maintenance path). STRICTLY a
-  // cache, never truth: it is trusted only when its recorded sidecar
-  // file set matches the directory's actual data files, so any crash
-  // point, torn write, bootstrap/compaction rewrite, or out-of-band
-  // change fails the check and planDelta falls back to the scan —
-  // healing the cache in place, so only the FIRST plan after such an
-  // event pays the scan (delta-commits advance it incrementally).
-  // Correctness never depends on it.
+  // sidecar root as a LOG-STRUCTURED manifest so a refresh PLANS
+  // from delta-sized reads instead of scanning the sidecar's `file`
+  // column — and so each COMMIT appends one O(commit) delta record
+  // instead of rewriting an O(corpus-file-count) manifest (the r14
+  // form's residual driver term). Layout under `_coverage/`:
+  //   base-<seq>   full snapshot of the map as of commit <seq>
+  //   delta-<seq>  one commit's record: `-\t<sidecarRel>` drops
+  //                every pair carried by that sidecar file,
+  //                `+\t<corpus>\t<sidecarRel>` adds a pair
+  // Current map = latest base + every delta with seq > its seq, in
+  // order. Delta records ride INSIDE the journaled commit window
+  // (staged before the marker, moved in by finishSwap), so under the
+  // single-writer contract the log is exactly consistent with the
+  // sidecar at every recovered crash point — which is what lets the
+  // steady state trust it without a full recursive listing. The
+  // listing-based validation still runs whenever the log is loaded
+  // from DISK (fresh JVM, or the in-JVM memo's cheap signature check
+  // — one listing of the `_coverage` dir, O(commits since
+  // checkpoint) — misses): any out-of-band mutation, torn record, or
+  // parse failure fails that check and planDelta falls back to the
+  // scan, healing the log in place. Correctness never depends on the
+  // log: a stale-missing entry re-indexes a file and trips the
+  // duplicate guard loudly; the disk-load validation catches the
+  // rest. Every ~CheckpointEvery deltas the log is folded into a
+  // fresh base (amortized O(file-count / CheckpointEvery) per
+  // commit).
 
   private[graft] def coveragePath(dir: String) = new Path(dir, "_coverage")
+  private val CovDeltaPrefix = "_covdelta-"
+  private val CheckpointEvery = 64
 
   private def relPath(dir: String, f: String): String = {
     val base = new Path(dir).toUri.getPath.stripSuffix("/")
@@ -170,74 +231,162 @@ object SidecarMaintenance {
   private def scanPairs(
       spark: SparkSession, dir: String): Array[(String, String)] = {
     import spark.implicits._
-    spark.read.parquet(dir)
+    val files = dataFiles(spark, dir)
+    if (files.isEmpty) return Array.empty
+    spark.read.option("basePath", dir).parquet(files: _*)
       .select(col("file"), col("_metadata.file_path").as("__sfile"))
       .distinct().as[(String, String)].collect()
+      .map { case (c, sf) => (c, relPath(dir, sf)) }
   }
 
-  // In-JVM memo of the LAST coverage written or read per sidecar
-  // dir, keyed by the sidecar file-set signature it describes. A
-  // streaming driver refreshing every micro-batch then validates
-  // with ONE directory listing instead of re-reading and re-parsing
-  // the corpus-file-count-sized manifest each batch. Safe under any
-  // writer topology: a signature mismatch (another process moved the
-  // sidecar) just misses and falls through to the manifest/scan.
+  /** The coverage log's records: (seq, isBase, path), sorted by seq. */
+  private def covRecords(
+      fs: FileSystem, dir: String): Seq[(Long, Boolean, Path)] = {
+    val cp = coveragePath(dir)
+    if (!fs.exists(cp)) return Seq.empty
+    fs.listStatus(cp).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("base-"))
+        n.stripPrefix("base-").toLongOption.map((_, true, st.getPath))
+      else if (n.startsWith("delta-"))
+        n.stripPrefix("delta-").toLongOption.map((_, false, st.getPath))
+      else None
+    }.sortBy(_._1)
+  }
+
+  private def nextSeq(fs: FileSystem, dir: String): Long =
+    (covRecords(fs, dir).map(_._1) :+ 0L).max + 1
+
+  /** The log's cheap identity — which records it holds. One small
+    * directory listing, O(commits since the last checkpoint). */
+  private def covSignature(recs: Seq[(Long, Boolean, Path)]): String =
+    recs.map(r => r._3.getName).mkString("\n")
+
+  // In-JVM memo of the LAST coverage map written or read per sidecar
+  // dir, keyed by the coverage log's record signature. A streaming
+  // driver refreshing every micro-batch then validates with ONE
+  // `_coverage` listing per plan and zero corpus-file-count work;
+  // [[commitDelta]] advances it in place. A signature mismatch
+  // (another process committed) misses and falls through to the
+  // disk load, which re-validates against the full file listing.
   private val covMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (Set[String], Array[(String, String)])]()
+      String, (String, Array[(String, String)])]()
 
   /** Test hook: simulate a fresh driver JVM (memo empty, only the
-    * on-disk manifest to go on). */
+    * on-disk log to go on). */
   private[graft] def clearCoverageMemo(): Unit = covMemo.clear()
+
+  private def advanceMemo(
+      fs: FileSystem,
+      dir: String,
+      doomedRel: Set[String],
+      stagedPairs: Array[(String, String)]): Unit = {
+    val memo = covMemo.get(dir)
+    if (memo == null) return // next planDelta loads + validates from disk
+    val pairs = memo._2.filterNot(p => doomedRel(p._2)) ++ stagedPairs
+    covMemo.put(dir, (covSignature(covRecords(fs, dir)), pairs))
+    if (covRecords(fs, dir).count(!_._2) > CheckpointEvery) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      checkpointCoverage(spark, dir, pairs)
+    }
+  }
 
   private def readCoverage(
       spark: SparkSession, dir: String): Option[Array[(String, String)]] = {
-    val actual = dataFiles(spark, dir).map(relPath(dir, _)).toSet
-    val memo = covMemo.get(dir)
-    if (memo != null && memo._1 == actual) return Some(memo._2)
     val fs = fsFor(spark, dir)
-    val p = coveragePath(dir)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val recs = covRecords(fs, dir)
+    if (recs.isEmpty) return None
+    val sig = covSignature(recs)
+    val memo = covMemo.get(dir)
+    if (memo != null && memo._1 == sig)
+      return Some(memo._2.map { case (c, r) => (c, s"$dir/$r") })
+    // disk load: fold base + deltas, then validate the resulting
+    // sidecar file set against the actual listing — the one place
+    // the full listing still runs (once per JVM per sidecar, or
+    // after an out-of-band change)
+    val bases = recs.filter(_._2)
+    if (bases.isEmpty) return None
+    val (baseSeq, _, basePath) = bases.last
+    def lines(p: Path): Array[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")
+        .filter(_.nonEmpty)
       finally in.close()
-    val pairs = txt.split("\n").filter(_.nonEmpty).flatMap { line =>
-      line.split("\t") match {
-        case Array(corpus, sfile) => Some(corpus -> sfile)
-        case _ => None // torn line — the set check below rejects
-      }
     }
-    if (pairs.map(p => relPath(dir, p._2)).toSet == actual) {
-      covMemo.put(dir, (actual, pairs))
-      Some(pairs)
-    } else None
+    try {
+      var pairs = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      lines(basePath).foreach { l =>
+        l.split("\t") match {
+          case Array(c, r) => pairs += ((c, r))
+          case _ => return None // torn base
+        }
+      }
+      recs.filter(r => !r._2 && r._1 > baseSeq).foreach { case (_, _, p) =>
+        lines(p).foreach { l =>
+          l.split("\t") match {
+            case Array("-", r) => pairs = pairs.filterNot(_._2 == r)
+            case Array("+", c, r) => pairs += ((c, r))
+            case _ => return None // torn delta
+          }
+        }
+      }
+      val arr = pairs.toArray
+      val actual = dataFiles(spark, dir).map(relPath(dir, _)).toSet
+      if (arr.map(_._2).toSet == actual) {
+        covMemo.put(dir, (sig, arr))
+        Some(arr.map { case (c, r) => (c, s"$dir/$r") })
+      } else None
+    } catch { case _: java.io.IOException => None }
   }
 
-  private def writeCoverage(
+  /** Fold the map into a fresh `base-<seq>` snapshot and drop the
+    * records it supersedes — the amortizer that bounds the log at
+    * ~[[CheckpointEvery]] records. Also the fallback-scan healer:
+    * O(file-count), paid once per heal / per CheckpointEvery
+    * commits, never per refresh. `pairs` carry RELATIVE or absolute
+    * sidecar paths (normalized here). */
+  private def checkpointCoverage(
       spark: SparkSession, dir: String,
       pairs: Array[(String, String)]): Unit = {
     val fs = fsFor(spark, dir)
-    val tmp = new Path(dir, "._coverage.tmp")
+    val rel = pairs.map { case (c, f) => (c, relPath(dir, f)) }
+    val recs = covRecords(fs, dir)
+    val seqNow = (recs.map(_._1) :+ 0L).max
+    val cp = coveragePath(dir)
+    fs.mkdirs(cp)
+    val tmp = new Path(cp, f".base-$seqNow%09d.tmp")
     val out = fs.create(tmp, true)
-    out.write(pairs.map(p => p._1 + "\t" + p._2).mkString("\n")
+    out.write(rel.map(p => p._1 + "\t" + p._2).mkString("\n")
       .getBytes("UTF-8"))
     out.close()
-    fs.delete(coveragePath(dir), false)
-    if (fs.rename(tmp, coveragePath(dir)))
-      covMemo.put(dir,
-        (pairs.map(p => relPath(dir, p._2)).toSet, pairs))
-    else fs.delete(tmp, false)
+    val dest = new Path(cp, f"base-$seqNow%09d")
+    fs.delete(dest, false)
+    if (fs.rename(tmp, dest)) {
+      // superseded records go; a crash mid-cleanup is harmless (the
+      // reader takes the max base and ignores deltas at or below it)
+      recs.foreach { case (s, isBase, p) =>
+        if ((isBase && s < seqNow) || (!isBase && s <= seqNow))
+          fs.delete(p, false)
+      }
+      covMemo.put(dir, (covSignature(covRecords(fs, dir)), rel))
+    } else fs.delete(tmp, false)
   }
-
 
   /** The sidecar rows the delta KEEPS (everything but vanished
     * files' rows) — what pre-mutation layout guards check the fresh
-    * rows against. */
-  def keptRows(spark: SparkSession, dir: String, plan: DeltaPlan): DataFrame = {
+    * rows against. None when the sidecar holds no data files at all
+    * (every corpus file vanished — nothing to clash with). */
+  def keptRows(
+      spark: SparkSession, dir: String, plan: DeltaPlan): Option[DataFrame] = {
     import spark.implicits._
-    spark.read.parquet(dir).join(
-      broadcast(plan.vanished.toSeq.toDF("file")), Seq("file"), "left_anti")
+    // file list from the plan's coverage pairs (every sidecar data
+    // file carries some corpus file, so the pairs' sidecar side IS
+    // the data-file set) — no directory listing on the refresh path
+    val files = plan.pairs.map(_._2).distinct.toSeq
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", dir).parquet(files: _*).join(
+      broadcast(plan.vanished.toSeq.toDF("file")), Seq("file"), "left_anti"))
   }
 
   /** Executes a [[planDelta]]: survivor rows of the doomed sidecar
@@ -263,21 +412,6 @@ object SidecarMaintenance {
     val newRows = (survivors.toSeq ++ freshRows.toSeq)
       .reduceOption(_.unionByName(_)).map(layout)
     commitDelta(spark, dir, newRows, doomed, partCols)
-    // advance the coverage cache: untouched sidecar files keep their
-    // pairs; only the files this commit created are scanned
-    // (delta-sized). A crash before this line just leaves the cache
-    // stale — the next planDelta detects that and falls back.
-    val doomedRel = doomed.map(relPath(dir, _)).toSet
-    val untouched = plan.pairs.filterNot(p => doomedRel(relPath(dir, p._2)))
-    val untouchedRel = untouched.map(p => relPath(dir, p._2)).toSet
-    val created = dataFiles(spark, dir)
-      .filterNot(f => untouchedRel(relPath(dir, f)))
-    val createdPairs =
-      if (created.isEmpty) Array.empty[(String, String)]
-      else spark.read.option("basePath", dir).parquet(created: _*)
-        .select(col("file"), col("_metadata.file_path").as("__sfile"))
-        .distinct().as[(String, String)].collect()
-    writeCoverage(spark, dir, untouched ++ createdPairs)
   }
 
   /** Spread a partition-dir write across `writeSalt` tasks PER
@@ -305,14 +439,20 @@ object SidecarMaintenance {
     parts.sortWithinPartitions(col(partCol), col(saltCol))
   }
 
-  /** Completes or rolls back an interrupted [[commitDelta]] — the
-    * [[Purge.recover]] contract on a sidecar dir. */
+  /** Completes or rolls back an interrupted [[commitDelta]] (or
+    * [[publishDir]]) — the [[Purge.recover]] contract on a sidecar
+    * dir. Publish healing runs first: a rebuild crash can leave the
+    * sidecar itself renamed aside, and the journal (if any) rode
+    * along inside it. */
   def recover(spark: SparkSession, dir: String): Unit = {
     val fs = fsFor(spark, dir)
+    if (fs.exists(new Path(s"$dir.next")) || fs.exists(new Path(s"$dir.old")))
+      recoverPublish(spark, dir)
     if (!fs.exists(new Path(dir))) return
     val journal = journalPath(dir)
     val staging = stagingPath(dir)
     if (fs.exists(journal)) {
+      covMemo.remove(dir) // replayed commit: reload+validate from disk
       if (fs.exists(new Path(staging, CommitMarker))) finishSwap(fs, dir)
       else { fs.delete(staging, true); fs.delete(journal, false) }
     } else if (fs.exists(staging)) {
@@ -320,19 +460,27 @@ object SidecarMaintenance {
     }
   }
 
-  /** Read paths' loud-failure guard: a journal with no live writer
-    * means a maintenance run crashed mid-swap and the sidecar may be
-    * torn — refuse rather than serve partial rows. */
+  /** Read paths' loud-failure guard: a maintenance journal means a
+    * commit is (or was) in flight and the sidecar may be torn —
+    * refuse rather than serve partial rows. NOTE the journal exists
+    * for the whole commit window of a LIVE refresh too, not only
+    * after a crash: the family's single-writer contract extends to
+    * readers — a query must not race maintenance on the same
+    * sidecar (streaming drivers serialize refresh and probe within
+    * the micro-batch for exactly this reason). A reader that may
+    * race an external maintainer should treat this failure as
+    * transient and retry after the commit window closes; a journal
+    * that PERSISTS identifies a crashed run needing [[recover]]. */
   def requireClean(spark: SparkSession, dir: String): Unit =
     require(!fsFor(spark, dir).exists(journalPath(dir)),
       s"interrupted maintenance journal at ${journalPath(dir)} — " +
         "run refresh (or recover) before querying")
 
-  /** Repack the sidecar's per-commit file accumulation: rewrite the
-    * WHOLE current content (shaped by `layout`, e.g. coalesced per
-    * partition) through the same journaled commit. O(sidecar) by
-    * design — the periodic amortizer for [[commitDelta]]'s
-    * small-file growth, not the per-refresh path. */
+  /** Repack the sidecar's ENTIRE current content (shaped by
+    * `layout`) through the journaled commit. O(sidecar) by design —
+    * an explicit offline operation for layout resets (e.g. global
+    * re-clustering); the scheduled amortizer on streaming cadences
+    * is [[compactSmall]]. */
   def compact(
       spark: SparkSession,
       dir: String,
@@ -343,6 +491,35 @@ object SidecarMaintenance {
     if (files.isEmpty) return
     val all = spark.read.option("basePath", dir).parquet(files: _*)
     commitDelta(spark, dir, Some(layout(all)), files, partCols)
+  }
+
+  /** SIZE-TIERED compaction — the scheduled amortizer for
+    * [[commitDelta]]'s small-file growth: repack ONLY the sidecar
+    * files below `smallBytes` (the accumulation of recent delta
+    * commits), through the same journaled commit; files that have
+    * graduated past the threshold are never touched again. Cost is
+    * O(accumulated small files), NOT O(sidecar) — on a corpus-scale
+    * sidecar (IVF cells / LSH buckets carry full embeddings) that is
+    * the difference between a streaming cadence and a scheduled
+    * corpus rewrite. A merged file still below the threshold simply
+    * joins the next tier round; each byte is repacked O(threshold /
+    * commit-size) times before graduating, amortized constant per
+    * graduation tier. No-op below `minFiles` small files (nothing
+    * worth merging). Production sizing: `smallBytes` ≈ a quarter of
+    * the target sidecar file size. */
+  def compactSmall(
+      spark: SparkSession,
+      dir: String,
+      partCols: Seq[String],
+      smallBytes: Long = 32L << 20,
+      minFiles: Int = 2)(
+      layout: DataFrame => DataFrame): Unit = {
+    recover(spark, dir)
+    val small = dataFileSizes(spark, dir)
+      .filter(_._2 < smallBytes).map(_._1)
+    if (small.size < minFiles) return
+    val rows = spark.read.option("basePath", dir).parquet(small: _*)
+    commitDelta(spark, dir, Some(layout(rows)), small, partCols)
   }
 
   private def finishSwap(fs: FileSystem, dir: String): Unit = {
@@ -373,7 +550,78 @@ object SidecarMaintenance {
         }
       }
     move(staging, Seq.empty)
+    // the commit's coverage delta joins the log (same idempotent
+    // move-if-absent: a replayed finishSwap finds it already there)
+    if (fs.exists(staging)) fs.listStatus(staging).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(CovDeltaPrefix)) {
+        val cp = coveragePath(dir)
+        fs.mkdirs(cp)
+        val dest = new Path(cp, "delta-" + n.stripPrefix(CovDeltaPrefix))
+        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+      }
+    }
     fs.delete(journal, false)
     fs.delete(staging, true)
+  }
+
+  // ── recoverable rebuild publish ─────────────────────────────────
+  // A full rebuild ([[IvfIndex.collect]] and siblings) builds the
+  // whole index under `<dest>.next` and swaps it in. The r14 form
+  // (`delete(dest); rename(next, dest)`) had one bad crash point: a
+  // crash between the two left NO serving index. The journaled dance
+  // below closes it — every crash point leaves either the old index
+  // serving, the new one serving, or a state [[recoverPublish]]
+  // (called on entry by every maintenance operation) rolls forward.
+
+  private[graft] val PublishMarker = "_GRAFT_PUBLISH_READY"
+
+  /** Publish a fully-built, guard-passed `<dest>.next` over `dest`:
+    * seal `.next` with the publish marker (the commit point — an
+    * atomic empty-file create), move the old dir aside to
+    * `<dest>.old`, move `.next` in, clean up. Idempotent: every
+    * step re-runs safely, so [[recoverPublish]] IS the tail of this
+    * dance. */
+  def publishDir(spark: SparkSession, dest: String): Unit = {
+    val fs = fsFor(spark, dest)
+    require(fs.exists(new Path(s"$dest.next")),
+      s"nothing staged at $dest.next to publish")
+    fs.create(new Path(s"$dest.next", PublishMarker)).close()
+    recoverPublish(spark, dest)
+  }
+
+  /** Heal any interrupted [[publishDir]] around `dest` — called on
+    * entry by every maintenance operation (refresh / compact /
+    * collect), so "the next maintenance entry restores a serving
+    * index" holds for every crash point of a rebuild:
+    *  - `.next` sealed (marker present): the rebuild COMMITTED —
+    *    roll forward (old aside, next in, old gone);
+    *  - `.next` unsealed: the rebuild died mid-build — discard it,
+    *    the old index was never touched;
+    *  - `dest` missing but `.old` present (a crash between the two
+    *    renames with no sealed `.next` — unreachable through this
+    *    protocol, but external interference happens): restore
+    *    `.old` as the serving index rather than serving nothing. */
+  def recoverPublish(spark: SparkSession, dest: String): Unit = {
+    val fs = fsFor(spark, dest)
+    val destP = new Path(dest)
+    val next = new Path(s"$dest.next")
+    val old = new Path(s"$dest.old")
+    if (fs.exists(next)) {
+      if (fs.exists(new Path(next, PublishMarker))) {
+        if (fs.exists(destP)) {
+          fs.delete(old, true) // stale .old from an older heal
+          fs.rename(destP, old)
+        }
+        fs.rename(next, destP)
+        covMemo.remove(dest) // the new dir starts a fresh coverage log
+      } else fs.delete(next, true) // unsealed build — roll back
+    }
+    if (!fs.exists(destP) && fs.exists(old)) {
+      fs.rename(old, destP)
+      covMemo.remove(dest)
+    }
+    fs.delete(new Path(destP, PublishMarker), false)
+    fs.delete(old, true)
   }
 }

@@ -373,6 +373,36 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** The stream's stable run identity, persisted as
+    * `_graft_run_id` INSIDE the checkpoint dir — so it shares the
+    * checkpoint's fate exactly: a crash/replay through the same
+    * checkpoint reads the same id back ([[idempotentBatchAppend]]'s
+    * republish-the-same-files contract holds), while a fresh or
+    * deleted-and-recreated checkpoint mints a NEW id, putting its
+    * batches in a new file namespace instead of clobbering files an
+    * earlier run published under the restarted batch ids. Created
+    * once, before the query starts (foreachBatch never races it). */
+  private[graft] def ingestRunId(
+      spark: SparkSession, checkpointDir: String): String = {
+    val marker = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_run_id")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.mkdirs(marker.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(
+        checkpointDir, s"._graft_run_id.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      out.write(java.util.UUID.randomUUID.toString
+        .replace("-", "").take(12).getBytes("UTF-8"))
+      out.close()
+      // rename-if-absent: two racing drivers (misconfigured, but
+      // cheap to defend) agree on whichever landed first
+      if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
+    }
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
   /** IDEMPOTENT corpus append for foreachBatch ingest: the batch is
     * staged under a hidden dir, then published as data files with
     * BATCH-ID-DERIVED DETERMINISTIC NAMES (`ingest-b<id>-p<i>`),
@@ -397,17 +427,31 @@ object StreamingOps {
     * the cluster looks like on replay. (Explicit numPartitions also
     * keeps AQE from re-coalescing the exchange.) The index's
     * file-set arithmetic then sees an already-indexed batch as
-    * fully covered and does nothing. */
+    * fully covered and does nothing.
+    *
+    * File names are NAMESPACED BY STREAM RUN (`runId`, from
+    * [[ingestRunId]]): "delete any files a prior delivery left
+    * behind" must mean THIS stream's prior delivery. Batch ids
+    * restart at 0 under a fresh or reset checkpoint, so without the
+    * namespace a new stream pointed at an already-populated corpus
+    * would silently delete another run's `ingest-b0-*` data and
+    * replace it with its own — silent data loss where plain append
+    * merely duplicates. With the namespace, foreign runs' files are
+    * never touched: a re-ingest of the same rows lands as NEW files
+    * and the index layout guards trip LOUDLY on the duplicate ids
+    * instead. */
   private[graft] def idempotentBatchAppend(
       spark: SparkSession,
       batch: DataFrame,
       corpusDir: String,
       batchId: Long,
-      targetRowsPerFile: Long = 1L << 20): Unit = {
+      targetRowsPerFile: Long = 1L << 20,
+      runId: String = ""): Unit = {
     val dir = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ns = if (runId.isEmpty) "" else s"r$runId-"
     val staging = new org.apache.hadoop.fs.Path(
-      corpusDir, s".ingest-staging-b$batchId")
+      corpusDir, s".ingest-staging-${ns}b$batchId")
     fs.delete(staging, true)
     // two passes over the batch (count, then shuffle+write), no
     // materialization: a micro-batch plan re-reads the trigger's own
@@ -417,7 +461,7 @@ object StreamingOps {
       (batch.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     batch.repartition(nParts, batch.columns.map(col): _*)
       .write.mode("overwrite").parquet(staging.toString)
-    val prefix = s"ingest-b$batchId-"
+    val prefix = s"ingest-${ns}b$batchId-"
     fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
       .foreach(st => fs.delete(st.getPath, false))
     val parts = fs.listStatus(staging)
@@ -459,6 +503,7 @@ object StreamingOps {
       maxFilesPerTrigger: Int = 1,
       compactEvery: Int = 16): Unit = {
     import graft.sinks.InvertedIndex
+    val runId = ingestRunId(spark, checkpointDir)
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -466,13 +511,14 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        idempotentBatchAppend(spark, batch.toDF(), corpusDir, batchId)
+        idempotentBatchAppend(spark, batch.toDF(), corpusDir, batchId,
+          runId = runId)
         val idx = new org.apache.hadoop.fs.Path(InvertedIndex.indexPath(corpusDir))
         val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(idx)) InvertedIndex.refresh(spark, corpusDir, textCol, idCol)
         else InvertedIndex.collect(spark, corpusDir, textCol, idCol)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          InvertedIndex.compact(spark, corpusDir)
+          InvertedIndex.compactSmall(spark, corpusDir)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -509,7 +555,7 @@ object StreamingOps {
       compactEvery)(
       bootstrap = IvfIndex.collect(spark, corpusDir, idCol, vecCol, nCells),
       refresh = IvfIndex.refresh(spark, corpusDir, idCol, vecCol),
-      compact = IvfIndex.compact(spark, corpusDir))
+      compact = IvfIndex.compactSmall(spark, corpusDir))
   }
 
   /** PQ sibling of [[streamIngestWithIvfIndex]]: the first batch
@@ -533,7 +579,7 @@ object StreamingOps {
       compactEvery)(
       bootstrap = PqIndex.collect(spark, corpusDir, idCol, vecCol, m, ks),
       refresh = PqIndex.refresh(spark, corpusDir, idCol, vecCol),
-      compact = PqIndex.compact(spark, corpusDir))
+      compact = PqIndex.compactSmall(spark, corpusDir))
   }
 
   /** LSH sibling — the training-free one: maintenance needs only the
@@ -555,7 +601,7 @@ object StreamingOps {
       compactEvery)(
       bootstrap = LshIndex.collect(spark, corpusDir, idCol, vecCol, planes),
       refresh = LshIndex.refresh(spark, corpusDir, idCol, vecCol),
-      compact = LshIndex.compact(spark, corpusDir))
+      compact = LshIndex.compactSmall(spark, corpusDir))
   }
 
   /** The shared streaming-maintenance driver behind the three index
@@ -569,10 +615,15 @@ object StreamingOps {
     * set — so a batch re-delivered after any crash point is either
     * already covered (refresh no-ops) or indexed like any other.
     *
-    * Every `compactEvery`-th batch additionally repacks the sidecar's
-    * per-refresh small-file accumulation (the amortizer the O(delta)
-    * appends need; batchId-keyed, so the cadence is itself stable
-    * under replay). */
+    * Every `compactEvery`-th batch additionally runs the SIZE-TIERED
+    * compaction ([[graft.sinks.SidecarMaintenance.compactSmall]]):
+    * only the per-refresh small-file accumulation is repacked —
+    * O(accumulated deltas) per cadence, never O(sidecar), so on
+    * corpus-scale sidecars (IVF cells / LSH buckets carry full
+    * embeddings; postings are text-scale) the cadence never
+    * schedules a corpus rewrite. BatchId-keyed, so the cadence is
+    * itself stable under replay; the whole-sidecar `compact` stays
+    * available as an explicit offline layout reset. */
   private def streamIngestMaintaining(
       spark: SparkSession,
       landingDir: String,
@@ -585,6 +636,7 @@ object StreamingOps {
       bootstrap: => Unit,
       refresh: => Unit,
       compact: => Unit): Unit = {
+    val runId = ingestRunId(spark, checkpointDir)
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -592,7 +644,8 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        idempotentBatchAppend(spark, batch.toDF(), corpusDir, batchId)
+        idempotentBatchAppend(spark, batch.toDF(), corpusDir, batchId,
+          runId = runId)
         val marker = new org.apache.hadoop.fs.Path(indexMarker)
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(marker)) refresh else bootstrap

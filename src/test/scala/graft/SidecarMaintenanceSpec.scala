@@ -416,10 +416,13 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
       // old code's two 200-row scans would blow through it.
       assert(read <= 8 * 40,
         s"mutating refresh read $read records — should be O(delta)")
-      // torn cache: garbage content must be detected and bypassed.
-      // Clear the in-JVM memo first — this models a NEW driver
-      // process finding only the corrupt on-disk manifest.
-      val out = fs.create(SidecarMaintenance.coveragePath(cellsDir), true)
+      // torn log: a garbage record in the coverage log must be
+      // detected and bypassed. Clear the in-JVM memo first — this
+      // models a NEW driver process finding only the corrupt
+      // on-disk log.
+      val out = fs.create(
+        new Path(SidecarMaintenance.coveragePath(cellsDir), "delta-000000999"),
+        true)
       out.write("garbage with no tabs\nand\ttwo\tmany\n".getBytes("UTF-8"))
       out.close()
       SidecarMaintenance.clearCoverageMemo()
