@@ -979,6 +979,89 @@ object ScaleCheck {
         .truncate(root)
     }
 
+    // SIZE-TIERED compaction: the statement is that the scheduled
+    // amortizer (compactSmall — what the streaming cadences call) is
+    // O(accumulated delta), never O(sidecar). Protocol: bootstrap the
+    // index at 1× and k× corpus, apply the SAME sequence of fixed
+    // delta refreshes to both (identical small-file accumulation),
+    // then measure bytes written by the tiered compact. Flat (~×1)
+    // means the bootstrap-scale sidecar files GRADUATED past the size
+    // threshold and are never repacked — only the accumulated delta
+    // tier is; the r14 whole-sidecar compact measured ~×k here (it
+    // repacked the corpus-scale sidecar every 16 streaming batches).
+    // The threshold is scaled to the fixture (bootstrap cell files
+    // must sit above it, per-delta files below) — production sizing
+    // is ~1/4 target file size; the ASYMPTOTICS are threshold-free.
+    if (only.exists(_.contains("compact_tiered"))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-tiered").toString
+      def ioBytes(f: => Unit): Long = {
+        val w = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              w.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        w.get
+      }
+      def deltaAt(i: Int): DataFrame = embs.limit(500)
+        .withColumn("vec_id", col("vec_id") + lit((i + 1) * 1000000000000L))
+      def prepVec(d: DataFrame, tag: String): String = {
+        val p = s"$root/$tag"
+        d.repartition(8).write.parquet(p)
+        graft.sinks.IvfIndex.collect(spark, p, nCells = 8)
+        graft.sinks.LshIndex.collect(spark, p, planes = 3)
+        (0 until 4).foreach { i =>
+          deltaAt(i).coalesce(1).write.mode("append").parquet(p)
+          graft.sinks.IvfIndex.refresh(spark, p)
+          graft.sinks.LshIndex.refresh(spark, p)
+        }
+        p
+      }
+      val v1 = prepVec(embs, "v1")
+      val vk = prepVec(grow(embs, "vec_id"), "vk")
+      val small = 48L << 10 // fixture-scaled graduation threshold
+      Seq[(String, String => Unit)](
+        ("ivfidx_compact", p =>
+          graft.sinks.IvfIndex.compactSmall(spark, p, smallBytes = small)),
+        ("lshidx_compact", p =>
+          graft.sinks.LshIndex.compactSmall(spark, p, smallBytes = small))
+      ).foreach { case (tag, go) =>
+        val b1 = ioBytes(go(v1))
+        val bk = ioBytes(go(vk))
+        println(f"$tag%-18s bytes written $b1 -> $bk (x${bk.toDouble / math.max(1L, b1)}%.2f, O(accumulated delta) iff ~1)")
+      }
+      // text family: postings sidecar with the same tiered amortizer
+      def prepDocsT(d: DataFrame, tag: String): String = {
+        val p = s"$root/$tag"
+        d.select("doc_id", "text").repartition(8).write.parquet(p)
+        graft.sinks.InvertedIndex.collect(spark, p, "text", "doc_id")
+        (0 until 4).foreach { i =>
+          docs.limit(300)
+            .withColumn("doc_id", col("doc_id") + lit((i + 1) * 1000000000000L))
+            .select("doc_id", "text")
+            .coalesce(1).write.mode("append").parquet(p)
+          graft.sinks.InvertedIndex.refresh(spark, p, "text", "doc_id")
+        }
+        p
+      }
+      val t1 = prepDocsT(docs, "t1")
+      val tk = prepDocsT(grow(docs, "doc_id"), "tk")
+      val ib1 = ioBytes(
+        graft.sinks.InvertedIndex.compactSmall(spark, t1, smallBytes = 96L << 10))
+      val ibk = ioBytes(
+        graft.sinks.InvertedIndex.compactSmall(spark, tk, smallBytes = 96L << 10))
+      println(f"invidx_compact     bytes written $ib1 -> $ibk (x${ibk.toDouble / math.max(1L, ib1)}%.2f, O(accumulated delta) iff ~1)")
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
+
     // The same statement measured THROUGH the streaming driver: land
     // a fixed delta batch into the landing dir, resume the
     // checkpointed stream (AvailableNow picks it up as one
