@@ -192,7 +192,10 @@ object SparkEntry {
     "flow_multi_commit" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-txn-flow").toString
-      val base = dedupBase(s, dir)
+      // each commit consumes its inputs TWICE (fact write + state
+      // recompute) — materialize the shared dedup chain once instead
+      // of re-running the scan+window per consumer
+      val base = dedupBase(s, dir).localCheckpoint(true)
       val trusted = base.where(col("l_orderkey") % 2 === 0)
       val updates = base.where(col("l_orderkey") % 3 === 0)
         .withColumn("l_quantity", col("l_quantity") + 1000)
@@ -205,6 +208,7 @@ object SparkEntry {
       graft.sinks.TxnCommit.commitAll(s,
         Seq((trusted, factPath), (stateOf(trusted), statePath)), s"$root/txn")
       val merged = MergeUpsert.merged(s.read.parquet(factPath), updates)
+        .localCheckpoint(true)
       graft.sinks.TxnCommit.commitAll(s,
         Seq((merged, factPath), (stateOf(merged), statePath)), s"$root/txn")
       val factN = s.read.parquet(factPath).count()
@@ -2108,6 +2112,50 @@ object SparkEntry {
       out
     }),
 
+    // The SALTED-WRITE path, hash-graded (r14 left writeSalt
+    // spec-only): build AND refresh with writeSalt = 4, so every
+    // sidecar commit spreads each cell's write across multiple
+    // tasks — at 100 TB the unsalted form caps write parallelism at
+    // nCells tasks and each bears ~corpus/nCells rows. The in-query
+    // REQUIREs pin that the salt REALLY spread files (> nCells data
+    // files) while the cell-directory layout (and so partition
+    // pruning) survived; exhaustive probes against the brute-force
+    // oracle then grade that salting changed bytes-on-disk layout
+    // only, never results.
+    "ext_ann_ivf_indexed_salted" -> ((s, dir) => {
+      import graft.sinks.{IvfIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfsalt").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      IvfIndex.collect(s, path, nCells = 8, writeSalt = 4)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      IvfIndex.refresh(s, path, writeSalt = 4)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val files = SidecarMaintenance.dataFiles(s, cellsDir)
+      require(files.size > 8,
+        s"salted build+refresh must spread past nCells write tasks " +
+          s"(got ${files.size} files for 8 cells)")
+      val dirs = files.map(f =>
+        new org.apache.hadoop.fs.Path(f).getParent.getName).toSet
+      require(dirs.forall(_.startsWith("__cell=")) && dirs.size == 8,
+        "salting must not disturb the cell-directory layout")
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val res = IvfIndex.topK(s, path, q, k = 10, nProbe = 8)
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") &&
+          !l.replace(" ", "").contains("PartitionFilters:[]") &&
+          l.contains("__cell")),
+        "salted layout must still prune by __cell partition filter")
+      val out = res.localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // APPROXIMATE regime off the PERSISTED index (the
     // ext_ann_ivf_bound epistemics, moved onto the sidecar path):
     // partial probes (8 of 16 cells) against the in-engine exact
@@ -2250,6 +2298,123 @@ object SparkEntry {
       out
     }),
 
+    // CRASH MID-COMPACT, hash-graded — the recover shape at its
+    // worst case: a compaction's commit stages the ENTIRE merged
+    // tier and dooms EVERY file it repacks, so its mid-swap crash
+    // state has the largest staging set and doomed list the protocol
+    // ever produces. Constructed here for real: refresh-accumulated
+    // small files, then the full tiered-compact commit fabricated at
+    // the crash point (all small files journaled doomed, half
+    // already deleted, merged staging sealed). The torn-journal
+    // probe must refuse; the next maintenance entry must roll the
+    // WHOLE repack forward; exhaustive probes after recovery must
+    // equal brute force over the full corpus — any lost or
+    // double-committed row in the all-files swap breaks the hash.
+    "ext_ann_ivf_indexed_compact_recover" -> ((s, dir) => {
+      import graft.sinks.{IvfIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfcrecover").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      IvfIndex.collect(s, path, nCells = 8)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      IvfIndex.refresh(s, path)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // the compact commit at its crash point: every data file
+      // doomed, the whole merged tier staged and sealed
+      val doomed = SidecarMaintenance.dataFiles(s, cellsDir)
+      val staging = SidecarMaintenance.stagingPath(cellsDir)
+      s.read.option("basePath", cellsDir).parquet(doomed: _*)
+        .repartition(col("__cell"))
+        .sortWithinPartitions("__cell", "vec_id")
+        .localCheckpoint(true)
+        .write.partitionBy("__cell").parquet(staging.toString)
+      fs.create(new org.apache.hadoop.fs.Path(
+        staging, SidecarMaintenance.CommitMarker)).close()
+      val jr = fs.create(SidecarMaintenance.journalPath(cellsDir))
+      jr.write(doomed.mkString("\n").getBytes("UTF-8")); jr.close()
+      // the crash interrupted the doomed deletions halfway
+      doomed.take(doomed.size / 2).foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val refused =
+        try { IvfIndex.topK(s, path, q, k = 10, nProbe = 8).count(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("interrupted maintenance journal") }
+      require(refused,
+        "a probe against a crashed compaction journal must refuse loudly")
+      IvfIndex.refresh(s, path) // entry recover() finishes the repack
+      val out = IvfIndex.topK(s, path, q, k = 10, nProbe = 8)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // CRASH MID-PUBLISH of a full REBUILD, hash-graded: the r14
+    // publish (`delete(dest); rename(next, dest)`) had a window
+    // where NO index existed at all. The journaled publish's exact
+    // between-renames state — old index parked at `.old`, fully
+    // built new index sealed at `.next`, nothing serving — is
+    // constructed on disk; the next maintenance entry must roll the
+    // sealed build IN and probes must equal brute force over the
+    // full corpus. The `.next` is a REAL full rebuild (collect into
+    // a scratch table over the same corpus files), so the grade
+    // covers content, not just the directory dance.
+    "ext_ann_ivf_indexed_publish_recover" -> ((s, dir) => {
+      import graft.sinks.{IvfIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfprecover").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      IvfIndex.collect(s, path, nCells = 8)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dest = IvfIndex.cellsPath(path)
+      // stash the v1 index: it becomes the `.old` of the fabricated
+      // crash state (both sides of the dance are REAL indexes)
+      val stash = new org.apache.hadoop.fs.Path(s"$root/v1-stash")
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(dest), fs, stash, false,
+        s.sparkContext.hadoopConfiguration)
+      // the corpus grew and a full REBUILD ran (v2, covers all
+      // files, stale-centroid refresh retired)...
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      IvfIndex.collect(s, path, nCells = 8)
+      // ...and crashed BETWEEN the publish renames: v1 parked at
+      // `.old`, v2 fully built and SEALED at `.next`, NOTHING
+      // serving — the exact window where the r14 delete-then-rename
+      // publish lost the index entirely.
+      require(fs.rename(new org.apache.hadoop.fs.Path(dest),
+        new org.apache.hadoop.fs.Path(s"$dest.next")))
+      fs.create(new org.apache.hadoop.fs.Path(s"$dest.next",
+        SidecarMaintenance.PublishMarker)).close()
+      require(fs.rename(stash, new org.apache.hadoop.fs.Path(s"$dest.old")))
+      require(!fs.exists(new org.apache.hadoop.fs.Path(dest)),
+        "fixture: the no-serving-index window must be real")
+      IvfIndex.refresh(s, path) // heals the publish, then no-op delta
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest.next")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$dest.old")),
+        "recovery must consume the publish leftovers")
+      // if recovery wrongly restored v1 (`.old`), the delta slice is
+      // unindexed and the full-corpus brute-force oracle breaks the
+      // hash; rolling the SEALED v2 forward is the only passing path
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val out = IvfIndex.topK(s, path, q, k = 10, nProbe = 8)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // PQ ANN (codebook train + codegen encode + ADC-scored candidates
     // + exact re-rank; index built inside the query, so the bench
     // number includes codebook training). candidateK = MaxValue
@@ -2310,6 +2475,55 @@ object SparkEntry {
       val out = graft.sinks.LshIndex
         .topK(s, path, q, k = 10, probeRadius = 4)
         .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // EMBEDDING-FREE refs variant of the persisted LSH index:
+    // `_lsh_buckets` duplicates every embedding (2× corpus storage);
+    // `_lsh_refs` stores (file, vec_id, bucket) only and re-reads
+    // candidate vectors from the corpus through ONE column-pruned
+    // join per probe. Build-refresh-probe end-to-end at exhaustive
+    // radius against the brute-force oracle; in-query REQUIREs pin
+    // the three claims — the refs sidecar is a small fraction of the
+    // corpus bytes, the probe still pushes the bucket partition
+    // filter, and the re-rank corpus scan reads ONLY the id+vector
+    // columns (`label` pruned out of its ReadSchema).
+    "ext_ann_lsh_indexed_refs" -> ((s, dir) => {
+      import graft.sinks.LshIndex
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lshrefs").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      LshIndex.collectRefs(s, path, planes = 4)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      LshIndex.refreshRefs(s, path)
+      def dirBytes(p: String): Long = {
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      }
+      val refsBytes = dirBytes(LshIndex.refsPath(path))
+      val corpusBytes = dirBytes(path) - refsBytes
+      require(refsBytes * 2 < corpusBytes,
+        s"refs sidecar ($refsBytes B) must be a small fraction of the " +
+          s"corpus ($corpusBytes B) — the buckets form would be ~1x")
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val res = LshIndex.topKRefs(s, path, q, k = 10, probeRadius = 4)
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") &&
+          !l.replace(" ", "").contains("PartitionFilters:[]") &&
+          l.contains("bucket")),
+        "the refs scan must carry a bucket partition filter")
+      require(plan.linesIterator.exists(l =>
+        l.contains("ReadSchema:") && l.contains("embedding") &&
+          !l.contains("label")),
+        "the re-rank corpus scan must be column-pruned to id+vector")
+      val out = res.localCheckpoint(true)
       new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
         .truncate(root)
       out
@@ -5112,6 +5326,50 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "ext_ann_ivf_indexed_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_indexed_compact_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_indexed_publish_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_indexed_salted" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_lsh_indexed_refs" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

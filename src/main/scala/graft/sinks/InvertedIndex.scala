@@ -215,6 +215,7 @@ object InvertedIndex {
       buckets: Int = 4): Unit = {
     val idx = indexPath(table)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SidecarMaintenance.recoverPublish(spark, idx)
     require(fs.exists(new Path(idx)),
       s"no inverted index at $idx — bootstrap with collect()")
     val plan = SidecarMaintenance.planDelta(spark, idx,

@@ -108,6 +108,10 @@ object IvfIndex {
       vecCol: String = "embedding",
       writeSalt: Int = 1): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a crashed rebuild publish BEFORE the existence check — a
+    // crash between publishDir's renames can leave the index parked
+    // at `.next`/`.old`, and this entry must restore it, not wedge
+    SidecarMaintenance.recoverPublish(spark, cellsPath(table))
     Seq(centroidsPath(table), cellsPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no IVF index at $p — bootstrap with collect()"))

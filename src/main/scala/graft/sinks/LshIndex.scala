@@ -95,6 +95,7 @@ object LshIndex {
       vecCol: String = "embedding",
       writeSalt: Int = 1): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SidecarMaintenance.recoverPublish(spark, bucketsPath(table))
     Seq(metaPath(table), bucketsPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no LSH index at $p — bootstrap with collect()"))
@@ -145,6 +146,150 @@ object LshIndex {
         col(idCol).as("vec_id"), col(vecCol).as("embedding"),
         VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed)
           .as("bucket"))
+
+  // ── embedding-free REFS variant ─────────────────────────────────
+  // `_lsh_buckets` duplicates every embedding into the bucket layout
+  // — 2× corpus storage. The `_lsh_refs` sidecar stores only
+  // (file, vec_id, bucket): index storage shrinks to id+bucket scale
+  // (a few % of corpus), at the cost of one column-pruned corpus
+  // join per probe to re-read the candidate vectors. Same partition
+  // layout, same (planes, seed) model, same O(delta) maintenance
+  // through the shared delta-commit; pick per deployment — buckets
+  // when probes dominate, refs when storage does.
+
+  private[graft] def refsPath(table: String): String = s"$table/_lsh_refs"
+  private[graft] def refsMetaPath(table: String): String =
+    s"${refsPath(table)}/_meta"
+
+  private def saltedRefs(rows: DataFrame, writeSalt: Int): DataFrame =
+    SidecarMaintenance.saltedByPartition(rows, "bucket",
+      Seq("file", "vec_id", "bucket"), writeSalt)
+
+  /** Bootstrap / rebuild of the refs sidecar — [[collect]] minus the
+    * embedding column, same journaled publish. */
+  def collectRefs(
+      spark: SparkSession,
+      table: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      planes: Int = 4,
+      seed: Long = 0L,
+      writeSalt: Int = 1): Unit = {
+    import spark.implicits._
+    require(planes >= 1 && planes <= 12,
+      s"bucket directories number 2^planes; planes=$planes")
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = refsPath(table)
+    SidecarMaintenance.recoverPublish(spark, dest)
+    val next = s"$dest.next"
+    fs.delete(new Path(next), true)
+    saltedRefs(signFiles(spark, table, BloomIndex.dataFilePaths(spark, table),
+        idCol, vecCol, planes, seed).drop("embedding"), writeSalt)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(next)
+    Seq((planes, seed)).toDF("planes", "seed").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$next/_meta")
+    IvfIndex.requireOneRowPerVector(spark.read.parquet(next), onTrip = {
+      fs.delete(new Path(next), true)
+    })
+    SidecarMaintenance.publishDir(spark, dest)
+  }
+
+  private[graft] def readRefsMeta(
+      spark: SparkSession, table: String): (Int, Long) = {
+    val r = spark.read.parquet(refsMetaPath(table)).head()
+    (r.getAs[Int]("planes"), r.getAs[Long]("seed"))
+  }
+
+  /** O(delta) maintenance of the refs sidecar — [[refresh]] on the
+    * embedding-free rows. */
+  def refreshRefs(
+      spark: SparkSession,
+      table: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      writeSalt: Int = 1): Unit = {
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SidecarMaintenance.recoverPublish(spark, refsPath(table))
+    Seq(refsMetaPath(table), refsPath(table)).foreach(p =>
+      require(fs.exists(new Path(p)),
+        s"no LSH refs index at $p — bootstrap with collectRefs()"))
+    val (planes, seed) = readRefsMeta(spark, table)
+    val plan = SidecarMaintenance.planDelta(spark, refsPath(table),
+      BloomIndex.dataFilePaths(spark, table).toSet)
+    val freshSigned =
+      if (plan.fresh.isEmpty) None
+      else {
+        val fa = signFiles(spark, table, plan.fresh, idCol, vecCol,
+            planes, seed).drop("embedding")
+          .localCheckpoint(true)
+        IvfIndex.requireNoVectorClash(fa,
+          SidecarMaintenance.keptRows(spark, refsPath(table), plan))
+        Some(fa)
+      }
+    SidecarMaintenance.applyDelta(spark, refsPath(table), plan,
+      freshSigned, Seq("bucket"), saltedRefs(_, writeSalt))
+  }
+
+  /** Size-tiered amortizer for the refs sidecar. */
+  def compactSmallRefs(
+      spark: SparkSession,
+      table: String,
+      smallBytes: Long = 32L << 20,
+      writeSalt: Int = 1): Unit =
+    SidecarMaintenance.compactSmall(
+      spark, refsPath(table), Seq("bucket"), smallBytes)(
+      saltedRefs(_, writeSalt))
+
+  /** Multi-probe search off the REFS sidecar: the probed bucket set
+    * pushes as a static partition filter exactly as in [[topK]], but
+    * the probe yields candidate IDS only — their vectors come from
+    * ONE column-pruned corpus pass (vec_id + embedding reach the
+    * parquet scan's ReadSchema, nothing else), joined on vec_id.
+    * That join is the storage-for-I/O trade: candidates are the
+    * probed buckets' rows, a corpus FRACTION at partial radius, so
+    * the re-rank reads scale with the probe, not the corpus. */
+  def topKRefs(
+      spark: SparkSession,
+      table: String,
+      queries: DataFrame,
+      k: Int,
+      probeRadius: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    SidecarMaintenance.requireClean(spark, refsPath(table))
+    val (planes, seed) = readRefsMeta(spark, table)
+    require(probeRadius >= 0 && probeRadius <= planes,
+      s"probeRadius ($probeRadius) must be in [0, planes=$planes]")
+    val masks = (0 until (1 << planes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
+    val probes = expr(
+      s"transform(array(${masks.mkString(",")}), m -> sig0 ^ CAST(m AS BIGINT))")
+    val q = queries
+      .withColumn("sig0",
+        VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed))
+      .withColumn("bucket", explode(probes))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("bucket"))
+      .localCheckpoint(true)
+    val probedBuckets = q.select("bucket").distinct()
+      .collect().map(_.getLong(0).toInt)
+    val candidates = spark.read.parquet(refsPath(table))
+      .where(col("bucket").isin(probedBuckets: _*))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"))
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .select("q_id", "q_vec", "neighbor_id")
+    val corpus = spark.read.parquet(table)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = candidates.join(corpus, Seq("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .select(col("q_id"), col("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
+  }
 
   /** Multi-probe search off the persisted buckets: each query probes
     * every bucket within Hamming radius `probeRadius` of its home

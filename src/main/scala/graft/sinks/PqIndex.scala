@@ -111,6 +111,7 @@ object PqIndex {
       vecCol: String = "embedding",
       buckets: Int = 4): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SidecarMaintenance.recoverPublish(spark, codesPath(table))
     Seq(codebooksPath(table), codesPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no PQ index at $p — bootstrap with collect()"))

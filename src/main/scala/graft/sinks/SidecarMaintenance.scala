@@ -515,6 +515,7 @@ object SidecarMaintenance {
       minFiles: Int = 2)(
       layout: DataFrame => DataFrame): Unit = {
     recover(spark, dir)
+    if (!fsFor(spark, dir).exists(new Path(dir))) return
     val small = dataFileSizes(spark, dir)
       .filter(_._2 < smallBytes).map(_._1)
     if (small.size < minFiles) return

@@ -131,4 +131,64 @@ class LshIndexSpec extends AnyFunSuite {
         .count() === 6L)
     }
   }
+
+  // ── embedding-free refs variant ─────────────────────────────────
+
+  test("refs variant: exhaustive-radius topKRefs equals brute force after build + refresh") {
+    withTable() { path =>
+      LshIndex.collectRefs(spark, path, planes = 4)
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 200 && col("vec_id") < 240)
+        .coalesce(1).write.mode("append").parquet(path)
+      LshIndex.refreshRefs(spark, path)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 5)
+      val refs = ranks(LshIndex.topKRefs(spark, path, queries,
+        k = 10, probeRadius = 4))
+      val brute = ranks(SimilaritySearch.bruteForceTopK(
+        queries, spark.read.parquet(path), k = 10))
+      assert(refs === brute)
+    }
+  }
+
+  test("refs sidecar stores NO embeddings: a small fraction of the buckets form's bytes") {
+    withTable() { path =>
+      LshIndex.collect(spark, path, planes = 4)
+      LshIndex.collectRefs(spark, path, planes = 4)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def bytes(p: String): Long = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(p)).getLength
+      val buckets = bytes(LshIndex.bucketsPath(path))
+      val refs = bytes(LshIndex.refsPath(path))
+      assert(refs * 2 < buckets,
+        s"refs ($refs B) should be well under half the buckets form ($buckets B)")
+      // same schema minus the vector column
+      assert(!spark.read.parquet(LshIndex.refsPath(path))
+        .columns.contains("embedding"))
+      // and both answer identically
+      val queries = spark.read.parquet(path).where(col("vec_id") < 5)
+      assert(
+        ranks(LshIndex.topKRefs(spark, path, queries, k = 10, probeRadius = 4))
+          === ranks(LshIndex.topK(spark, path, queries, k = 10, probeRadius = 4)))
+    }
+  }
+
+  test("refs probes prune by bucket partition AND column-prune the re-rank corpus scan") {
+    withTable() { path =>
+      LshIndex.collectRefs(spark, path, planes = 4)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 2)
+        .localCheckpoint(true)
+      val res = LshIndex.topKRefs(spark, path, queries, k = 3, probeRadius = 0)
+      val plan = res.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") &&
+          !l.replace(" ", "").contains("PartitionFilters:[]") &&
+          l.contains("bucket")),
+        "the refs scan must push the probed buckets as a partition filter")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("ReadSchema:") && l.contains("embedding") &&
+          !l.contains("label")),
+        "the corpus re-rank scan must not read unused columns")
+    }
+  }
 }

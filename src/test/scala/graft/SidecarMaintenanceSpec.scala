@@ -490,4 +490,117 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
       assert(spark.read.parquet(cellsDir).count() === 180L)
     }
   }
+
+  test("compactSmall repacks ONLY sub-threshold files; graduated files stay byte-identical") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 2)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = fsOf(cellsDir)
+      val bootstrap = fileSig(cellsDir)
+      // threshold right below the smallest bootstrap file: bootstrap
+      // files are GRADUATED tiers, the delta accumulation is not
+      val threshold = bootstrap.values.min
+      (0 until 4).foreach { i =>
+        SparkEntry.tbl(spark, sf, "embeddings")
+          .where(col("vec_id") >= 200 + i * 10 && col("vec_id") < 210 + i * 10)
+          .coalesce(1).write.mode("append").parquet(path)
+        IvfIndex.refresh(spark, path)
+      }
+      val accumulated = fileSig(cellsDir)
+      assert(accumulated.filterNot(kv => bootstrap.contains(kv._1))
+        .values.forall(_ < threshold),
+        "fixture: the delta accumulation must sit below the threshold")
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+        .localCheckpoint(true)
+      val served = ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 2))
+      IvfIndex.compactSmall(spark, path, smallBytes = threshold)
+      val after = fileSig(cellsDir)
+      // graduated files: untouched, byte-identical, same paths
+      bootstrap.foreach { case (f, len) =>
+        assert(after.get(f).contains(len),
+          s"graduated (above-threshold) file $f was rewritten") }
+      // the accumulation: merged away
+      assert(after.size < accumulated.size,
+        "the small tier must have been merged")
+      assert(accumulated.filterNot(kv => bootstrap.contains(kv._1))
+        .keys.forall(!after.contains(_)),
+        "pre-merge small files must be gone")
+      assert(spark.read.parquet(cellsDir).count() === 240L)
+      assert(ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 2))
+        === served)
+      // below minFiles the tiered compact is a no-op (nothing worth
+      // merging) — the cadence can call it unconditionally
+      val sig = fileSig(cellsDir)
+      SidecarMaintenance.compactSmall(spark, cellsDir, Seq("__cell"),
+        smallBytes = threshold, minFiles = 1000)(identity)
+      assert(fileSig(cellsDir) === sig)
+    }
+  }
+
+  // ── coverage log: O(commit) manifest maintenance (#2 r15) ───────
+
+  test("a delta commit APPENDS one O(commit) coverage record; existing log records are untouched") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      IvfIndex.refresh(spark, path) // heals -> base snapshot written
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = fsOf(cellsDir)
+      val covDir = SidecarMaintenance.coveragePath(cellsDir)
+      def logRecs: Map[String, Long] =
+        fs.listStatus(covDir).map(s => s.getPath.getName -> s.getLen).toMap
+      val before = logRecs
+      assert(before.keys.exists(_.startsWith("base-")), "heal writes a base")
+      // one fixed small delta commit
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 200 && col("vec_id") < 210)
+        .coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refresh(spark, path)
+      val after = logRecs
+      before.foreach { case (n, len) =>
+        assert(after.get(n).contains(len),
+          s"commit rewrote pre-existing log record $n — must be append-only") }
+      val added = after.keySet -- before.keySet
+      assert(added.size === 1 && added.head.startsWith("delta-"),
+        s"one delta record expected, got $added")
+      // O(commit): a 10-vector / <=4-cell commit is a handful of
+      // lines, regardless of how many corpus files the sidecar
+      // covers — the r14 form rewrote the full corpus-file-count
+      // manifest here
+      assert(after(added.head) < 2048,
+        s"coverage record is ${after(added.head)}B — not O(commit)")
+      // and the log still plans exactly: the next no-op refresh
+      // reads zero records
+      IvfIndex.refresh(spark, path)
+      assert(spark.read.parquet(cellsDir).count() === 210L)
+    }
+  }
+
+  test("coverage log folds into a fresh base at the checkpoint cadence; plans survive a fresh JVM") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      IvfIndex.refresh(spark, path)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = fsOf(cellsDir)
+      // several delta commits accumulate delta records
+      (0 until 3).foreach { i =>
+        SparkEntry.tbl(spark, sf, "embeddings")
+          .where(col("vec_id") >= 200 + i * 10 && col("vec_id") < 210 + i * 10)
+          .coalesce(1).write.mode("append").parquet(path)
+        IvfIndex.refresh(spark, path)
+      }
+      // fresh JVM: only the on-disk log to go on — the disk load
+      // must fold base+deltas and validate against the real listing
+      SidecarMaintenance.clearCoverageMemo()
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 300 && col("vec_id") < 310)
+        .coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refresh(spark, path)
+      assert(spark.read.parquet(cellsDir).count() === 240L)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+      val brute = ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+        queries, spark.read.parquet(path), k = 5))
+      assert(ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+        === brute)
+    }
+  }
 }
