@@ -183,4 +183,60 @@ class StreamReplaySpec extends AnyFunSuite {
     } finally new graft.core.LakeStorage(
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
+
+  // ── run-id namespacing: a fresh checkpoint must not clobber ─────
+
+  test("ingestRunId: stable across the checkpoint's lifetime, fresh after a checkpoint reset") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-runid").toString
+    try {
+      val ckpt = s"$root/ckpt"
+      val id1 = StreamingOps.ingestRunId(spark, ckpt)
+      assert(id1.nonEmpty)
+      assert(StreamingOps.ingestRunId(spark, ckpt) === id1,
+        "same checkpoint must read the same run id back (replay contract)")
+      // checkpoint reset: the id file dies with the checkpoint
+      fsOf(ckpt).delete(new Path(ckpt), true)
+      val id2 = StreamingOps.ingestRunId(spark, ckpt)
+      assert(id2 !== id1,
+        "a reset checkpoint restarts batch ids at 0 — it MUST get a new namespace")
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  test("a NEW stream's batch 0 must not delete a previous run's batch-0 corpus files") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-runid-clobber").toString
+    val corpus = s"$root/corpus"
+    try {
+      // run A lands its batch 0
+      val batchA = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 50).localCheckpoint(true)
+      StreamingOps.idempotentBatchAppend(spark, batchA, corpus,
+        batchId = 0L, runId = "runa")
+      val aFiles = SidecarMaintenance.dataFiles(spark, corpus)
+      assert(spark.read.parquet(corpus).count() === 50L)
+      // a NEW stream (fresh checkpoint → new run id) points at the
+      // SAME corpus; Spark restarts its batch ids at 0. Before the
+      // namespace fix, this delivery deleted runa's ingest-b0 files
+      // and silently replaced 50 rows with 30.
+      val batchB = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 50 && col("vec_id") < 80)
+        .localCheckpoint(true)
+      StreamingOps.idempotentBatchAppend(spark, batchB, corpus,
+        batchId = 0L, runId = "runb")
+      val after = SidecarMaintenance.dataFiles(spark, corpus)
+      assert(aFiles.forall(after.contains),
+        "run A's files must survive run B's batch 0 — foreign namespaces are never touched")
+      assert(spark.read.parquet(corpus).count() === 80L,
+        "both runs' rows must coexist")
+      // run B replaying ITS OWN batch 0 still converges (same names)
+      StreamingOps.idempotentBatchAppend(spark, batchB.repartition(5), corpus,
+        batchId = 0L, runId = "runb")
+      assert(SidecarMaintenance.dataFiles(spark, corpus).toSet === after.toSet,
+        "replay within one run must republish the same file set")
+      assert(spark.read.parquet(corpus).count() === 80L)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
 }
