@@ -995,21 +995,25 @@ object ScaleCheck {
     if (only.exists(_.contains("compact_tiered"))) {
       val root = java.nio.file.Files
         .createTempDirectory("graft-scale-tiered").toString
-      def ioBytes(f: => Unit): Long = {
+      def compactIo(f: => Unit): (Long, Long) = {
         val w = new java.util.concurrent.atomic.AtomicLong
+        val r = new java.util.concurrent.atomic.AtomicLong
         val l = new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
               t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (t.taskMetrics != null)
+            if (t.taskMetrics != null) {
               w.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
+              r.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+            }
         }
         spark.sparkContext.addSparkListener(l)
         try {
           f
           org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
         } finally spark.sparkContext.removeSparkListener(l)
-        w.get
+        (w.get, r.get)
       }
+      def ioBytes(f: => Unit): Long = compactIo(f)._1
       def deltaAt(i: Int): DataFrame = embs.limit(500)
         .withColumn("vec_id", col("vec_id") + lit((i + 1) * 1000000000000L))
       def prepVec(d: DataFrame, tag: String): String = {
@@ -1033,9 +1037,10 @@ object ScaleCheck {
         ("lshidx_compact", p =>
           graft.sinks.LshIndex.compactSmall(spark, p, smallBytes = small))
       ).foreach { case (tag, go) =>
-        val b1 = ioBytes(go(v1))
-        val bk = ioBytes(go(vk))
+        val (b1, r1) = compactIo(go(v1))
+        val (bk, rk) = compactIo(go(vk))
         println(f"$tag%-18s bytes written $b1 -> $bk (x${bk.toDouble / math.max(1L, b1)}%.2f, O(accumulated delta) iff ~1)")
+        println(f"$tag%-18s records read  $r1 -> $rk (x${rk.toDouble / math.max(1L, r1)}%.2f, O(accumulated delta) iff ~1)")
       }
       // text family: postings sidecar with the same tiered amortizer
       def prepDocsT(d: DataFrame, tag: String): String = {
