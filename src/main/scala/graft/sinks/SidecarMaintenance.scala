@@ -494,19 +494,25 @@ object SidecarMaintenance {
   }
 
   /** SIZE-TIERED compaction — the scheduled amortizer for
-    * [[commitDelta]]'s small-file growth: repack ONLY the sidecar
-    * files below `smallBytes` (the accumulation of recent delta
-    * commits), through the same journaled commit; files that have
-    * graduated past the threshold are never touched again. Cost is
+    * [[commitDelta]]'s small-file growth: repack ONLY sidecar files
+    * below `smallBytes` (the accumulation of recent delta commits),
+    * through the same journaled commit; files that have graduated
+    * past the threshold are never touched again. Cost is
     * O(accumulated small files), NOT O(sidecar) — on a corpus-scale
     * sidecar (IVF cells / LSH buckets carry full embeddings) that is
     * the difference between a streaming cadence and a scheduled
-    * corpus rewrite. A merged file still below the threshold simply
-    * joins the next tier round; each byte is repacked O(threshold /
-    * commit-size) times before graduating, amortized constant per
-    * graduation tier. No-op below `minFiles` small files (nothing
-    * worth merging). Production sizing: `smallBytes` ≈ a quarter of
-    * the target sidecar file size. */
+    * corpus rewrite.
+    *
+    * Within the small set, files merge by GEOMETRIC SIZE CLASS
+    * (factor-4 buckets on the byte length, the LSM discipline): a
+    * class is repacked only once it holds `minFiles` files, and the
+    * merged output lands ~`minFiles`× heavier — one or two classes
+    * up — so each byte is re-merged only O(log(threshold /
+    * commit-size)) times before graduating, not O(threshold /
+    * commit-size) as a flat re-merge-everything-small rule would
+    * cost. A sub-threshold merged file with no same-class peers
+    * just WAITS; it is never churned solo. Production sizing:
+    * `smallBytes` ≈ a quarter of the target sidecar file size. */
   def compactSmall(
       spark: SparkSession,
       dir: String,
@@ -516,11 +522,18 @@ object SidecarMaintenance {
       layout: DataFrame => DataFrame): Unit = {
     recover(spark, dir)
     if (!fsFor(spark, dir).exists(new Path(dir))) return
-    val small = dataFileSizes(spark, dir)
-      .filter(_._2 < smallBytes).map(_._1)
-    if (small.size < minFiles) return
-    val rows = spark.read.option("basePath", dir).parquet(small: _*)
-    commitDelta(spark, dir, Some(layout(rows)), small, partCols)
+    // factor-4 size class: floor(log4(len)). Files within 4x of each
+    // other merge together; singleton classes wait for peers.
+    def sizeClass(len: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, len))) / 2
+    val victims = dataFileSizes(spark, dir)
+      .filter(_._2 < smallBytes)
+      .groupBy(f => sizeClass(f._2))
+      .values.filter(_.size >= minFiles)
+      .flatten.map(_._1).toSeq.sorted
+    if (victims.isEmpty) return
+    val rows = spark.read.option("basePath", dir).parquet(victims: _*)
+    commitDelta(spark, dir, Some(layout(rows)), victims, partCols)
   }
 
   private def finishSwap(fs: FileSystem, dir: String): Unit = {
