@@ -1165,7 +1165,8 @@ object SparkEntry {
       val corpus = s"$root/vectors"
       graft.streaming.StreamingOps.streamIngestWithPqIndex(
         s, landing, s.read.parquet(landing).schema, corpus,
-        s"$root/ckpt", m = 8, ks = 16, maxFilesPerTrigger = 2)
+        s"$root/ckpt", m = 8, ks = 16, maxFilesPerTrigger = 1,
+        compactEvery = 2)
       val q = s.read.parquet(corpus).where(col("vec_id") < 5)
       val out = graft.sinks.PqIndex
         .topK(s, corpus, q, k = 10, candidateK = Int.MaxValue)
