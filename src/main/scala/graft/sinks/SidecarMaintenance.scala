@@ -504,15 +504,19 @@ object SidecarMaintenance {
     * corpus rewrite.
     *
     * Within the small set, files merge by GEOMETRIC SIZE CLASS
-    * (factor-4 buckets on the byte length, the LSM discipline): a
-    * class is repacked only once it holds `minFiles` files, and the
-    * merged output lands ~`minFiles`× heavier — one or two classes
-    * up — so each byte is re-merged only O(log(threshold /
-    * commit-size)) times before graduating, not O(threshold /
-    * commit-size) as a flat re-merge-everything-small rule would
-    * cost. A sub-threshold merged file with no same-class peers
-    * just WAITS; it is never churned solo. Production sizing:
-    * `smallBytes` ≈ a quarter of the target sidecar file size. */
+    * (factor-2 buckets on the byte length, the LSM discipline),
+    * grouped PER PARTITION DIRECTORY — the layout writes merged rows
+    * back one file per partition value, so only same-directory peers
+    * actually combine into one output file. A (dir, class) group is
+    * repacked only once it holds `minFiles` (≥ 2) files; merging n ≥
+    * 2 files of class i (each ≥ 2^i bytes) yields ≥ 2^(i+1) — AT
+    * LEAST one class up, guaranteed — so each byte is re-merged only
+    * O(log(threshold / commit-size)) times before graduating, not
+    * O(threshold / commit-size) as a flat re-merge-everything-small
+    * rule would cost. A sub-threshold merged file with no same-class
+    * same-dir peers just WAITS; it is never churned solo. Production
+    * sizing: `smallBytes` ≈ a quarter of the target sidecar file
+    * size. */
   def compactSmall(
       spark: SparkSession,
       dir: String,
@@ -522,13 +526,16 @@ object SidecarMaintenance {
       layout: DataFrame => DataFrame): Unit = {
     recover(spark, dir)
     if (!fsFor(spark, dir).exists(new Path(dir))) return
-    // factor-4 size class: floor(log4(len)). Files within 4x of each
-    // other merge together; singleton classes wait for peers.
+    require(minFiles >= 2, s"minFiles ($minFiles) must be >= 2 — the " +
+      "class-promotion guarantee needs at least two same-class inputs")
+    // factor-2 size class: floor(log2(len)); promotion-safe with
+    // minFiles >= 2 (two class-i files sum past the class boundary)
     def sizeClass(len: Long): Int =
-      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, len))) / 2
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, len))
     val victims = dataFileSizes(spark, dir)
       .filter(_._2 < smallBytes)
-      .groupBy(f => sizeClass(f._2))
+      .groupBy { case (f, len) =>
+        (new Path(f).getParent.toString, sizeClass(len)) }
       .values.filter(_.size >= minFiles)
       .flatten.map(_._1).toSeq.sorted
     if (victims.isEmpty) return
