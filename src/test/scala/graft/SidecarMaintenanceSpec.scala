@@ -534,6 +534,14 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
       SidecarMaintenance.compactSmall(spark, cellsDir, Seq("__cell"),
         smallBytes = threshold, minFiles = 1000)(identity)
       assert(fileSig(cellsDir) === sig)
+      // NO-CHURN: immediately re-running the tiered compact with the
+      // default settings must also no-op — each cell's merged file is
+      // the only member of its (dir, class) group, and the LSM rule
+      // never repacks a solo file. Without this property the cadence
+      // rewrites the same sub-threshold bytes every interval.
+      IvfIndex.compactSmall(spark, path, smallBytes = threshold)
+      assert(fileSig(cellsDir) === sig,
+        "re-running compactSmall with no new deltas must be a no-op")
     }
   }
 
