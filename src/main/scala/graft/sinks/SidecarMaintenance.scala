@@ -70,7 +70,14 @@ object SidecarMaintenance {
     n.contains("=") || (!n.startsWith("_") && !n.startsWith("."))
   }
 
+  // test hook: per-root counter of recursive walks, so specs can pin
+  // "this operation never lists the sidecar" (the steady-state
+  // contract of [[planDelta]] and [[compactSmall]])
+  private[graft] val walkCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def walkStatuses(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    walkCounts.merge(root.toString, 1L, (a, b) => a + b)
     def walk(p: Path): Seq[FileStatus] =
       fs.listStatus(p).toSeq.filter(s => visible(s.getPath)).flatMap { s =>
         if (s.isDirectory) walk(s.getPath) else Seq(s)
@@ -84,7 +91,8 @@ object SidecarMaintenance {
       .map(_.getPath.toString).sorted
 
   /** (path, length) of every visible data file under `dir` — the
-    * size-tier selector for [[compactSmall]]. */
+    * FALLBACK size-tier selector for [[compactSmall]] (steady state
+    * reads sizes from the coverage log instead). */
   def dataFileSizes(spark: SparkSession, dir: String): Seq[(String, Long)] =
     walkStatuses(fsFor(spark, dir), new Path(dir))
       .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
@@ -121,18 +129,19 @@ object SidecarMaintenance {
     val doomedRel = doomed.map(relPath(dir, _))
     val stagedFiles = walkStatuses(fs, staging)
       .map(_.getPath.toString).filterNot(_.endsWith(CommitMarker))
-    val stagedPairs: Array[(String, String)] =
+    val stagedPairs: Array[(String, String, Long)] =
       if (stagedFiles.isEmpty) Array.empty
       else spark.read.option("basePath", staging.toString)
         .parquet(stagedFiles: _*)
-        .select(col("file"), col("_metadata.file_path").as("__sfile"))
-        .distinct().as[(String, String)].collect()
-        .map { case (c, sf) => (c, relPath(staging.toString, sf)) }
+        .select(col("file"), col("_metadata.file_path").as("__sfile"),
+          col("_metadata.file_size").as("__slen"))
+        .distinct().as[(String, String, Long)].collect()
+        .map { case (c, sf, len) => (c, relPath(staging.toString, sf), len) }
     val seq = nextSeq(fs, dir)
     val covOut = fs.create(new Path(staging, f"$CovDeltaPrefix$seq%09d"))
     covOut.write((
       doomedRel.map(r => s"-\t$r") ++
-        stagedPairs.map { case (c, r) => s"+\t$c\t$r" })
+        stagedPairs.map { case (c, r, len) => s"+\t$c\t$r\t$len" })
       .mkString("\n").getBytes("UTF-8"))
     covOut.close()
     // journal BEFORE marker: the journal write is multi-byte and not
@@ -178,14 +187,15 @@ object SidecarMaintenance {
       dir: String,
       current: Set[String]): DeltaPlan = {
     recover(spark, dir)
-    val pairs = readCoverage(spark, dir).getOrElse {
+    val triples = readCoverage(spark, dir).getOrElse {
       // heal LAZILY: bootstrap and out-of-band rewrites don't pay an
       // extra scan — the first refresh after them does this one
       // fallback scan and every refresh from then on plans for free
       val scanned = scanPairs(spark, dir) // relative sidecar paths
       checkpointCoverage(spark, dir, scanned)
-      scanned.map { case (c, r) => (c, s"$dir/$r") }
+      scanned
     }
+    val pairs = triples.map { case (c, r, _) => (c, s"$dir/$r") }
     val indexed = pairs.map(_._1).toSet
     DeltaPlan(pairs, indexed -- current, (current -- indexed).toSeq.sorted)
   }
@@ -196,11 +206,16 @@ object SidecarMaintenance {
   // from delta-sized reads instead of scanning the sidecar's `file`
   // column — and so each COMMIT appends one O(commit) delta record
   // instead of rewriting an O(corpus-file-count) manifest (the r14
-  // form's residual driver term). Layout under `_coverage/`:
-  //   base-<seq>   full snapshot of the map as of commit <seq>
+  // form's residual driver term). Records also carry each sidecar
+  // file's BYTE LENGTH, so [[compactSmall]]'s size-tier victim
+  // selection reads the (memoized) map instead of a recursive
+  // listing — the cadence path does zero O(file-count) driver work.
+  // Layout under `_coverage/`:
+  //   base-<seq>   full snapshot of the map as of commit <seq>,
+  //                lines `<corpus>\t<sidecarRel>\t<bytes>`
   //   delta-<seq>  one commit's record: `-\t<sidecarRel>` drops
   //                every pair carried by that sidecar file,
-  //                `+\t<corpus>\t<sidecarRel>` adds a pair
+  //                `+\t<corpus>\t<sidecarRel>\t<bytes>` adds a pair
   // Current map = latest base + every delta with seq > its seq, in
   // order. Delta records ride INSIDE the journaled commit window
   // (staged before the marker, moved in by finishSwap), so under the
@@ -229,14 +244,15 @@ object SidecarMaintenance {
   }
 
   private def scanPairs(
-      spark: SparkSession, dir: String): Array[(String, String)] = {
+      spark: SparkSession, dir: String): Array[(String, String, Long)] = {
     import spark.implicits._
     val files = dataFiles(spark, dir)
     if (files.isEmpty) return Array.empty
     spark.read.option("basePath", dir).parquet(files: _*)
-      .select(col("file"), col("_metadata.file_path").as("__sfile"))
-      .distinct().as[(String, String)].collect()
-      .map { case (c, sf) => (c, relPath(dir, sf)) }
+      .select(col("file"), col("_metadata.file_path").as("__sfile"),
+        col("_metadata.file_size").as("__slen"))
+      .distinct().as[(String, String, Long)].collect()
+      .map { case (c, sf, len) => (c, relPath(dir, sf), len) }
   }
 
   /** The coverage log's records: (seq, isBase, path), sorted by seq. */
@@ -271,7 +287,7 @@ object SidecarMaintenance {
   // disk load, which re-validates against the full file listing.
   private val covMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Array[(String, String)])]()
+      String, (String, Array[(String, String, Long)])]()
 
   /** Test hook: simulate a fresh driver JVM (memo empty, only the
     * on-disk log to go on). */
@@ -281,7 +297,7 @@ object SidecarMaintenance {
       fs: FileSystem,
       dir: String,
       doomedRel: Set[String],
-      stagedPairs: Array[(String, String)]): Unit = {
+      stagedPairs: Array[(String, String, Long)]): Unit = {
     val memo = covMemo.get(dir)
     if (memo == null) return // next planDelta loads + validates from disk
     val pairs = memo._2.filterNot(p => doomedRel(p._2)) ++ stagedPairs
@@ -292,15 +308,18 @@ object SidecarMaintenance {
     }
   }
 
+  /** The coverage map as (corpus, sidecarRel, sidecarBytes) triples,
+    * or None when the log is absent/torn/stale (caller heals with a
+    * scan). */
   private def readCoverage(
-      spark: SparkSession, dir: String): Option[Array[(String, String)]] = {
+      spark: SparkSession,
+      dir: String): Option[Array[(String, String, Long)]] = {
     val fs = fsFor(spark, dir)
     val recs = covRecords(fs, dir)
     if (recs.isEmpty) return None
     val sig = covSignature(recs)
     val memo = covMemo.get(dir)
-    if (memo != null && memo._1 == sig)
-      return Some(memo._2.map { case (c, r) => (c, s"$dir/$r") })
+    if (memo != null && memo._1 == sig) return Some(memo._2)
     // disk load: fold base + deltas, then validate the resulting
     // sidecar file set against the actual listing — the one place
     // the full listing still runs (once per JVM per sidecar, or
@@ -315,10 +334,15 @@ object SidecarMaintenance {
       finally in.close()
     }
     try {
-      var pairs = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      var pairs =
+        scala.collection.mutable.LinkedHashSet.empty[(String, String, Long)]
       lines(basePath).foreach { l =>
         l.split("\t") match {
-          case Array(c, r) => pairs += ((c, r))
+          case Array(c, r, len) =>
+            len.toLongOption match {
+              case Some(n) => pairs += ((c, r, n))
+              case None => return None // torn base
+            }
           case _ => return None // torn base
         }
       }
@@ -326,16 +350,24 @@ object SidecarMaintenance {
         lines(p).foreach { l =>
           l.split("\t") match {
             case Array("-", r) => pairs = pairs.filterNot(_._2 == r)
-            case Array("+", c, r) => pairs += ((c, r))
+            case Array("+", c, r, len) =>
+              len.toLongOption match {
+                case Some(n) => pairs += ((c, r, n))
+                case None => return None // torn delta
+              }
             case _ => return None // torn delta
           }
         }
       }
       val arr = pairs.toArray
-      val actual = dataFiles(spark, dir).map(relPath(dir, _)).toSet
-      if (arr.map(_._2).toSet == actual) {
+      // validate against the real listing — sidecar file SET and
+      // LENGTHS both (an out-of-band rewrite that kept a name but
+      // changed bytes also invalidates)
+      val actual = dataFileSizes(spark, dir)
+        .map { case (f, len) => (relPath(dir, f), len) }.toSet
+      if (arr.map(t => (t._2, t._3)).toSet == actual) {
         covMemo.put(dir, (sig, arr))
-        Some(arr.map { case (c, r) => (c, s"$dir/$r") })
+        Some(arr)
       } else None
     } catch { case _: java.io.IOException => None }
   }
@@ -348,16 +380,16 @@ object SidecarMaintenance {
     * sidecar paths (normalized here). */
   private def checkpointCoverage(
       spark: SparkSession, dir: String,
-      pairs: Array[(String, String)]): Unit = {
+      pairs: Array[(String, String, Long)]): Unit = {
     val fs = fsFor(spark, dir)
-    val rel = pairs.map { case (c, f) => (c, relPath(dir, f)) }
+    val rel = pairs.map { case (c, f, len) => (c, relPath(dir, f), len) }
     val recs = covRecords(fs, dir)
     val seqNow = (recs.map(_._1) :+ 0L).max
     val cp = coveragePath(dir)
     fs.mkdirs(cp)
     val tmp = new Path(cp, f".base-$seqNow%09d.tmp")
     val out = fs.create(tmp, true)
-    out.write(rel.map(p => p._1 + "\t" + p._2).mkString("\n")
+    out.write(rel.map(p => p._1 + "\t" + p._2 + "\t" + p._3).mkString("\n")
       .getBytes("UTF-8"))
     out.close()
     val dest = new Path(cp, f"base-$seqNow%09d")
@@ -516,7 +548,13 @@ object SidecarMaintenance {
     * rule would cost. A sub-threshold merged file with no same-class
     * same-dir peers just WAITS; it is never churned solo. Production
     * sizing: `smallBytes` ≈ a quarter of the target sidecar file
-    * size. */
+    * size.
+    *
+    * Driver cost: victim selection reads file sizes from the
+    * (memoized) coverage log — O(commits since the last checkpoint)
+    * of `_coverage` listing, no recursive sidecar walk — so the
+    * streaming cadence never pays O(file-count) driver work even on
+    * a million-file sidecar. */
   def compactSmall(
       spark: SparkSession,
       dir: String,
@@ -532,7 +570,15 @@ object SidecarMaintenance {
     // minFiles >= 2 (two class-i files sum past the class boundary)
     def sizeClass(len: Long): Int =
       63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, len))
-    val victims = dataFileSizes(spark, dir)
+    // sizes come from the coverage log (memoized — ZERO listing work
+    // on the steady-state cadence path); a recursive walk only when
+    // the log is absent/stale (e.g. right after a full rebuild),
+    // which the first refresh heals
+    val sizes = readCoverage(spark, dir)
+      .map(_.map { case (_, r, len) => (s"$dir/$r", len) }
+        .distinct.toSeq.sortBy(_._1))
+      .getOrElse(dataFileSizes(spark, dir))
+    val victims = sizes
       .filter(_._2 < smallBytes)
       .groupBy { case (f, len) =>
         (new Path(f).getParent.toString, sizeClass(len)) }

@@ -545,6 +545,39 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("steady-state compactSmall selects victims from the coverage log — ZERO sidecar listings") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 2)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val threshold = fileSig(cellsDir).values.min
+      (0 until 3).foreach { i =>
+        SparkEntry.tbl(spark, sf, "embeddings")
+          .where(col("vec_id") >= 200 + i * 10 && col("vec_id") < 210 + i * 10)
+          .coalesce(1).write.mode("append").parquet(path)
+        IvfIndex.refresh(spark, path) // commits keep the coverage memo warm
+      }
+      val nBefore = SidecarMaintenance.dataFiles(spark, cellsDir).size
+      def walks: Long = {
+        val v = SidecarMaintenance.walkCounts.get(cellsDir)
+        if (v == null) 0L else v.longValue()
+      }
+      val w0 = walks
+      IvfIndex.compactSmall(spark, path, smallBytes = threshold)
+      val w1 = walks
+      // the compact MERGED something...
+      assert(SidecarMaintenance.dataFiles(spark, cellsDir).size < nBefore,
+        "fixture: the tiered compact must have had small files to merge")
+      // ...yet never recursively listed the sidecar: sizes came from
+      // the memoized coverage log. On a million-file sidecar this is
+      // the difference between an O(commits) and an O(file-count)
+      // cadence tick (staging-dir walks key separately and are
+      // delta-sized).
+      assert(w1 === w0,
+        s"compactSmall listed the sidecar dir ${w1 - w0} times — " +
+          "victim selection must come from the coverage log")
+    }
+  }
+
   // ── coverage log: O(commit) manifest maintenance (#2 r15) ───────
 
   test("a delta commit APPENDS one O(commit) coverage record; existing log records are untouched") {
