@@ -2123,6 +2123,55 @@ object SparkEntry {
       out
     }),
 
+    // EMBEDDING-FREE refs variant of the persisted IVF index (the
+    // `ext_ann_lsh_indexed_refs` trade on the cell-partitioned
+    // layout): `_ivf_cells` duplicates every embedding (~1x corpus
+    // storage); `_ivf_refs` stores (file, vec_id, __cell) only and
+    // re-reads candidate vectors from the corpus through ONE
+    // column-pruned join per probe. Build-refresh-probe end-to-end
+    // at exhaustive nProbe against the brute-force oracle; in-query
+    // REQUIREs pin the three claims — refs sidecar a small fraction
+    // of corpus bytes, the probe still pushes the __cell partition
+    // filter, the re-rank corpus scan column-pruned to id+vector.
+    "ext_ann_ivf_indexed_refs" -> ((s, dir) => {
+      import graft.sinks.IvfIndex
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfrefs").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      IvfIndex.collectRefs(s, path, nCells = 8)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      IvfIndex.refreshRefs(s, path)
+      def dirBytes(p: String): Long = {
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      }
+      val refsBytes = dirBytes(IvfIndex.refsPath(path))
+      val corpusBytes = dirBytes(path) - refsBytes
+      require(refsBytes * 2 < corpusBytes,
+        s"refs sidecar ($refsBytes B) must be a small fraction of the " +
+          s"corpus ($corpusBytes B) — the cells form would be ~1x")
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val res = IvfIndex.topKRefs(s, path, q, k = 10, nProbe = 8)
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") &&
+          !l.replace(" ", "").contains("PartitionFilters:[]") &&
+          l.contains("__cell")),
+        "the refs scan must carry a __cell partition filter")
+      require(plan.linesIterator.exists(l =>
+        l.contains("ReadSchema:") && l.contains("embedding") &&
+          !l.contains("label")),
+        "the re-rank corpus scan must be column-pruned to id+vector")
+      val out = res.localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // The SALTED-WRITE path, hash-graded (r14 left writeSalt
     // spec-only): build AND refresh with writeSalt = 4, so every
     // sidecar commit spreads each cell's write across multiple
@@ -5213,6 +5262,17 @@ object SparkEntry {
     // brute-force truth (the delta form over the full corpus: its
     // refresh must leave no vector stale or missing)
     "ext_ann_ivf_indexed" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_indexed_refs" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

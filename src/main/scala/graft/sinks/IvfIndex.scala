@@ -56,6 +56,9 @@ object IvfIndex {
   private[graft] def cellsPath(table: String): String = s"$table/_ivf_cells"
   private[graft] def centroidsPath(table: String): String =
     s"${cellsPath(table)}/_centroids"
+  private[graft] def refsPath(table: String): String = s"$table/_ivf_refs"
+  private[graft] def refsCentroidsPath(table: String): String =
+    s"${refsPath(table)}/_centroids"
 
   /** Spread the `__cell=` partition-dir write across `writeSalt`
     * tasks per cell ([[SidecarMaintenance.saltedByPartition]]). */
@@ -165,8 +168,10 @@ object IvfIndex {
       table: String,
       paths: Seq[String],
       idCol: String,
-      vecCol: String): DataFrame = {
-    val cents = broadcast(spark.read.parquet(centroidsPath(table)))
+      vecCol: String,
+      centroidsDir: String = null): DataFrame = {
+    val cents = broadcast(spark.read.parquet(
+      Option(centroidsDir).getOrElse(centroidsPath(table))))
     val freshVecs = spark.read.option("basePath", table).parquet(paths: _*)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"))
@@ -225,6 +230,137 @@ object IvfIndex {
         s"${clash.map(_.get(0)).mkString(", ")} — a vector's row " +
         "must live in ONE corpus data file (append new ids, " +
         "purge-rewrite whole files); compact, then rebuild")
+  }
+
+  // ── embedding-free REFS variant ─────────────────────────────────
+  // `_ivf_cells` duplicates every embedding (the sidecar IS the
+  // corpus, re-shaped — ~1× corpus storage). `_ivf_refs` stores
+  // (file, vec_id, __cell) only — a few percent of corpus bytes —
+  // and [[topKRefs]] re-reads candidate vectors from the corpus
+  // through ONE column-pruned join per probe. Same maintenance
+  // discipline (journaled publish, O(delta) refresh, tiered
+  // compaction); the storage-for-I/O trade mirrors
+  // [[LshIndex.collectRefs]].
+
+  private def saltedRefs(rows: DataFrame, writeSalt: Int): DataFrame =
+    SidecarMaintenance.saltedByPartition(rows, "__cell",
+      Seq("file", "vec_id", "__cell"), writeSalt)
+
+  /** Bootstrap / rebuild of the refs sidecar — [[collect]] minus the
+    * embedding column, same journaled publish. */
+  def collectRefs(
+      spark: SparkSession,
+      table: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCells: Int = 16,
+      seed: Long = 42L,
+      writeSalt: Int = 1): Unit = {
+    val corpus = spark.read.parquet(table)
+      .select(col("_metadata.file_path").as("file"),
+        col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val idx = IvfSearch.buildIndex(corpus, nCells, seed)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = refsPath(table)
+    SidecarMaintenance.recoverPublish(spark, dest)
+    val next = s"$dest.next"
+    fs.delete(new Path(next), true)
+    saltedRefs(idx.assigned.drop("embedding"), writeSalt)
+      .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(next)
+    idx.centroids.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$next/_centroids")
+    requireOneRowPerVector(spark.read.parquet(next), onTrip = {
+      fs.delete(new Path(next), true)
+    })
+    SidecarMaintenance.publishDir(spark, dest)
+  }
+
+  /** O(delta) maintenance of the refs sidecar — [[refresh]] on the
+    * embedding-free rows, frozen centroids. */
+  def refreshRefs(
+      spark: SparkSession,
+      table: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      writeSalt: Int = 1): Unit = {
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SidecarMaintenance.recoverPublish(spark, refsPath(table))
+    Seq(refsCentroidsPath(table), refsPath(table)).foreach(p =>
+      require(fs.exists(new Path(p)),
+        s"no IVF refs index at $p — bootstrap with collectRefs()"))
+    val plan = SidecarMaintenance.planDelta(spark, refsPath(table),
+      BloomIndex.dataFilePaths(spark, table).toSet)
+    val freshAssigned =
+      if (plan.fresh.isEmpty) None
+      else {
+        val fa = assignFiles(spark, table, plan.fresh, idCol, vecCol,
+            centroidsDir = refsCentroidsPath(table))
+          .drop("embedding").localCheckpoint(true)
+        requireNoVectorClash(fa,
+          SidecarMaintenance.keptRows(spark, refsPath(table), plan))
+        Some(fa)
+      }
+    SidecarMaintenance.applyDelta(spark, refsPath(table), plan,
+      freshAssigned, Seq("__cell"), saltedRefs(_, writeSalt))
+  }
+
+  /** Size-tiered amortizer for the refs sidecar. */
+  def compactSmallRefs(
+      spark: SparkSession,
+      table: String,
+      smallBytes: Long = 32L << 20,
+      writeSalt: Int = 1): Unit =
+    SidecarMaintenance.compactSmall(
+      spark, refsPath(table), Seq("__cell"), smallBytes)(
+      saltedRefs(_, writeSalt))
+
+  /** Probe off the REFS sidecar: the probed cell set pushes as a
+    * static partition filter exactly as in [[topK]], but the probe
+    * yields candidate IDS only — their vectors come from ONE
+    * column-pruned corpus pass (vec_id + embedding reach the parquet
+    * scan's ReadSchema, nothing else), joined on vec_id. Candidates
+    * are the probed cells' rows — a corpus fraction at partial
+    * nProbe — so the re-rank reads scale with the probe, not the
+    * corpus; the trade buys back the cells sidecar's ~1× corpus
+    * storage duplication. */
+  def topKRefs(
+      spark: SparkSession,
+      table: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    SidecarMaintenance.requireClean(spark, refsPath(table))
+    val cents = spark.read.parquet(refsCentroidsPath(table))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val cellRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cdist").asc, col("__cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__cdist", VectorFunctions.l2Sq(col("q_vec"), col("__centroid")))
+      .withColumn("__cr", row_number().over(cellRank))
+      .where(col("__cr") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("__cell"))
+      .localCheckpoint(true)
+    val probedCells = probes.select("__cell").distinct()
+      .collect().map(_.get(0))
+    val candidates = spark.read.parquet(refsPath(table))
+      .where(col("__cell").isin(probedCells: _*))
+      .select(col("vec_id").as("neighbor_id"), col("__cell"))
+      .join(broadcast(probes), Seq("__cell"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .select("q_id", "q_vec", "neighbor_id")
+    val corpus = spark.read.parquet(table)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = candidates.join(corpus, Seq("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .select(col("q_id"), col("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
   }
 
   /** Probe the persisted index: rank cells per query against the

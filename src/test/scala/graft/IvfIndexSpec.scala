@@ -153,4 +153,61 @@ class IvfIndexSpec extends AnyFunSuite {
         .count() === 6L)
     }
   }
+
+  test("refs variant: exhaustive-probe topKRefs equals brute force after build + refresh") {
+    withTable() { path =>
+      IvfIndex.collectRefs(spark, path, nCells = 4)
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 200 && col("vec_id") < 240)
+        .coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refreshRefs(spark, path)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 5)
+      val refs = ranks(IvfIndex.topKRefs(spark, path, queries,
+        k = 10, nProbe = 4))
+      val brute = ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+        queries, spark.read.parquet(path), k = 10))
+      assert(refs === brute)
+    }
+  }
+
+  test("refs sidecar stores NO embeddings: a small fraction of the cells form's bytes") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      IvfIndex.collectRefs(spark, path, nCells = 4)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def bytes(p: String): Long = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(p)).getLength
+      val cells = bytes(IvfIndex.cellsPath(path))
+      val refs = bytes(IvfIndex.refsPath(path))
+      assert(refs * 2 < cells,
+        s"refs ($refs B) should be well under half the cells form ($cells B)")
+      assert(!spark.read.parquet(IvfIndex.refsPath(path))
+        .columns.contains("embedding"))
+      // and both answer identically
+      val queries = spark.read.parquet(path).where(col("vec_id") < 5)
+      assert(
+        ranks(IvfIndex.topKRefs(spark, path, queries, k = 10, nProbe = 4))
+          === ranks(IvfIndex.topK(spark, path, queries, k = 10, nProbe = 4)))
+    }
+  }
+
+  test("refs probes prune by cell partition AND column-prune the re-rank corpus scan") {
+    withTable() { path =>
+      IvfIndex.collectRefs(spark, path, nCells = 8)
+      val queries = spark.read.parquet(path).where(col("vec_id") < 2)
+        .localCheckpoint(true)
+      val res = IvfIndex.topKRefs(spark, path, queries, k = 3, nProbe = 1)
+      val plan = res.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") &&
+          !l.replace(" ", "").contains("PartitionFilters:[]") &&
+          l.contains("__cell")),
+        "the refs scan must push the probed cells as a partition filter")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("ReadSchema:") && l.contains("embedding") &&
+          !l.contains("label")),
+        "the corpus re-rank scan must not read unused columns")
+    }
+  }
 }
