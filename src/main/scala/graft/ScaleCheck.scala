@@ -1119,10 +1119,23 @@ object ScaleCheck {
         graft.streaming.StreamingOps.streamIngestWithIvfIndex(
           spark, landing, spark.read.parquet(landing).schema, corpus,
           ckpt, nCells = 16, maxFilesPerTrigger = 8)
+      // driver-side listing witness: the resumed batch's refresh
+      // must plan WITHOUT walking the corpus directory (planAppend
+      // off the published file names) — task metrics can't see
+      // driver listings, so count them directly
+      def listingsOf(corpus: String): Long = {
+        val v = graft.sinks.SidecarMaintenance.walkCounts
+          .get(new org.apache.hadoop.fs.Path(corpus).toString)
+        if (v == null) 0L else v.longValue()
+      }
+      val (l01, l0k) = (listingsOf(c1), listingsOf(ck))
       val (w1, r1) = refreshIo(resume(l1, c1, k1))
       val (wk, rk) = refreshIo(resume(lk, ck, kk))
       println(f"stream_refresh     bytes written $w1 -> $wk (x${wk.toDouble / math.max(1L, w1)}%.2f, O(batch) iff ~1)")
       println(f"stream_refresh     records read  $r1 -> $rk (x${rk.toDouble / math.max(1L, r1)}%.2f, O(batch) iff ~1)")
+      println(s"stream_refresh     corpus listings during resumed batch: " +
+        s"${listingsOf(c1) - l01} (1x) / ${listingsOf(ck) - l0k} (10x) " +
+        "(0 = per-batch plan never walks the corpus)")
       new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
         .truncate(root)
     }

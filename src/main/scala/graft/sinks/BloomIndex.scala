@@ -40,6 +40,9 @@ object BloomIndex {
 
   private[sinks] def dataFilePaths(spark: SparkSession, table: String): Seq[String] = {
     val dir = new Path(table)
+    // shares SidecarMaintenance's walk counter so specs can pin
+    // "this refresh never listed the corpus" (the planAppend path)
+    SidecarMaintenance.walkCounts.merge(dir.toString, 1L, (a, b) => a + b)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def visible(p: Path): Boolean =
       !p.getName.startsWith("_") && !p.getName.startsWith(".")

@@ -212,14 +212,18 @@ object InvertedIndex {
       table: String,
       textCol: String,
       idCol: String,
-      buckets: Int = 4): Unit = {
+      buckets: Int = 4,
+      appendedOnly: Option[Set[String]] = None): Unit = {
     val idx = indexPath(table)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SidecarMaintenance.recoverPublish(spark, idx)
     require(fs.exists(new Path(idx)),
       s"no inverted index at $idx — bootstrap with collect()")
-    val plan = SidecarMaintenance.planDelta(spark, idx,
-      BloomIndex.dataFilePaths(spark, table).toSet)
+    val plan = appendedOnly match {
+      case Some(c) => SidecarMaintenance.planAppend(spark, idx, c)
+      case None => SidecarMaintenance.planDelta(spark, idx,
+        BloomIndex.dataFilePaths(spark, table).toSet)
+    }
     val freshPost =
       if (plan.fresh.isEmpty) None
       else {
@@ -415,8 +419,12 @@ object InvertedIndex {
       require(fs.exists(new Path(p)),
         s"no retrieval stats at $p — bootstrap with buildRetrievalStats()"))
     val idx = spark.read.parquet(indexPath(table))
-    val current = idx.select("file").distinct()
-      .as[String].collect().toSet
+    // the postings index's coverage log already records which corpus
+    // files it covers — the memoized read replaces an O(index-rows)
+    // `file`-column scan per refresh; the scan remains as the heal
+    // path when the log is absent
+    val current = SidecarMaintenance.coveredFiles(spark, indexPath(table))
+      .getOrElse(idx.select("file").distinct().as[String].collect().toSet)
     // postings slice of the given index files -> (dl, ts) partials
     def partialsOf(files: Seq[String]): (DataFrame, DataFrame) = {
       val post = idx.join(broadcast(files.toDF("file")), Seq("file"), "left_semi")

@@ -103,13 +103,19 @@ object IvfIndex {
 
   /** Incremental maintenance, pure file-set arithmetic over the
     * FROZEN centroids — O(delta) write I/O: appends new files' rows,
-    * rewrites only the sidecar files holding vanished files' rows. */
+    * rewrites only the sidecar files holding vanished files' rows.
+    * `appendedOnly = Some(files)` plans from exactly those candidate
+    * corpus files with no corpus listing and no vanish detection
+    * ([[SidecarMaintenance.planAppend]] — the O(batch) form for
+    * streaming cadences that know what they just published); None
+    * is the full diff against the listed corpus. */
   def refresh(
       spark: SparkSession,
       table: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      writeSalt: Int = 1): Unit = {
+      writeSalt: Int = 1,
+      appendedOnly: Option[Set[String]] = None): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // heal a crashed rebuild publish BEFORE the existence check — a
     // crash between publishDir's renames can leave the index parked
@@ -118,8 +124,11 @@ object IvfIndex {
     Seq(centroidsPath(table), cellsPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no IVF index at $p — bootstrap with collect()"))
-    val plan = SidecarMaintenance.planDelta(spark, cellsPath(table),
-      BloomIndex.dataFilePaths(spark, table).toSet)
+    val plan = appendedOnly match {
+      case Some(c) => SidecarMaintenance.planAppend(spark, cellsPath(table), c)
+      case None => SidecarMaintenance.planDelta(spark, cellsPath(table),
+        BloomIndex.dataFilePaths(spark, table).toSet)
+    }
     val freshAssigned =
       if (plan.fresh.isEmpty) None
       else {

@@ -87,21 +87,27 @@ object LshIndex {
   }
 
   /** Incremental maintenance — pure file-set arithmetic at O(delta)
-    * write I/O; the "model" is the (planes, seed) metadata row. */
+    * write I/O; the "model" is the (planes, seed) metadata row.
+    * `appendedOnly` as in [[IvfIndex.refresh]]: plan from exactly
+    * those candidates, no corpus listing, no vanish detection. */
   def refresh(
       spark: SparkSession,
       table: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      writeSalt: Int = 1): Unit = {
+      writeSalt: Int = 1,
+      appendedOnly: Option[Set[String]] = None): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SidecarMaintenance.recoverPublish(spark, bucketsPath(table))
     Seq(metaPath(table), bucketsPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no LSH index at $p — bootstrap with collect()"))
     val (planes, seed) = readMeta(spark, table)
-    val plan = SidecarMaintenance.planDelta(spark, bucketsPath(table),
-      BloomIndex.dataFilePaths(spark, table).toSet)
+    val plan = appendedOnly match {
+      case Some(c) => SidecarMaintenance.planAppend(spark, bucketsPath(table), c)
+      case None => SidecarMaintenance.planDelta(spark, bucketsPath(table),
+        BloomIndex.dataFilePaths(spark, table).toSet)
+    }
     val freshSigned =
       if (plan.fresh.isEmpty) None
       else {

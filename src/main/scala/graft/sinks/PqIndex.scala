@@ -103,20 +103,26 @@ object PqIndex {
   }
 
   /** Incremental maintenance, pure file-set arithmetic over the
-    * FROZEN codebooks — O(delta) write I/O. */
+    * FROZEN codebooks — O(delta) write I/O. `appendedOnly` as in
+    * [[IvfIndex.refresh]]: plan from exactly those candidates, no
+    * corpus listing, no vanish detection. */
   def refresh(
       spark: SparkSession,
       table: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      buckets: Int = 4): Unit = {
+      buckets: Int = 4,
+      appendedOnly: Option[Set[String]] = None): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SidecarMaintenance.recoverPublish(spark, codesPath(table))
     Seq(codebooksPath(table), codesPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no PQ index at $p — bootstrap with collect()"))
-    val plan = SidecarMaintenance.planDelta(spark, codesPath(table),
-      BloomIndex.dataFilePaths(spark, table).toSet)
+    val plan = appendedOnly match {
+      case Some(c) => SidecarMaintenance.planAppend(spark, codesPath(table), c)
+      case None => SidecarMaintenance.planDelta(spark, codesPath(table),
+        BloomIndex.dataFilePaths(spark, table).toSet)
+    }
     val freshCodes =
       if (plan.fresh.isEmpty) None
       else {

@@ -200,6 +200,39 @@ object SidecarMaintenance {
     DeltaPlan(pairs, indexed -- current, (current -- indexed).toSeq.sorted)
   }
 
+  /** Corpus files the sidecar currently covers, from the coverage
+    * log (memoized — no sidecar scan, no corpus listing); None when
+    * the log is absent/torn (caller falls back to its own source of
+    * truth, which also heals the log on the next refresh). */
+  def coveredFiles(spark: SparkSession, dir: String): Option[Set[String]] =
+    readCoverage(spark, dir).map(_.map(_._1).toSet)
+
+  /** APPEND-ONLY plan: `candidates` (fully-qualified corpus file
+    * paths — e.g. the files a streaming micro-batch just published)
+    * minus what the sidecar already covers. No vanish detection and
+    * NO corpus listing — where [[planDelta]]'s `current` costs an
+    * O(corpus-file-count) directory walk per call, this plans a
+    * per-batch refresh in O(batch) driver work off the memoized
+    * coverage map. The contract: deletions are reconciled by a full
+    * [[planDelta]]-based refresh on a slower cadence (the streaming
+    * drivers run one at their compaction interval); until then a
+    * vanished file's rows are simply still served, exactly as they
+    * would be between any two full refreshes. */
+  def planAppend(
+      spark: SparkSession,
+      dir: String,
+      candidates: Set[String]): DeltaPlan = {
+    recover(spark, dir)
+    val triples = readCoverage(spark, dir).getOrElse {
+      val scanned = scanPairs(spark, dir)
+      checkpointCoverage(spark, dir, scanned)
+      scanned
+    }
+    val pairs = triples.map { case (c, r, _) => (c, s"$dir/$r") }
+    val indexed = pairs.map(_._1).toSet
+    DeltaPlan(pairs, Set.empty, (candidates -- indexed).toSeq.sorted)
+  }
+
   // ── coverage log ────────────────────────────────────────────────
   // planDelta's (corpus file → sidecar file) map, persisted at the
   // sidecar root as a LOG-STRUCTURED manifest so a refresh PLANS

@@ -440,13 +440,18 @@ object StreamingOps {
     * never touched: a re-ingest of the same rows lands as NEW files
     * and the index layout guards trip LOUDLY on the duplicate ids
     * instead. */
+  /** @return the published files' fully-qualified paths (the same
+    *         form corpus listings and `_metadata.file_path` produce)
+    *         — what the caller hands to the index refreshes'
+    *         `appendedOnly` so per-batch maintenance PLANS without
+    *         listing the corpus. */
   private[graft] def idempotentBatchAppend(
       spark: SparkSession,
       batch: DataFrame,
       corpusDir: String,
       batchId: Long,
       targetRowsPerFile: Long = 1L << 20,
-      runId: String = ""): Unit = {
+      runId: String = ""): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ns = if (runId.isEmpty) "" else s"r$runId-"
@@ -462,19 +467,26 @@ object StreamingOps {
     batch.repartition(nParts, batch.columns.map(col): _*)
       .write.mode("overwrite").parquet(staging.toString)
     val prefix = s"ingest-${ns}b$batchId-"
-    fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
-      .foreach(st => fs.delete(st.getPath, false))
+    // sweep a prior delivery of this batch WITHOUT listing the corpus
+    // (O(corpus-file-count) per batch at scale): the row→file binding
+    // is deterministic, so a prior delivery used the SAME nParts and
+    // its names are constructible — delete them by name (no-op where
+    // absent). A prior CRASHED publish has a subset of those names.
+    (0 until nParts).foreach(i => fs.delete(
+      new org.apache.hadoop.fs.Path(dir, s"${prefix}p$i.parquet"), false))
     val parts = fs.listStatus(staging)
       .filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
       .sortBy(_.getPath.getName)
-    parts.zipWithIndex.foreach { case (st, i) =>
-      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
-        dir, s"${prefix}p$i.parquet"))
+    val published = parts.zipWithIndex.map { case (st, i) =>
+      val dest = new org.apache.hadoop.fs.Path(dir, s"${prefix}p$i.parquet")
+      fs.rename(st.getPath, dest)
+      fs.makeQualified(dest).toString
     }
     fs.delete(staging, true)
+    published.toSeq
   }
 
   /** Streaming corpus ingest with LIVE inverted-index maintenance:
@@ -511,14 +523,20 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        idempotentBatchAppend(spark, batch.toDF(), corpusDir, batchId,
-          runId = runId)
+        val published = idempotentBatchAppend(spark, batch.toDF(), corpusDir,
+          batchId, runId = runId)
         val idx = new org.apache.hadoop.fs.Path(InvertedIndex.indexPath(corpusDir))
         val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(idx)) InvertedIndex.refresh(spark, corpusDir, textCol, idCol)
+        // per-batch: append-only plan from the just-published files
+        // (no corpus listing); the compaction cadence reconciles
+        // out-of-band deletions with the full-diff refresh
+        if (fs.exists(idx)) InvertedIndex.refresh(spark, corpusDir, textCol,
+          idCol, appendedOnly = Some(published.toSet))
         else InvertedIndex.collect(spark, corpusDir, textCol, idCol)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          InvertedIndex.refresh(spark, corpusDir, textCol, idCol)
           InvertedIndex.compactSmall(spark, corpusDir)
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -554,7 +572,9 @@ object StreamingOps {
       checkpointDir, IvfIndex.cellsPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = IvfIndex.collect(spark, corpusDir, idCol, vecCol, nCells),
-      refresh = IvfIndex.refresh(spark, corpusDir, idCol, vecCol),
+      refresh = files => IvfIndex.refresh(spark, corpusDir, idCol, vecCol,
+        appendedOnly = Some(files.toSet)),
+      reconcile = IvfIndex.refresh(spark, corpusDir, idCol, vecCol),
       compact = IvfIndex.compactSmall(spark, corpusDir))
   }
 
@@ -578,7 +598,9 @@ object StreamingOps {
       checkpointDir, PqIndex.codesPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = PqIndex.collect(spark, corpusDir, idCol, vecCol, m, ks),
-      refresh = PqIndex.refresh(spark, corpusDir, idCol, vecCol),
+      refresh = files => PqIndex.refresh(spark, corpusDir, idCol, vecCol,
+        appendedOnly = Some(files.toSet)),
+      reconcile = PqIndex.refresh(spark, corpusDir, idCol, vecCol),
       compact = PqIndex.compactSmall(spark, corpusDir))
   }
 
@@ -600,7 +622,9 @@ object StreamingOps {
       checkpointDir, LshIndex.bucketsPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = LshIndex.collect(spark, corpusDir, idCol, vecCol, planes),
-      refresh = LshIndex.refresh(spark, corpusDir, idCol, vecCol),
+      refresh = files => LshIndex.refresh(spark, corpusDir, idCol, vecCol,
+        appendedOnly = Some(files.toSet)),
+      reconcile = LshIndex.refresh(spark, corpusDir, idCol, vecCol),
       compact = LshIndex.compactSmall(spark, corpusDir))
   }
 
@@ -609,11 +633,20 @@ object StreamingOps {
     * IDEMPOTENTLY ([[idempotentBatchAppend]] — a replayed batch
     * republishes the same deterministic file names instead of
     * duplicating rows), then bootstraps the index on first contact
-    * (`indexMarker` absent) or runs its O(delta) file-set refresh.
-    * Replay-proof by construction: maintenance derives purely from
-    * the file set on disk, and replay converges to the same file
-    * set — so a batch re-delivered after any crash point is either
-    * already covered (refresh no-ops) or indexed like any other.
+    * (`indexMarker` absent) or runs its O(delta) file-set refresh in
+    * APPEND-ONLY form: the plan derives from the files the batch
+    * just published against the memoized coverage map
+    * ([[graft.sinks.SidecarMaintenance.planAppend]]) — no corpus
+    * directory listing, so per-batch driver work is O(batch) even
+    * over a million-file corpus. Out-of-band deletions (a purge
+    * between batches) are reconciled by the FULL-diff `reconcile`
+    * refresh on the compaction cadence — until then a vanished
+    * file's rows are served exactly as they would be between any two
+    * full refreshes. Replay-proof by construction: maintenance
+    * derives purely from the file set on disk, and replay converges
+    * to the same file set — so a batch re-delivered after any crash
+    * point is either already covered (refresh no-ops) or indexed
+    * like any other.
     *
     * Every `compactEvery`-th batch additionally runs the SIZE-TIERED
     * compaction ([[graft.sinks.SidecarMaintenance.compactSmall]]):
@@ -634,7 +667,8 @@ object StreamingOps {
       maxFilesPerTrigger: Int,
       compactEvery: Int)(
       bootstrap: => Unit,
-      refresh: => Unit,
+      refresh: Seq[String] => Unit,
+      reconcile: => Unit,
       compact: => Unit): Unit = {
     val runId = ingestRunId(spark, checkpointDir)
     val q = spark.readStream
@@ -644,13 +678,19 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        idempotentBatchAppend(spark, batch.toDF(), corpusDir, batchId,
-          runId = runId)
+        val published = idempotentBatchAppend(spark, batch.toDF(), corpusDir,
+          batchId, runId = runId)
         val marker = new org.apache.hadoop.fs.Path(indexMarker)
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(marker)) refresh else bootstrap
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        // per-batch: APPEND-ONLY refresh planned from the files this
+        // batch just published — no corpus listing, no vanish diff
+        // (O(batch) driver work; see planAppend). The slow cadence
+        // below reconciles out-of-band deletions with a full diff.
+        if (fs.exists(marker)) refresh(published) else bootstrap
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          reconcile
           compact
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

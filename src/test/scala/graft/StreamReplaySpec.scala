@@ -74,6 +74,44 @@ class StreamReplaySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
 
+  test("appended-only refresh plans without LISTING the corpus; result equals the full-diff form") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-append-only").toString
+    val corpus = s"$root/corpus"
+    try {
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 60).localCheckpoint(true)
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L)
+      IvfIndex.collect(spark, corpus, nCells = 4)
+      IvfIndex.refresh(spark, corpus) // full form: heals + warms coverage
+      val batch2 = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 60 && col("vec_id") < 90)
+        .localCheckpoint(true)
+      val published = StreamingOps.idempotentBatchAppend(
+        spark, batch2, corpus, batchId = 1L)
+      def corpusListings: Long = {
+        val v = SidecarMaintenance.walkCounts.get(new Path(corpus).toString)
+        if (v == null) 0L else v.longValue()
+      }
+      val c0 = corpusListings
+      IvfIndex.refresh(spark, corpus, appendedOnly = Some(published.toSet))
+      assert(corpusListings === c0,
+        "appendedOnly refresh must not list the corpus — at a million " +
+          "corpus files that listing is O(file-count) driver work per batch")
+      // the published form matches the coverage log's corpus-path form:
+      // everything indexed exactly once, probes equal brute force
+      assert(spark.read.parquet(IvfIndex.cellsPath(corpus)).count() === 90L)
+      val q = spark.read.parquet(corpus).where(col("vec_id") < 3)
+      assert(ranks(IvfIndex.topK(spark, corpus, q, k = 5, nProbe = 4))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+          q, spark.read.parquet(corpus), k = 5)))
+      // a replayed (already-covered) batch no-ops under appendedOnly too
+      IvfIndex.refresh(spark, corpus, appendedOnly = Some(published.toSet))
+      assert(spark.read.parquet(IvfIndex.cellsPath(corpus)).count() === 90L)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("IVF stream: replaying the last committed batch after a 'crash' keeps the stream green") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-replay-ivf").toString
