@@ -266,6 +266,16 @@ object SidecarMaintenance {
   // rest. Every ~CheckpointEvery deltas the log is folded into a
   // fresh base (amortized O(file-count / CheckpointEvery) per
   // commit).
+  //
+  // Memory posture: the memoized map holds one (corpus path,
+  // sidecar-relative path, length) triple per corpus file — the
+  // manifest-in-driver model every table format uses (~100 MB at a
+  // million files, well inside a production driver). The log layout
+  // deliberately supports the scale-out escape hatch — base and
+  // delta records are line-oriented and can be folded as a Dataset
+  // on executors — but at the file counts where that matters the
+  // lake belongs in a real table format anyway, so the in-driver
+  // fold stays the implemented path.
 
   private[graft] def coveragePath(dir: String) = new Path(dir, "_coverage")
   private val CovDeltaPrefix = "_covdelta-"
