@@ -1128,6 +1128,8 @@ object ScaleCheck {
           .get(new org.apache.hadoop.fs.Path(corpus).toString)
         if (v == null) 0L else v.longValue()
       }
+      graft.sinks.SidecarMaintenance.trackWalks(c1) // opt-in counting
+      graft.sinks.SidecarMaintenance.trackWalks(ck)
       val (l01, l0k) = (listingsOf(c1), listingsOf(ck))
       val (w1, r1) = refreshIo(resume(l1, c1, k1))
       val (wk, rk) = refreshIo(resume(lk, ck, kk))

@@ -40,9 +40,10 @@ object BloomIndex {
 
   private[sinks] def dataFilePaths(spark: SparkSession, table: String): Seq[String] = {
     val dir = new Path(table)
-    // shares SidecarMaintenance's walk counter so specs can pin
-    // "this refresh never listed the corpus" (the planAppend path)
-    SidecarMaintenance.walkCounts.merge(dir.toString, 1L, (a, b) => a + b)
+    // shares SidecarMaintenance's opt-in walk counter so specs can
+    // pin "this refresh never listed the corpus" (the planAppend
+    // path); a no-op unless a spec registered this root
+    SidecarMaintenance.countWalk(dir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def visible(p: Path): Boolean =
       !p.getName.startsWith("_") && !p.getName.startsWith(".")

@@ -326,12 +326,13 @@ object IvfIndex {
   /** Probe off the REFS sidecar: the probed cell set pushes as a
     * static partition filter exactly as in [[topK]], but the probe
     * yields candidate IDS only — their vectors come from ONE
-    * column-pruned corpus pass (vec_id + embedding reach the parquet
-    * scan's ReadSchema, nothing else), joined on vec_id. Candidates
-    * are the probed cells' rows — a corpus fraction at partial
-    * nProbe — so the re-rank reads scale with the probe, not the
-    * corpus; the trade buys back the cells sidecar's ~1× corpus
-    * storage duplication. */
+    * column-pruned corpus pass joined on vec_id. The refs rows carry
+    * their corpus `file`, so that pass reads ONLY the candidate
+    * files (vec_id + embedding of a file subset reach the parquet
+    * scan, nothing else) — at partial nProbe a corpus fraction in
+    * both files and columns, so the re-rank reads scale with the
+    * probe, not the corpus; the trade buys back the cells sidecar's
+    * ~1× corpus storage duplication. */
   def topKRefs(
       spark: SparkSession,
       table: String,
@@ -340,6 +341,7 @@ object IvfIndex {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
     SidecarMaintenance.requireClean(spark, refsPath(table))
     val cents = spark.read.parquet(refsCentroidsPath(table))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
@@ -359,7 +361,20 @@ object IvfIndex {
       .join(broadcast(probes), Seq("__cell"))
       .where(col("q_id") =!= col("neighbor_id"))
       .select("q_id", "q_vec", "neighbor_id")
-    val corpus = spark.read.parquet(table)
+    // the re-rank corpus read is FILE-PRUNED to the candidate files
+    // (bounded by the probed cells' coverage — a corpus fraction at
+    // partial nProbe), not a full column pass over the table; the
+    // file set comes from its own partition-pruned refs scan so the
+    // candidates plan keeps the __cell PartitionFilters visible
+    val candFiles = spark.read.parquet(refsPath(table))
+      .where(col("__cell").isin(probedCells: _*))
+      .select("file").distinct().as[String]
+      .collect().toSeq.sorted
+    if (candFiles.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("q_id", "neighbor_id", "rank")
+    val corpus = spark.read.option("basePath", table)
+      .parquet(candFiles: _*)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = candidates.join(corpus, Seq("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))

@@ -249,11 +249,13 @@ object LshIndex {
   /** Multi-probe search off the REFS sidecar: the probed bucket set
     * pushes as a static partition filter exactly as in [[topK]], but
     * the probe yields candidate IDS only — their vectors come from
-    * ONE column-pruned corpus pass (vec_id + embedding reach the
-    * parquet scan's ReadSchema, nothing else), joined on vec_id.
-    * That join is the storage-for-I/O trade: candidates are the
-    * probed buckets' rows, a corpus FRACTION at partial radius, so
-    * the re-rank reads scale with the probe, not the corpus. */
+    * ONE column-pruned corpus pass joined on vec_id. The refs rows
+    * carry their corpus `file`, so that pass reads ONLY the
+    * candidate files (vec_id + embedding of a file subset reach the
+    * parquet scan, nothing else). That join is the storage-for-I/O
+    * trade: candidates are the probed buckets' rows, a corpus
+    * FRACTION at partial radius in both files and columns, so the
+    * re-rank reads scale with the probe, not the corpus. */
   def topKRefs(
       spark: SparkSession,
       table: String,
@@ -262,6 +264,7 @@ object LshIndex {
       probeRadius: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
     SidecarMaintenance.requireClean(spark, refsPath(table))
     val (planes, seed) = readRefsMeta(spark, table)
     require(probeRadius >= 0 && probeRadius <= planes,
@@ -284,7 +287,17 @@ object LshIndex {
       .join(broadcast(q), Seq("bucket"))
       .where(col("q_id") =!= col("neighbor_id"))
       .select("q_id", "q_vec", "neighbor_id")
-    val corpus = spark.read.parquet(table)
+    // file set from its own partition-pruned refs scan (keeps the
+    // bucket PartitionFilters visible in the candidates plan)
+    val candFiles = spark.read.parquet(refsPath(table))
+      .where(col("bucket").isin(probedBuckets: _*))
+      .select("file").distinct().as[String]
+      .collect().toSeq.sorted
+    if (candFiles.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("q_id", "neighbor_id", "rank")
+    val corpus = spark.read.option("basePath", table)
+      .parquet(candFiles: _*)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = candidates.join(corpus, Seq("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))

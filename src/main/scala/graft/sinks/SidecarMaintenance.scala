@@ -70,14 +70,24 @@ object SidecarMaintenance {
     n.contains("=") || (!n.startsWith("_") && !n.startsWith("."))
   }
 
-  // test hook: per-root counter of recursive walks, so specs can pin
-  // "this operation never lists the sidecar" (the steady-state
-  // contract of [[planDelta]] and [[compactSmall]])
+  // test hook: per-root counter of recursive walks / corpus listings,
+  // so specs can pin "this operation never lists the sidecar (or
+  // corpus)" — the steady-state contract of [[planDelta]],
+  // [[planAppend]] and [[compactSmall]]. OPT-IN: only roots a spec
+  // registered with [[trackWalks]] are counted (computeIfPresent), so
+  // production paths never grow this map.
   private[graft] val walkCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Register `dir` for walk counting (test/witness hook). */
+  private[graft] def trackWalks(dir: String): Unit =
+    walkCounts.putIfAbsent(new Path(dir).toString, 0L)
+
+  private[graft] def countWalk(root: Path): Unit =
+    walkCounts.computeIfPresent(root.toString, (_, v) => v + 1)
+
   private def walkStatuses(fs: FileSystem, root: Path): Seq[FileStatus] = {
-    walkCounts.merge(root.toString, 1L, (a, b) => a + b)
+    countWalk(root)
     def walk(p: Path): Seq[FileStatus] =
       fs.listStatus(p).toSeq.filter(s => visible(s.getPath)).flatMap { s =>
         if (s.isDirectory) walk(s.getPath) else Seq(s)
@@ -187,6 +197,29 @@ object SidecarMaintenance {
       dir: String,
       current: Set[String]): DeltaPlan = {
     recover(spark, dir)
+    val (pairs, indexed) = planPairs(spark, dir)
+    DeltaPlan(pairs, indexed -- current, (current -- indexed).toSeq.sorted)
+  }
+
+  // Derived planning view of the coverage map — absolute-path pairs
+  // plus the covered-corpus-file Set — memoized per memo state and
+  // advanced INCREMENTALLY by append-only commits, so a streaming
+  // cadence's per-batch [[planAppend]] does O(batch) driver work on
+  // the hot path instead of rebuilding an O(covered-file-count)
+  // string array + Set every micro-batch. Validity is the covMemo
+  // signature: any out-of-band change misses and recomputes once.
+  private final case class CovView(
+      sig: String,
+      pairsAbs: Array[(String, String)],
+      indexed: Set[String])
+  private val covView =
+    new java.util.concurrent.ConcurrentHashMap[String, CovView]()
+
+  /** (absolute (corpus → sidecar) pairs, covered corpus-file set),
+    * healing the log with one scan when absent/torn. */
+  private def planPairs(
+      spark: SparkSession,
+      dir: String): (Array[(String, String)], Set[String]) = {
     val triples = readCoverage(spark, dir).getOrElse {
       // heal LAZILY: bootstrap and out-of-band rewrites don't pay an
       // extra scan — the first refresh after them does this one
@@ -195,9 +228,16 @@ object SidecarMaintenance {
       checkpointCoverage(spark, dir, scanned)
       scanned
     }
-    val pairs = triples.map { case (c, r, _) => (c, s"$dir/$r") }
-    val indexed = pairs.map(_._1).toSet
-    DeltaPlan(pairs, indexed -- current, (current -- indexed).toSeq.sorted)
+    val memo = covMemo.get(dir)
+    val sig = if (memo == null) null else memo._1
+    val v = covView.get(dir)
+    if (v != null && sig != null && v.sig == sig) (v.pairsAbs, v.indexed)
+    else {
+      val pairs = triples.map { case (c, r, _) => (c, s"$dir/$r") }
+      val indexed = pairs.map(_._1).toSet
+      if (sig != null) covView.put(dir, CovView(sig, pairs, indexed))
+      (pairs, indexed)
+    }
   }
 
   /** Corpus files the sidecar currently covers, from the coverage
@@ -223,13 +263,7 @@ object SidecarMaintenance {
       dir: String,
       candidates: Set[String]): DeltaPlan = {
     recover(spark, dir)
-    val triples = readCoverage(spark, dir).getOrElse {
-      val scanned = scanPairs(spark, dir)
-      checkpointCoverage(spark, dir, scanned)
-      scanned
-    }
-    val pairs = triples.map { case (c, r, _) => (c, s"$dir/$r") }
-    val indexed = pairs.map(_._1).toSet
+    val (pairs, indexed) = planPairs(spark, dir)
     DeltaPlan(pairs, Set.empty, (candidates -- indexed).toSeq.sorted)
   }
 
@@ -334,7 +368,10 @@ object SidecarMaintenance {
 
   /** Test hook: simulate a fresh driver JVM (memo empty, only the
     * on-disk log to go on). */
-  private[graft] def clearCoverageMemo(): Unit = covMemo.clear()
+  private[graft] def clearCoverageMemo(): Unit = {
+    covMemo.clear()
+    covView.clear()
+  }
 
   private def advanceMemo(
       fs: FileSystem,
@@ -343,8 +380,24 @@ object SidecarMaintenance {
       stagedPairs: Array[(String, String, Long)]): Unit = {
     val memo = covMemo.get(dir)
     if (memo == null) return // next planDelta loads + validates from disk
-    val pairs = memo._2.filterNot(p => doomedRel(p._2)) ++ stagedPairs
-    covMemo.put(dir, (covSignature(covRecords(fs, dir)), pairs))
+    val pairs =
+      (if (doomedRel.isEmpty) memo._2
+       else memo._2.filterNot(p => doomedRel(p._2))) ++ stagedPairs
+    val sig = covSignature(covRecords(fs, dir))
+    covMemo.put(dir, (sig, pairs))
+    // advance the planning view in place for APPEND-ONLY commits
+    // (the streaming hot path: no doomed files, so the old view's
+    // pairs and covered-set stay valid and just gain the staged
+    // entries — O(batch)); a commit with deletions invalidates it
+    // and the next plan recomputes once
+    val view = covView.get(dir)
+    if (view != null) {
+      if (doomedRel.isEmpty && view.sig == memo._1)
+        covView.put(dir, CovView(sig,
+          view.pairsAbs ++ stagedPairs.map { case (c, r, _) => (c, s"$dir/$r") },
+          view.indexed ++ stagedPairs.iterator.map(_._1)))
+      else covView.remove(dir)
+    }
     if (covRecords(fs, dir).count(!_._2) > CheckpointEvery) {
       val spark = org.apache.spark.sql.SparkSession.active
       checkpointCoverage(spark, dir, pairs)
@@ -528,6 +581,7 @@ object SidecarMaintenance {
     val staging = stagingPath(dir)
     if (fs.exists(journal)) {
       covMemo.remove(dir) // replayed commit: reload+validate from disk
+      covView.remove(dir)
       if (fs.exists(new Path(staging, CommitMarker))) finishSwap(fs, dir)
       else { fs.delete(staging, true); fs.delete(journal, false) }
     } else if (fs.exists(staging)) {
@@ -725,11 +779,13 @@ object SidecarMaintenance {
         }
         fs.rename(next, destP)
         covMemo.remove(dest) // the new dir starts a fresh coverage log
+        covView.remove(dest)
       } else fs.delete(next, true) // unsealed build — roll back
     }
     if (!fs.exists(destP) && fs.exists(old)) {
       fs.rename(old, destP)
       covMemo.remove(dest)
+      covView.remove(dest)
     }
     fs.delete(new Path(destP, PublishMarker), false)
     fs.delete(old, true)

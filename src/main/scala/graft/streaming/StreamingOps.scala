@@ -469,11 +469,20 @@ object StreamingOps {
     val prefix = s"ingest-${ns}b$batchId-"
     // sweep a prior delivery of this batch WITHOUT listing the corpus
     // (O(corpus-file-count) per batch at scale): the row→file binding
-    // is deterministic, so a prior delivery used the SAME nParts and
-    // its names are constructible — delete them by name (no-op where
-    // absent). A prior CRASHED publish has a subset of those names.
+    // is deterministic, so a prior delivery of the same rows+config
+    // used the SAME nParts and its names are constructible — delete
+    // them by name (no-op where absent). A prior CRASHED publish has
+    // a subset of those names. Part indices are contiguous from p0,
+    // so ONE existence probe past the current range detects the only
+    // uncovered case — a prior delivery with MORE parts (e.g.
+    // targetRowsPerFile changed across a restart) — and falls back
+    // to the prefix-listing sweep for exactly that delivery.
     (0 until nParts).foreach(i => fs.delete(
       new org.apache.hadoop.fs.Path(dir, s"${prefix}p$i.parquet"), false))
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        dir, s"${prefix}p$nParts.parquet")))
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, false))
     val parts = fs.listStatus(staging)
       .filter { st =>
         val n = st.getPath.getName
@@ -515,33 +524,14 @@ object StreamingOps {
       maxFilesPerTrigger: Int = 1,
       compactEvery: Int = 16): Unit = {
     import graft.sinks.InvertedIndex
-    val runId = ingestRunId(spark, checkpointDir)
-    val q = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(landingDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val published = idempotentBatchAppend(spark, batch.toDF(), corpusDir,
-          batchId, runId = runId)
-        val idx = new org.apache.hadoop.fs.Path(InvertedIndex.indexPath(corpusDir))
-        val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // per-batch: append-only plan from the just-published files
-        // (no corpus listing); the compaction cadence reconciles
-        // out-of-band deletions with the full-diff refresh
-        if (fs.exists(idx)) InvertedIndex.refresh(spark, corpusDir, textCol,
-          idCol, appendedOnly = Some(published.toSet))
-        else InvertedIndex.collect(spark, corpusDir, textCol, idCol)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          InvertedIndex.refresh(spark, corpusDir, textCol, idCol)
-          InvertedIndex.compactSmall(spark, corpusDir)
-        }
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    streamIngestMaintaining(spark, landingDir, schema, corpusDir,
+      checkpointDir, InvertedIndex.indexPath(corpusDir), maxFilesPerTrigger,
+      compactEvery)(
+      bootstrap = InvertedIndex.collect(spark, corpusDir, textCol, idCol),
+      refresh = files => InvertedIndex.refresh(spark, corpusDir, textCol,
+        idCol, appendedOnly = Some(files.toSet)),
+      reconcile = InvertedIndex.refresh(spark, corpusDir, textCol, idCol),
+      compact = InvertedIndex.compactSmall(spark, corpusDir))
   }
 
   /** Streaming vector ingest with LIVE ANN-index maintenance — the

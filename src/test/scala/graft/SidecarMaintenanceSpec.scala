@@ -557,6 +557,7 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
         IvfIndex.refresh(spark, path) // commits keep the coverage memo warm
       }
       val nBefore = SidecarMaintenance.dataFiles(spark, cellsDir).size
+      SidecarMaintenance.trackWalks(cellsDir) // opt-in counting
       def walks: Long = {
         val v = SidecarMaintenance.walkCounts.get(cellsDir)
         if (v == null) 0L else v.longValue()

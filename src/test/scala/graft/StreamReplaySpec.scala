@@ -74,6 +74,33 @@ class StreamReplaySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
 
+  test("replayed delivery with FEWER parts (config changed) still sweeps the larger prior delivery") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-resweep").toString
+    val corpus = s"$root/corpus"
+    try {
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 48).localCheckpoint(true)
+      // first delivery: small target → several part files
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L,
+        targetRowsPerFile = 16)
+      assert(SidecarMaintenance.dataFiles(spark, corpus).size === 3)
+      // replayed delivery after a restart with a LARGER target →
+      // fewer constructed names than the prior delivery published.
+      // The O(1) existence probe past the new range must detect the
+      // leftovers and fall back to the prefix-listing sweep — the
+      // constructed-name deletes alone would strand p1/p2 and
+      // silently duplicate every row they carry.
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L,
+        targetRowsPerFile = 1000)
+      assert(SidecarMaintenance.dataFiles(spark, corpus).size === 1,
+        "stale parts of the larger prior delivery must be swept")
+      assert(spark.read.parquet(corpus).count() === 48L,
+        "no duplicate rows after the config-changed replay")
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("appended-only refresh plans without LISTING the corpus; result equals the full-diff form") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-append-only").toString
@@ -89,6 +116,7 @@ class StreamReplaySpec extends AnyFunSuite {
         .localCheckpoint(true)
       val published = StreamingOps.idempotentBatchAppend(
         spark, batch2, corpus, batchId = 1L)
+      SidecarMaintenance.trackWalks(corpus) // opt-in counting
       def corpusListings: Long = {
         val v = SidecarMaintenance.walkCounts.get(new Path(corpus).toString)
         if (v == null) 0L else v.longValue()
