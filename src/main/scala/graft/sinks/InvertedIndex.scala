@@ -128,7 +128,8 @@ object InvertedIndex {
       spark: SparkSession,
       table: String,
       buckets: Int = 4): Unit = {
-    SidecarMaintenance.compact(spark, indexPath(table), Seq.empty)(
+    SidecarMaintenance.compact(spark, indexPath(table), Seq.empty,
+      statsCol = Some("id"))(
       _.select("file", "token", "id", "positions")
         .repartitionByRange(buckets, col("token"), col("id"))
         .sortWithinPartitions("token", "id"))
@@ -154,7 +155,8 @@ object InvertedIndex {
       table: String,
       smallBytes: Long = 32L << 20): Unit = {
     SidecarMaintenance.compactSmall(
-      spark, indexPath(table), Seq.empty, smallBytes)(
+      spark, indexPath(table), Seq.empty, smallBytes,
+      statsCol = Some("id"))(
       _.select("file", "token", "id", "positions")
         .repartitionByRange(1, col("token"), col("id"))
         .sortWithinPartitions("token", "id"))
@@ -230,13 +232,15 @@ object InvertedIndex {
         val fp = postingsOf(spark, table, plan.fresh, textCol, idCol)
           .localCheckpoint(true)
         requireDeltaOneFilePerDoc(fp,
-          SidecarMaintenance.keptRows(spark, idx, plan))
+          SidecarMaintenance.keptRows(spark, idx, plan,
+            SidecarMaintenance.idRangeOf(fp, "id")))
         Some(fp)
       }
     SidecarMaintenance.applyDelta(spark, idx, plan, freshPost, Seq.empty,
       _.select("file", "token", "id", "positions")
         .repartitionByRange(buckets, col("token"), col("id"))
-        .sortWithinPartitions("token", "id"))
+        .sortWithinPartitions("token", "id"),
+      statsCol = Some("id"))
     // Sidecar freshness is COUPLED to the index (ADVICE r10): if the
     // retrieval-stats sidecars exist, a refresh that left them stale
     // would silently drop refreshed-in documents from BM25 (dl is

@@ -138,19 +138,21 @@ object IvfIndex {
         // untouched. Rows of vanished files don't count — a
         // purge-rewritten file's ids legitimately reappear fresh.
         requireNoVectorClash(fa,
-          SidecarMaintenance.keptRows(spark, cellsPath(table), plan))
+          SidecarMaintenance.keptRows(spark, cellsPath(table), plan,
+            SidecarMaintenance.idRangeOf(fa, "vec_id")))
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, cellsPath(table), plan,
-      freshAssigned, Seq("__cell"), salted(_, writeSalt))
+      freshAssigned, Seq("__cell"), salted(_, writeSalt),
+      statsCol = Some("vec_id"))
   }
 
   /** Repack the WHOLE cells sidecar (one journaled rewrite) —
     * O(sidecar) by design, an explicit offline layout reset. The
     * scheduled amortizer on streaming cadences is [[compactSmall]]. */
   def compact(spark: SparkSession, table: String, writeSalt: Int = 1): Unit =
-    SidecarMaintenance.compact(spark, cellsPath(table), Seq("__cell"))(
-      salted(_, writeSalt))
+    SidecarMaintenance.compact(spark, cellsPath(table), Seq("__cell"),
+      statsCol = Some("vec_id"))(salted(_, writeSalt))
 
   /** Size-tiered repack of refresh-accumulated SMALL sidecar files
     * only ([[SidecarMaintenance.compactSmall]]) — O(accumulated
@@ -163,8 +165,8 @@ object IvfIndex {
       smallBytes: Long = 32L << 20,
       writeSalt: Int = 1): Unit =
     SidecarMaintenance.compactSmall(
-      spark, cellsPath(table), Seq("__cell"), smallBytes)(
-      salted(_, writeSalt))
+      spark, cellsPath(table), Seq("__cell"), smallBytes,
+      statsCol = Some("vec_id"))(salted(_, writeSalt))
 
   /** Nearest-centroid assignment for specific corpus files: each new
     * vector × the broadcast nCells centroids, squared-euclidean
@@ -306,11 +308,13 @@ object IvfIndex {
             centroidsDir = refsCentroidsPath(table))
           .drop("embedding").localCheckpoint(true)
         requireNoVectorClash(fa,
-          SidecarMaintenance.keptRows(spark, refsPath(table), plan))
+          SidecarMaintenance.keptRows(spark, refsPath(table), plan,
+            SidecarMaintenance.idRangeOf(fa, "vec_id")))
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, refsPath(table), plan,
-      freshAssigned, Seq("__cell"), saltedRefs(_, writeSalt))
+      freshAssigned, Seq("__cell"), saltedRefs(_, writeSalt),
+      statsCol = Some("vec_id"))
   }
 
   /** Size-tiered amortizer for the refs sidecar. */
@@ -320,8 +324,8 @@ object IvfIndex {
       smallBytes: Long = 32L << 20,
       writeSalt: Int = 1): Unit =
     SidecarMaintenance.compactSmall(
-      spark, refsPath(table), Seq("__cell"), smallBytes)(
-      saltedRefs(_, writeSalt))
+      spark, refsPath(table), Seq("__cell"), smallBytes,
+      statsCol = Some("vec_id"))(saltedRefs(_, writeSalt))
 
   /** Probe off the REFS sidecar: the probed cell set pushes as a
     * static partition filter exactly as in [[topK]], but the probe

@@ -114,18 +114,20 @@ object LshIndex {
         val fa = signFiles(spark, table, plan.fresh, idCol, vecCol, planes, seed)
           .localCheckpoint(true)
         IvfIndex.requireNoVectorClash(fa,
-          SidecarMaintenance.keptRows(spark, bucketsPath(table), plan))
+          SidecarMaintenance.keptRows(spark, bucketsPath(table), plan,
+            SidecarMaintenance.idRangeOf(fa, "vec_id")))
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, bucketsPath(table), plan,
-      freshSigned, Seq("bucket"), salted(_, writeSalt))
+      freshSigned, Seq("bucket"), salted(_, writeSalt),
+      statsCol = Some("vec_id"))
   }
 
   /** Repack the WHOLE buckets sidecar — explicit offline op; the
     * streaming-cadence amortizer is [[compactSmall]]. */
   def compact(spark: SparkSession, table: String, writeSalt: Int = 1): Unit =
-    SidecarMaintenance.compact(spark, bucketsPath(table), Seq("bucket"))(
-      salted(_, writeSalt))
+    SidecarMaintenance.compact(spark, bucketsPath(table), Seq("bucket"),
+      statsCol = Some("vec_id"))(salted(_, writeSalt))
 
   /** Size-tiered repack of SMALL bucket files only — O(accumulated
     * deltas), never O(sidecar); the buckets sidecar carries full
@@ -136,8 +138,8 @@ object LshIndex {
       smallBytes: Long = 32L << 20,
       writeSalt: Int = 1): Unit =
     SidecarMaintenance.compactSmall(
-      spark, bucketsPath(table), Seq("bucket"), smallBytes)(
-      salted(_, writeSalt))
+      spark, bucketsPath(table), Seq("bucket"), smallBytes,
+      statsCol = Some("vec_id"))(salted(_, writeSalt))
 
   private def signFiles(
       spark: SparkSession,
@@ -229,11 +231,13 @@ object LshIndex {
             planes, seed).drop("embedding")
           .localCheckpoint(true)
         IvfIndex.requireNoVectorClash(fa,
-          SidecarMaintenance.keptRows(spark, refsPath(table), plan))
+          SidecarMaintenance.keptRows(spark, refsPath(table), plan,
+            SidecarMaintenance.idRangeOf(fa, "vec_id")))
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, refsPath(table), plan,
-      freshSigned, Seq("bucket"), saltedRefs(_, writeSalt))
+      freshSigned, Seq("bucket"), saltedRefs(_, writeSalt),
+      statsCol = Some("vec_id"))
   }
 
   /** Size-tiered amortizer for the refs sidecar. */
@@ -243,8 +247,8 @@ object LshIndex {
       smallBytes: Long = 32L << 20,
       writeSalt: Int = 1): Unit =
     SidecarMaintenance.compactSmall(
-      spark, refsPath(table), Seq("bucket"), smallBytes)(
-      saltedRefs(_, writeSalt))
+      spark, refsPath(table), Seq("bucket"), smallBytes,
+      statsCol = Some("vec_id"))(saltedRefs(_, writeSalt))
 
   /** Multi-probe search off the REFS sidecar: the probed bucket set
     * pushes as a static partition filter exactly as in [[topK]], but

@@ -133,18 +133,20 @@ object PqIndex {
             PqEncode(col(vecCol), cb).as("__codes"))
           .localCheckpoint(true)
         IvfIndex.requireNoVectorClash(fc,
-          SidecarMaintenance.keptRows(spark, codesPath(table), plan))
+          SidecarMaintenance.keptRows(spark, codesPath(table), plan,
+            SidecarMaintenance.idRangeOf(fc, "vec_id")))
         Some(fc)
       }
     SidecarMaintenance.applyDelta(spark, codesPath(table), plan,
-      freshCodes, Seq.empty, clustered(_, buckets))
+      freshCodes, Seq.empty, clustered(_, buckets),
+      statsCol = Some("vec_id"))
   }
 
   /** Repack the WHOLE codes sidecar — explicit offline op; the
     * streaming-cadence amortizer is [[compactSmall]]. */
   def compact(spark: SparkSession, table: String, buckets: Int = 4): Unit =
-    SidecarMaintenance.compact(spark, codesPath(table), Seq.empty)(
-      clustered(_, buckets))
+    SidecarMaintenance.compact(spark, codesPath(table), Seq.empty,
+      statsCol = Some("vec_id"))(clustered(_, buckets))
 
   /** Size-tiered repack of SMALL code files only — the merged tier
     * lands as ONE id-sorted file (row-group stats stay tight) so it
@@ -154,8 +156,8 @@ object PqIndex {
       table: String,
       smallBytes: Long = 32L << 20): Unit =
     SidecarMaintenance.compactSmall(
-      spark, codesPath(table), Seq.empty, smallBytes)(
-      clustered(_, 1))
+      spark, codesPath(table), Seq.empty, smallBytes,
+      statsCol = Some("vec_id"))(clustered(_, 1))
 
   /** ADC over the codes sidecar, exact re-rank against the
     * column-pruned corpus. Output (q_id, neighbor_id, rank) —

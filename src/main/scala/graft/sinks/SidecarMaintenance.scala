@@ -118,7 +118,8 @@ object SidecarMaintenance {
       dir: String,
       newRows: Option[DataFrame],
       doomed: Seq[String],
-      partCols: Seq[String]): Unit = {
+      partCols: Seq[String],
+      statsCol: Option[String] = None): Unit = {
     import spark.implicits._
     if (newRows.isEmpty && doomed.isEmpty) return
     val fs = fsFor(spark, dir)
@@ -135,23 +136,44 @@ object SidecarMaintenance {
     // (a delta-sized read) BEFORE the commit point, so the coverage
     // log can never drift from the sidecar: rollback discards it
     // with the staging dir, roll-forward moves it into `_coverage`
-    // alongside the data files it describes.
+    // alongside the data files it describes. With `statsCol` the
+    // record also carries each pair's id min/max — what lets
+    // [[keptRows]] prune the clash guard's file list driver-side.
     val doomedRel = doomed.map(relPath(dir, _))
     val stagedFiles = walkStatuses(fs, staging)
       .map(_.getPath.toString).filterNot(_.endsWith(CommitMarker))
-    val stagedPairs: Array[(String, String, Long)] =
+    val stagedRecs: Array[CovRec] =
       if (stagedFiles.isEmpty) Array.empty
-      else spark.read.option("basePath", staging.toString)
-        .parquet(stagedFiles: _*)
-        .select(col("file"), col("_metadata.file_path").as("__sfile"),
-          col("_metadata.file_size").as("__slen"))
-        .distinct().as[(String, String, Long)].collect()
-        .map { case (c, sf, len) => (c, relPath(staging.toString, sf), len) }
+      else {
+        val base = spark.read.option("basePath", staging.toString)
+          .parquet(stagedFiles: _*)
+        statsCol match {
+          case Some(sc) =>
+            base.groupBy(col("file"),
+                col("_metadata.file_path").as("__sfile"),
+                col("_metadata.file_size").as("__slen"))
+              .agg(min(col(sc).cast("long")).as("__lo"),
+                max(col(sc).cast("long")).as("__hi"))
+              .as[(String, String, Long, Option[Long], Option[Long])]
+              .collect()
+              .map { case (c, sf, len, lo, hi) =>
+                CovRec(c, relPath(staging.toString, sf), len,
+                  lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)) }
+          case None =>
+            base.select(col("file"),
+                col("_metadata.file_path").as("__sfile"),
+                col("_metadata.file_size").as("__slen"))
+              .distinct().as[(String, String, Long)].collect()
+              .map { case (c, sf, len) =>
+                CovRec(c, relPath(staging.toString, sf), len,
+                  Long.MinValue, Long.MaxValue) }
+        }
+      }
     val seq = nextSeq(fs, dir)
     val covOut = fs.create(new Path(staging, f"$CovDeltaPrefix$seq%09d"))
     covOut.write((
       doomedRel.map(r => s"-\t$r") ++
-        stagedPairs.map { case (c, r, len) => s"+\t$c\t$r\t$len" })
+        stagedRecs.map(rec => "+\t" + rec.line))
       .mkString("\n").getBytes("UTF-8"))
     covOut.close()
     // journal BEFORE marker: the journal write is multi-byte and not
@@ -165,7 +187,36 @@ object SidecarMaintenance {
     out.close()
     fs.create(new Path(staging, CommitMarker)).close()
     finishSwap(fs, dir)
-    advanceMemo(fs, dir, doomedRel.toSet, stagedPairs)
+    advanceMemo(fs, dir, doomedRel.toSet, stagedRecs)
+  }
+
+  /** One coverage-log entry: a (covered corpus file → sidecar file)
+    * pair with the sidecar file's byte length and the pair's id
+    * range under the family's stats column ([lo, hi]; the full-range
+    * sentinel when the commit recorded no stats — conservative
+    * "could contain anything"). */
+  private[graft] final case class CovRec(
+      corpus: String, rel: String, len: Long, lo: Long, hi: Long) {
+    def statless: Boolean = lo == Long.MinValue && hi == Long.MaxValue
+    /** Serialized record tail (after the `+\t` on delta lines). */
+    def line: String =
+      if (statless) s"$corpus\t$rel\t$len"
+      else s"$corpus\t$rel\t$len\t$lo\t$hi"
+  }
+
+  private[graft] object CovRec {
+    /** Parse a base line / the tail of a `+` delta line; None = torn. */
+    def parse(fields: Array[String]): Option[CovRec] = fields match {
+      case Array(c, r, len) =>
+        len.toLongOption.map(CovRec(c, r, _, Long.MinValue, Long.MaxValue))
+      case Array(c, r, len, lo, hi) =>
+        for {
+          l <- len.toLongOption
+          a <- lo.toLongOption
+          b <- hi.toLongOption
+        } yield CovRec(c, r, l, a, b)
+      case _ => None
+    }
   }
 
   /** A refresh's file-set arithmetic, shared by every index family
@@ -178,7 +229,8 @@ object SidecarMaintenance {
   final case class DeltaPlan(
       pairs: Array[(String, String)],
       vanished: Set[String],
-      fresh: Seq[String]) {
+      fresh: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty) {
     def isEmpty: Boolean = fresh.isEmpty && vanished.isEmpty
     /** Sidecar files that carry a vanished corpus file's rows — the
       * ONLY sidecar files the delta rewrites. */
@@ -197,30 +249,51 @@ object SidecarMaintenance {
       dir: String,
       current: Set[String]): DeltaPlan = {
     recover(spark, dir)
-    val (pairs, indexed) = planPairs(spark, dir)
-    DeltaPlan(pairs, indexed -- current, (current -- indexed).toSeq.sorted)
+    val v = planView(spark, dir)
+    DeltaPlan(v.pairsAbs, v.indexed -- current,
+      (current -- v.indexed).toSeq.sorted, v.stats)
   }
 
-  // Derived planning view of the coverage map — absolute-path pairs
-  // plus the covered-corpus-file Set — memoized per memo state and
-  // advanced INCREMENTALLY by append-only commits, so a streaming
-  // cadence's per-batch [[planAppend]] does O(batch) driver work on
-  // the hot path instead of rebuilding an O(covered-file-count)
-  // string array + Set every micro-batch. Validity is the covMemo
-  // signature: any out-of-band change misses and recomputes once.
+  // Derived planning view of the coverage map — absolute-path pairs,
+  // the covered-corpus-file Set and the per-sidecar-file id-range
+  // stats — memoized per memo state and advanced INCREMENTALLY by
+  // append-only commits, so a streaming cadence's per-batch
+  // [[planAppend]] does O(batch) driver work on the hot path instead
+  // of rebuilding an O(covered-file-count) string array + Set every
+  // micro-batch. Validity is the covMemo signature: any out-of-band
+  // change misses and recomputes once.
   private final case class CovView(
       sig: String,
       pairsAbs: Array[(String, String)],
-      indexed: Set[String])
+      indexed: Set[String],
+      stats: Map[String, (Long, Long)])
   private val covView =
     new java.util.concurrent.ConcurrentHashMap[String, CovView]()
 
-  /** (absolute (corpus → sidecar) pairs, covered corpus-file set),
-    * healing the log with one scan when absent/torn. */
-  private def planPairs(
-      spark: SparkSession,
-      dir: String): (Array[(String, String)], Set[String]) = {
-    val triples = readCoverage(spark, dir).getOrElse {
+  /** Fold per-pair records into per-sidecar-file [lo, hi] ranges —
+    * statless records poison their file to the full-range sentinel
+    * (absent from the map = "could contain anything" = never
+    * pruned). */
+  private def foldStats(
+      dir: String, recs: Array[CovRec]): Map[String, (Long, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    val poisoned = scala.collection.mutable.HashSet.empty[String]
+    recs.foreach { rec =>
+      val f = s"$dir/${rec.rel}"
+      if (rec.statless) { poisoned += f; m.remove(f) }
+      else if (!poisoned(f)) {
+        val cur = m.get(f)
+        m.put(f, cur.fold((rec.lo, rec.hi))(c =>
+          (math.min(c._1, rec.lo), math.max(c._2, rec.hi))))
+      }
+    }
+    m.toMap
+  }
+
+  /** The planning view, healing the log with one scan when
+    * absent/torn. */
+  private def planView(spark: SparkSession, dir: String): CovView = {
+    val recs = readCoverage(spark, dir).getOrElse {
       // heal LAZILY: bootstrap and out-of-band rewrites don't pay an
       // extra scan — the first refresh after them does this one
       // fallback scan and every refresh from then on plans for free
@@ -231,12 +304,13 @@ object SidecarMaintenance {
     val memo = covMemo.get(dir)
     val sig = if (memo == null) null else memo._1
     val v = covView.get(dir)
-    if (v != null && sig != null && v.sig == sig) (v.pairsAbs, v.indexed)
+    if (v != null && sig != null && v.sig == sig) v
     else {
-      val pairs = triples.map { case (c, r, _) => (c, s"$dir/$r") }
-      val indexed = pairs.map(_._1).toSet
-      if (sig != null) covView.put(dir, CovView(sig, pairs, indexed))
-      (pairs, indexed)
+      val pairs = recs.map(rec => (rec.corpus, s"$dir/${rec.rel}"))
+      val view = CovView(sig, pairs, pairs.map(_._1).toSet,
+        foldStats(dir, recs))
+      if (sig != null) covView.put(dir, view)
+      view
     }
   }
 
@@ -245,7 +319,7 @@ object SidecarMaintenance {
     * the log is absent/torn (caller falls back to its own source of
     * truth, which also heals the log on the next refresh). */
   def coveredFiles(spark: SparkSession, dir: String): Option[Set[String]] =
-    readCoverage(spark, dir).map(_.map(_._1).toSet)
+    readCoverage(spark, dir).map(_.map(_.corpus).toSet)
 
   /** APPEND-ONLY plan: `candidates` (fully-qualified corpus file
     * paths — e.g. the files a streaming micro-batch just published)
@@ -263,8 +337,9 @@ object SidecarMaintenance {
       dir: String,
       candidates: Set[String]): DeltaPlan = {
     recover(spark, dir)
-    val (pairs, indexed) = planPairs(spark, dir)
-    DeltaPlan(pairs, Set.empty, (candidates -- indexed).toSeq.sorted)
+    val v = planView(spark, dir)
+    DeltaPlan(v.pairsAbs, Set.empty,
+      (candidates -- v.indexed).toSeq.sorted, v.stats)
   }
 
   // ── coverage log ────────────────────────────────────────────────
@@ -320,8 +395,12 @@ object SidecarMaintenance {
     new Path(f).toUri.getPath.stripPrefix(base).stripPrefix("/")
   }
 
+  // The family-agnostic heal scan records no id stats (it cannot
+  // know the family's stats column) — healed entries carry the
+  // full-range sentinel until a later commit/compaction rewrites
+  // their files with stats. Conservative: unpruned, never wrong.
   private def scanPairs(
-      spark: SparkSession, dir: String): Array[(String, String, Long)] = {
+      spark: SparkSession, dir: String): Array[CovRec] = {
     import spark.implicits._
     val files = dataFiles(spark, dir)
     if (files.isEmpty) return Array.empty
@@ -329,7 +408,8 @@ object SidecarMaintenance {
       .select(col("file"), col("_metadata.file_path").as("__sfile"),
         col("_metadata.file_size").as("__slen"))
       .distinct().as[(String, String, Long)].collect()
-      .map { case (c, sf, len) => (c, relPath(dir, sf), len) }
+      .map { case (c, sf, len) =>
+        CovRec(c, relPath(dir, sf), len, Long.MinValue, Long.MaxValue) }
   }
 
   /** The coverage log's records: (seq, isBase, path), sorted by seq. */
@@ -364,7 +444,7 @@ object SidecarMaintenance {
   // disk load, which re-validates against the full file listing.
   private val covMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Array[(String, String, Long)])]()
+      String, (String, Array[CovRec])]()
 
   /** Test hook: simulate a fresh driver JVM (memo empty, only the
     * on-disk log to go on). */
@@ -377,39 +457,39 @@ object SidecarMaintenance {
       fs: FileSystem,
       dir: String,
       doomedRel: Set[String],
-      stagedPairs: Array[(String, String, Long)]): Unit = {
+      stagedRecs: Array[CovRec]): Unit = {
     val memo = covMemo.get(dir)
     if (memo == null) return // next planDelta loads + validates from disk
-    val pairs =
+    val recs =
       (if (doomedRel.isEmpty) memo._2
-       else memo._2.filterNot(p => doomedRel(p._2))) ++ stagedPairs
+       else memo._2.filterNot(p => doomedRel(p.rel))) ++ stagedRecs
     val sig = covSignature(covRecords(fs, dir))
-    covMemo.put(dir, (sig, pairs))
+    covMemo.put(dir, (sig, recs))
     // advance the planning view in place for APPEND-ONLY commits
     // (the streaming hot path: no doomed files, so the old view's
-    // pairs and covered-set stay valid and just gain the staged
-    // entries — O(batch)); a commit with deletions invalidates it
-    // and the next plan recomputes once
+    // pairs, covered-set and stats stay valid and just gain the
+    // staged entries — O(batch)); a commit with deletions
+    // invalidates it and the next plan recomputes once
     val view = covView.get(dir)
     if (view != null) {
       if (doomedRel.isEmpty && view.sig == memo._1)
         covView.put(dir, CovView(sig,
-          view.pairsAbs ++ stagedPairs.map { case (c, r, _) => (c, s"$dir/$r") },
-          view.indexed ++ stagedPairs.iterator.map(_._1)))
+          view.pairsAbs ++ stagedRecs.map(r => (r.corpus, s"$dir/${r.rel}")),
+          view.indexed ++ stagedRecs.iterator.map(_.corpus),
+          view.stats ++ foldStats(dir, stagedRecs)))
       else covView.remove(dir)
     }
     if (covRecords(fs, dir).count(!_._2) > CheckpointEvery) {
       val spark = org.apache.spark.sql.SparkSession.active
-      checkpointCoverage(spark, dir, pairs)
+      checkpointCoverage(spark, dir, recs)
     }
   }
 
-  /** The coverage map as (corpus, sidecarRel, sidecarBytes) triples,
-    * or None when the log is absent/torn/stale (caller heals with a
-    * scan). */
+  /** The coverage map as [[CovRec]] records, or None when the log is
+    * absent/torn/stale (caller heals with a scan). */
   private def readCoverage(
       spark: SparkSession,
-      dir: String): Option[Array[(String, String, Long)]] = {
+      dir: String): Option[Array[CovRec]] = {
     val fs = fsFor(spark, dir)
     val recs = covRecords(fs, dir)
     if (recs.isEmpty) return None
@@ -430,25 +510,21 @@ object SidecarMaintenance {
       finally in.close()
     }
     try {
-      var pairs =
-        scala.collection.mutable.LinkedHashSet.empty[(String, String, Long)]
+      var pairs = scala.collection.mutable.LinkedHashSet.empty[CovRec]
       lines(basePath).foreach { l =>
-        l.split("\t") match {
-          case Array(c, r, len) =>
-            len.toLongOption match {
-              case Some(n) => pairs += ((c, r, n))
-              case None => return None // torn base
-            }
-          case _ => return None // torn base
+        CovRec.parse(l.split("\t")) match {
+          case Some(rec) => pairs += rec
+          case None => return None // torn base
         }
       }
       recs.filter(r => !r._2 && r._1 > baseSeq).foreach { case (_, _, p) =>
         lines(p).foreach { l =>
-          l.split("\t") match {
-            case Array("-", r) => pairs = pairs.filterNot(_._2 == r)
-            case Array("+", c, r, len) =>
-              len.toLongOption match {
-                case Some(n) => pairs += ((c, r, n))
+          val fields = l.split("\t")
+          fields match {
+            case Array("-", r) => pairs = pairs.filterNot(_.rel == r)
+            case _ if fields.headOption.contains("+") =>
+              CovRec.parse(fields.drop(1)) match {
+                case Some(rec) => pairs += rec
                 case None => return None // torn delta
               }
             case _ => return None // torn delta
@@ -461,7 +537,7 @@ object SidecarMaintenance {
       // changed bytes also invalidates)
       val actual = dataFileSizes(spark, dir)
         .map { case (f, len) => (relPath(dir, f), len) }.toSet
-      if (arr.map(t => (t._2, t._3)).toSet == actual) {
+      if (arr.map(t => (t.rel, t.len)).toSet == actual) {
         covMemo.put(dir, (sig, arr))
         Some(arr)
       } else None
@@ -476,17 +552,16 @@ object SidecarMaintenance {
     * sidecar paths (normalized here). */
   private def checkpointCoverage(
       spark: SparkSession, dir: String,
-      pairs: Array[(String, String, Long)]): Unit = {
+      pairs: Array[CovRec]): Unit = {
     val fs = fsFor(spark, dir)
-    val rel = pairs.map { case (c, f, len) => (c, relPath(dir, f), len) }
+    val rel = pairs.map(p => p.copy(rel = relPath(dir, p.rel)))
     val recs = covRecords(fs, dir)
     val seqNow = (recs.map(_._1) :+ 0L).max
     val cp = coveragePath(dir)
     fs.mkdirs(cp)
     val tmp = new Path(cp, f".base-$seqNow%09d.tmp")
     val out = fs.create(tmp, true)
-    out.write(rel.map(p => p._1 + "\t" + p._2 + "\t" + p._3).mkString("\n")
-      .getBytes("UTF-8"))
+    out.write(rel.map(_.line).mkString("\n").getBytes("UTF-8"))
     out.close()
     val dest = new Path(cp, f"base-$seqNow%09d")
     fs.delete(dest, false)
@@ -504,17 +579,44 @@ object SidecarMaintenance {
   /** The sidecar rows the delta KEEPS (everything but vanished
     * files' rows) — what pre-mutation layout guards check the fresh
     * rows against. None when the sidecar holds no data files at all
-    * (every corpus file vanished — nothing to clash with). */
+    * (every corpus file vanished — nothing to clash with), or when
+    * `idRange` prunes every kept file.
+    *
+    * `idRange` = the fresh batch's [min, max] under the family's
+    * stats column: any clash id lies inside it by definition, so
+    * kept files whose coverage-recorded id range doesn't overlap are
+    * dropped from the FILE LIST here, driver-side — with monotonic
+    * ingest ids the guard then constructs a scan over ~no files at
+    * all, instead of a scan over every sidecar file that each task
+    * re-prunes via parquet footers (O(file-count) footer opens per
+    * refresh at scale). Files without recorded stats (healed
+    * entries, pre-stats commits) are conservatively kept. */
   def keptRows(
-      spark: SparkSession, dir: String, plan: DeltaPlan): Option[DataFrame] = {
+      spark: SparkSession, dir: String, plan: DeltaPlan,
+      idRange: Option[(Long, Long)] = None): Option[DataFrame] = {
     import spark.implicits._
     // file list from the plan's coverage pairs (every sidecar data
     // file carries some corpus file, so the pairs' sidecar side IS
     // the data-file set) — no directory listing on the refresh path
-    val files = plan.pairs.map(_._2).distinct.toSeq
+    val all = plan.pairs.map(_._2).distinct.toSeq
+    val files = idRange match {
+      case Some((lo, hi)) => all.filter(f =>
+        plan.stats.get(f).forall { case (flo, fhi) => fhi >= lo && flo <= hi })
+      case None => all
+    }
     if (files.isEmpty) None
     else Some(spark.read.option("basePath", dir).parquet(files: _*).join(
       broadcast(plan.vanished.toSeq.toDF("file")), Seq("file"), "left_anti"))
+  }
+
+  /** [min, max] of `c` (cast to long) over `df` — the fresh batch's
+    * id range callers hand to [[keptRows]]; None when the batch is
+    * empty or all-null. */
+  def idRangeOf(df: DataFrame, c: String): Option[(Long, Long)] = {
+    val Array(b) = df
+      .agg(min(col(c).cast("long")).as("lo"), max(col(c).cast("long")).as("hi"))
+      .collect()
+    if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))
   }
 
   /** Executes a [[planDelta]]: survivor rows of the doomed sidecar
@@ -528,7 +630,8 @@ object SidecarMaintenance {
       plan: DeltaPlan,
       freshRows: Option[DataFrame],
       partCols: Seq[String],
-      layout: DataFrame => DataFrame): Unit = {
+      layout: DataFrame => DataFrame,
+      statsCol: Option[String] = None): Unit = {
     import spark.implicits._
     if (plan.isEmpty) return
     val doomed = plan.doomed
@@ -539,7 +642,7 @@ object SidecarMaintenance {
           Seq("file"), "left_anti"))
     val newRows = (survivors.toSeq ++ freshRows.toSeq)
       .reduceOption(_.unionByName(_)).map(layout)
-    commitDelta(spark, dir, newRows, doomed, partCols)
+    commitDelta(spark, dir, newRows, doomed, partCols, statsCol)
   }
 
   /** Spread a partition-dir write across `writeSalt` tasks PER
@@ -613,13 +716,14 @@ object SidecarMaintenance {
   def compact(
       spark: SparkSession,
       dir: String,
-      partCols: Seq[String])(
+      partCols: Seq[String],
+      statsCol: Option[String] = None)(
       layout: DataFrame => DataFrame): Unit = {
     recover(spark, dir)
     val files = dataFiles(spark, dir)
     if (files.isEmpty) return
     val all = spark.read.option("basePath", dir).parquet(files: _*)
-    commitDelta(spark, dir, Some(layout(all)), files, partCols)
+    commitDelta(spark, dir, Some(layout(all)), files, partCols, statsCol)
   }
 
   /** SIZE-TIERED compaction — the scheduled amortizer for
@@ -657,7 +761,8 @@ object SidecarMaintenance {
       dir: String,
       partCols: Seq[String],
       smallBytes: Long = 32L << 20,
-      minFiles: Int = 2)(
+      minFiles: Int = 2,
+      statsCol: Option[String] = None)(
       layout: DataFrame => DataFrame): Unit = {
     recover(spark, dir)
     if (!fsFor(spark, dir).exists(new Path(dir))) return
@@ -672,7 +777,7 @@ object SidecarMaintenance {
     // the log is absent/stale (e.g. right after a full rebuild),
     // which the first refresh heals
     val sizes = readCoverage(spark, dir)
-      .map(_.map { case (_, r, len) => (s"$dir/$r", len) }
+      .map(_.map(rec => (s"$dir/${rec.rel}", rec.len))
         .distinct.toSeq.sortBy(_._1))
       .getOrElse(dataFileSizes(spark, dir))
     val victims = sizes
@@ -683,7 +788,7 @@ object SidecarMaintenance {
       .flatten.map(_._1).toSeq.sorted
     if (victims.isEmpty) return
     val rows = spark.read.option("basePath", dir).parquet(victims: _*)
-    commitDelta(spark, dir, Some(layout(rows)), victims, partCols)
+    commitDelta(spark, dir, Some(layout(rows)), victims, partCols, statsCol)
   }
 
   private def finishSwap(fs: FileSystem, dir: String): Unit = {

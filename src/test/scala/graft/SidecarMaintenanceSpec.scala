@@ -579,6 +579,48 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("guard file list prunes by coverage id-ranges: a disjoint-range delta reads NO kept file") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val cellsDir = IvfIndex.cellsPath(path)
+      // two stats-bearing commits with disjoint id ranges (the
+      // bootstrap's healed entries are statless = never pruned, so
+      // rebuild coverage through a compact that records stats)
+      IvfIndex.refresh(spark, path) // heals coverage (statless entries)
+      IvfIndex.compact(spark, path) // whole-sidecar rewrite WITH stats
+      (0 until 2).foreach { i =>
+        SparkEntry.tbl(spark, sf, "embeddings")
+          .where(col("vec_id") >= 200 + i * 10 && col("vec_id") < 210 + i * 10)
+          .coalesce(1).write.mode("append").parquet(path)
+        IvfIndex.refresh(spark, path)
+      }
+      val plan = SidecarMaintenance.planDelta(spark, cellsDir,
+        spark.read.parquet(path).select(col("_metadata.file_path"))
+          .distinct().as[String].collect().toSet)
+      assert(plan.stats.nonEmpty, "commits must have recorded id ranges")
+      // a range beyond every indexed id prunes EVERY kept file — the
+      // monotonic-ingest steady state: the clash guard constructs no
+      // kept-side scan at all (zero footer opens, zero reads)
+      assert(SidecarMaintenance.keptRows(spark, cellsDir, plan,
+        Some((1000000L, 1000040L))).isEmpty,
+        "disjoint range must prune the whole kept file list")
+      // an overlapping range keeps only the files whose recorded
+      // range intersects — here the [200, 210) commit, not [210, 220)
+      val kept = SidecarMaintenance.keptRows(spark, cellsDir, plan,
+        Some((205L, 207L)))
+      assert(kept.nonEmpty)
+      val ids = kept.get.select("vec_id").as[Long].collect().toSet
+      assert(ids.exists(i => i >= 200 && i < 210),
+        "overlapping commit's file must stay in the guard's list")
+      assert(!ids.exists(i => i >= 210 && i < 220),
+        "non-overlapping commit's file must be pruned from the list")
+      // and the pruning is conservative where stats are absent: a
+      // statless plan (None range) keeps everything
+      assert(SidecarMaintenance.keptRows(spark, cellsDir, plan, None)
+        .get.count() === 220L)
+    }
+  }
+
   // ── coverage log: O(commit) manifest maintenance (#2 r15) ───────
 
   test("a delta commit APPENDS one O(commit) coverage record; existing log records are untouched") {
