@@ -708,6 +708,27 @@ object SidecarMaintenance {
       s"interrupted maintenance journal at ${journalPath(dir)} — " +
         "run refresh (or recover) before querying")
 
+  /** [[requireClean]] for readers that may legitimately RACE an
+    * external maintainer: a live commit window (journal present)
+    * is treated as transient — poll with backoff until it closes —
+    * and only a journal that OUTLIVES `timeoutMs` surfaces as the
+    * hard failure, since a persisting journal is what identifies a
+    * crashed run needing [[recover]]. The single-writer drivers
+    * never need this (they serialize refresh and probe); it exists
+    * so a separate reader process doesn't take spurious failures on
+    * every routine per-batch commit. */
+  def awaitClean(
+      spark: SparkSession, dir: String, timeoutMs: Long = 30000): Unit = {
+    val fs = fsFor(spark, dir)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var backoff = 50L
+    while (fs.exists(journalPath(dir)) && System.nanoTime() < deadline) {
+      Thread.sleep(backoff)
+      backoff = math.min(backoff * 2, 1000L)
+    }
+    requireClean(spark, dir)
+  }
+
   /** Repack the sidecar's ENTIRE current content (shaped by
     * `layout`) through the journaled commit. O(sidecar) by design —
     * an explicit offline operation for layout resets (e.g. global

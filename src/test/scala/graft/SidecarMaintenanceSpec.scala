@@ -621,6 +621,32 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("awaitClean outlasts a transient commit window but still refuses a crashed journal") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 2)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = fsOf(cellsDir)
+      val journal = SidecarMaintenance.journalPath(cellsDir)
+      // transient window: a "maintainer" removes the journal shortly
+      // after the reader starts waiting — awaitClean must ride it out
+      val out = fs.create(journal)
+      out.write("".getBytes("UTF-8")); out.close()
+      val t = new Thread(() => { Thread.sleep(300); fs.delete(journal, false) })
+      t.start()
+      SidecarMaintenance.awaitClean(spark, cellsDir, timeoutMs = 5000)
+      t.join()
+      // crashed journal (nobody removes it): surfaces as the same
+      // hard failure requireClean gives, after the timeout
+      val out2 = fs.create(journal)
+      out2.write("".getBytes("UTF-8")); out2.close()
+      val e = intercept[IllegalArgumentException] {
+        SidecarMaintenance.awaitClean(spark, cellsDir, timeoutMs = 400)
+      }
+      assert(e.getMessage.contains("interrupted maintenance journal"))
+      fs.delete(journal, false)
+    }
+  }
+
   // ── coverage log: O(commit) manifest maintenance (#2 r15) ───────
 
   test("a delta commit APPENDS one O(commit) coverage record; existing log records are untouched") {
