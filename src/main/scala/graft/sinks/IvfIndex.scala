@@ -369,15 +369,24 @@ object IvfIndex {
     // (bounded by the probed cells' coverage — a corpus fraction at
     // partial nProbe), not a full column pass over the table; the
     // file set comes from its own partition-pruned refs scan so the
-    // candidates plan keeps the __cell PartitionFilters visible
+    // candidates plan keeps the __cell PartitionFilters visible.
+    // A refs index stale w.r.t. a corpus DELETION may still name
+    // vanished files — drop them (their candidates score absent,
+    // exactly as the full-table read served them) rather than let
+    // the explicit-path read throw; ignoreMissingFiles covers the
+    // delete-after-listing race
+    val fsC = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val candFiles = spark.read.parquet(refsPath(table))
       .where(col("__cell").isin(probedCells: _*))
       .select("file").distinct().as[String]
-      .collect().toSeq.sorted
+      .collect().toSeq.sorted.filter(f => fsC.exists(new Path(f)))
     if (candFiles.isEmpty)
-      return spark.emptyDataset[(Long, Long, Long)]
-        .toDF("q_id", "neighbor_id", "rank")
+      // same schema as the non-empty path (q_id/neighbor_id take the
+      // id column's type), just zero rows
+      return probes.select(col("q_id"), col("q_id").as("neighbor_id"))
+        .withColumn("rank", lit(0L)).limit(0)
     val corpus = spark.read.option("basePath", table)
+      .option("ignoreMissingFiles", "true")
       .parquet(candFiles: _*)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = candidates.join(corpus, Seq("neighbor_id"))

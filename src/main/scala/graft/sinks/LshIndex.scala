@@ -292,15 +292,22 @@ object LshIndex {
       .where(col("q_id") =!= col("neighbor_id"))
       .select("q_id", "q_vec", "neighbor_id")
     // file set from its own partition-pruned refs scan (keeps the
-    // bucket PartitionFilters visible in the candidates plan)
+    // bucket PartitionFilters visible in the candidates plan).
+    // Vanished corpus files a stale refs index still names are
+    // dropped — their candidates score absent, exactly as the
+    // full-table read served them; ignoreMissingFiles covers the
+    // delete-after-listing race
+    val fsC = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val candFiles = spark.read.parquet(refsPath(table))
       .where(col("bucket").isin(probedBuckets: _*))
       .select("file").distinct().as[String]
-      .collect().toSeq.sorted
+      .collect().toSeq.sorted.filter(f => fsC.exists(new Path(f)))
     if (candFiles.isEmpty)
-      return spark.emptyDataset[(Long, Long, Long)]
-        .toDF("q_id", "neighbor_id", "rank")
+      // same schema as the non-empty path, zero rows
+      return q.select(col("q_id"), col("q_id").as("neighbor_id"))
+        .withColumn("rank", lit(0L)).limit(0)
     val corpus = spark.read.option("basePath", table)
+      .option("ignoreMissingFiles", "true")
       .parquet(candFiles: _*)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = candidates.join(corpus, Seq("neighbor_id"))

@@ -149,16 +149,24 @@ object SidecarMaintenance {
           .parquet(stagedFiles: _*)
         statsCol match {
           case Some(sc) =>
+            // a row whose id does NOT cast to long is invisible to
+            // min/max — record the SENTINEL for any pair carrying
+            // one, so range pruning can never hide it from the guard
             base.groupBy(col("file"),
                 col("_metadata.file_path").as("__sfile"),
                 col("_metadata.file_size").as("__slen"))
               .agg(min(col(sc).cast("long")).as("__lo"),
-                max(col(sc).cast("long")).as("__hi"))
-              .as[(String, String, Long, Option[Long], Option[Long])]
+                max(col(sc).cast("long")).as("__hi"),
+                sum(when(col(sc).cast("long").isNull, 1L).otherwise(0L))
+                  .as("__nulls"))
+              .as[(String, String, Long, Option[Long], Option[Long], Long)]
               .collect()
-              .map { case (c, sf, len, lo, hi) =>
-                CovRec(c, relPath(staging.toString, sf), len,
-                  lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)) }
+              .map { case (c, sf, len, lo, hi, nulls) =>
+                if (nulls > 0 || lo.isEmpty)
+                  CovRec(c, relPath(staging.toString, sf), len,
+                    Long.MinValue, Long.MaxValue)
+                else CovRec(c, relPath(staging.toString, sf), len,
+                  lo.get, hi.get) }
           case None =>
             base.select(col("file"),
                 col("_metadata.file_path").as("__sfile"),
@@ -293,24 +301,35 @@ object SidecarMaintenance {
   /** The planning view, healing the log with one scan when
     * absent/torn. */
   private def planView(spark: SparkSession, dir: String): CovView = {
-    val recs = readCoverage(spark, dir).getOrElse {
-      // heal LAZILY: bootstrap and out-of-band rewrites don't pay an
-      // extra scan — the first refresh after them does this one
-      // fallback scan and every refresh from then on plans for free
-      val scanned = scanPairs(spark, dir) // relative sidecar paths
-      checkpointCoverage(spark, dir, scanned)
-      scanned
-    }
-    val memo = covMemo.get(dir)
-    val sig = if (memo == null) null else memo._1
-    val v = covView.get(dir)
-    if (v != null && sig != null && v.sig == sig) v
-    else {
+    def build(recs: Array[CovRec], sig: String): CovView = {
       val pairs = recs.map(rec => (rec.corpus, s"$dir/${rec.rel}"))
       val view = CovView(sig, pairs, pairs.map(_._1).toSet,
         foldStats(dir, recs))
       if (sig != null) covView.put(dir, view)
       view
+    }
+    readCoverage(spark, dir) match {
+      case Some(recs) =>
+        // a successful readCoverage guarantees covMemo holds these
+        // records under the CURRENT signature, so the cached view is
+        // valid iff its sig matches the memo's
+        val memo = covMemo.get(dir)
+        val sig = if (memo == null) null else memo._1
+        val v = covView.get(dir)
+        if (v != null && sig != null && v.sig == sig) v
+        else build(recs, sig)
+      case None =>
+        // heal LAZILY: bootstrap and out-of-band rewrites don't pay
+        // an extra scan — the first refresh after them does this one
+        // fallback scan and every refresh from then on plans for
+        // free. The cached view must NOT be consulted here: if the
+        // checkpoint write failed (e.g. rename lost to a concurrent
+        // writer) the memo signature can still match a view built
+        // from PRE-heal records — drop it and build from the scan
+        covView.remove(dir)
+        val scanned = scanPairs(spark, dir) // relative sidecar paths
+        checkpointCoverage(spark, dir, scanned)
+        build(scanned, null)
     }
   }
 
@@ -369,12 +388,20 @@ object SidecarMaintenance {
   // — one listing of the `_coverage` dir, O(commits since
   // checkpoint) — misses): any out-of-band mutation, torn record, or
   // parse failure fails that check and planDelta falls back to the
-  // scan, healing the log in place. Correctness never depends on the
-  // log: a stale-missing entry re-indexes a file and trips the
-  // duplicate guard loudly; the disk-load validation catches the
-  // rest. Every ~CheckpointEvery deltas the log is folded into a
-  // fresh base (amortized O(file-count / CheckpointEvery) per
-  // commit).
+  // scan, healing the log in place. PLANNING correctness never
+  // depends on the log: a stale-missing entry re-indexes a file and
+  // trips the duplicate guard loudly; the disk-load validation
+  // catches the rest. The one thing that TRUSTS the log is the
+  // guard's file-list pruning off the recorded id ranges
+  // ([[keptRows]]) — the table-format trust model (Delta/Iceberg
+  // manifest min/max stats are trusted the same way): the ranges are
+  // written inside the same journaled commit as the data files they
+  // describe and guarded by the (name, length) listing validation,
+  // so only an out-of-band rewrite that preserves BOTH a file's name
+  // and its exact byte length could plant a wrong range — the same
+  // adversary defeats any manifest system. Every ~CheckpointEvery
+  // deltas the log is folded into a fresh base (amortized
+  // O(file-count / CheckpointEvery) per commit).
   //
   // Memory posture: the memoized map holds one (corpus path,
   // sidecar-relative path, length) triple per corpus file — the
@@ -611,12 +638,18 @@ object SidecarMaintenance {
 
   /** [min, max] of `c` (cast to long) over `df` — the fresh batch's
     * id range callers hand to [[keptRows]]; None when the batch is
-    * empty or all-null. */
+    * empty, or when ANY id fails the cast (a null-cast id is
+    * invisible to min/max, so pruning on the visible range could
+    * hide its clash from the guard — None disables pruning,
+    * conservative and correct). */
   def idRangeOf(df: DataFrame, c: String): Option[(Long, Long)] = {
     val Array(b) = df
-      .agg(min(col(c).cast("long")).as("lo"), max(col(c).cast("long")).as("hi"))
+      .agg(min(col(c).cast("long")).as("lo"), max(col(c).cast("long")).as("hi"),
+        sum(when(col(c).cast("long").isNull, 1L).otherwise(0L)).as("nulls"),
+        count(lit(1)).as("n"))
       .collect()
-    if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))
+    if (b.getLong(3) == 0L || b.getLong(2) > 0L || b.isNullAt(0)) None
+    else Some((b.getLong(0), b.getLong(1)))
   }
 
   /** Executes a [[planDelta]]: survivor rows of the doomed sidecar
@@ -722,11 +755,19 @@ object SidecarMaintenance {
     val fs = fsFor(spark, dir)
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var backoff = 50L
-    while (fs.exists(journalPath(dir)) && System.nanoTime() < deadline) {
-      Thread.sleep(backoff)
+    while (true) {
+      // return on an OBSERVED-clean check (the same instant-in-time
+      // guarantee requireClean gives) rather than re-checking after
+      // the loop — a re-check could race a NEW commit window opening
+      // and fail spuriously, the exact mode this helper exists to
+      // avoid
+      if (!fs.exists(journalPath(dir))) return
+      val remainMs = (deadline - System.nanoTime()) / 1000000L
+      if (remainMs <= 0)
+        return requireClean(spark, dir) // timed out: surface the state
+      Thread.sleep(math.min(backoff, remainMs))
       backoff = math.min(backoff * 2, 1000L)
     }
-    requireClean(spark, dir)
   }
 
   /** Repack the sidecar's ENTIRE current content (shaped by

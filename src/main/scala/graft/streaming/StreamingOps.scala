@@ -479,10 +479,18 @@ object StreamingOps {
     // to the prefix-listing sweep for exactly that delivery.
     (0 until nParts).foreach(i => fs.delete(
       new org.apache.hadoop.fs.Path(dir, s"${prefix}p$i.parquet"), false))
-    if (fs.exists(new org.apache.hadoop.fs.Path(
-        dir, s"${prefix}p$nParts.parquet")))
+    val sentinel = new org.apache.hadoop.fs.Path(
+      dir, s"${prefix}p$nParts.parquet")
+    if (fs.exists(sentinel)) {
+      // sweep the rest FIRST, the sentinel LAST: a crash mid-sweep
+      // then always leaves the sentinel in place, so the next
+      // replay's probe re-triggers this fallback instead of missing
+      // the surviving stale parts
       fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
+        .filterNot(_.getPath.getName == sentinel.getName)
         .foreach(st => fs.delete(st.getPath, false))
+      fs.delete(sentinel, false)
+    }
     val parts = fs.listStatus(staging)
       .filter { st =>
         val n = st.getPath.getName

@@ -192,6 +192,30 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("refs probe stays serving when a corpus file vanished before refreshRefs") {
+    withTable() { path =>
+      IvfIndex.collectRefs(spark, path, nCells = 4)
+      // delete one corpus data file OUT OF BAND (a purge between
+      // maintenance entries); the refs index still names it
+      val dataFiles = graft.sinks.SidecarMaintenance
+        .dataFiles(spark, path)
+        .filterNot(_.contains("_ivf_refs"))
+      val victim = new org.apache.hadoop.fs.Path(dataFiles.min)
+      victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(victim, false)
+      val survivors = spark.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      // the probe must SERVE (vanished candidates score absent, as
+      // the full-table read served them) — not throw PATH_NOT_FOUND
+      val res = ranks(IvfIndex.topKRefs(spark, path, survivors,
+        k = 10, nProbe = 4))
+      val brute = ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+        survivors, spark.read.parquet(path), k = 10))
+      assert(res === brute,
+        "stale refs probe must equal brute force over the surviving corpus")
+    }
+  }
+
   test("refs probes prune by cell partition AND column-prune the re-rank corpus scan") {
     withTable() { path =>
       IvfIndex.collectRefs(spark, path, nCells = 8)
