@@ -158,15 +158,18 @@ object IvfIndex {
     * only ([[SidecarMaintenance.compactSmall]]) — O(accumulated
     * deltas), never O(sidecar): the cells sidecar carries full
     * embeddings (corpus-scale), so this is what a streaming cadence
-    * may schedule without a periodic corpus rewrite. */
+    * may schedule without a periodic corpus rewrite. The merged tier
+    * always lands UNSALTED (one file per cell): a salted merge would
+    * re-split each tier into writeSalt sub-threshold files that land
+    * back in the same size class — perpetual re-merge churn instead
+    * of graduation. Refresh keeps its salt; the merge must not. */
   def compactSmall(
       spark: SparkSession,
       table: String,
-      smallBytes: Long = 32L << 20,
-      writeSalt: Int = 1): Unit =
+      smallBytes: Long = 32L << 20): Unit =
     SidecarMaintenance.compactSmall(
       spark, cellsPath(table), Seq("__cell"), smallBytes,
-      statsCol = Some("vec_id"))(salted(_, writeSalt))
+      statsCol = Some("vec_id"))(salted(_, 1))
 
   /** Nearest-centroid assignment for specific corpus files: each new
     * vector × the broadcast nCells centroids, squared-euclidean
@@ -317,15 +320,15 @@ object IvfIndex {
       statsCol = Some("vec_id"))
   }
 
-  /** Size-tiered amortizer for the refs sidecar. */
+  /** Size-tiered amortizer for the refs sidecar (unsalted merge —
+    * see [[compactSmall]]). */
   def compactSmallRefs(
       spark: SparkSession,
       table: String,
-      smallBytes: Long = 32L << 20,
-      writeSalt: Int = 1): Unit =
+      smallBytes: Long = 32L << 20): Unit =
     SidecarMaintenance.compactSmall(
       spark, refsPath(table), Seq("__cell"), smallBytes,
-      statsCol = Some("vec_id"))(saltedRefs(_, writeSalt))
+      statsCol = Some("vec_id"))(saltedRefs(_, 1))
 
   /** Probe off the REFS sidecar: the probed cell set pushes as a
     * static partition filter exactly as in [[topK]], but the probe

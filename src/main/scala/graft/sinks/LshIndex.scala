@@ -131,15 +131,17 @@ object LshIndex {
 
   /** Size-tiered repack of SMALL bucket files only — O(accumulated
     * deltas), never O(sidecar); the buckets sidecar carries full
-    * embeddings, so the distinction is corpus-sized. */
+    * embeddings, so the distinction is corpus-sized. Merge always
+    * UNSALTED (one file per bucket) — a salted merge re-splits the
+    * tier below its own size class and churns forever; see
+    * [[IvfIndex.compactSmall]]. */
   def compactSmall(
       spark: SparkSession,
       table: String,
-      smallBytes: Long = 32L << 20,
-      writeSalt: Int = 1): Unit =
+      smallBytes: Long = 32L << 20): Unit =
     SidecarMaintenance.compactSmall(
       spark, bucketsPath(table), Seq("bucket"), smallBytes,
-      statsCol = Some("vec_id"))(salted(_, writeSalt))
+      statsCol = Some("vec_id"))(salted(_, 1))
 
   private def signFiles(
       spark: SparkSession,
@@ -240,15 +242,15 @@ object LshIndex {
       statsCol = Some("vec_id"))
   }
 
-  /** Size-tiered amortizer for the refs sidecar. */
+  /** Size-tiered amortizer for the refs sidecar (unsalted merge —
+    * see [[compactSmall]]). */
   def compactSmallRefs(
       spark: SparkSession,
       table: String,
-      smallBytes: Long = 32L << 20,
-      writeSalt: Int = 1): Unit =
+      smallBytes: Long = 32L << 20): Unit =
     SidecarMaintenance.compactSmall(
       spark, refsPath(table), Seq("bucket"), smallBytes,
-      statsCol = Some("vec_id"))(saltedRefs(_, writeSalt))
+      statsCol = Some("vec_id"))(saltedRefs(_, 1))
 
   /** Multi-probe search off the REFS sidecar: the probed bucket set
     * pushes as a static partition filter exactly as in [[topK]], but

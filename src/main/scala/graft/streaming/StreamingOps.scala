@@ -388,6 +388,17 @@ object StreamingOps {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       fs.mkdirs(marker.getParent)
+      // MIGRATION: a checkpoint that already committed batches but
+      // has no run-id marker predates the namespacing — that stream
+      // OWNS the un-namespaced `ingest-b<id>-*` files it published,
+      // and its replayed batches must sweep them or duplicate rows.
+      // Record that ownership (before the run-id marker, so a crash
+      // between the two re-detects it) for [[ingestOwnsLegacy]].
+      val commits = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+      if (fs.exists(commits) && fs.listStatus(commits)
+          .exists(st => st.getPath.getName.forall(_.isDigit)))
+        fs.create(new org.apache.hadoop.fs.Path(
+          checkpointDir, "_graft_legacy_ns")).close()
       val tmp = new org.apache.hadoop.fs.Path(
         checkpointDir, s"._graft_run_id.${java.util.UUID.randomUUID}.tmp")
       val out = fs.create(tmp, true)
@@ -402,6 +413,16 @@ object StreamingOps {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
   }
+
+  /** True when this checkpoint predates run-id namespacing (it
+    * committed batches under the un-namespaced file scheme): its
+    * replayed batches must sweep BOTH namespaces. A fresh checkpoint
+    * never owns legacy files — that is the clobber protection. */
+  private[graft] def ingestOwnsLegacy(
+      spark: SparkSession, checkpointDir: String): Boolean =
+    new org.apache.hadoop.fs.Path(checkpointDir, "_graft_legacy_ns")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(checkpointDir, "_graft_legacy_ns"))
 
   /** IDEMPOTENT corpus append for foreachBatch ingest: the batch is
     * staged under a hidden dir, then published as data files with
@@ -451,7 +472,8 @@ object StreamingOps {
       corpusDir: String,
       batchId: Long,
       targetRowsPerFile: Long = 1L << 20,
-      runId: String = ""): Seq[String] = {
+      runId: String = "",
+      sweepLegacy: Boolean = false): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ns = if (runId.isEmpty) "" else s"r$runId-"
@@ -477,20 +499,30 @@ object StreamingOps {
     // uncovered case — a prior delivery with MORE parts (e.g.
     // targetRowsPerFile changed across a restart) — and falls back
     // to the prefix-listing sweep for exactly that delivery.
-    (0 until nParts).foreach(i => fs.delete(
-      new org.apache.hadoop.fs.Path(dir, s"${prefix}p$i.parquet"), false))
-    val sentinel = new org.apache.hadoop.fs.Path(
-      dir, s"${prefix}p$nParts.parquet")
-    if (fs.exists(sentinel)) {
-      // sweep the rest FIRST, the sentinel LAST: a crash mid-sweep
-      // then always leaves the sentinel in place, so the next
-      // replay's probe re-triggers this fallback instead of missing
-      // the surviving stale parts
-      fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
-        .filterNot(_.getPath.getName == sentinel.getName)
-        .foreach(st => fs.delete(st.getPath, false))
-      fs.delete(sentinel, false)
+    def sweep(pfx: String): Unit = {
+      (0 until nParts).foreach(i => fs.delete(
+        new org.apache.hadoop.fs.Path(dir, s"${pfx}p$i.parquet"), false))
+      val sentinel = new org.apache.hadoop.fs.Path(
+        dir, s"${pfx}p$nParts.parquet")
+      if (fs.exists(sentinel)) {
+        // sweep the rest FIRST, the sentinel LAST: a crash mid-sweep
+        // then always leaves the sentinel in place, so the next
+        // replay's probe re-triggers this fallback instead of
+        // missing the surviving stale parts
+        fs.listStatus(dir).filter(_.getPath.getName.startsWith(pfx))
+          .filterNot(_.getPath.getName == sentinel.getName)
+          .foreach(st => fs.delete(st.getPath, false))
+        fs.delete(sentinel, false)
+      }
     }
+    sweep(prefix)
+    // MIGRATION sweep: a checkpoint that predates run-id namespacing
+    // ([[ingestOwnsLegacy]]) published this batch under the old
+    // un-namespaced names — a replay must sweep those too, or the
+    // republished batch silently duplicates every row. Only the
+    // owning (pre-namespace) checkpoint gets this: a fresh stream
+    // must never touch another run's legacy files.
+    if (sweepLegacy && ns.nonEmpty) sweep(s"ingest-b$batchId-")
     val parts = fs.listStatus(staging)
       .filter { st =>
         val n = st.getPath.getName
@@ -669,6 +701,7 @@ object StreamingOps {
       reconcile: => Unit,
       compact: => Unit): Unit = {
     val runId = ingestRunId(spark, checkpointDir)
+    val ownsLegacy = ingestOwnsLegacy(spark, checkpointDir)
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -677,7 +710,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val published = idempotentBatchAppend(spark, batch.toDF(), corpusDir,
-          batchId, runId = runId)
+          batchId, runId = runId, sweepLegacy = ownsLegacy)
         val marker = new org.apache.hadoop.fs.Path(indexMarker)
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // per-batch: APPEND-ONLY refresh planned from the files this

@@ -545,6 +545,39 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("compactSmall merges UNSALTED even when refreshes wrote salted: the tier graduates, no churn") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 2, writeSalt = 4)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val threshold = 1L << 20 // everything at fixture scale is "small"
+      (0 until 3).foreach { i =>
+        SparkEntry.tbl(spark, sf, "embeddings")
+          .where(col("vec_id") >= 200 + i * 10 && col("vec_id") < 210 + i * 10)
+          .coalesce(1).write.mode("append").parquet(path)
+        IvfIndex.refresh(spark, path, writeSalt = 4) // salted small files
+      }
+      val nBefore = SidecarMaintenance.dataFiles(spark, cellsDir).size
+      IvfIndex.compactSmall(spark, path, smallBytes = threshold)
+      // the merged tier lands UNSALTED (one file per cell per commit)
+      // — a salted merge would re-split it into 4 sub-class files
+      // that re-merge every cadence forever
+      assert(SidecarMaintenance.dataFiles(spark, cellsDir).size < nBefore,
+        "the salted accumulation must have merged down")
+      // the cadence CONVERGES (graduation, not churn) — THE pin: an
+      // unsalted merge promotes at least one size class per pass, so
+      // a fixed point arrives within a few passes; a salted merge
+      // re-splits each tier back into its own class and never stops
+      val converged = (0 until 4).exists { _ =>
+        val sig = fileSig(cellsDir)
+        IvfIndex.compactSmall(spark, path, smallBytes = threshold)
+        fileSig(cellsDir) === sig
+      }
+      assert(converged,
+        "the tiered compact must reach a fixed point — endless re-merge churn")
+      assert(spark.read.parquet(cellsDir).count() === 230L)
+    }
+  }
+
   test("steady-state compactSmall selects victims from the coverage log — ZERO sidecar listings") {
     withTable() { path =>
       IvfIndex.collect(spark, path, nCells = 2)

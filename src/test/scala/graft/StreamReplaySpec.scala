@@ -74,6 +74,58 @@ class StreamReplaySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
 
+  test("pre-namespace checkpoint migration: the owning stream sweeps legacy names on replay; a fresh stream never does") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-legacy-mig").toString
+    val corpus = s"$root/corpus"
+    val oldCkpt = s"$root/oldckpt"
+    val freshCkpt = s"$root/freshckpt"
+    try {
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 40).localCheckpoint(true)
+      // a pre-namespace stream's artifacts: un-namespaced batch-0
+      // files in the corpus, a checkpoint with a committed batch and
+      // NO run-id marker
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L)
+      val legacyFiles = SidecarMaintenance.dataFiles(spark, corpus)
+      assert(legacyFiles.forall(_.contains("ingest-b0-")),
+        "fixture: legacy names carry no run-id namespace")
+      val fs = fsOf(oldCkpt)
+      fs.mkdirs(new Path(oldCkpt, "commits"))
+      fs.create(new Path(s"$oldCkpt/commits/0")).close()
+      // the MIGRATED checkpoint owns the legacy files: replaying its
+      // batch 0 under the new code must sweep them (else every row
+      // duplicates and the duplicate guard wedges the stream)
+      val runId = StreamingOps.ingestRunId(spark, oldCkpt)
+      assert(StreamingOps.ingestOwnsLegacy(spark, oldCkpt),
+        "a checkpoint with committed batches and no marker predates namespacing")
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L,
+        runId = runId, sweepLegacy = true)
+      assert(spark.read.parquet(corpus).count() === 40L,
+        "the migrated replay must not duplicate the batch")
+      assert(SidecarMaintenance.dataFiles(spark, corpus)
+        .forall(_.contains(s"ingest-r$runId-b0-")),
+        "legacy names must be swept, namespaced names published")
+      // a FRESH checkpoint does NOT own foreign legacy files: its
+      // batch 0 lands alongside them untouched (the clobber fix)
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus, batchId = 0L)
+      val before = SidecarMaintenance.dataFiles(spark, corpus)
+        .filter(_.contains("ingest-b0-"))
+      assert(before.nonEmpty, "fixture: legacy-named files present again")
+      val freshId = StreamingOps.ingestRunId(spark, freshCkpt)
+      assert(!StreamingOps.ingestOwnsLegacy(spark, freshCkpt),
+        "a fresh checkpoint never owns legacy files")
+      val other = batch.withColumn("vec_id", col("vec_id") + 1000)
+        .localCheckpoint(true)
+      StreamingOps.idempotentBatchAppend(spark, other, corpus, batchId = 0L,
+        runId = freshId, sweepLegacy = false)
+      assert(SidecarMaintenance.dataFiles(spark, corpus)
+        .filter(_.contains("ingest-b0-")).toSet === before.toSet,
+        "a fresh stream's batch 0 must leave foreign legacy files alone")
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("replayed delivery with FEWER parts (config changed) still sweeps the larger prior delivery") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-resweep").toString
