@@ -215,14 +215,15 @@ object InvertedIndex {
       textCol: String,
       idCol: String,
       buckets: Int = 4,
-      appendedOnly: Option[Set[String]] = None): Unit = {
+      appendedOnly: Option[Set[String]] = None,
+      replaced: Set[String] = Set.empty): Unit = {
     val idx = indexPath(table)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SidecarMaintenance.recoverPublish(spark, idx)
     require(fs.exists(new Path(idx)),
       s"no inverted index at $idx — bootstrap with collect()")
     val plan = appendedOnly match {
-      case Some(c) => SidecarMaintenance.planAppend(spark, idx, c)
+      case Some(c) => SidecarMaintenance.planAppend(spark, idx, c, replaced)
       case None => SidecarMaintenance.planDelta(spark, idx,
         BloomIndex.dataFilePaths(spark, table).toSet)
     }

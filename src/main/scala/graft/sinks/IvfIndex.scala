@@ -108,14 +108,19 @@ object IvfIndex {
     * corpus files with no corpus listing and no vanish detection
     * ([[SidecarMaintenance.planAppend]] — the O(batch) form for
     * streaming cadences that know what they just published); None
-    * is the full diff against the listed corpus. */
+    * is the full diff against the listed corpus. `replaced` (only
+    * meaningful with `appendedOnly`) names corpus files an
+    * idempotent replay republished under a prior delivery's names —
+    * their covered bindings are stale and plan vanished+fresh
+    * ([[SidecarMaintenance.planAppend]]). */
   def refresh(
       spark: SparkSession,
       table: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       writeSalt: Int = 1,
-      appendedOnly: Option[Set[String]] = None): Unit = {
+      appendedOnly: Option[Set[String]] = None,
+      replaced: Set[String] = Set.empty): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // heal a crashed rebuild publish BEFORE the existence check — a
     // crash between publishDir's renames can leave the index parked
@@ -125,7 +130,8 @@ object IvfIndex {
       require(fs.exists(new Path(p)),
         s"no IVF index at $p — bootstrap with collect()"))
     val plan = appendedOnly match {
-      case Some(c) => SidecarMaintenance.planAppend(spark, cellsPath(table), c)
+      case Some(c) => SidecarMaintenance.planAppend(spark, cellsPath(table),
+        c, replaced)
       case None => SidecarMaintenance.planDelta(spark, cellsPath(table),
         BloomIndex.dataFilePaths(spark, table).toSet)
     }

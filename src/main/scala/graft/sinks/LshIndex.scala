@@ -96,7 +96,8 @@ object LshIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       writeSalt: Int = 1,
-      appendedOnly: Option[Set[String]] = None): Unit = {
+      appendedOnly: Option[Set[String]] = None,
+      replaced: Set[String] = Set.empty): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SidecarMaintenance.recoverPublish(spark, bucketsPath(table))
     Seq(metaPath(table), bucketsPath(table)).foreach(p =>
@@ -104,7 +105,8 @@ object LshIndex {
         s"no LSH index at $p — bootstrap with collect()"))
     val (planes, seed) = readMeta(spark, table)
     val plan = appendedOnly match {
-      case Some(c) => SidecarMaintenance.planAppend(spark, bucketsPath(table), c)
+      case Some(c) => SidecarMaintenance.planAppend(spark, bucketsPath(table),
+        c, replaced)
       case None => SidecarMaintenance.planDelta(spark, bucketsPath(table),
         BloomIndex.dataFilePaths(spark, table).toSet)
     }

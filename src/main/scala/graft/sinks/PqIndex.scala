@@ -112,14 +112,16 @@ object PqIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       buckets: Int = 4,
-      appendedOnly: Option[Set[String]] = None): Unit = {
+      appendedOnly: Option[Set[String]] = None,
+      replaced: Set[String] = Set.empty): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SidecarMaintenance.recoverPublish(spark, codesPath(table))
     Seq(codebooksPath(table), codesPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no PQ index at $p — bootstrap with collect()"))
     val plan = appendedOnly match {
-      case Some(c) => SidecarMaintenance.planAppend(spark, codesPath(table), c)
+      case Some(c) => SidecarMaintenance.planAppend(spark, codesPath(table),
+        c, replaced)
       case None => SidecarMaintenance.planDelta(spark, codesPath(table),
         BloomIndex.dataFilePaths(spark, table).toSet)
     }

@@ -350,15 +350,34 @@ object SidecarMaintenance {
     * [[planDelta]]-based refresh on a slower cadence (the streaming
     * drivers run one at their compaction interval); until then a
     * vanished file's rows are simply still served, exactly as they
-    * would be between any two full refreshes. */
+    * would be between any two full refreshes.
+    *
+    * `replaced` names corpus files whose COVERED BINDING is known
+    * stale even though the name may still exist: an idempotent
+    * replay swept a prior delivery and republished the same names
+    * with possibly different content (a config-changed replay
+    * re-packs the same rows across a different part count — see
+    * [[graft.streaming.StreamingOps.idempotentBatchAppend]]). The
+    * coverage map keys purely on file NAME, so without this a
+    * republished name no-ops as "already covered" and the index
+    * silently serves the old row set forever (and the eventual full
+    * reconcile drops the removed siblings' rows without ever
+    * re-indexing the changed survivor). Covered `replaced` names are
+    * planned vanished+fresh: their old sidecar rows rewrite away and
+    * the republished content (those of them in `candidates`) indexes
+    * fresh — O(replaced), and replaced is empty on every
+    * first-delivery batch, so the streaming steady state pays
+    * nothing. */
   def planAppend(
       spark: SparkSession,
       dir: String,
-      candidates: Set[String]): DeltaPlan = {
+      candidates: Set[String],
+      replaced: Set[String] = Set.empty): DeltaPlan = {
     recover(spark, dir)
     val v = planView(spark, dir)
-    DeltaPlan(v.pairsAbs, Set.empty,
-      (candidates -- v.indexed).toSeq.sorted, v.stats)
+    val vanish = replaced.filter(v.indexed)
+    DeltaPlan(v.pairsAbs, vanish,
+      (candidates -- (v.indexed -- vanish)).toSeq.sorted, v.stats)
   }
 
   // ── coverage log ────────────────────────────────────────────────

@@ -388,15 +388,25 @@ object StreamingOps {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       fs.mkdirs(marker.getParent)
-      // MIGRATION: a checkpoint that already committed batches but
-      // has no run-id marker predates the namespacing — that stream
-      // OWNS the un-namespaced `ingest-b<id>-*` files it published,
-      // and its replayed batches must sweep them or duplicate rows.
+      // MIGRATION: a checkpoint that already STARTED a batch but has
+      // no run-id marker predates the namespacing — that stream OWNS
+      // the un-namespaced `ingest-b<id>-*` files it published, and
+      // its replayed batches must sweep them or duplicate rows.
       // Record that ownership (before the run-id marker, so a crash
       // between the two re-detects it) for [[ingestOwnsLegacy]].
-      val commits = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
-      if (fs.exists(commits) && fs.listStatus(commits)
-          .exists(st => st.getPath.getName.forall(_.isDigit)))
+      // "Started" means a non-empty `offsets` dir, not only a
+      // non-empty `commits` dir: a pre-namespace run that crashed
+      // AFTER publishing batch 0's un-namespaced corpus files but
+      // BEFORE its first commit record left offsets/0 and an empty
+      // commits dir — treating that as a fresh run would replay the
+      // batch into the new namespace alongside the stale legacy
+      // files, duplicating every row of the batch.
+      val started = Seq("commits", "offsets").exists { d =>
+        val p = new org.apache.hadoop.fs.Path(checkpointDir, d)
+        fs.exists(p) && fs.listStatus(p)
+          .exists(st => st.getPath.getName.forall(_.isDigit))
+      }
+      if (started)
         fs.create(new org.apache.hadoop.fs.Path(
           checkpointDir, "_graft_legacy_ns")).close()
       val tmp = new org.apache.hadoop.fs.Path(
@@ -461,11 +471,22 @@ object StreamingOps {
     * never touched: a re-ingest of the same rows lands as NEW files
     * and the index layout guards trip LOUDLY on the duplicate ids
     * instead. */
-  /** @return the published files' fully-qualified paths (the same
-    *         form corpus listings and `_metadata.file_path` produce)
-    *         — what the caller hands to the index refreshes'
-    *         `appendedOnly` so per-batch maintenance PLANS without
-    *         listing the corpus. */
+  /** @return `(published, replaced)`: the published files'
+    *         fully-qualified paths (the same form corpus listings and
+    *         `_metadata.file_path` produce) — what the caller hands
+    *         to the index refreshes' `appendedOnly` so per-batch
+    *         maintenance plans without listing the corpus — and the
+    *         PRIOR-DELIVERY file names the sweep actually deleted.
+    *         `replaced` is the poison-pill set for name-keyed index
+    *         coverage: a swept prior delivery either republished a
+    *         name with possibly-DIFFERENT content (a config change
+    *         re-packed the same rows across a different part count)
+    *         or removed it outright — either way the index rows its
+    *         coverage carries for those names are stale and must be
+    *         vanished before the refresh, or the name-keyed
+    *         `planAppend` silently serves the old binding (see its
+    *         `replaced` parameter). Empty on every first delivery —
+    *         the streaming steady state. */
   private[graft] def idempotentBatchAppend(
       spark: SparkSession,
       batch: DataFrame,
@@ -473,7 +494,7 @@ object StreamingOps {
       batchId: Long,
       targetRowsPerFile: Long = 1L << 20,
       runId: String = "",
-      sweepLegacy: Boolean = false): Seq[String] = {
+      sweepLegacy: Boolean = false): (Seq[String], Set[String]) = {
     val dir = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ns = if (runId.isEmpty) "" else s"r$runId-"
@@ -499,9 +520,15 @@ object StreamingOps {
     // uncovered case — a prior delivery with MORE parts (e.g.
     // targetRowsPerFile changed across a restart) — and falls back
     // to the prefix-listing sweep for exactly that delivery.
+    // every name the sweep DELETES is recorded: those are files of a
+    // prior delivery, and any index coverage keyed on them is stale
+    // (the replaced-names contract in the scaladoc above)
+    val replaced = scala.collection.mutable.HashSet.empty[String]
+    def del(p: org.apache.hadoop.fs.Path): Unit =
+      if (fs.delete(p, false)) replaced += fs.makeQualified(p).toString
     def sweep(pfx: String): Unit = {
-      (0 until nParts).foreach(i => fs.delete(
-        new org.apache.hadoop.fs.Path(dir, s"${pfx}p$i.parquet"), false))
+      (0 until nParts).foreach(i => del(
+        new org.apache.hadoop.fs.Path(dir, s"${pfx}p$i.parquet")))
       val sentinel = new org.apache.hadoop.fs.Path(
         dir, s"${pfx}p$nParts.parquet")
       if (fs.exists(sentinel)) {
@@ -511,8 +538,8 @@ object StreamingOps {
         // missing the surviving stale parts
         fs.listStatus(dir).filter(_.getPath.getName.startsWith(pfx))
           .filterNot(_.getPath.getName == sentinel.getName)
-          .foreach(st => fs.delete(st.getPath, false))
-        fs.delete(sentinel, false)
+          .foreach(st => del(st.getPath))
+        del(sentinel)
       }
     }
     sweep(prefix)
@@ -535,7 +562,7 @@ object StreamingOps {
       fs.makeQualified(dest).toString
     }
     fs.delete(staging, true)
-    published.toSeq
+    (published.toSeq, replaced.toSet)
   }
 
   /** Streaming corpus ingest with LIVE inverted-index maintenance:
@@ -568,8 +595,9 @@ object StreamingOps {
       checkpointDir, InvertedIndex.indexPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = InvertedIndex.collect(spark, corpusDir, textCol, idCol),
-      refresh = files => InvertedIndex.refresh(spark, corpusDir, textCol,
-        idCol, appendedOnly = Some(files.toSet)),
+      refresh = (files, replaced) => InvertedIndex.refresh(spark, corpusDir,
+        textCol, idCol, appendedOnly = Some(files.toSet),
+        replaced = replaced),
       reconcile = InvertedIndex.refresh(spark, corpusDir, textCol, idCol),
       compact = InvertedIndex.compactSmall(spark, corpusDir))
   }
@@ -602,8 +630,9 @@ object StreamingOps {
       checkpointDir, IvfIndex.cellsPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = IvfIndex.collect(spark, corpusDir, idCol, vecCol, nCells),
-      refresh = files => IvfIndex.refresh(spark, corpusDir, idCol, vecCol,
-        appendedOnly = Some(files.toSet)),
+      refresh = (files, replaced) => IvfIndex.refresh(spark, corpusDir,
+        idCol, vecCol, appendedOnly = Some(files.toSet),
+        replaced = replaced),
       reconcile = IvfIndex.refresh(spark, corpusDir, idCol, vecCol),
       compact = IvfIndex.compactSmall(spark, corpusDir))
   }
@@ -628,8 +657,9 @@ object StreamingOps {
       checkpointDir, PqIndex.codesPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = PqIndex.collect(spark, corpusDir, idCol, vecCol, m, ks),
-      refresh = files => PqIndex.refresh(spark, corpusDir, idCol, vecCol,
-        appendedOnly = Some(files.toSet)),
+      refresh = (files, replaced) => PqIndex.refresh(spark, corpusDir,
+        idCol, vecCol, appendedOnly = Some(files.toSet),
+        replaced = replaced),
       reconcile = PqIndex.refresh(spark, corpusDir, idCol, vecCol),
       compact = PqIndex.compactSmall(spark, corpusDir))
   }
@@ -652,8 +682,9 @@ object StreamingOps {
       checkpointDir, LshIndex.bucketsPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = LshIndex.collect(spark, corpusDir, idCol, vecCol, planes),
-      refresh = files => LshIndex.refresh(spark, corpusDir, idCol, vecCol,
-        appendedOnly = Some(files.toSet)),
+      refresh = (files, replaced) => LshIndex.refresh(spark, corpusDir,
+        idCol, vecCol, appendedOnly = Some(files.toSet),
+        replaced = replaced),
       reconcile = LshIndex.refresh(spark, corpusDir, idCol, vecCol),
       compact = LshIndex.compactSmall(spark, corpusDir))
   }
@@ -697,7 +728,7 @@ object StreamingOps {
       maxFilesPerTrigger: Int,
       compactEvery: Int)(
       bootstrap: => Unit,
-      refresh: Seq[String] => Unit,
+      refresh: (Seq[String], Set[String]) => Unit,
       reconcile: => Unit,
       compact: => Unit): Unit = {
     val runId = ingestRunId(spark, checkpointDir)
@@ -709,15 +740,23 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val published = idempotentBatchAppend(spark, batch.toDF(), corpusDir,
-          batchId, runId = runId, sweepLegacy = ownsLegacy)
+        val (published, replaced) = idempotentBatchAppend(spark,
+          batch.toDF(), corpusDir, batchId, runId = runId,
+          sweepLegacy = ownsLegacy)
         val marker = new org.apache.hadoop.fs.Path(indexMarker)
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // per-batch: APPEND-ONLY refresh planned from the files this
         // batch just published — no corpus listing, no vanish diff
-        // (O(batch) driver work; see planAppend). The slow cadence
-        // below reconciles out-of-band deletions with a full diff.
-        if (fs.exists(marker)) refresh(published) else bootstrap
+        // (O(batch) driver work; see planAppend). `replaced` carries
+        // the prior-delivery names the replay swept: their coverage
+        // entries are stale bindings (possibly different content
+        // under the same name after a config-changed replay, possibly
+        // gone outright) and the refresh vanishes them before
+        // indexing the republished content — without it the
+        // name-keyed plan would no-op on a republished name and
+        // silently serve the old row set. The slow cadence below
+        // reconciles out-of-band deletions with a full diff.
+        if (fs.exists(marker)) refresh(published, replaced) else bootstrap
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           reconcile
           compact

@@ -126,6 +126,86 @@ class StreamReplaySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
 
+  test("a pre-namespace checkpoint that STARTED but never committed a batch still owns its legacy files") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-legacy-offsets").toString
+    try {
+      // the crash shape the commits-only detection missed: a
+      // pre-namespace run published batch 0's un-namespaced corpus
+      // files and wrote offsets/0, then died BEFORE its first commit
+      // record — offsets non-empty, commits empty (or absent). Its
+      // replay under the new code must still sweep the legacy names,
+      // or every row of the batch duplicates.
+      val ckpt = s"$root/ckpt"
+      val fs = fsOf(ckpt)
+      fs.mkdirs(new Path(ckpt, "offsets"))
+      fs.create(new Path(s"$ckpt/offsets/0")).close()
+      StreamingOps.ingestRunId(spark, ckpt)
+      assert(StreamingOps.ingestOwnsLegacy(spark, ckpt),
+        "a checkpoint with a started (offsets-recorded) batch and no " +
+          "run-id marker predates namespacing even when commits is empty")
+      // and a checkpoint with only non-batch files in offsets (e.g.
+      // a temp file) is NOT treated as started
+      val ckpt2 = s"$root/ckpt2"
+      fs.mkdirs(new Path(ckpt2, "offsets"))
+      fs.create(new Path(s"$ckpt2/offsets/.0.tmp")).close()
+      StreamingOps.ingestRunId(spark, ckpt2)
+      assert(!StreamingOps.ingestOwnsLegacy(spark, ckpt2),
+        "only digit-named offset records mark a started batch")
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  test("config-changed replay re-indexes republished names: the index must not serve the stale binding") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-replaced-reindex").toString
+    val corpus = s"$root/corpus"
+    try {
+      // the ADVICE r15 scenario: delivery 1 lands 3 parts and the
+      // index covers them; the replay (changed target) republishes
+      // p0 with DIFFERENT content (all 48 rows instead of a third)
+      // and sweeps p1/p2. A name-keyed planAppend alone would no-op
+      // (p0 "already covered") and the eventual full reconcile would
+      // drop p1/p2's sidecar rows while never re-indexing the changed
+      // p0 — silently losing every row that moved into p0.
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 48).localCheckpoint(true)
+      val (pub1, rep1) = StreamingOps.idempotentBatchAppend(
+        spark, batch, corpus, batchId = 0L, targetRowsPerFile = 16)
+      assert(rep1.isEmpty, "a first delivery replaces nothing")
+      IvfIndex.collect(spark, corpus, nCells = 4)
+      IvfIndex.refresh(spark, corpus) // heal coverage: warm steady state
+      val (pub2, rep2) = StreamingOps.idempotentBatchAppend(
+        spark, batch, corpus, batchId = 0L, targetRowsPerFile = 1000)
+      assert(pub2.size === 1)
+      assert(rep2 === pub1.toSet,
+        "the sweep must report every prior-delivery name it deleted")
+      // the per-batch refresh with the replaced set: p0's stale
+      // binding AND the swept siblings' ghost rows vanish in the same
+      // commit the republished p0 indexes in
+      IvfIndex.refresh(spark, corpus, appendedOnly = Some(pub2.toSet),
+        replaced = rep2)
+      assert(spark.read.parquet(IvfIndex.cellsPath(corpus)).count() === 48L,
+        "every row of the republished batch must be indexed exactly once")
+      val q = spark.read.parquet(corpus).where(col("vec_id") < 3)
+      assert(ranks(IvfIndex.topK(spark, corpus, q, k = 5, nProbe = 4))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+          q, spark.read.parquet(corpus), k = 5)))
+      // WITHOUT the replaced set the stale binding survives the
+      // no-op plan — the failure mode this guards against (the
+      // duplicate guard can't see it: plan.fresh is empty)
+      // and a plain replay (same config) replaces-then-reindexes the
+      // same names idempotently: same file set, same index content
+      val (pub3, rep3) = StreamingOps.idempotentBatchAppend(
+        spark, batch, corpus, batchId = 0L, targetRowsPerFile = 1000)
+      assert(rep3 === pub3.toSet)
+      IvfIndex.refresh(spark, corpus, appendedOnly = Some(pub3.toSet),
+        replaced = rep3)
+      assert(spark.read.parquet(IvfIndex.cellsPath(corpus)).count() === 48L)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("replayed delivery with FEWER parts (config changed) still sweeps the larger prior delivery") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-resweep").toString
@@ -166,7 +246,7 @@ class StreamReplaySpec extends AnyFunSuite {
       val batch2 = SparkEntry.tbl(spark, sf, "embeddings")
         .where(col("vec_id") >= 60 && col("vec_id") < 90)
         .localCheckpoint(true)
-      val published = StreamingOps.idempotentBatchAppend(
+      val (published, _) = StreamingOps.idempotentBatchAppend(
         spark, batch2, corpus, batchId = 1L)
       SidecarMaintenance.trackWalks(corpus) // opt-in counting
       def corpusListings: Long = {
