@@ -20,6 +20,41 @@ import org.apache.spark.sql.functions._
   * e.g. 30× — run can target just the scale-marketed paths without
   * paying for the whole suite at that multiple)
   */
+/** Local filesystem under a `cfs://` scheme that counts metadata RPCs
+  * (getFileStatus / listStatus — what exists() and directory walks
+  * cost on a namenode or object store) PER THREAD — the refs_probe
+  * witness mounts the corpus on it and reads the PROBE THREAD's count,
+  * so the "no serial driver-side metadata round trips during topKRefs"
+  * claim is measured, not asserted from code reading. (Parallel /
+  * distributed listing by Spark's own explicit-path machinery lands on
+  * pool or executor threads and is the engineered alternative to the
+  * serial driver stall; the per-thread split is what separates the
+  * two.) */
+class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "cfs"
+  override def getUri: java.net.URI = java.net.URI.create("cfs:///")
+  override def getFileStatus(
+      f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+    CountingFs.record(); super.getFileStatus(f)
+  }
+  override def listStatus(
+      f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingFs.record(); super.listStatus(f)
+  }
+}
+
+object CountingFs {
+  private val perThread = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def record(): Unit =
+    perThread.computeIfAbsent(Thread.currentThread().getId,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+  private[graft] def of(tid: Long): Long = {
+    val v = perThread.get(tid)
+    if (v == null) 0L else v.get()
+  }
+}
+
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val k = if (args.length > 0) args(0).toInt else 10
@@ -1140,6 +1175,109 @@ object ScaleCheck {
         "(0 = per-batch plan never walks the corpus)")
       new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
         .truncate(root)
+    }
+    // REFS-PROBE economics at 1× vs k× corpus FILE COUNT: (a) the
+    // probe thread issues a FLAT (constant-ish) number of metadata
+    // RPCs — the r15 per-file fs.exists loop was O(candidate files)
+    // SERIAL driver round trips per probe, gone since reconciliation
+    // went exception-driven; (b) the re-rank reads ≈ the PROBED
+    // FRACTION of corpus bytes (nProbe/nCells plus cell-boundary
+    // spill) at both scales — the probe's read volume scales with the
+    // probe, not the corpus; (c) zero graft-driver corpus listings in
+    // the steady state, exactly ONE batched listing when a candidate
+    // actually vanished. The corpus is mounted on the counting
+    // cfs:// filesystem and written CELL-CLUSTERED across 16·k files
+    // so candidate-file count really grows k× with the corpus.
+    if (only.exists(_.contains("refs_probe"))) {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.cfs.impl", classOf[CountingFs].getName)
+      val rootLocal = java.nio.file.Files
+        .createTempDirectory("graft-scale-refsprobe").toString
+      val root = s"cfs://$rootLocal"
+      val nCells = 16
+      val nProbe = 4
+      def probeIo(f: => Unit): Long = {
+        val r = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              r.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        r.get
+      }
+      def prep(d: DataFrame, tag: String, files: Int): String = {
+        val p = s"$root/$tag"
+        // cell-cluster the corpus layout (train in memory, write
+        // range-partitioned by cell) so a partial probe's candidate
+        // FILES are the probed fraction of the corpus's files
+        val assigned = IvfSearch.buildIndex(d, nCells).assigned
+        assigned.repartitionByRange(files, col("__cell"), col("vec_id"))
+          .sortWithinPartitions("__cell", "vec_id")
+          .drop("__cell", "file")
+          .write.parquet(p)
+        graft.sinks.IvfIndex.collectRefs(spark, p, nCells = nCells)
+        graft.sinks.IvfIndex.refreshRefs(spark, p) // heal+warm coverage
+        p
+      }
+      val p1 = prep(embs, "v1", nCells)
+      val pk = prep(grow(embs, "vec_id"), "vk", nCells * k)
+      def corpusBytes(p: String): Long = {
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength -
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(
+            graft.sinks.IvfIndex.refsPath(p))).getLength
+      }
+      def listingsOf(p: String): Long = {
+        val v = graft.sinks.SidecarMaintenance.walkCounts
+          .get(new org.apache.hadoop.fs.Path(p).toString)
+        if (v == null) 0L else v.longValue()
+      }
+      graft.sinks.SidecarMaintenance.trackWalks(p1)
+      graft.sinks.SidecarMaintenance.trackWalks(pk)
+      val tid = Thread.currentThread().getId
+      def probe(p: String): (Long, Long, Long, Double) = {
+        val q = spark.read.parquet(p).where(col("vec_id") < 5)
+          .localCheckpoint(true)
+        val (rpc0, w0) = (CountingFs.of(tid), listingsOf(p))
+        var bytes = 0L
+        val (sec, _) = timed {
+          bytes = probeIo(graft.sinks.IvfIndex
+            .topKRefs(spark, p, q, k = 10, nProbe = nProbe).count())
+          1L
+        }
+        (CountingFs.of(tid) - rpc0, listingsOf(p) - w0, bytes, sec)
+      }
+      val (rpc1, walks1, bytes1, t1) = probe(p1)
+      val (rpck, walksk, bytesk, tk) = probe(pk)
+      val (cb1, cbk) = (corpusBytes(p1), corpusBytes(pk))
+      println(f"refs_probe         probe-thread metadata RPCs $rpc1 -> $rpck " +
+        f"(x${rpck.toDouble / math.max(1L, rpc1)}%.2f at x$k corpus FILES; " +
+        "flat = no serial per-file driver round trips)")
+      println(s"refs_probe         graft corpus listings during probe: " +
+        s"$walks1 (1x) / $walksk (${k}x) (0 = steady state never lists)")
+      println(f"refs_probe         re-rank bytes read ${bytes1} of ${cb1} corpus " +
+        f"(${100.0 * bytes1 / cb1}%.1f%%) -> ${bytesk} of ${cbk} " +
+        f"(${100.0 * bytesk / cbk}%.1f%%); probed fraction $nProbe/$nCells = " +
+        f"${100.0 * nProbe / nCells}%.1f%% — flat fraction = probe-scaled reads")
+      println(f"refs_probe         wall $t1%.2f s -> $tk%.2f s")
+      // staleness branch: ONE batched listing, not per-file probes
+      val fs1 = new org.apache.hadoop.fs.Path(p1)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val victim = graft.sinks.SidecarMaintenance.dataFiles(spark, p1)
+        .filterNot(_.contains("_ivf_refs")).min
+      fs1.delete(new org.apache.hadoop.fs.Path(victim), false)
+      val (_, walksStale, _, _) = probe(p1)
+      println(s"refs_probe         listings on an ACTUAL vanish: $walksStale " +
+        "(1 = one batched reconcile, never O(candidate-files) round trips)")
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(rootLocal)
     }
     spark.stop()
   }

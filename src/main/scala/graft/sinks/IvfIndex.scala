@@ -380,23 +380,24 @@ object IvfIndex {
     // file set comes from its own partition-pruned refs scan so the
     // candidates plan keeps the __cell PartitionFilters visible.
     // A refs index stale w.r.t. a corpus DELETION may still name
-    // vanished files — drop them (their candidates score absent,
-    // exactly as the full-table read served them) rather than let
-    // the explicit-path read throw; ignoreMissingFiles covers the
-    // delete-after-listing race
-    val fsC = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // vanished files — reconciled EXCEPTION-DRIVEN
+    // ([[SidecarMaintenance.readCandidateFiles]]): the steady-state
+    // probe pays zero extra metadata RPCs, and only an actually-
+    // missing path triggers one batched corpus listing + retry.
+    // Dropped files' candidates score absent, exactly as the
+    // full-table read served them.
     val candFiles = spark.read.parquet(refsPath(table))
       .where(col("__cell").isin(probedCells: _*))
       .select("file").distinct().as[String]
-      .collect().toSeq.sorted.filter(f => fsC.exists(new Path(f)))
-    if (candFiles.isEmpty)
+      .collect().toSeq.sorted
+    val corpusRead =
+      SidecarMaintenance.readCandidateFiles(spark, table, candFiles)
+    if (corpusRead.isEmpty)
       // same schema as the non-empty path (q_id/neighbor_id take the
       // id column's type), just zero rows
       return probes.select(col("q_id"), col("q_id").as("neighbor_id"))
         .withColumn("rank", lit(0L)).limit(0)
-    val corpus = spark.read.option("basePath", table)
-      .option("ignoreMissingFiles", "true")
-      .parquet(candFiles: _*)
+    val corpus = corpusRead.get
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = candidates.join(corpus, Seq("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))

@@ -298,21 +298,23 @@ object LshIndex {
     // file set from its own partition-pruned refs scan (keeps the
     // bucket PartitionFilters visible in the candidates plan).
     // Vanished corpus files a stale refs index still names are
-    // dropped — their candidates score absent, exactly as the
-    // full-table read served them; ignoreMissingFiles covers the
-    // delete-after-listing race
-    val fsC = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reconciled EXCEPTION-DRIVEN
+    // ([[SidecarMaintenance.readCandidateFiles]]): zero extra
+    // metadata RPCs in the steady state, one batched corpus listing
+    // + retry only when a path actually vanished. Dropped files'
+    // candidates score absent, exactly as the full-table read served
+    // them.
     val candFiles = spark.read.parquet(refsPath(table))
       .where(col("bucket").isin(probedBuckets: _*))
       .select("file").distinct().as[String]
-      .collect().toSeq.sorted.filter(f => fsC.exists(new Path(f)))
-    if (candFiles.isEmpty)
+      .collect().toSeq.sorted
+    val corpusRead =
+      SidecarMaintenance.readCandidateFiles(spark, table, candFiles)
+    if (corpusRead.isEmpty)
       // same schema as the non-empty path, zero rows
       return q.select(col("q_id"), col("q_id").as("neighbor_id"))
         .withColumn("rank", lit(0L)).limit(0)
-    val corpus = spark.read.option("basePath", table)
-      .option("ignoreMissingFiles", "true")
-      .parquet(candFiles: _*)
+    val corpus = corpusRead.get
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = candidates.join(corpus, Seq("neighbor_id"))
       .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))

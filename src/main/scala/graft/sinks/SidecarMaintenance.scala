@@ -622,6 +622,48 @@ object SidecarMaintenance {
     } else fs.delete(tmp, false)
   }
 
+  /** True when `t` is Spark's load-time missing-path failure — the
+    * signal an explicit-path read gives when a listed file vanished
+    * before the read planned (the staleness the refs probes
+    * reconcile exception-driven). */
+  private[sinks] def isPathNotFound(t: Throwable): Boolean = t match {
+    case st: org.apache.spark.SparkThrowable
+        if st.getCondition == "PATH_NOT_FOUND" => true
+    case _ => Option(t.getMessage).exists(m =>
+      m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist"))
+  }
+
+  /** Explicit-path corpus read for probe re-ranks, with
+    * EXCEPTION-DRIVEN staleness reconciliation: attempt the read as
+    * given — the overwhelmingly common nothing-vanished case costs
+    * ZERO extra metadata RPCs — and only when the load reports a
+    * missing path take ONE batched corpus listing
+    * ([[BloomIndex.dataFilePaths]], O(directories) LIST calls),
+    * intersect driver-side, and retry once. This replaces the r15
+    * per-file `fs.exists` filter that issued O(candidate-file-count)
+    * SERIAL driver round trips on every probe — ~250k namenode/S3
+    * calls per probe at a million-file corpus and nProbe/nCells=1/4,
+    * paid even when nothing had vanished. Races BETWEEN the retry's
+    * plan and its tasks are covered by `ignoreMissingFiles`, exactly
+    * as a directory-listed read covers its listing→read window.
+    * None when no candidate survives. */
+  private[sinks] def readCandidateFiles(
+      spark: SparkSession,
+      table: String,
+      files: Seq[String]): Option[DataFrame] = {
+    if (files.isEmpty) return None
+    def read(fs: Seq[String]): DataFrame =
+      spark.read.option("basePath", table)
+        .option("ignoreMissingFiles", "true").parquet(fs: _*)
+    try Some(read(files))
+    catch {
+      case t: Throwable if isPathNotFound(t) =>
+        val alive = BloomIndex.dataFilePaths(spark, table).toSet
+        val survivors = files.filter(alive)
+        if (survivors.isEmpty) None else Some(read(survivors))
+    }
+  }
+
   /** The sidecar rows the delta KEEPS (everything but vanished
     * files' rows) — what pre-mutation layout guards check the fresh
     * rows against. None when the sidecar holds no data files at all

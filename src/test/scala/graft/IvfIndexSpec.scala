@@ -195,10 +195,27 @@ class IvfIndexSpec extends AnyFunSuite {
   test("refs probe stays serving when a corpus file vanished before refreshRefs") {
     withTable() { path =>
       IvfIndex.collectRefs(spark, path, nCells = 4)
+      // staleness reconciliation is EXCEPTION-DRIVEN: the steady
+      // state (nothing vanished) must issue NO corpus listing and no
+      // per-file existence probes — the r15 per-file fs.exists loop
+      // was O(candidate-file-count) serial driver RPCs per probe
+      import graft.sinks.SidecarMaintenance
+      SidecarMaintenance.trackWalks(path)
+      def walks: Long = {
+        val v = SidecarMaintenance.walkCounts
+          .get(new org.apache.hadoop.fs.Path(path).toString)
+        if (v == null) 0L else v.longValue()
+      }
+      val queries = spark.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val w0 = walks
+      IvfIndex.topKRefs(spark, path, queries, k = 10, nProbe = 4).count()
+      assert(walks === w0,
+        "a steady-state refs probe must not list the corpus — " +
+          "reconciliation is exception-driven, not eager")
       // delete one corpus data file OUT OF BAND (a purge between
       // maintenance entries); the refs index still names it
-      val dataFiles = graft.sinks.SidecarMaintenance
-        .dataFiles(spark, path)
+      val dataFiles = SidecarMaintenance.dataFiles(spark, path)
         .filterNot(_.contains("_ivf_refs"))
       val victim = new org.apache.hadoop.fs.Path(dataFiles.min)
       victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -207,8 +224,12 @@ class IvfIndexSpec extends AnyFunSuite {
         .localCheckpoint(true)
       // the probe must SERVE (vanished candidates score absent, as
       // the full-table read served them) — not throw PATH_NOT_FOUND
+      val w1 = walks
       val res = ranks(IvfIndex.topKRefs(spark, path, survivors,
         k = 10, nProbe = 4))
+      assert(walks === w1 + 1,
+        "an actually-stale probe reconciles with exactly ONE batched " +
+          "corpus listing, never per-file round trips")
       val brute = ranks(graft.ext.SimilaritySearch.bruteForceTopK(
         survivors, spark.read.parquet(path), k = 10))
       assert(res === brute,

@@ -173,6 +173,39 @@ class LshIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("refs probe: exception-driven staleness — zero corpus listings steady-state, ONE on an actual vanish") {
+    withTable() { path =>
+      LshIndex.collectRefs(spark, path, planes = 4)
+      import graft.sinks.SidecarMaintenance
+      SidecarMaintenance.trackWalks(path)
+      def walks: Long = {
+        val v = SidecarMaintenance.walkCounts
+          .get(new org.apache.hadoop.fs.Path(path).toString)
+        if (v == null) 0L else v.longValue()
+      }
+      val queries = spark.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val w0 = walks
+      LshIndex.topKRefs(spark, path, queries, k = 10, probeRadius = 4).count()
+      assert(walks === w0,
+        "steady-state refs probe must not list the corpus")
+      val victim = new org.apache.hadoop.fs.Path(SidecarMaintenance
+        .dataFiles(spark, path).filterNot(_.contains("_lsh_refs")).min)
+      victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(victim, false)
+      val survivors = spark.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val w1 = walks
+      val res = ranks(LshIndex.topKRefs(spark, path, survivors,
+        k = 10, probeRadius = 4))
+      assert(walks === w1 + 1,
+        "a stale probe reconciles with exactly ONE batched corpus listing")
+      assert(res === ranks(SimilaritySearch.bruteForceTopK(
+        survivors, spark.read.parquet(path), k = 10)),
+        "stale refs probe must equal brute force over the surviving corpus")
+    }
+  }
+
   test("refs probes prune by bucket partition AND column-prune the re-rank corpus scan") {
     withTable() { path =>
       LshIndex.collectRefs(spark, path, planes = 4)
