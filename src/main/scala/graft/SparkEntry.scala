@@ -2475,6 +2475,58 @@ object SparkEntry {
       out
     }),
 
+    // SNAPSHOT-ISOLATED probes, hash-graded: a probe running
+    // CONCURRENTLY with a live maintenance commit — strictly inside
+    // the window (journal present, marker sealed, swap not yet run;
+    // REQUIREd in-query) — must return the committed PRE-commit
+    // truth, not refuse and not see a torn view. The window is a
+    // REAL refresh commit (the delta that indexes the %5==0 slice),
+    // entered through the maintenance protocol's commit-point hook;
+    // the probe after the window must serve the full-corpus truth.
+    // Both phases are hash-graded against their brute-force oracles
+    // (pre-commit = the %5!=0 slice, post-commit = the full corpus),
+    // so a probe that leaked mid-swap rows, served the new
+    // generation early, or dropped doomed-file rows breaks the hash.
+    "ext_ann_ivf_indexed_snapshot" -> ((s, dir) => {
+      import graft.sinks.{IvfIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfsnap").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      IvfIndex.collect(s, path, nCells = 8)
+      IvfIndex.refresh(s, path) // heal coverage → a committed generation
+      val q = s.read.parquet(path)
+        .where(col("vec_id") < 5 && col("vec_id") % 5 =!= 0)
+        .localCheckpoint(true)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      var during: org.apache.spark.sql.DataFrame = null
+      var inWindow = false
+      SidecarMaintenance.onCommitPoint = d =>
+        if (d == cellsDir && during == null) {
+          inWindow = fs.exists(SidecarMaintenance.journalPath(cellsDir))
+          during = IvfIndex.topK(s, path, q, k = 10, nProbe = 8)
+            .localCheckpoint(true)
+        }
+      try IvfIndex.refresh(s, path)
+      finally SidecarMaintenance.onCommitPoint = null
+      require(during != null && inWindow,
+        "the probe must have run INSIDE a live commit window " +
+          "(journal present, commit marker sealed)")
+      val after = IvfIndex.topK(s, path, q, k = 10, nProbe = 8)
+      val out = during.withColumn("phase", lit("during"))
+        .unionByName(after.withColumn("phase", lit("after")))
+        .select("phase", "q_id", "neighbor_id", "rank")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // PQ ANN (codebook train + codegen encode + ADC-scored candidates
     // + exact re-rank; index built inside the query, so the bench
     // number includes codebook training). candidateK = MaxValue
@@ -2630,6 +2682,98 @@ object SparkEntry {
       out
     }),
 
+    // LSH crash-grade symmetry with IVF's compact_recover (the
+    // shared SidecarMaintenance protocol witnessed on the
+    // bucket-partitioned sidecar): the tiered compact's worst-case
+    // mid-swap crash — EVERY data file doomed, merged tier staged
+    // and sealed, deletions interrupted halfway — must refuse direct
+    // probes, roll forward through the next maintenance entry, and
+    // serve exhaustive-radius probes equal to brute force after.
+    "ext_ann_lsh_indexed_compact_recover" -> ((s, dir) => {
+      import graft.sinks.{LshIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lshcrecover").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      LshIndex.collect(s, path, planes = 4)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      LshIndex.refresh(s, path)
+      val bucketsDir = LshIndex.bucketsPath(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val doomed = SidecarMaintenance.dataFiles(s, bucketsDir)
+      val staging = SidecarMaintenance.stagingPath(bucketsDir)
+      s.read.option("basePath", bucketsDir).parquet(doomed: _*)
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "vec_id")
+        .localCheckpoint(true)
+        .write.partitionBy("bucket").parquet(staging.toString)
+      fs.create(new org.apache.hadoop.fs.Path(
+        staging, SidecarMaintenance.CommitMarker)).close()
+      val jr = fs.create(SidecarMaintenance.journalPath(bucketsDir))
+      jr.write(doomed.mkString("\n").getBytes("UTF-8")); jr.close()
+      doomed.take(doomed.size / 2).foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val refused =
+        try { LshIndex.topK(s, path, q, k = 10, probeRadius = 4).count(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("interrupted maintenance journal") }
+      require(refused,
+        "a probe against a crashed compaction journal must refuse loudly")
+      LshIndex.refresh(s, path) // entry recover() finishes the repack
+      val out = LshIndex.topK(s, path, q, k = 10, probeRadius = 4)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // LSH crash-grade symmetry with IVF's publish_recover: the
+    // between-renames crash of a full REBUILD publish (old index
+    // parked at `.old`, sealed v2 at `.next`, NOTHING serving) must
+    // roll the sealed build in through the next maintenance entry.
+    "ext_ann_lsh_indexed_publish_recover" -> ((s, dir) => {
+      import graft.sinks.{LshIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lshprecover").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      LshIndex.collect(s, path, planes = 4)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dest = LshIndex.bucketsPath(path)
+      val stash = new org.apache.hadoop.fs.Path(s"$root/v1-stash")
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(dest), fs, stash, false,
+        s.sparkContext.hadoopConfiguration)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      LshIndex.collect(s, path, planes = 4)
+      require(fs.rename(new org.apache.hadoop.fs.Path(dest),
+        new org.apache.hadoop.fs.Path(s"$dest.next")))
+      fs.create(new org.apache.hadoop.fs.Path(s"$dest.next",
+        SidecarMaintenance.PublishMarker)).close()
+      require(fs.rename(stash, new org.apache.hadoop.fs.Path(s"$dest.old")))
+      require(!fs.exists(new org.apache.hadoop.fs.Path(dest)),
+        "fixture: the no-serving-index window must be real")
+      LshIndex.refresh(s, path) // heals the publish, then no-op delta
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest.next")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$dest.old")),
+        "recovery must consume the publish leftovers")
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val out = LshIndex.topK(s, path, q, k = 10, probeRadius = 4)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // PERSISTED PQ index — the one ANN sidecar SMALLER than its
     // corpus (m bytes per vector): the scan that touches every row
     // reads the codes sidecar only (PqIndexSpec pins embeddings out
@@ -2714,6 +2858,99 @@ object SparkEntry {
       PqIndex.refresh(s, path)
       val out = PqIndex
         .topK(s, path, q, k = 10, candidateK = Int.MaxValue)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // PQ crash-grade symmetry with IVF's compact_recover, on the
+    // codes-only sidecar (no partition dirs — the staged merged tier
+    // is one flat id-clustered file set): every data file doomed,
+    // deletions interrupted halfway, refusal + forward-roll +
+    // exact-config search graded against brute force.
+    "ext_ann_pq_indexed_compact_recover" -> ((s, dir) => {
+      import graft.sinks.{PqIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pqcrecover").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      PqIndex.collect(s, path, m = 8, ks = 16)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      PqIndex.refresh(s, path)
+      val codesDir = PqIndex.codesPath(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val doomed = SidecarMaintenance.dataFiles(s, codesDir)
+      val staging = SidecarMaintenance.stagingPath(codesDir)
+      s.read.option("basePath", codesDir).parquet(doomed: _*)
+        .repartitionByRange(1, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .localCheckpoint(true)
+        .write.parquet(staging.toString)
+      fs.create(new org.apache.hadoop.fs.Path(
+        staging, SidecarMaintenance.CommitMarker)).close()
+      val jr = fs.create(SidecarMaintenance.journalPath(codesDir))
+      jr.write(doomed.mkString("\n").getBytes("UTF-8")); jr.close()
+      doomed.take(doomed.size / 2).foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val refused =
+        try {
+          PqIndex.topK(s, path, q, k = 10, candidateK = Int.MaxValue).count()
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("interrupted maintenance journal") }
+      require(refused,
+        "a probe against a crashed compaction journal must refuse loudly")
+      PqIndex.refresh(s, path) // entry recover() finishes the repack
+      val out = PqIndex.topK(s, path, q, k = 10, candidateK = Int.MaxValue)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // PQ crash-grade symmetry with IVF's publish_recover: sealed v2
+    // at `.next`, v1 parked at `.old`, nothing serving — the next
+    // maintenance entry must roll the sealed rebuild in (codebooks
+    // travel INSIDE the codes dir, so quantizer and codes flip
+    // together at every crash point).
+    "ext_ann_pq_indexed_publish_recover" -> ((s, dir) => {
+      import graft.sinks.{PqIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pqprecover").toString
+      val path = s"$root/vectors"
+      val e = tbl(s, dir, "embeddings")
+      e.where(col("vec_id") % 5 =!= 0).repartition(2).write.parquet(path)
+      PqIndex.collect(s, path, m = 8, ks = 16)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dest = PqIndex.codesPath(path)
+      val stash = new org.apache.hadoop.fs.Path(s"$root/v1-stash")
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(dest), fs, stash, false,
+        s.sparkContext.hadoopConfiguration)
+      e.where(col("vec_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(path)
+      PqIndex.collect(s, path, m = 8, ks = 16)
+      require(fs.rename(new org.apache.hadoop.fs.Path(dest),
+        new org.apache.hadoop.fs.Path(s"$dest.next")))
+      fs.create(new org.apache.hadoop.fs.Path(s"$dest.next",
+        SidecarMaintenance.PublishMarker)).close()
+      require(fs.rename(stash, new org.apache.hadoop.fs.Path(s"$dest.old")))
+      require(!fs.exists(new org.apache.hadoop.fs.Path(dest)),
+        "fixture: the no-serving-index window must be real")
+      PqIndex.refresh(s, path) // heals the publish, then no-op delta
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest.next")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$dest.old")),
+        "recovery must consume the publish leftovers")
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val out = PqIndex.topK(s, path, q, k = 10, candidateK = Int.MaxValue)
         .localCheckpoint(true)
       new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
         .truncate(root)
@@ -5430,6 +5667,73 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "ext_ann_ivf_indexed_salted" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    // two phases, two truths: the in-window probe must equal brute
+    // force over the PRE-commit slice (%5 != 0 — what the committed
+    // coverage generation served), the post-commit probe brute force
+    // over the full corpus
+    "ext_ann_ivf_indexed_snapshot" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5 AND vec_id % 5 != 0),
+        |ca AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings WHERE vec_id % 5 != 0),
+        |cf AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings),
+        |sa AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |       FROM q, ca WHERE q_id != neighbor_id),
+        |sf AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |       FROM q, cf WHERE q_id != neighbor_id),
+        |ta AS (SELECT 'during' AS phase, q_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |       FROM sa QUALIFY rank <= 10),
+        |tf AS (SELECT 'after' AS phase, q_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |       FROM sf QUALIFY rank <= 10)
+        |SELECT * FROM ta UNION ALL SELECT * FROM tf""".stripMargin,
+
+    "ext_ann_lsh_indexed_compact_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_lsh_indexed_publish_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_pq_indexed_compact_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_pq_indexed_publish_recover" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

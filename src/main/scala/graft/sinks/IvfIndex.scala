@@ -355,7 +355,11 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    SidecarMaintenance.requireClean(spark, refsPath(table))
+    // ONE committed-snapshot resolution serves both refs reads below:
+    // the probe runs THROUGH a live refresh's commit window on the
+    // pre-commit truth instead of refusing for its whole duration
+    // ([[SidecarMaintenance.snapshotRead]])
+    val refsSnap = SidecarMaintenance.snapshotRead(spark, refsPath(table))
     val cents = spark.read.parquet(refsCentroidsPath(table))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val cellRank = Window.partitionBy(col("q_id"))
@@ -368,7 +372,7 @@ object IvfIndex {
       .localCheckpoint(true)
     val probedCells = probes.select("__cell").distinct()
       .collect().map(_.get(0))
-    val candidates = spark.read.parquet(refsPath(table))
+    val candidates = refsSnap
       .where(col("__cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"), col("__cell"))
       .join(broadcast(probes), Seq("__cell"))
@@ -386,7 +390,7 @@ object IvfIndex {
     // missing path triggers one batched corpus listing + retry.
     // Dropped files' candidates score absent, exactly as the
     // full-table read served them.
-    val candFiles = spark.read.parquet(refsPath(table))
+    val candFiles = refsSnap
       .where(col("__cell").isin(probedCells: _*))
       .select("file").distinct().as[String]
       .collect().toSeq.sorted
@@ -423,7 +427,9 @@ object IvfIndex {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    SidecarMaintenance.requireClean(spark, cellsPath(table))
+    // committed-snapshot read: serves through a live commit window on
+    // the pre-commit truth ([[SidecarMaintenance.snapshotRead]])
+    val cellsSnap = SidecarMaintenance.snapshotRead(spark, cellsPath(table))
     val cents = spark.read.parquet(centroidsPath(table))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val cellRank = Window.partitionBy(col("q_id"))
@@ -436,7 +442,7 @@ object IvfIndex {
       .localCheckpoint(true) // reused as the filter source AND the join side
     val probedCells = probes.select("__cell").distinct()
       .collect().map(_.get(0))
-    val scored = spark.read.parquet(cellsPath(table))
+    val scored = cellsSnap
       .where(col("__cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_vec"), col("__cell"))

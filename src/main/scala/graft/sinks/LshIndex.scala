@@ -273,7 +273,10 @@ object LshIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    SidecarMaintenance.requireClean(spark, refsPath(table))
+    // ONE committed-snapshot resolution serves both refs reads below
+    // ([[SidecarMaintenance.snapshotRead]]): the probe runs THROUGH a
+    // live refresh's commit window on the pre-commit truth
+    val refsSnap = SidecarMaintenance.snapshotRead(spark, refsPath(table))
     val (planes, seed) = readRefsMeta(spark, table)
     require(probeRadius >= 0 && probeRadius <= planes,
       s"probeRadius ($probeRadius) must be in [0, planes=$planes]")
@@ -289,7 +292,7 @@ object LshIndex {
       .localCheckpoint(true)
     val probedBuckets = q.select("bucket").distinct()
       .collect().map(_.getLong(0).toInt)
-    val candidates = spark.read.parquet(refsPath(table))
+    val candidates = refsSnap
       .where(col("bucket").isin(probedBuckets: _*))
       .select(col("vec_id").as("neighbor_id"), col("bucket"))
       .join(broadcast(q), Seq("bucket"))
@@ -304,7 +307,7 @@ object LshIndex {
     // + retry only when a path actually vanished. Dropped files'
     // candidates score absent, exactly as the full-table read served
     // them.
-    val candFiles = spark.read.parquet(refsPath(table))
+    val candFiles = refsSnap
       .where(col("bucket").isin(probedBuckets: _*))
       .select("file").distinct().as[String]
       .collect().toSeq.sorted
@@ -339,7 +342,9 @@ object LshIndex {
       probeRadius: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    SidecarMaintenance.requireClean(spark, bucketsPath(table))
+    // committed-snapshot read: serves through a live commit window
+    // ([[SidecarMaintenance.snapshotRead]])
+    val bucketsSnap = SidecarMaintenance.snapshotRead(spark, bucketsPath(table))
     val (planes, seed) = readMeta(spark, table)
     require(probeRadius >= 0 && probeRadius <= planes,
       s"probeRadius ($probeRadius) must be in [0, planes=$planes]")
@@ -358,7 +363,7 @@ object LshIndex {
     // implicit cast wraps the partition column and kills the pruning
     val probedBuckets = q.select("bucket").distinct()
       .collect().map(_.getLong(0).toInt)
-    val scored = spark.read.parquet(bucketsPath(table))
+    val scored = bucketsSnap
       .where(col("bucket").isin(probedBuckets: _*))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_vec"), col("bucket"))

@@ -173,7 +173,9 @@ object PqIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
-    SidecarMaintenance.requireClean(spark, codesPath(table))
+    // committed-snapshot read: serves through a live commit window
+    // ([[SidecarMaintenance.snapshotRead]])
+    val codesSnap = SidecarMaintenance.snapshotRead(spark, codesPath(table))
     val cb = readCodebooks(spark, table)
     val qLut = broadcast(queries.select(
       col(idCol).as("q_id"), PqLut(col(vecCol), cb).as("__lut")))
@@ -182,7 +184,7 @@ object PqIndex {
       VectorFunctions.norm(col(vecCol)).as("q_nrm")))
     // the scan that touches EVERY corpus row reads m bytes per
     // vector — never the embeddings
-    val codes = spark.read.parquet(codesPath(table))
+    val codes = codesSnap
       .select(col("vec_id").as("neighbor_id"), col("__codes"))
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("__adc").desc, col("neighbor_id").asc)

@@ -194,6 +194,10 @@ object SidecarMaintenance {
     out.write(doomed.mkString("\n").getBytes("UTF-8"))
     out.close()
     fs.create(new Path(staging, CommitMarker)).close()
+    // commit point reached, swap not yet run — the live-window state
+    // snapshot readers must serve through (test/witness hook)
+    val hook = onCommitPoint
+    if (hook != null) hook(dir)
     finishSwap(fs, dir)
     advanceMemo(fs, dir, doomedRel.toSet, stagedRecs)
   }
@@ -531,21 +535,13 @@ object SidecarMaintenance {
     }
   }
 
-  /** The coverage map as [[CovRec]] records, or None when the log is
-    * absent/torn/stale (caller heals with a scan). */
-  private def readCoverage(
-      spark: SparkSession,
-      dir: String): Option[Array[CovRec]] = {
-    val fs = fsFor(spark, dir)
-    val recs = covRecords(fs, dir)
-    if (recs.isEmpty) return None
-    val sig = covSignature(recs)
-    val memo = covMemo.get(dir)
-    if (memo != null && memo._1 == sig) return Some(memo._2)
-    // disk load: fold base + deltas, then validate the resulting
-    // sidecar file set against the actual listing — the one place
-    // the full listing still runs (once per JVM per sidecar, or
-    // after an out-of-band change)
+  /** Fold the log's base + deltas into the record array — the pure
+    * parse, shared by the validated planning load ([[readCoverage]])
+    * and the snapshot readers ([[committedRecords]]). None when the
+    * log is torn or has no base. */
+  private def parseCoverage(
+      fs: FileSystem,
+      recs: Seq[(Long, Boolean, Path)]): Option[Array[CovRec]] = {
     val bases = recs.filter(_._2)
     if (bases.isEmpty) return None
     val (baseSeq, _, basePath) = bases.last
@@ -577,17 +573,35 @@ object SidecarMaintenance {
           }
         }
       }
-      val arr = pairs.toArray
-      // validate against the real listing — sidecar file SET and
-      // LENGTHS both (an out-of-band rewrite that kept a name but
-      // changed bytes also invalidates)
+      Some(pairs.toArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** The coverage map as [[CovRec]] records, or None when the log is
+    * absent/torn/stale (caller heals with a scan). */
+  private def readCoverage(
+      spark: SparkSession,
+      dir: String): Option[Array[CovRec]] = {
+    val fs = fsFor(spark, dir)
+    val recs = covRecords(fs, dir)
+    if (recs.isEmpty) return None
+    val sig = covSignature(recs)
+    val memo = covMemo.get(dir)
+    if (memo != null && memo._1 == sig) return Some(memo._2)
+    // disk load: fold base + deltas, then validate the resulting
+    // sidecar file set against the actual listing — the one place
+    // the full listing still runs (once per JVM per sidecar, or
+    // after an out-of-band change). Validation is by sidecar file
+    // SET and LENGTHS both (an out-of-band rewrite that kept a name
+    // but changed bytes also invalidates).
+    parseCoverage(fs, recs).flatMap { arr =>
       val actual = dataFileSizes(spark, dir)
         .map { case (f, len) => (relPath(dir, f), len) }.toSet
       if (arr.map(t => (t.rel, t.len)).toSet == actual) {
         covMemo.put(dir, (sig, arr))
         Some(arr)
       } else None
-    } catch { case _: java.io.IOException => None }
+    }
   }
 
   /** Fold the map into a fresh `base-<seq>` snapshot and drop the
@@ -663,6 +677,71 @@ object SidecarMaintenance {
         if (survivors.isEmpty) None else Some(read(survivors))
     }
   }
+
+  // ── snapshot-isolated sidecar reads ─────────────────────────────
+  // Probes used to refuse ([[requireClean]]) for the WHOLE live
+  // commit window of every refresh — at streaming cadence an external
+  // reader spent a fixed fraction of wall-clock locked out. Instead,
+  // a probe resolves its file list from the last COMMITTED coverage
+  // generation and reads those files by explicit path: under
+  // [[finishSwap]]'s move-staged → flip-coverage → delete-doomed
+  // order, that list is fully on disk at every instant of the window,
+  // so a probe racing a commit returns the pre-commit truth (or, past
+  // the flip, the post-commit truth) — never a torn view and never a
+  // spurious refusal. The refusal survives where it belongs: a
+  // CRASHED run whose journal persists surfaces through the
+  // missing-path → requireClean path below, and sidecars with no
+  // committed coverage yet fall back to the directory read guarded
+  // exactly as before.
+
+  /** Test/witness hook: invoked with the sidecar dir at the COMMIT
+    * POINT of every [[commitDelta]] — marker created, swap not yet
+    * run — so specs and graded queries can run a probe strictly
+    * inside a real commit window. */
+  @volatile private[graft] var onCommitPoint: String => Unit = null
+
+  /** The last COMMITTED coverage generation's records — the memoized
+    * map when its signature matches the log on disk, else one parse
+    * of the log (no listing validation: a snapshot reader trusts the
+    * journaled commit protocol exactly as far as the files it then
+    * reads by explicit path — a stale record surfaces loudly as a
+    * missing-path read, never as wrong rows). None when the log is
+    * absent or torn. */
+  private[graft] def committedRecords(
+      spark: SparkSession, dir: String): Option[Array[CovRec]] = {
+    val fs = fsFor(spark, dir)
+    val recs = covRecords(fs, dir)
+    if (recs.isEmpty) return None
+    val sig = covSignature(recs)
+    val memo = covMemo.get(dir)
+    if (memo != null && memo._1 == sig) return Some(memo._2)
+    parseCoverage(fs, recs)
+  }
+
+  /** Read the sidecar's last-committed snapshot: explicit file list
+    * from [[committedRecords]], so the read serves THROUGH a live
+    * commit window (see the section note). Falls back to the
+    * directory read behind [[requireClean]] when no committed
+    * coverage exists (fresh rebuild, never-committed sidecar) — the
+    * pre-snapshot behavior. A missing file under the snapshot read
+    * means either a crashed run (journal persists → the same loud
+    * refusal requireClean always gave) or an out-of-band deletion
+    * (surfaced, not swallowed). */
+  def snapshotRead(spark: SparkSession, dir: String): DataFrame =
+    committedRecords(spark, dir)
+      .map(_.map(r => s"$dir/${r.rel}").distinct.toSeq.sorted)
+      .filter(_.nonEmpty) match {
+      case Some(files) =>
+        try spark.read.option("basePath", dir).parquet(files: _*)
+        catch {
+          case t: Throwable if isPathNotFound(t) =>
+            requireClean(spark, dir) // crashed run → loud refusal
+            throw t // out-of-band deletion: surface it
+        }
+      case None =>
+        requireClean(spark, dir)
+        spark.read.parquet(dir)
+    }
 
   /** The sidecar rows the delta KEEPS (everything but vanished
     * files' rows) — what pre-mutation layout guards check the fresh
@@ -786,17 +865,16 @@ object SidecarMaintenance {
     }
   }
 
-  /** Read paths' loud-failure guard: a maintenance journal means a
-    * commit is (or was) in flight and the sidecar may be torn —
-    * refuse rather than serve partial rows. NOTE the journal exists
-    * for the whole commit window of a LIVE refresh too, not only
-    * after a crash: the family's single-writer contract extends to
-    * readers — a query must not race maintenance on the same
-    * sidecar (streaming drivers serialize refresh and probe within
-    * the micro-batch for exactly this reason). A reader that may
-    * race an external maintainer should treat this failure as
-    * transient and retry after the commit window closes; a journal
-    * that PERSISTS identifies a crashed run needing [[recover]]. */
+  /** DIRECTORY read paths' loud-failure guard: a maintenance journal
+    * means a commit is (or was) in flight and the directory view may
+    * be torn — refuse rather than serve partial rows. The ANN probes
+    * no longer need this in the steady state: they resolve a
+    * committed snapshot ([[snapshotRead]]) and serve THROUGH live
+    * commit windows; this guard remains for reads with no committed
+    * coverage to resolve (fresh rebuilds, the inverted/stats
+    * directory readers) and as the crashed-run refusal the snapshot
+    * path falls back to when its files are missing. A journal that
+    * PERSISTS identifies a crashed run needing [[recover]]. */
   def requireClean(spark: SparkSession, dir: String): Unit =
     require(!fsFor(spark, dir).exists(journalPath(dir)),
       s"interrupted maintenance journal at ${journalPath(dir)} — " +
@@ -914,6 +992,22 @@ object SidecarMaintenance {
     commitDelta(spark, dir, Some(layout(rows)), victims, partCols, statsCol)
   }
 
+  // Step order is the SNAPSHOT-ISOLATION contract for coverage-
+  // resolved readers ([[snapshotRead]]): (1) staged data files move
+  // in — new names, unreferenced by the committed log, invisible to
+  // a snapshot reader; (2) the coverage delta moves into the log —
+  // THE generation flip: a reader resolving before it gets the old
+  // record set, whose files are all still on disk because (3) the
+  // doomed deletions run LAST. So at every instant of the window
+  // (and at every crash point inside it) the log on disk names a
+  // file set that is fully present: probes serve the pre-flip truth
+  // before step 2 and the post-commit truth after it, never a torn
+  // view — where the r15 delete-first order gave readers a window
+  // with rows missing. The only residual race is a reader that
+  // resolves pre-flip and then delays its read past a LATER commit's
+  // step 3 deleting its files — one full commit window of grace,
+  // surfaced loudly as a missing-path read, never as silent partial
+  // rows.
   private def finishSwap(fs: FileSystem, dir: String): Unit = {
     val journal = journalPath(dir)
     val staging = stagingPath(dir)
@@ -921,12 +1015,8 @@ object SidecarMaintenance {
     val doomed = scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString.split("\n").filter(_.nonEmpty)
     in.close()
-    doomed.foreach { f =>
-      val p = new Path(f)
-      if (fs.exists(p)) fs.delete(p, false)
-    }
-    // move staged data files in, preserving partition-relative paths
-    // (part-file names carry per-job UUIDs, so cross-commit
+    // (1) move staged data files in, preserving partition-relative
+    // paths (part-file names carry per-job UUIDs, so cross-commit
     // collisions cannot happen; move-if-absent makes replay a no-op)
     def move(p: Path, rel: Seq[String]): Unit =
       fs.listStatus(p).foreach { st =>
@@ -942,7 +1032,7 @@ object SidecarMaintenance {
         }
       }
     move(staging, Seq.empty)
-    // the commit's coverage delta joins the log (same idempotent
+    // (2) the commit's coverage delta joins the log (same idempotent
     // move-if-absent: a replayed finishSwap finds it already there)
     if (fs.exists(staging)) fs.listStatus(staging).foreach { st =>
       val n = st.getPath.getName
@@ -952,6 +1042,11 @@ object SidecarMaintenance {
         val dest = new Path(cp, "delta-" + n.stripPrefix(CovDeltaPrefix))
         if (!fs.exists(dest)) fs.rename(st.getPath, dest)
       }
+    }
+    // (3) doomed deletions LAST — see the order contract above
+    doomed.foreach { f =>
+      val p = new Path(f)
+      if (fs.exists(p)) fs.delete(p, false)
     }
     fs.delete(journal, false)
     fs.delete(staging, true)

@@ -654,6 +654,48 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("probes serve THROUGH a live commit window: pre-commit truth during, post-commit truth after") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      IvfIndex.refresh(spark, path) // heal coverage → a committed generation
+      val queries = spark.read.parquet(path).where(col("vec_id") < 3)
+        .localCheckpoint(true)
+      val before = ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+      // the next refresh's commit both APPENDS (a fresh corpus file)
+      // and DOOMS (sidecar carriers of a vanished corpus file) — the
+      // worst window shape: rows moving in AND out in one swap.
+      // Pick the victim from the PRE-append file set (an appended
+      // file's uuid name can sort below the originals).
+      val victim = SidecarMaintenance.dataFiles(spark, path)
+        .filterNot(_.contains("_ivf_cells")).min
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 200 && col("vec_id") < 240)
+        .coalesce(1).write.mode("append").parquet(path)
+      fsOf(path).delete(new Path(victim), false)
+      val cellsDir = IvfIndex.cellsPath(path)
+      var during: Set[(Long, Long, Long)] = null
+      var journalSeen = false
+      SidecarMaintenance.onCommitPoint = dir =>
+        if (dir == cellsDir && during == null) {
+          journalSeen = fsOf(cellsDir)
+            .exists(SidecarMaintenance.journalPath(cellsDir))
+          during = ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+        }
+      try IvfIndex.refresh(spark, path)
+      finally SidecarMaintenance.onCommitPoint = null
+      assert(journalSeen, "fixture: the probe must have run INSIDE the window")
+      assert(during === before,
+        "a probe inside a live commit window must serve the committed " +
+          "PRE-commit truth — not refuse, not see a torn view")
+      // after the window closes, the probe serves the new generation
+      val after = ranks(IvfIndex.topK(spark, path, queries, k = 5, nProbe = 4))
+      assert(after === ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+        queries, spark.read.parquet(path), k = 5)),
+        "post-commit probes must serve the new truth exactly")
+      assert(after !== before, "fixture: the commit must have changed answers")
+    }
+  }
+
   test("awaitClean outlasts a transient commit window but still refuses a crashed journal") {
     withTable() { path =>
       IvfIndex.collect(spark, path, nCells = 2)
