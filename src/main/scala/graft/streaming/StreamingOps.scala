@@ -494,19 +494,37 @@ object StreamingOps {
       batchId: Long,
       targetRowsPerFile: Long = 1L << 20,
       runId: String = "",
-      sweepLegacy: Boolean = false): (Seq[String], Set[String]) = {
+      sweepLegacy: Boolean = false,
+      targetBytesPerFile: Long = 128L << 20): (Seq[String], Set[String]) = {
     val dir = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ns = if (runId.isEmpty) "" else s"r$runId-"
     val staging = new org.apache.hadoop.fs.Path(
       corpusDir, s".ingest-staging-${ns}b$batchId")
     fs.delete(staging, true)
-    // two passes over the batch (count, then shuffle+write), no
-    // materialization: a micro-batch plan re-reads the trigger's own
-    // file list, so recompute is deterministic — which is all the
-    // row→file binding needs
+    // ONE pass over the batch: nParts derives from the batch's INPUT
+    // FILE BYTES — driver-side getFileStatus over the trigger's file
+    // list, O(batch files), no Spark job — so the shuffle+write is
+    // the only executor pass (the r15 form paid an extra count()
+    // pass per micro-batch). Deterministic across replay: the same
+    // trigger re-reads the same landing files, so sizes — and with
+    // them the row→file binding — repeat whatever the cluster looks
+    // like. Batches with no file lineage (a localCheckpointed frame
+    // in a spec, a non-file source) fall back to the count() pass
+    // under targetRowsPerFile; a config or derivation change across
+    // a restart is the replaced-names case the sweep already reports
+    // and planAppend re-indexes.
+    val inputs = batch.inputFiles
     val nParts = math.max(1L,
-      (batch.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      if (inputs.nonEmpty) {
+        val bytes = inputs.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getLen
+        }.sum
+        (bytes + targetBytesPerFile - 1) / targetBytesPerFile
+      } else (batch.count() + targetRowsPerFile - 1) / targetRowsPerFile
+    ).toInt
     batch.repartition(nParts, batch.columns.map(col): _*)
       .write.mode("overwrite").parquet(staging.toString)
     val prefix = s"ingest-${ns}b$batchId-"

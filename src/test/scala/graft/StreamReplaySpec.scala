@@ -126,6 +126,66 @@ class StreamReplaySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
 
+  test("file-backed batches publish in ONE executor pass: nParts from input-file bytes, no count() job") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-onepass").toString
+    val corpus = s"$root/corpus"
+    val landing = s"$root/landing"
+    try {
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 60).coalesce(1).write.parquet(landing)
+      def jobsDuring(f: => Unit): Long = {
+        val n = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            n.incrementAndGet()
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue
+            .flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        n.get
+      }
+      // the r15 form paid a count() job ON TOP of the shuffle+write;
+      // with byte-derived nParts the publish runs exactly the jobs
+      // the bare shuffle+write costs (AQE may split that into more
+      // than one job — the pin is NO EXTRA PASS, not an absolute)
+      val batch = spark.read.parquet(landing)
+      val writeOnly = jobsDuring(
+        batch.repartition(1, batch.columns.map(col): _*)
+          .write.mode("overwrite").parquet(s"$root/scratch"))
+      val jobs = jobsDuring(
+        StreamingOps.idempotentBatchAppend(spark, batch, corpus, 0L))
+      assert(jobs === writeOnly,
+        s"a file-backed batch must publish with no executor pass beyond " +
+          s"the shuffle+write itself (saw $jobs vs $writeOnly write-only " +
+          "jobs) — nParts comes from input-file bytes, not a count() job")
+      assert(spark.read.parquet(corpus).count() === 60L)
+      // byte-derived multi-part binding is replay-deterministic: the
+      // same trigger file list re-derives the same nParts and the
+      // same row→file hash binding, whatever the incoming parallelism
+      val (pub1, _) = StreamingOps.idempotentBatchAppend(spark,
+        spark.read.parquet(landing), corpus, 1L, targetBytesPerFile = 4096)
+      assert(pub1.size > 1, "fixture must exercise a multi-file publish")
+      val binding = spark.read.parquet(pub1: _*)
+        .select(col("_metadata.file_path").as("f"), col("vec_id"))
+        .as[(String, Long)].collect().toSet
+      val (pub2, rep2) = StreamingOps.idempotentBatchAppend(spark,
+        spark.read.parquet(landing).repartition(7), corpus, 1L,
+        targetBytesPerFile = 4096)
+      assert(pub2 === pub1 && rep2 === pub1.toSet)
+      assert(spark.read.parquet(pub2: _*)
+        .select(col("_metadata.file_path").as("f"), col("vec_id"))
+        .as[(String, Long)].collect().toSet === binding,
+        "byte-derived row→file binding must not depend on incoming partitioning")
+      assert(spark.read.parquet(corpus).count() === 120L)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("a pre-namespace checkpoint that STARTED but never committed a batch still owns its legacy files") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-legacy-offsets").toString
