@@ -58,6 +58,36 @@ object SidecarMaintenance {
   private[graft] val CommitMarker = "_GRAFT_MAINT_COMMIT"
   private[graft] def stagingPath(dir: String) = new Path(dir, ".maint-staging")
   private[graft] def journalPath(dir: String) = new Path(dir, "_maint_journal")
+  private[graft] def leasePath(dir: String) = new Path(dir, "_maint_lease")
+
+  /** Single-writer DETECTION for [[commitDelta]]: an atomic
+    * create-if-absent lease held for the commit's duration, so a
+    * second maintainer whose commit overlaps a live one fails LOUDLY
+    * at its own commit entry instead of interleaving staging/journal
+    * writes and corrupting the protocol — the family's standing
+    * single-writer contract, now checked instead of assumed. A lease
+    * with NO staging and NO journal behind it is an orphan (a hard
+    * kill inside the commit's bookkeeping edges — the window itself
+    * always has one of the two present): broken and re-taken, so
+    * crashed runs self-heal without an operator step. Entry-level
+    * races (a second maintainer's recover() healing state a live
+    * writer is still producing) remain outside the contract — this
+    * guard makes the commit overlap, the corruption vector, loud. */
+  private def acquireLease(fs: FileSystem, dir: String): Unit = {
+    val lease = leasePath(dir)
+    def create(): Unit = { fs.mkdirs(new Path(dir)); fs.create(lease, false).close() }
+    try create()
+    catch {
+      case _: java.io.IOException =>
+        require(!fs.exists(journalPath(dir)) && !fs.exists(stagingPath(dir)),
+          s"another maintainer holds the commit lease at $lease with a " +
+            "commit in flight — sidecar maintenance is single-writer: " +
+            "serialize maintainers (a crashed run heals through recover(), " +
+            "which consumes its journal and staging first)")
+        fs.delete(lease, false) // orphan: break and take over
+        create()
+    }
+  }
 
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -123,6 +153,20 @@ object SidecarMaintenance {
     import spark.implicits._
     if (newRows.isEmpty && doomed.isEmpty) return
     val fs = fsFor(spark, dir)
+    acquireLease(fs, dir)
+    try commitDeltaLocked(spark, fs, dir, newRows, doomed, partCols, statsCol)
+    finally fs.delete(leasePath(dir), false)
+  }
+
+  private def commitDeltaLocked(
+      spark: SparkSession,
+      fs: FileSystem,
+      dir: String,
+      newRows: Option[DataFrame],
+      doomed: Seq[String],
+      partCols: Seq[String],
+      statsCol: Option[String]): Unit = {
+    import spark.implicits._
     val staging = stagingPath(dir)
     fs.delete(staging, true)
     newRows match {

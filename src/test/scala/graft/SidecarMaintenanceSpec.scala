@@ -654,6 +654,37 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("a second maintainer whose commit overlaps a live one fails loudly at the lease") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = fsOf(cellsDir)
+      // a LIVE writer's window: lease held, staging in flight
+      fs.create(SidecarMaintenance.leasePath(cellsDir), false).close()
+      fs.mkdirs(SidecarMaintenance.stagingPath(cellsDir))
+      val rows = spark.read.parquet(cellsDir).limit(5).localCheckpoint(true)
+      val e = intercept[IllegalArgumentException] {
+        SidecarMaintenance.commitDelta(spark, cellsDir, Some(rows),
+          Seq.empty, Seq("__cell"), statsCol = Some("vec_id"))
+      }
+      assert(e.getMessage.contains("commit lease"),
+        "an overlapping commit must fail loudly, not interleave")
+      // an ORPHAN lease (hard kill at the window's bookkeeping edges:
+      // no staging, no journal behind it) self-heals: broken, taken,
+      // and released after the commit
+      fs.delete(SidecarMaintenance.stagingPath(cellsDir), true)
+      val before = spark.read.parquet(cellsDir).count()
+      SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 200 && col("vec_id") < 210)
+        .coalesce(1).write.mode("append").parquet(path)
+      IvfIndex.refresh(spark, path)
+      assert(spark.read.parquet(cellsDir).count() === before + 10,
+        "an orphan lease must not wedge maintenance")
+      assert(!fs.exists(SidecarMaintenance.leasePath(cellsDir)),
+        "the lease must be released after the commit")
+    }
+  }
+
   test("probes serve THROUGH a live commit window: pre-commit truth during, post-commit truth after") {
     withTable() { path =>
       IvfIndex.collect(spark, path, nCells = 4)
