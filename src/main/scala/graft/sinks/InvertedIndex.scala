@@ -270,8 +270,7 @@ object InvertedIndex {
   def candidates(spark: SparkSession, table: String, phrase: String): DataFrame = {
     val toks = phraseTokens(phrase)
     require(toks.nonEmpty, "empty search phrase")
-    SidecarMaintenance.requireClean(spark, indexPath(table))
-    spark.read.parquet(indexPath(table))
+    SidecarMaintenance.snapshotRead(spark, indexPath(table))
       .where(col("token").isin(toks: _*))
       .groupBy("id")
       .agg(count(lit(1)).as("__hits")) // (token, id) unique → count == distinct
@@ -302,8 +301,7 @@ object InvertedIndex {
       phrase: String): DataFrame = {
     val ws = phraseWords(phrase)
     require(ws.nonEmpty, "empty search phrase")
-    SidecarMaintenance.requireClean(spark, indexPath(table))
-    val idx = spark.read.parquet(indexPath(table))
+    val idx = SidecarMaintenance.snapshotRead(spark, indexPath(table))
     def postings(t: String): DataFrame =
       idx.where(col("token") === t).select(col("id"), col("positions"))
     var cur = postings(ws.head)
@@ -341,14 +339,12 @@ object InvertedIndex {
       idOut: String = "doc_id"): DataFrame = {
     val qtoks = phraseTokens(query)
     require(qtoks.nonEmpty, "empty query")
-    SidecarMaintenance.requireClean(spark, indexPath(table))
-    val idx = spark.read.parquet(indexPath(table))
+    val idx = SidecarMaintenance.snapshotRead(spark, indexPath(table))
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dl =
-      if (fs.exists(new Path(docLenPath(table)))) {
-        SidecarMaintenance.requireClean(spark, docLenPath(table))
-        spark.read.parquet(docLenPath(table)).select(col("id"), col("dl"))
-      }
+      if (fs.exists(new Path(docLenPath(table))))
+        SidecarMaintenance.snapshotRead(spark, docLenPath(table))
+          .select(col("id"), col("dl"))
       else idx.groupBy("id")
         .agg(sum(size(col("positions"))).cast("long").as("dl"))
     val tf = idx.where(col("token").isin(qtoks: _*))
@@ -512,12 +508,20 @@ object InvertedIndex {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     val qtoks = phraseTokens(query).distinct
     require(qtoks.nonEmpty, "empty query")
-    Seq(indexPath(table), termStatsPath(table), docLenPath(table))
-      .foreach(SidecarMaintenance.requireClean(spark, _))
+    // committed-snapshot reads across all three sidecars: the query
+    // serves through a live maintenance commit window on the
+    // pre-commit truth ([[SidecarMaintenance.snapshotRead]]). The
+    // three sidecars commit in sequence (index, then stats — the
+    // refresh coupling), so a reader inside one window can pair
+    // sidecar generations one commit apart — the bounded skew any
+    // non-atomic multi-sidecar refresh admits, gone when the window
+    // closes; a reader needing strict cross-sidecar consistency can
+    // still gate on [[SidecarMaintenance.requireClean]] over all
+    // three paths (the pre-r16 refusal mode).
     // fold the per-file partials for just the q tokens (pushed IN):
     // df sums, max_tf maxes, min_dl mins — the merge that makes the
     // sidecar file-set-refreshable
-    val stats = spark.read.parquet(termStatsPath(table))
+    val stats = SidecarMaintenance.snapshotRead(spark, termStatsPath(table))
       .where(col("token").isin(qtoks: _*))
       .groupBy("token")
       .agg(sum(col("df")).cast("long").as("df"),
@@ -527,7 +531,8 @@ object InvertedIndex {
     // requireOneFilePerDoc) → the (file, id) partials are already
     // one row per id; folding them here would shuffle every doc on
     // every query (the shuffle-metrics spec caught exactly that)
-    val doclen = spark.read.parquet(docLenPath(table)).select("id", "dl")
+    val doclen = SidecarMaintenance.snapshotRead(spark, docLenPath(table))
+      .select("id", "dl")
     val scal = doclen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val n = scal.getLong(0)
     val avgdl = if (scal.isNullAt(1)) 1.0 else scal.getDouble(1)
@@ -539,7 +544,7 @@ object InvertedIndex {
       .map(r => r.getString(0) -> (idfOf(r.getLong(1)) * tfPart(r.getLong(2), r.getLong(3))))
       .sortBy { case (t, ub) => (-ub, t) }
 
-    val post = spark.read.parquet(indexPath(table))
+    val post = SidecarMaintenance.snapshotRead(spark, indexPath(table))
       .where(col("token").isin(qtoks: _*))
       .select(col("id"), col("token"),
         size(col("positions")).cast("long").as("tf"))
