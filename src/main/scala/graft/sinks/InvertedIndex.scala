@@ -251,7 +251,7 @@ object InvertedIndex {
     // coupling costs only the delta the refresh itself just built.
     if (fs.exists(new Path(docLenPath(table))) ||
       fs.exists(new Path(termStatsPath(table))))
-      refreshRetrievalStats(spark, table)
+      refreshRetrievalStats(spark, table, replaced)
   }
 
   /** Canonical word sequence of a query phrase (order and repeats
@@ -411,8 +411,18 @@ object InvertedIndex {
     * aggregated (an index-sized read, a delta-sized write). Call
     * after [[refresh]] (the index is the source of truth for which
     * files exist); the two sidecars are diffed independently, so a
-    * crash between their commits heals on the next call. */
-  def refreshRetrievalStats(spark: SparkSession, table: String): Unit = {
+    * crash between their commits heals on the next call. `replaced`
+    * (threaded from [[refresh]]) names corpus files an idempotent
+    * replay republished: the stats sidecars key coverage on file
+    * NAME exactly as the index does, so without it a republished
+    * name's dl/term-stats partials would no-op as already covered
+    * and serve the stale binding — the moved-in documents would
+    * silently vanish from BM25 (dl inner-joins on id) while the
+    * postings themselves were correctly re-indexed. */
+  def refreshRetrievalStats(
+      spark: SparkSession,
+      table: String,
+      replaced: Set[String] = Set.empty): Unit = {
     import spark.implicits._
     val fs = new Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -440,8 +450,10 @@ object InvertedIndex {
           min(col("dl")).as("min_dl"))
       (dl, ts)
     }
-    val dlPlan = SidecarMaintenance.planDelta(spark, docLenPath(table), current)
-    val tsPlan = SidecarMaintenance.planDelta(spark, termStatsPath(table), current)
+    val dlPlan = SidecarMaintenance.planDelta(spark, docLenPath(table),
+      current, replaced)
+    val tsPlan = SidecarMaintenance.planDelta(spark, termStatsPath(table),
+      current, replaced)
     // the eagerly-executed dl aggregation (partialsOf checkpoints it)
     // runs ONCE for the union of the two sidecars' fresh sets — they
     // are identical except after a crash between the two commits,

@@ -66,24 +66,40 @@ object SidecarMaintenance {
     * at its own commit entry instead of interleaving staging/journal
     * writes and corrupting the protocol — the family's standing
     * single-writer contract, now checked instead of assumed. A lease
-    * with NO staging and NO journal behind it is an orphan (a hard
-    * kill inside the commit's bookkeeping edges — the window itself
-    * always has one of the two present): broken and re-taken, so
-    * crashed runs self-heal without an operator step. Entry-level
-    * races (a second maintainer's recover() healing state a live
-    * writer is still producing) remain outside the contract — this
-    * guard makes the commit overlap, the corruption vector, loud. */
+    * with NO staging and NO journal behind it AND older than the
+    * grace window is an orphan (a hard kill inside the commit's
+    * bookkeeping edges): broken and re-taken, so crashed runs
+    * self-heal without an operator step. The grace window covers the
+    * live holder's lease-to-first-staging-write gap (a Spark job
+    * setup can take seconds; without the age check a concurrent
+    * maintainer probing inside that gap would misclassify the LIVE
+    * lease as orphaned and break it — the exact interleaving the
+    * lease exists to make loud). A lease that outlives the grace
+    * with no window behind it can also be a holder past its swap
+    * doing post-commit bookkeeping — breaking it then is harmless,
+    * the sidecar is already consistent. Entry-level races (a second
+    * maintainer's recover() healing state a live writer is still
+    * producing) remain outside the contract — this guard makes the
+    * commit overlap, the corruption vector, loud. */
+  private[graft] var leaseGraceMs: Long = 60000L
   private def acquireLease(fs: FileSystem, dir: String): Unit = {
     val lease = leasePath(dir)
     def create(): Unit = { fs.mkdirs(new Path(dir)); fs.create(lease, false).close() }
+    def inFlight: Boolean =
+      fs.exists(journalPath(dir)) || fs.exists(stagingPath(dir))
+    def young: Boolean =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(lease).getModificationTime < leaseGraceMs
+      catch { case _: java.io.FileNotFoundException => false } // released
     try create()
     catch {
       case _: java.io.IOException =>
-        require(!fs.exists(journalPath(dir)) && !fs.exists(stagingPath(dir)),
-          s"another maintainer holds the commit lease at $lease with a " +
-            "commit in flight — sidecar maintenance is single-writer: " +
-            "serialize maintainers (a crashed run heals through recover(), " +
-            "which consumes its journal and staging first)")
+        require(!inFlight && !young,
+          s"another maintainer holds the commit lease at $lease — " +
+            "sidecar maintenance is single-writer: serialize maintainers " +
+            "(a crashed run heals through recover(), which consumes its " +
+            "journal and staging first; its lease expires after the grace " +
+            "window)")
         fs.delete(lease, false) // orphan: break and take over
         create()
     }
@@ -299,15 +315,20 @@ object SidecarMaintenance {
     * comes from the `_coverage` log when it reconstructs cleanly
     * (steady state: one small directory listing against the in-JVM
     * memo — no corpus-file-count work at all), else from one
-    * column-pruned scan that re-checkpoints the log. */
+    * column-pruned scan that re-checkpoints the log. `replaced` as
+    * in [[planAppend]]: covered names whose binding is known stale
+    * (an idempotent replay republished them) plan vanished+fresh
+    * even though the name is present in `current`. */
   def planDelta(
       spark: SparkSession,
       dir: String,
-      current: Set[String]): DeltaPlan = {
+      current: Set[String],
+      replaced: Set[String] = Set.empty): DeltaPlan = {
     recover(spark, dir)
     val v = planView(spark, dir)
-    DeltaPlan(v.pairsAbs, v.indexed -- current,
-      (current -- v.indexed).toSeq.sorted, v.stats)
+    val vanish = (v.indexed -- current) ++ replaced.filter(v.indexed)
+    DeltaPlan(v.pairsAbs, vanish,
+      (current -- (v.indexed -- vanish)).toSeq.sorted, v.stats)
   }
 
   // Derived planning view of the coverage map — absolute-path pairs,
@@ -545,6 +566,7 @@ object SidecarMaintenance {
   private[graft] def clearCoverageMemo(): Unit = {
     covMemo.clear()
     covView.clear()
+    snapMemo.clear()
   }
 
   private def advanceMemo(
@@ -744,13 +766,20 @@ object SidecarMaintenance {
     * inside a real commit window. */
   @volatile private[graft] var onCommitPoint: String => Unit = null
 
-  /** The last COMMITTED coverage generation's records — the memoized
+  /** The last COMMITTED coverage generation's records — a memoized
     * map when its signature matches the log on disk, else one parse
     * of the log (no listing validation: a snapshot reader trusts the
     * journaled commit protocol exactly as far as the files it then
     * reads by explicit path — a stale record surfaces loudly as a
     * missing-path read, never as wrong rows). None when the log is
-    * absent or torn. */
+    * absent or torn. The parse memoizes into its OWN map (unvalidated
+    * records must never enter [[covMemo]], whose hits imply the
+    * listing-validated planning trust), so a reader-only JVM — the
+    * external-prober use case snapshot isolation serves — pays the
+    * O(covered-files) log parse once per generation, not per query:
+    * the steady-state probe resolves with one `_coverage` listing. */
+  private val snapMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[CovRec])]()
   private[graft] def committedRecords(
       spark: SparkSession, dir: String): Option[Array[CovRec]] = {
     val fs = fsFor(spark, dir)
@@ -759,7 +788,11 @@ object SidecarMaintenance {
     val sig = covSignature(recs)
     val memo = covMemo.get(dir)
     if (memo != null && memo._1 == sig) return Some(memo._2)
-    parseCoverage(fs, recs)
+    val snap = snapMemo.get(dir)
+    if (snap != null && snap._1 == sig) return Some(snap._2)
+    val parsed = parseCoverage(fs, recs)
+    parsed.foreach(arr => snapMemo.put(dir, (sig, arr)))
+    parsed
   }
 
   /** Read the sidecar's last-committed snapshot: explicit file list
@@ -902,6 +935,7 @@ object SidecarMaintenance {
     if (fs.exists(journal)) {
       covMemo.remove(dir) // replayed commit: reload+validate from disk
       covView.remove(dir)
+      snapMemo.remove(dir)
       if (fs.exists(new Path(staging, CommitMarker))) finishSwap(fs, dir)
       else { fs.delete(staging, true); fs.delete(journal, false) }
     } else if (fs.exists(staging)) {
@@ -1147,12 +1181,14 @@ object SidecarMaintenance {
         fs.rename(next, destP)
         covMemo.remove(dest) // the new dir starts a fresh coverage log
         covView.remove(dest)
+        snapMemo.remove(dest)
       } else fs.delete(next, true) // unsealed build — roll back
     }
     if (!fs.exists(destP) && fs.exists(old)) {
       fs.rename(old, destP)
       covMemo.remove(dest)
       covView.remove(dest)
+      snapMemo.remove(dest)
     }
     fs.delete(new Path(destP, PublishMarker), false)
     fs.delete(old, true)

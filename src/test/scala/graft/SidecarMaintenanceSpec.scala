@@ -669,10 +669,22 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("commit lease"),
         "an overlapping commit must fail loudly, not interleave")
-      // an ORPHAN lease (hard kill at the window's bookkeeping edges:
-      // no staging, no journal behind it) self-heals: broken, taken,
-      // and released after the commit
+      // a YOUNG lease with no window behind it is still treated as
+      // live (the holder may be between lease creation and its
+      // staging job's first write — breaking it there would let two
+      // commits interleave), so it fails loudly within the grace
       fs.delete(SidecarMaintenance.stagingPath(cellsDir), true)
+      val e2 = intercept[IllegalArgumentException] {
+        SidecarMaintenance.commitDelta(spark, cellsDir, Some(rows),
+          Seq.empty, Seq("__cell"), statsCol = Some("vec_id"))
+      }
+      assert(e2.getMessage.contains("commit lease"),
+        "a young lease must be honored even without staging/journal")
+      // an ORPHAN lease (hard kill at the window's bookkeeping edges:
+      // no staging, no journal, older than the grace) self-heals:
+      // broken, taken, and released after the commit
+      fs.setTimes(SidecarMaintenance.leasePath(cellsDir),
+        System.currentTimeMillis() - 10 * 60 * 1000L, -1)
       val before = spark.read.parquet(cellsDir).count()
       SparkEntry.tbl(spark, sf, "embeddings")
         .where(col("vec_id") >= 200 && col("vec_id") < 210)

@@ -266,6 +266,40 @@ class StreamReplaySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
 
+  test("config-changed replay propagates to the retrieval-stats sidecars: BM25 keeps every moved-in doc") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-replaced-stats").toString
+    val corpus = s"$root/corpus"
+    try {
+      import graft.sinks.InvertedIndex
+      // same shape as the IVF replaced-reindex spec, one layer down:
+      // the postings re-index correctly, but the dl/term-stats
+      // sidecars key coverage on the same file NAMES — without the
+      // replaced propagation they no-op on the republished p0 and
+      // BM25's dl inner-join silently drops every doc that moved in
+      val batch = SparkEntry.tbl(spark, sf, "documents")
+        .where(col("doc_id") < 48).select("doc_id", "text")
+        .localCheckpoint(true)
+      StreamingOps.idempotentBatchAppend(spark, batch, corpus,
+        batchId = 0L, targetRowsPerFile = 16)
+      InvertedIndex.collect(spark, corpus, "text", "doc_id")
+      InvertedIndex.buildRetrievalStats(spark, corpus)
+      InvertedIndex.refresh(spark, corpus, "text", "doc_id") // heal coverage
+      val (pub, rep) = StreamingOps.idempotentBatchAppend(spark, batch,
+        corpus, batchId = 0L, targetRowsPerFile = 1000)
+      assert(pub.size === 1 && rep.size === 3)
+      InvertedIndex.refresh(spark, corpus, "text", "doc_id",
+        appendedOnly = Some(pub.toSet), replaced = rep)
+      val dl = spark.read.parquet(InvertedIndex.docLenPath(corpus))
+      assert(dl.count() === 48L && dl.select("id").distinct().count() === 48L,
+        "every doc of the republished batch must keep exactly one dl row")
+      assert(spark.read.parquet(InvertedIndex.termStatsPath(corpus))
+        .select("file").distinct().count() === 1L,
+        "term-stats partials must all re-home to the republished file")
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("replayed delivery with FEWER parts (config changed) still sweeps the larger prior delivery") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-resweep").toString
