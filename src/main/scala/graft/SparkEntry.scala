@@ -2475,6 +2475,54 @@ object SparkEntry {
       out
     }),
 
+    // CELL-CLUSTERED corpus materialization — the layout operation
+    // that makes the refs variant's partial-probe economics real: on
+    // a randomly-laid-out corpus every file hosts every cell, so a
+    // partial probe's re-rank prunes COLUMNS but reads every FILE;
+    // clusterCorpus rewrites the table with each cell's vectors in
+    // contiguous files (one KMeans train + one range exchange, every
+    // column verbatim) and builds the refs sidecar against the SAME
+    // quantizer. In-query REQUIREs pin the layout claims — (file,
+    // cell) incidences bounded by files + cells (a random layout is
+    // ~files × cells), any one cell's candidate files a strict
+    // minority of the corpus, rows and columns preserved — and the
+    // exhaustive-probe result is hash-graded against brute force.
+    "ext_ann_ivf_refs_clustered" -> ((s, dir) => {
+      import graft.sinks.IvfIndex
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfclu").toString
+      val raw = s"$root/raw"
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(raw)
+      IvfIndex.clusterCorpus(s, raw, path, nCells = 8, filesPerCell = 2)
+      require(s.read.parquet(path).count() == s.read.parquet(raw).count(),
+        "the re-layout must preserve every row")
+      val refs = s.read.parquet(IvfIndex.refsPath(path))
+      val pairs = refs.select("file", "__cell").distinct().count()
+      val nFiles = refs.select("file").distinct().count()
+      require(nFiles > 8 && pairs <= nFiles + 8,
+        s"cell-clustered layout must be contiguous: $pairs (file, cell) " +
+          s"incidences over $nFiles files + 8 cells")
+      val perCell = refs.groupBy("__cell")
+        .agg(count_distinct(col("file")).as("nf"))
+        .agg(max(col("nf"))).head().getLong(0)
+      require(perCell * 2 < nFiles,
+        s"one cell's candidates span $perCell of $nFiles files — partial " +
+          "probes must read a corpus fraction in FILES, not just columns")
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val res = IvfIndex.topKRefs(s, path, q, k = 10, nProbe = 8)
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") &&
+          !l.replace(" ", "").contains("PartitionFilters:[]") &&
+          l.contains("__cell")),
+        "the refs scan must carry a __cell partition filter")
+      val out = res.localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // SNAPSHOT-ISOLATED probes, hash-graded: a probe running
     // CONCURRENTLY with a live maintenance commit — strictly inside
     // the window (journal present, marker sealed, swap not yet run;
@@ -5667,6 +5715,17 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "ext_ann_ivf_indexed_salted" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_refs_clustered" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

@@ -138,7 +138,8 @@ object IvfIndex {
     val freshAssigned =
       if (plan.fresh.isEmpty) None
       else {
-        val fa = assignFiles(spark, table, plan.fresh, idCol, vecCol)
+        val fa = assignFiles(spark, table, plan.fresh, idCol, vecCol,
+            spark.read.parquet(centroidsPath(table)))
           .localCheckpoint(true)
         // guard BEFORE any mutation: a trip leaves the live index
         // untouched. Rows of vanished files don't count — a
@@ -189,9 +190,8 @@ object IvfIndex {
       paths: Seq[String],
       idCol: String,
       vecCol: String,
-      centroidsDir: String = null): DataFrame = {
-    val cents = broadcast(spark.read.parquet(
-      Option(centroidsDir).getOrElse(centroidsPath(table))))
+      centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids)
     val freshVecs = spark.read.option("basePath", table).parquet(paths: _*)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"))
@@ -267,7 +267,12 @@ object IvfIndex {
       Seq("file", "vec_id", "__cell"), writeSalt)
 
   /** Bootstrap / rebuild of the refs sidecar — [[collect]] minus the
-    * embedding column, same journaled publish. */
+    * embedding column, same journaled publish. `centroids`, when
+    * given, SKIPS the KMeans train and assigns against the provided
+    * quantizer (nCells/seed ignored) — what [[clusterCorpus]] uses so
+    * the refs cells and the file layout are the SAME geometry, not
+    * two independently-trained quantizers that merely resemble each
+    * other. */
   def collectRefs(
       spark: SparkSession,
       table: String,
@@ -275,19 +280,28 @@ object IvfIndex {
       vecCol: String = "embedding",
       nCells: Int = 16,
       seed: Long = 42L,
-      writeSalt: Int = 1): Unit = {
-    val corpus = spark.read.parquet(table)
-      .select(col("_metadata.file_path").as("file"),
-        col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val idx = IvfSearch.buildIndex(corpus, nCells, seed)
+      writeSalt: Int = 1,
+      centroids: Option[DataFrame] = None): Unit = {
+    val (cents, rows) = centroids match {
+      case Some(c) =>
+        (c, assignFiles(spark, table,
+          BloomIndex.dataFilePaths(spark, table), idCol, vecCol, c)
+          .drop("embedding"))
+      case None =>
+        val corpus = spark.read.parquet(table)
+          .select(col("_metadata.file_path").as("file"),
+            col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+        val idx = IvfSearch.buildIndex(corpus, nCells, seed)
+        (idx.centroids, idx.assigned.drop("embedding"))
+    }
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = refsPath(table)
     SidecarMaintenance.recoverPublish(spark, dest)
     val next = s"$dest.next"
     fs.delete(new Path(next), true)
-    saltedRefs(idx.assigned.drop("embedding"), writeSalt)
+    saltedRefs(rows, writeSalt)
       .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(next)
-    idx.centroids.coalesce(1)
+    cents.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$next/_centroids")
     requireOneRowPerVector(spark.read.parquet(next), onTrip = {
       fs.delete(new Path(next), true)
@@ -314,7 +328,7 @@ object IvfIndex {
       if (plan.fresh.isEmpty) None
       else {
         val fa = assignFiles(spark, table, plan.fresh, idCol, vecCol,
-            centroidsDir = refsCentroidsPath(table))
+            spark.read.parquet(refsCentroidsPath(table)))
           .drop("embedding").localCheckpoint(true)
         requireNoVectorClash(fa,
           SidecarMaintenance.keptRows(spark, refsPath(table), plan,
@@ -335,6 +349,58 @@ object IvfIndex {
     SidecarMaintenance.compactSmall(
       spark, refsPath(table), Seq("__cell"), smallBytes,
       statsCol = Some("vec_id"))(saltedRefs(_, 1))
+
+  /** Materialize a CELL-CLUSTERED copy of the vector table at `dest`
+    * — the layout operation that makes the refs variant's partial-
+    * probe economics real: [[topKRefs]]' re-rank reads the candidate
+    * FILES of the probed cells, and on a randomly-laid-out corpus
+    * every file hosts every cell, so the "probed fraction" prunes
+    * columns but not files. Clustering writes each cell's vectors
+    * into contiguous files (range exchange on (cell, id), the
+    * Z-ORDER-for-ANN analogue of [[Compaction]]'s z-order pass), so
+    * a probe of nProbe/nCells cells reads ≈ that fraction of the
+    * corpus in FILES too — at 100 TB the difference between a
+    * probe-scaled read and a full-width one. One sampled-KMeans
+    * train + ONE shuffle over the table; every column survives
+    * verbatim. `filesPerCell` sizes output files (pick
+    * ≈ corpusBytes / (nCells × 128 MB) in production). Builds the
+    * `_ivf_refs` sidecar on the clustered copy against the SAME
+    * trained quantizer, so refs cells and file layout share one
+    * geometry by construction. An explicit
+    * materialization to a NEW directory — no in-place swap, the
+    * source table is never touched. */
+  def clusterCorpus(
+      spark: SparkSession,
+      table: String,
+      dest: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCells: Int = 16,
+      seed: Long = 42L,
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell ($filesPerCell) must be >= 1")
+    val corpus = spark.read.parquet(table)
+    // one KMeans transform over the FULL row (every column survives;
+    // no join, so duplicate ids can neither drop nor multiply rows —
+    // the refs build's one-row-per-vector guard still vets them)
+    val renamed =
+      if (vecCol == "embedding") corpus
+      else corpus.withColumnRenamed(vecCol, "embedding")
+    val idx = IvfSearch.buildIndex(renamed, nCells, seed)
+    val back =
+      if (vecCol == "embedding") idx.assigned
+      else idx.assigned.withColumnRenamed("embedding", vecCol)
+    back
+      .repartitionByRange(nCells * filesPerCell, col("__cell"), col(idCol))
+      .sortWithinPartitions(col("__cell"), col(idCol))
+      .drop("__cell")
+      .write.mode(SaveMode.Overwrite).parquet(dest)
+    // the refs build reuses THIS quantizer: refs cells and the file
+    // layout are the same geometry by construction, not two
+    // independently-trained lookalikes
+    collectRefs(spark, dest, idCol, vecCol, nCells, seed,
+      centroids = Some(idx.centroids))
+  }
 
   /** Probe off the REFS sidecar: the probed cell set pushes as a
     * static partition filter exactly as in [[topK]], but the probe

@@ -237,6 +237,42 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterCorpus: cell-contiguous layout, every row and column survives, probes exact") {
+    withTable() { path =>
+      val dest = s"${new org.apache.hadoop.fs.Path(path).getParent}/clustered"
+      IvfIndex.clusterCorpus(spark, path, dest, nCells = 8, filesPerCell = 2)
+      val raw = spark.read.parquet(path)
+      val clus = spark.read.parquet(dest)
+      assert(clus.count() === raw.count(), "no row may be lost or duplicated")
+      assert(clus.columns.sorted === raw.columns.sorted,
+        "every corpus column must survive the re-layout verbatim")
+      // the layout claim: each file hosts a CONTIGUOUS slice of one
+      // (cell, id) range, so (file, cell) incidences are bounded by
+      // files + cells — a random layout would be ~files × cells.
+      // The refs sidecar is assigned against the SAME quantizer that
+      // produced the layout, so its (file, __cell) pairs measure it.
+      val refs = spark.read.parquet(IvfIndex.refsPath(dest))
+      val pairs = refs.select("file", "__cell").distinct().count()
+      val nFiles = refs.select("file").distinct().count()
+      assert(nFiles > 8, "fixture: more files than cells, else trivial")
+      assert(pairs <= nFiles + 8,
+        s"cell-clustered layout must be contiguous: $pairs (file, cell) " +
+          s"incidences over $nFiles files + 8 cells")
+      // partial probes now prune FILES: any single cell's candidate
+      // file set is a strict minority of the corpus files
+      val perCell = refs.groupBy("__cell")
+        .agg(countDistinct(col("file")).as("nf"))
+        .agg(max(col("nf"))).head().getLong(0)
+      assert(perCell * 2 < nFiles,
+        s"one cell's candidates span $perCell of $nFiles files — " +
+          "partial probes must read a corpus fraction in FILES")
+      // and the machinery stays exact at exhaustive probes
+      val q = clus.where(col("vec_id") < 5)
+      assert(ranks(IvfIndex.topKRefs(spark, dest, q, k = 10, nProbe = 8))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(q, clus, k = 10)))
+    }
+  }
+
   test("refs probes prune by cell partition AND column-prune the re-rank corpus scan") {
     withTable() { path =>
       IvfIndex.collectRefs(spark, path, nCells = 8)
