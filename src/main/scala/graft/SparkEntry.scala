@@ -1034,6 +1034,60 @@ object SparkEntry {
       out
     }),
 
+    // SNAPSHOT-ISOLATED text retrieval, hash-graded (the
+    // ext_ann_ivf_indexed_snapshot shape on the inverted index's
+    // sidecars): a BM25 stats query running CONCURRENTLY with the
+    // index sidecar's live maintenance commit — strictly inside the
+    // window (journal present, marker sealed, swap not yet run;
+    // REQUIREd in-query) — must serve the committed PRE-commit truth
+    // (stats over the %5 != 0 corpus slice), not refuse and not see
+    // a torn view; the post-refresh query must serve the full
+    // corpus. Both phases hash-graded against the DuckDB stats
+    // recompute over their slice, so a query that leaked mid-swap
+    // postings, paired a new index generation with old doc lengths
+    // early, or dropped rows breaks the hash.
+    "ext_bm25_indexed_snapshot" -> ((s, dir) => {
+      import graft.sinks.{InvertedIndex, SidecarMaintenance}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25snap").toString
+      val corpusPath = s"$root/corpus"
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      docs.where(col("doc_id") % 5 =!= 0).repartition(2)
+        .write.parquet(corpusPath)
+      InvertedIndex.collect(s, corpusPath, "text", "doc_id")
+      InvertedIndex.buildRetrievalStats(s, corpusPath)
+      // heal coverage → a committed generation for all three sidecars
+      InvertedIndex.refresh(s, corpusPath, "text", "doc_id")
+      docs.where(col("doc_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(corpusPath)
+      val idxDir = InvertedIndex.indexPath(corpusPath)
+      val fs = new org.apache.hadoop.fs.Path(corpusPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      var during: org.apache.spark.sql.DataFrame = null
+      var inWindow = false
+      SidecarMaintenance.onCommitPoint = d =>
+        if (d == idxDir && during == null) {
+          inWindow = fs.exists(SidecarMaintenance.journalPath(idxDir))
+          during = InvertedIndex
+            .bm25StatsFromIndex(s, corpusPath, "fast key order")
+            .localCheckpoint(true)
+        }
+      try InvertedIndex.refresh(s, corpusPath, "text", "doc_id")
+      finally SidecarMaintenance.onCommitPoint = null
+      require(during != null && inWindow,
+        "the query must have run INSIDE a live index commit window " +
+          "(journal present, commit marker sealed)")
+      val after = InvertedIndex
+        .bm25StatsFromIndex(s, corpusPath, "fast key order")
+      val out = during.withColumn("phase", lit("during"))
+        .unionByName(after.withColumn("phase", lit("after")))
+        .select("phase", "doc_id", "token", "tf", "df", "dl")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // MaxScore-pruned BM25 top-k off the index: per-term exact upper
     // bounds from the _termstats sidecar, essential-prefix candidate
     // generation, certificate kth-score ≥ Σ non-essential bounds —
@@ -2683,6 +2737,58 @@ object SparkEntry {
         l.contains("ReadSchema:") && l.contains("embedding") &&
           !l.contains("label")),
         "the re-rank corpus scan must be column-pruned to id+vector")
+      val out = res.localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // BUCKET-CLUSTERED corpus for LSH refs probes
+    // (IvfIndex.clusterCorpus's shape for the training-free index):
+    // on a randomly-laid-out corpus every file hosts every bucket,
+    // so a partial-radius probe's re-rank prunes COLUMNS but reads
+    // every FILE; clusterCorpus rewrites the table with each
+    // bucket's vectors in contiguous files (one codegen'd signature
+    // pass + one range exchange, every column verbatim) and builds
+    // the refs sidecar on the copy — the bucket is a pure function
+    // of (planes, seed), so refs buckets and file layout share one
+    // geometry by construction. In-query REQUIREs pin the layout
+    // claims — (file, bucket) incidences bounded by files + buckets
+    // (a random layout is ~files × buckets), any one bucket's
+    // candidate files a strict minority of the corpus, rows
+    // preserved — and the exhaustive-radius result is hash-graded
+    // against brute force.
+    "ext_ann_lsh_refs_clustered" -> ((s, dir) => {
+      import graft.sinks.LshIndex
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lshclu").toString
+      val raw = s"$root/raw"
+      val path = s"$root/vectors"
+      tbl(s, dir, "embeddings").repartition(3).write.parquet(raw)
+      LshIndex.clusterCorpus(s, raw, path, planes = 3, filesPerBucket = 2)
+      require(s.read.parquet(path).count() == s.read.parquet(raw).count(),
+        "the re-layout must preserve every row")
+      val refs = s.read.parquet(LshIndex.refsPath(path))
+      val pairs = refs.select("file", "bucket").distinct().count()
+      val nFiles = refs.select("file").distinct().count()
+      require(nFiles > 8 && pairs <= nFiles + 8,
+        s"bucket-clustered layout must be contiguous: $pairs (file, bucket) " +
+          s"incidences over $nFiles files + 8 buckets")
+      val perBucket = refs.groupBy("bucket")
+        .agg(count_distinct(col("file")).as("nf"))
+        .agg(max(col("nf"))).head().getLong(0)
+      require(perBucket * 2 < nFiles,
+        s"one bucket's candidates span $perBucket of $nFiles files — " +
+          "partial probes must read a corpus fraction in FILES, not just " +
+          "columns")
+      val q = s.read.parquet(path).where(col("vec_id") < 5)
+      val res = LshIndex.topKRefs(s, path, q, k = 10, probeRadius = 3)
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") &&
+          !l.replace(" ", "").contains("PartitionFilters:[]") &&
+          l.contains("bucket")),
+        "the refs scan must carry a bucket partition filter")
       val out = res.localCheckpoint(true)
       new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
         .truncate(root)
@@ -4761,6 +4867,35 @@ object SparkEntry {
          |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, tf.dl
          |FROM tf JOIN dfreq USING (token)""".stripMargin,
 
+    // two phases, two truths: the in-window stats must equal the
+    // recompute over the PRE-commit corpus slice (doc_id % 5 != 0 —
+    // what the committed coverage generations served), the
+    // post-refresh stats the recompute over the full corpus
+    "ext_bm25_indexed_snapshot" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    len($wordsNormSql) AS dl,
+         |    unnest($wordsNormSql) AS token
+         |  FROM documents
+         |), tfa AS (
+         |  SELECT doc_id, dl, token, count(*) AS tf FROM toks
+         |  WHERE token IN ('fast', 'key', 'order') AND doc_id % 5 != 0
+         |  GROUP BY doc_id, dl, token
+         |), dfa AS (
+         |  SELECT token, count(*) AS df FROM tfa GROUP BY token
+         |), tff AS (
+         |  SELECT doc_id, dl, token, count(*) AS tf FROM toks
+         |  WHERE token IN ('fast', 'key', 'order')
+         |  GROUP BY doc_id, dl, token
+         |), dff AS (
+         |  SELECT token, count(*) AS df FROM tff GROUP BY token
+         |)
+         |SELECT 'during' AS phase, tfa.doc_id, tfa.token, tfa.tf, dfa.df, tfa.dl
+         |FROM tfa JOIN dfa USING (token)
+         |UNION ALL
+         |SELECT 'after' AS phase, tff.doc_id, tff.token, tff.tf, dff.df, tff.dl
+         |FROM tff JOIN dff USING (token)""".stripMargin,
+
     // verdict epistemics (ext_ann_*_bound pattern): the engine
     // compares its pruned top-k against its own unpruned scoring and
     // reports booleans; the oracle states the expected verdicts
@@ -5804,6 +5939,17 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "ext_ann_lsh_indexed_refs" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_lsh_refs_clustered" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv

@@ -254,6 +254,48 @@ object LshIndex {
       spark, refsPath(table), Seq("bucket"), smallBytes,
       statsCol = Some("vec_id"))(saltedRefs(_, 1))
 
+  /** Materialize a BUCKET-CLUSTERED copy of the vector table at
+    * `dest` — [[IvfIndex.clusterCorpus]]'s shape for the
+    * training-free index: [[topKRefs]]' re-rank reads the candidate
+    * FILES of the probed buckets, and on a randomly-laid-out corpus
+    * every file hosts every bucket, so a partial-radius probe prunes
+    * columns but still opens every file. Clustering writes each
+    * bucket's vectors into contiguous files (one codegen'd signature
+    * pass + one range exchange on (bucket, id); every column
+    * survives verbatim), so a probe of b-of-2^planes buckets reads
+    * ≈ that fraction of the corpus in FILES too. Simpler than the
+    * IVF form: the bucket is a PURE FUNCTION of (planes, seed), so
+    * [[collectRefs]] on the clustered copy recomputes the identical
+    * signatures — refs buckets and file layout share one geometry by
+    * construction, with no quantizer to thread through.
+    * `filesPerBucket` sizes output files (pick ≈ corpusBytes /
+    * (2^planes × 128 MB) in production). An explicit materialization
+    * to a NEW directory — no in-place swap, the source table is
+    * never touched. */
+  def clusterCorpus(
+      spark: SparkSession,
+      table: String,
+      dest: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      planes: Int = 4,
+      seed: Long = 0L,
+      filesPerBucket: Int = 1): Unit = {
+    require(filesPerBucket >= 1,
+      s"filesPerBucket ($filesPerBucket) must be >= 1")
+    require(planes >= 1 && planes <= 12,
+      s"bucket directories number 2^planes; planes=$planes")
+    spark.read.parquet(table)
+      .withColumn("__bucket",
+        VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed))
+      .repartitionByRange((1 << planes) * filesPerBucket,
+        col("__bucket"), col(idCol))
+      .sortWithinPartitions(col("__bucket"), col(idCol))
+      .drop("__bucket")
+      .write.mode(SaveMode.Overwrite).parquet(dest)
+    collectRefs(spark, dest, idCol, vecCol, planes, seed)
+  }
+
   /** Multi-probe search off the REFS sidecar: the probed bucket set
     * pushes as a static partition filter exactly as in [[topK]], but
     * the probe yields candidate IDS only — their vectors come from

@@ -224,4 +224,40 @@ class LshIndexSpec extends AnyFunSuite {
         "the corpus re-rank scan must not read unused columns")
     }
   }
+
+  test("clusterCorpus: bucket-contiguous layout, every row and column survives, probes exact") {
+    withTable() { path =>
+      val dest = s"${new org.apache.hadoop.fs.Path(path).getParent}/clustered"
+      LshIndex.clusterCorpus(spark, path, dest, planes = 3, filesPerBucket = 2)
+      val raw = spark.read.parquet(path)
+      val clus = spark.read.parquet(dest)
+      assert(clus.count() === raw.count(), "no row may be lost or duplicated")
+      assert(clus.columns.sorted === raw.columns.sorted,
+        "every corpus column must survive the re-layout verbatim")
+      // the layout claim: each file hosts a CONTIGUOUS slice of one
+      // (bucket, id) range, so (file, bucket) incidences are bounded
+      // by files + buckets — a random layout would be ~files ×
+      // buckets. The refs sidecar recomputes the SAME pure-function
+      // signatures, so its (file, bucket) pairs measure the layout.
+      val refs = spark.read.parquet(LshIndex.refsPath(dest))
+      val pairs = refs.select("file", "bucket").distinct().count()
+      val nFiles = refs.select("file").distinct().count()
+      assert(nFiles > 8, "fixture: more files than buckets, else trivial")
+      assert(pairs <= nFiles + 8,
+        s"bucket-clustered layout must be contiguous: $pairs (file, bucket) " +
+          s"incidences over $nFiles files + 8 buckets")
+      // partial-radius probes now prune FILES: any single bucket's
+      // candidate file set is a strict minority of the corpus files
+      val perBucket = refs.groupBy("bucket")
+        .agg(countDistinct(col("file")).as("nf"))
+        .agg(max(col("nf"))).head().getLong(0)
+      assert(perBucket * 2 < nFiles,
+        s"one bucket's candidates span $perBucket of $nFiles files — " +
+          "partial probes must read a corpus fraction in FILES")
+      // and the machinery stays exact at exhaustive radius
+      val q = clus.where(col("vec_id") < 5)
+      assert(ranks(LshIndex.topKRefs(spark, dest, q, k = 10, probeRadius = 3))
+        === ranks(SimilaritySearch.bruteForceTopK(q, clus, k = 10)))
+    }
+  }
 }
