@@ -706,7 +706,7 @@ object SidecarMaintenance {
     * signal an explicit-path read gives when a listed file vanished
     * before the read planned (the staleness the refs probes
     * reconcile exception-driven). */
-  private[sinks] def isPathNotFound(t: Throwable): Boolean = t match {
+  private[graft] def isPathNotFound(t: Throwable): Boolean = t match {
     case st: org.apache.spark.SparkThrowable
         if st.getCondition == "PATH_NOT_FOUND" => true
     case _ => Option(t.getMessage).exists(m =>
@@ -804,21 +804,43 @@ object SidecarMaintenance {
     * means either a crashed run (journal persists → the same loud
     * refusal requireClean always gave) or an out-of-band deletion
     * (surfaced, not swallowed). */
-  def snapshotRead(spark: SparkSession, dir: String): DataFrame =
-    committedRecords(spark, dir)
-      .map(_.map(r => s"$dir/${r.rel}").distinct.toSeq.sorted)
-      .filter(_.nonEmpty) match {
+  /** Test hook: invoked with the sidecar dir between a
+    * [[snapshotRead]]'s generation RESOLUTION and its read — the gap
+    * a later commit's doomed deletions race (specs interleave a real
+    * refresh here to drive the retry path deterministically). */
+  @volatile private[graft] var onSnapshotResolve: String => Unit = null
+
+  def snapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    def resolve(): Option[Seq[String]] =
+      committedRecords(spark, dir)
+        .map(_.map(r => s"$dir/${r.rel}").distinct.toSeq.sorted)
+        .filter(_.nonEmpty)
+    resolve() match {
       case Some(files) =>
+        val hook = onSnapshotResolve
+        if (hook != null) hook(dir)
         try spark.read.option("basePath", dir).parquet(files: _*)
         catch {
           case t: Throwable if isPathNotFound(t) =>
             requireClean(spark, dir) // crashed run → loud refusal
-            throw t // out-of-band deletion: surface it
+            // a LATER commit's doomed deletions can outrun a reader
+            // that resolved the prior generation (the resolve→read
+            // gap races one whole commit window): re-resolve the
+            // now-committed generation ONCE and retry — the
+            // exception-driven pattern of [[readCandidateFiles]],
+            // zero cost in the no-race steady state. A second miss
+            // means an out-of-band deletion: surface it.
+            resolve() match {
+              case Some(fresh) if fresh != files =>
+                spark.read.option("basePath", dir).parquet(fresh: _*)
+              case _ => throw t
+            }
         }
       case None =>
         requireClean(spark, dir)
         spark.read.parquet(dir)
     }
+  }
 
   /** The sidecar rows the delta KEEPS (everything but vanished
     * files' rows) — what pre-mutation layout guards check the fresh

@@ -739,6 +739,46 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("a snapshot reader outrun by a COMPLETED later commit retries onto the new generation; out-of-band deletions still surface") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      IvfIndex.refresh(spark, path) // heal coverage → a committed generation
+      val cellsDir = IvfIndex.cellsPath(path)
+      // the race: a reader resolves the current generation, and a
+      // later commit's doomed deletions land BEFORE its read plans —
+      // interleaved deterministically through the resolve hook
+      val victim = SidecarMaintenance.dataFiles(spark, path)
+        .filterNot(_.contains("_ivf_cells")).min
+      var fired = false
+      SidecarMaintenance.onSnapshotResolve = d =>
+        if (d == cellsDir && !fired) {
+          fired = true
+          fsOf(path).delete(new Path(victim), false)
+          IvfIndex.refresh(spark, path) // rewrites carriers, deletes doomed
+        }
+      val got =
+        try SidecarMaintenance.snapshotRead(spark, cellsDir)
+          .select("vec_id").as[Long].collect().toSet
+        finally SidecarMaintenance.onSnapshotResolve = null
+      assert(fired, "fixture: the racing commit must have interleaved")
+      val want = spark.read.parquet(cellsDir)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got === want,
+        "a reader whose resolved generation was deleted by a COMPLETED " +
+          "later commit must re-resolve and serve the new truth, not fail")
+      // out-of-band deletion (no commit wrote a new generation): the
+      // retry re-resolves the SAME list — surfaced, never swallowed
+      val gone = SidecarMaintenance.dataFiles(spark, cellsDir).min
+      fsOf(cellsDir).delete(new Path(gone), false)
+      val e = intercept[Exception] {
+        SidecarMaintenance.snapshotRead(spark, cellsDir).count()
+      }
+      assert(SidecarMaintenance.isPathNotFound(e) ||
+        e.getMessage.contains("PATH_NOT_FOUND"),
+        s"an out-of-band deletion must surface as a missing-path read, got: $e")
+    }
+  }
+
   test("awaitClean outlasts a transient commit window but still refuses a crashed journal") {
     withTable() { path =>
       IvfIndex.collect(spark, path, nCells = 2)
