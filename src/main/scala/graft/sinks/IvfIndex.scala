@@ -402,6 +402,49 @@ object IvfIndex {
       centroids = Some(idx.centroids))
   }
 
+  /** Append a batch to a [[clusterCorpus]]-materialized copy WITHOUT
+    * degrading its cell-clustered layout — the maintenance story
+    * that keeps the partial-probe file pruning real under ingest:
+    * the batch's rows assign against dest's FROZEN refs quantizer
+    * (the same geometry the layout and the sidecar share), range-
+    * exchange on (cell, id) into ≤ nCells × `filesPerCell`
+    * cell-contiguous files, land as an append, and the refs sidecar
+    * refreshes O(delta) against the same centroids. Each appended
+    * batch adds at most nCells−1 extra (file, cell) incidences, so a
+    * probe's candidate files stay ≈ the probed fraction of EVERY
+    * batch generation — never the random-layout files × cells. The
+    * per-row cell is ONE codegen'd least() fold over the collected
+    * centroids (nCells rows by contract — no join, no window, safe
+    * under duplicate ids, which [[refreshRefs]]' one-row-per-vector
+    * guard still rejects before any index mutation). */
+  def clusterAppend(
+      spark: SparkSession,
+      dest: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1,
+      s"filesPerCell ($filesPerCell) must be >= 1")
+    val centRows = spark.read.parquet(refsCentroidsPath(dest)).collect()
+    require(centRows.nonEmpty, s"no refs quantizer at " +
+      s"${refsCentroidsPath(dest)} — materialize with clusterCorpus()")
+    val nearest = least(centRows.map { r =>
+      struct(
+        VectorFunctions.l2Sq(col(vecCol),
+          lit(r.getAs[Seq[Double]]("__centroid").toArray)).as("d"),
+        lit(r.getAs[Int]("__cell")).as("c"))
+    }.toIndexedSeq: _*)
+    batch
+      .withColumn("__cell", nearest.getField("c"))
+      .repartitionByRange(centRows.length * filesPerCell,
+        col("__cell"), col(idCol))
+      .sortWithinPartitions(col("__cell"), col(idCol))
+      .drop("__cell")
+      .write.mode(SaveMode.Append).parquet(dest)
+    refreshRefs(spark, dest, idCol, vecCol)
+  }
+
   /** Probe off the REFS sidecar: the probed cell set pushes as a
     * static partition filter exactly as in [[topK]], but the probe
     * yields candidate IDS only — their vectors come from ONE

@@ -296,6 +296,37 @@ object LshIndex {
     collectRefs(spark, dest, idCol, vecCol, planes, seed)
   }
 
+  /** Append a batch to a [[clusterCorpus]]-materialized copy WITHOUT
+    * degrading its bucket-clustered layout ([[IvfIndex.clusterAppend]]'s
+    * shape for the training-free index): the batch's buckets come
+    * from the SAME (planes, seed) pure function recorded in the refs
+    * meta, rows range-exchange on (bucket, id) into bucket-contiguous
+    * files, land as an append, and the refs sidecar refreshes
+    * O(delta). Each appended batch adds at most 2^planes − 1 extra
+    * (file, bucket) incidences, so partial-radius probes keep
+    * reading ≈ the probed fraction of every batch generation in
+    * FILES. */
+  def clusterAppend(
+      spark: SparkSession,
+      dest: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      filesPerBucket: Int = 1): Unit = {
+    require(filesPerBucket >= 1,
+      s"filesPerBucket ($filesPerBucket) must be >= 1")
+    val (planes, seed) = readRefsMeta(spark, dest)
+    batch
+      .withColumn("__bucket",
+        VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed))
+      .repartitionByRange((1 << planes) * filesPerBucket,
+        col("__bucket"), col(idCol))
+      .sortWithinPartitions(col("__bucket"), col(idCol))
+      .drop("__bucket")
+      .write.mode(SaveMode.Append).parquet(dest)
+    refreshRefs(spark, dest, idCol, vecCol)
+  }
+
   /** Multi-probe search off the REFS sidecar: the probed bucket set
     * pushes as a static partition filter exactly as in [[topK]], but
     * the probe yields candidate IDS only — their vectors come from

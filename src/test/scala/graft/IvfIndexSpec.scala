@@ -273,6 +273,40 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterAppend lands a batch cell-contiguously: layout bound holds, probes stay exact") {
+    withTable(150) { path =>
+      val dest = s"${new org.apache.hadoop.fs.Path(path).getParent}/clustered"
+      IvfIndex.clusterCorpus(spark, path, dest, nCells = 8, filesPerCell = 2)
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 150 && col("vec_id") < 220)
+        .localCheckpoint(true)
+      IvfIndex.clusterAppend(spark, dest, batch, filesPerCell = 1)
+      val clus = spark.read.parquet(dest)
+      assert(clus.count() === 220L, "append must add exactly the batch")
+      // the refs sidecar covers BOTH generations against one frozen
+      // quantizer; each generation is cell-contiguous, so incidences
+      // stay bounded by files + one nCells term per generation —
+      // never the random-layout files × cells
+      val refs = spark.read.parquet(IvfIndex.refsPath(dest))
+      assert(refs.count() === 220L, "refresh must index the appended rows")
+      val pairs = refs.select("file", "__cell").distinct().count()
+      val nFiles = refs.select("file").distinct().count()
+      assert(pairs <= nFiles + 2 * 8,
+        s"appended layout must stay cell-contiguous per generation: " +
+          s"$pairs (file, cell) incidences over $nFiles files")
+      val perCell = refs.groupBy("__cell")
+        .agg(countDistinct(col("file")).as("nf"))
+        .agg(max(col("nf"))).head().getLong(0)
+      assert(perCell * 2 < nFiles,
+        s"one cell's candidates span $perCell of $nFiles files — file " +
+          "pruning must survive the append")
+      // probes stay exact over the union at exhaustive probes
+      val q = clus.where(col("vec_id") < 3 || col("vec_id") >= 218)
+      assert(ranks(IvfIndex.topKRefs(spark, dest, q, k = 10, nProbe = 8))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(q, clus, k = 10)))
+    }
+  }
+
   test("refs probes prune by cell partition AND column-prune the re-rank corpus scan") {
     withTable() { path =>
       IvfIndex.collectRefs(spark, path, nCells = 8)

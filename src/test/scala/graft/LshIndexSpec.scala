@@ -260,4 +260,36 @@ class LshIndexSpec extends AnyFunSuite {
         === ranks(SimilaritySearch.bruteForceTopK(q, clus, k = 10)))
     }
   }
+
+  test("clusterAppend lands a batch bucket-contiguously: layout bound holds, probes stay exact") {
+    withTable(150) { path =>
+      val dest = s"${new org.apache.hadoop.fs.Path(path).getParent}/clustered"
+      LshIndex.clusterCorpus(spark, path, dest, planes = 3, filesPerBucket = 2)
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 150 && col("vec_id") < 220)
+        .localCheckpoint(true)
+      LshIndex.clusterAppend(spark, dest, batch, filesPerBucket = 1)
+      val clus = spark.read.parquet(dest)
+      assert(clus.count() === 220L, "append must add exactly the batch")
+      val refs = spark.read.parquet(LshIndex.refsPath(dest))
+      assert(refs.count() === 220L, "refresh must index the appended rows")
+      // each generation is bucket-contiguous under the SAME pure
+      // (planes, seed) function, so incidences stay bounded by files
+      // + one 2^planes term per generation
+      val pairs = refs.select("file", "bucket").distinct().count()
+      val nFiles = refs.select("file").distinct().count()
+      assert(pairs <= nFiles + 2 * 8,
+        s"appended layout must stay bucket-contiguous per generation: " +
+          s"$pairs (file, bucket) incidences over $nFiles files")
+      val perBucket = refs.groupBy("bucket")
+        .agg(countDistinct(col("file")).as("nf"))
+        .agg(max(col("nf"))).head().getLong(0)
+      assert(perBucket * 2 < nFiles,
+        s"one bucket's candidates span $perBucket of $nFiles files — " +
+          "file pruning must survive the append")
+      val q = clus.where(col("vec_id") < 3 || col("vec_id") >= 218)
+      assert(ranks(LshIndex.topKRefs(spark, dest, q, k = 10, probeRadius = 3))
+        === ranks(SimilaritySearch.bruteForceTopK(q, clus, k = 10)))
+    }
+  }
 }
