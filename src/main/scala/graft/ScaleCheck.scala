@@ -1212,16 +1212,18 @@ object ScaleCheck {
         r.get
       }
       def prep(d: DataFrame, tag: String, files: Int): String = {
+        val raw = s"$root/$tag-raw"
         val p = s"$root/$tag"
-        // cell-cluster the corpus layout (train in memory, write
-        // range-partitioned by cell) so a partial probe's candidate
-        // FILES are the probed fraction of the corpus's files
-        val assigned = IvfSearch.buildIndex(d, nCells).assigned
-        assigned.repartitionByRange(files, col("__cell"), col("vec_id"))
-          .sortWithinPartitions("__cell", "vec_id")
-          .drop("__cell", "file")
-          .write.parquet(p)
-        graft.sinks.IvfIndex.collectRefs(spark, p, nCells = nCells)
+        d.write.parquet(raw)
+        // the REAL layout API: clusterCorpus threads ONE trained
+        // quantizer through both the file layout and the refs
+        // sidecar. (An independent collectRefs retrain can converge
+        // to different centroids at the grown scale — each refs cell
+        // would span many files and the probed-fraction economics
+        // this witness exists to measure would quietly report the
+        // wrong geometry.)
+        graft.sinks.IvfIndex.clusterCorpus(spark, raw, p,
+          nCells = nCells, filesPerCell = files / nCells)
         graft.sinks.IvfIndex.refreshRefs(spark, p) // heal+warm coverage
         p
       }

@@ -216,14 +216,16 @@ object InvertedIndex {
       idCol: String,
       buckets: Int = 4,
       appendedOnly: Option[Set[String]] = None,
-      replaced: Set[String] = Set.empty): Unit = {
+      replaced: Set[String] = Set.empty,
+      replacedPrefixes: Seq[String] = Nil): Unit = {
     val idx = indexPath(table)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SidecarMaintenance.recoverPublish(spark, idx)
     require(fs.exists(new Path(idx)),
       s"no inverted index at $idx — bootstrap with collect()")
     val plan = appendedOnly match {
-      case Some(c) => SidecarMaintenance.planAppend(spark, idx, c, replaced)
+      case Some(c) => SidecarMaintenance.planAppend(spark, idx, c, replaced,
+        replacedPrefixes)
       case None => SidecarMaintenance.planDelta(spark, idx,
         BloomIndex.dataFilePaths(spark, table).toSet)
     }
@@ -251,7 +253,7 @@ object InvertedIndex {
     // coupling costs only the delta the refresh itself just built.
     if (fs.exists(new Path(docLenPath(table))) ||
       fs.exists(new Path(termStatsPath(table))))
-      refreshRetrievalStats(spark, table, replaced)
+      refreshRetrievalStats(spark, table, replaced, replacedPrefixes)
   }
 
   /** Canonical word sequence of a query phrase (order and repeats
@@ -422,7 +424,8 @@ object InvertedIndex {
   def refreshRetrievalStats(
       spark: SparkSession,
       table: String,
-      replaced: Set[String] = Set.empty): Unit = {
+      replaced: Set[String] = Set.empty,
+      replacedPrefixes: Seq[String] = Nil): Unit = {
     import spark.implicits._
     val fs = new Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -451,9 +454,9 @@ object InvertedIndex {
       (dl, ts)
     }
     val dlPlan = SidecarMaintenance.planDelta(spark, docLenPath(table),
-      current, replaced)
+      current, replaced, replacedPrefixes)
     val tsPlan = SidecarMaintenance.planDelta(spark, termStatsPath(table),
-      current, replaced)
+      current, replaced, replacedPrefixes)
     // the eagerly-executed dl aggregation (partialsOf checkpoints it)
     // runs ONCE for the union of the two sidecars' fresh sets — they
     // are identical except after a crash between the two commits,

@@ -120,7 +120,8 @@ object IvfIndex {
       vecCol: String = "embedding",
       writeSalt: Int = 1,
       appendedOnly: Option[Set[String]] = None,
-      replaced: Set[String] = Set.empty): Unit = {
+      replaced: Set[String] = Set.empty,
+      replacedPrefixes: Seq[String] = Nil): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // heal a crashed rebuild publish BEFORE the existence check — a
     // crash between publishDir's renames can leave the index parked
@@ -131,7 +132,7 @@ object IvfIndex {
         s"no IVF index at $p — bootstrap with collect()"))
     val plan = appendedOnly match {
       case Some(c) => SidecarMaintenance.planAppend(spark, cellsPath(table),
-        c, replaced)
+        c, replaced, replacedPrefixes)
       case None => SidecarMaintenance.planDelta(spark, cellsPath(table),
         BloomIndex.dataFilePaths(spark, table).toSet)
     }
@@ -379,6 +380,8 @@ object IvfIndex {
       seed: Long = 42L,
       filesPerCell: Int = 1): Unit = {
     require(filesPerCell >= 1, s"filesPerCell ($filesPerCell) must be >= 1")
+    require(nCells >= 2, // KMeans itself rejects k=1, loudly and early
+      s"a clustered layout needs nCells >= 2, got $nCells")
     val corpus = spark.read.parquet(table)
     // one KMeans transform over the FULL row (every column survives;
     // no join, so duplicate ids can neither drop nor multiply rows —
@@ -429,12 +432,15 @@ object IvfIndex {
     val centRows = spark.read.parquet(refsCentroidsPath(dest)).collect()
     require(centRows.nonEmpty, s"no refs quantizer at " +
       s"${refsCentroidsPath(dest)} — materialize with clusterCorpus()")
-    val nearest = least(centRows.map { r =>
+    val cands = centRows.map { r =>
       struct(
         VectorFunctions.l2Sq(col(vecCol),
           lit(r.getAs[Seq[Double]]("__centroid").toArray)).as("d"),
         lit(r.getAs[Int]("__cell")).as("c"))
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq
+    // least() needs >= 2 args; a clusterCorpus(nCells = 1) corpus is
+    // legal and its single centroid needs no comparison at all
+    val nearest = if (cands.length == 1) cands.head else least(cands: _*)
     batch
       .withColumn("__cell", nearest.getField("c"))
       .repartitionByRange(centRows.length * filesPerCell,

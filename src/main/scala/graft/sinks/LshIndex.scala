@@ -97,7 +97,8 @@ object LshIndex {
       vecCol: String = "embedding",
       writeSalt: Int = 1,
       appendedOnly: Option[Set[String]] = None,
-      replaced: Set[String] = Set.empty): Unit = {
+      replaced: Set[String] = Set.empty,
+      replacedPrefixes: Seq[String] = Nil): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SidecarMaintenance.recoverPublish(spark, bucketsPath(table))
     Seq(metaPath(table), bucketsPath(table)).foreach(p =>
@@ -106,7 +107,7 @@ object LshIndex {
     val (planes, seed) = readMeta(spark, table)
     val plan = appendedOnly match {
       case Some(c) => SidecarMaintenance.planAppend(spark, bucketsPath(table),
-        c, replaced)
+        c, replaced, replacedPrefixes)
       case None => SidecarMaintenance.planDelta(spark, bucketsPath(table),
         BloomIndex.dataFilePaths(spark, table).toSet)
     }

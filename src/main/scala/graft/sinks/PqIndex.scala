@@ -113,7 +113,8 @@ object PqIndex {
       vecCol: String = "embedding",
       buckets: Int = 4,
       appendedOnly: Option[Set[String]] = None,
-      replaced: Set[String] = Set.empty): Unit = {
+      replaced: Set[String] = Set.empty,
+      replacedPrefixes: Seq[String] = Nil): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SidecarMaintenance.recoverPublish(spark, codesPath(table))
     Seq(codebooksPath(table), codesPath(table)).foreach(p =>
@@ -121,7 +122,7 @@ object PqIndex {
         s"no PQ index at $p — bootstrap with collect()"))
     val plan = appendedOnly match {
       case Some(c) => SidecarMaintenance.planAppend(spark, codesPath(table),
-        c, replaced)
+        c, replaced, replacedPrefixes)
       case None => SidecarMaintenance.planDelta(spark, codesPath(table),
         BloomIndex.dataFilePaths(spark, table).toSet)
     }

@@ -323,13 +323,32 @@ object SidecarMaintenance {
       spark: SparkSession,
       dir: String,
       current: Set[String],
-      replaced: Set[String] = Set.empty): DeltaPlan = {
+      replaced: Set[String] = Set.empty,
+      replacedPrefixes: Seq[String] = Nil): DeltaPlan = {
     recover(spark, dir)
     val v = planView(spark, dir)
-    val vanish = (v.indexed -- current) ++ replaced.filter(v.indexed)
+    val vanish = (v.indexed -- current) ++ replaced.filter(v.indexed) ++
+      prefixMatches(v.indexed, replacedPrefixes)
     DeltaPlan(v.pairsAbs, vanish,
       (current -- (v.indexed -- vanish)).toSeq.sorted, v.stats)
   }
+
+  /** Covered names whose BASENAME starts with any of `prefixes` —
+    * the crash-durable form of `replaced`: a replay attempt's sweep
+    * can only report names that still EXIST on disk, so siblings a
+    * PRIOR crashed attempt already deleted (publish landed, refresh
+    * didn't commit) are invisible to it — but the batch's
+    * deterministic name prefix identifies every coverage entry any
+    * attempt of that batch ever produced, whatever this attempt's
+    * sweep observed. Empty prefixes (every non-replay call) cost
+    * nothing. */
+  private def prefixMatches(
+      indexed: Set[String], prefixes: Seq[String]): Set[String] =
+    if (prefixes.isEmpty) Set.empty
+    else indexed.filter { n =>
+      val base = n.substring(n.lastIndexOf('/') + 1)
+      prefixes.exists(base.startsWith)
+    }
 
   // Derived planning view of the coverage map — absolute-path pairs,
   // the covered-corpus-file Set and the per-sidecar-file id-range
@@ -436,15 +455,23 @@ object SidecarMaintenance {
     * the republished content (those of them in `candidates`) indexes
     * fresh — O(replaced), and replaced is empty on every
     * first-delivery batch, so the streaming steady state pays
-    * nothing. */
+    * nothing. `replacedPrefixes` is the CRASH-DURABLE complement
+    * (see [[prefixMatches]]): the sweep can only report names still
+    * on disk, so a replay whose PRIOR attempt crashed between its
+    * sweep/publish and its refresh commit would under-report — the
+    * batch's deterministic name prefix vanishes every covered entry
+    * any attempt of the batch produced, whatever this attempt
+    * observed. */
   def planAppend(
       spark: SparkSession,
       dir: String,
       candidates: Set[String],
-      replaced: Set[String] = Set.empty): DeltaPlan = {
+      replaced: Set[String] = Set.empty,
+      replacedPrefixes: Seq[String] = Nil): DeltaPlan = {
     recover(spark, dir)
     val v = planView(spark, dir)
-    val vanish = replaced.filter(v.indexed)
+    val vanish = replaced.filter(v.indexed) ++
+      prefixMatches(v.indexed, replacedPrefixes)
     DeltaPlan(v.pairsAbs, vanish,
       (candidates -- (v.indexed -- vanish)).toSeq.sorted, v.stats)
   }

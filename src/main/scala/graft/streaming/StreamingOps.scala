@@ -517,10 +517,18 @@ object StreamingOps {
     val inputs = batch.inputFiles
     val nParts = math.max(1L,
       if (inputs.nonEmpty) {
-        val bytes = inputs.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .getFileStatus(p).getLen
+        // ONE listStatus per parent directory (landing dirs: one),
+        // never one getFileStatus round trip per batch file — the
+        // serial-driver-RPC pattern the refs probes also eliminated
+        val bytes = inputs.groupBy(f =>
+          new org.apache.hadoop.fs.Path(f).getParent).iterator.map {
+          case (parent, fs) =>
+            val names = fs.map(f =>
+              new org.apache.hadoop.fs.Path(f).getName).toSet
+            parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .listStatus(parent)
+              .collect { case st if names(st.getPath.getName) => st.getLen }
+              .sum
         }.sum
         (bytes + targetBytesPerFile - 1) / targetBytesPerFile
       } else (batch.count() + targetRowsPerFile - 1) / targetRowsPerFile
@@ -613,9 +621,9 @@ object StreamingOps {
       checkpointDir, InvertedIndex.indexPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = InvertedIndex.collect(spark, corpusDir, textCol, idCol),
-      refresh = (files, replaced) => InvertedIndex.refresh(spark, corpusDir,
-        textCol, idCol, appendedOnly = Some(files.toSet),
-        replaced = replaced),
+      refresh = (files, replaced, prefixes) => InvertedIndex.refresh(spark,
+        corpusDir, textCol, idCol, appendedOnly = Some(files.toSet),
+        replaced = replaced, replacedPrefixes = prefixes),
       reconcile = InvertedIndex.refresh(spark, corpusDir, textCol, idCol),
       compact = InvertedIndex.compactSmall(spark, corpusDir))
   }
@@ -648,9 +656,9 @@ object StreamingOps {
       checkpointDir, IvfIndex.cellsPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = IvfIndex.collect(spark, corpusDir, idCol, vecCol, nCells),
-      refresh = (files, replaced) => IvfIndex.refresh(spark, corpusDir,
-        idCol, vecCol, appendedOnly = Some(files.toSet),
-        replaced = replaced),
+      refresh = (files, replaced, prefixes) => IvfIndex.refresh(spark,
+        corpusDir, idCol, vecCol, appendedOnly = Some(files.toSet),
+        replaced = replaced, replacedPrefixes = prefixes),
       reconcile = IvfIndex.refresh(spark, corpusDir, idCol, vecCol),
       compact = IvfIndex.compactSmall(spark, corpusDir))
   }
@@ -675,9 +683,9 @@ object StreamingOps {
       checkpointDir, PqIndex.codesPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = PqIndex.collect(spark, corpusDir, idCol, vecCol, m, ks),
-      refresh = (files, replaced) => PqIndex.refresh(spark, corpusDir,
-        idCol, vecCol, appendedOnly = Some(files.toSet),
-        replaced = replaced),
+      refresh = (files, replaced, prefixes) => PqIndex.refresh(spark,
+        corpusDir, idCol, vecCol, appendedOnly = Some(files.toSet),
+        replaced = replaced, replacedPrefixes = prefixes),
       reconcile = PqIndex.refresh(spark, corpusDir, idCol, vecCol),
       compact = PqIndex.compactSmall(spark, corpusDir))
   }
@@ -700,9 +708,9 @@ object StreamingOps {
       checkpointDir, LshIndex.bucketsPath(corpusDir), maxFilesPerTrigger,
       compactEvery)(
       bootstrap = LshIndex.collect(spark, corpusDir, idCol, vecCol, planes),
-      refresh = (files, replaced) => LshIndex.refresh(spark, corpusDir,
-        idCol, vecCol, appendedOnly = Some(files.toSet),
-        replaced = replaced),
+      refresh = (files, replaced, prefixes) => LshIndex.refresh(spark,
+        corpusDir, idCol, vecCol, appendedOnly = Some(files.toSet),
+        replaced = replaced, replacedPrefixes = prefixes),
       reconcile = LshIndex.refresh(spark, corpusDir, idCol, vecCol),
       compact = LshIndex.compactSmall(spark, corpusDir))
   }
@@ -746,7 +754,7 @@ object StreamingOps {
       maxFilesPerTrigger: Int,
       compactEvery: Int)(
       bootstrap: => Unit,
-      refresh: (Seq[String], Set[String]) => Unit,
+      refresh: (Seq[String], Set[String], Seq[String]) => Unit,
       reconcile: => Unit,
       compact: => Unit): Unit = {
     val runId = ingestRunId(spark, checkpointDir)
@@ -772,9 +780,21 @@ object StreamingOps {
         // gone outright) and the refresh vanishes them before
         // indexing the republished content — without it the
         // name-keyed plan would no-op on a republished name and
-        // silently serve the old row set. The slow cadence below
-        // reconciles out-of-band deletions with a full diff.
-        if (fs.exists(marker)) refresh(published, replaced) else bootstrap
+        // silently serve the old row set. The batch's deterministic
+        // NAME PREFIXES are the crash-durable complement: the sweep
+        // can only report names still on disk, so a replay whose
+        // prior attempt crashed between publish and refresh commit
+        // would under-report — covered entries matching the prefix
+        // vanish regardless of what this attempt's sweep observed
+        // (empty match on every first delivery, so the steady state
+        // pays nothing). The slow cadence below reconciles
+        // out-of-band deletions with a full diff.
+        val prefixes =
+          Seq(s"ingest-${if (runId.isEmpty) "" else s"r$runId-"}b$batchId-") ++
+            (if (ownsLegacy && runId.nonEmpty) Seq(s"ingest-b$batchId-")
+             else Nil)
+        if (fs.exists(marker)) refresh(published, replaced, prefixes)
+        else bootstrap
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           reconcile
           compact

@@ -307,6 +307,26 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterCorpus rejects a single-cell layout loudly (KMeans needs k >= 2)") {
+    withTable(40) { path =>
+      val dest = s"${new org.apache.hadoop.fs.Path(path).getParent}/clu1"
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.clusterCorpus(spark, path, dest, nCells = 1)
+      }
+      assert(e.getMessage.contains("nCells >= 2"))
+      // clusterAppend itself tolerates a 2-row quantizer's smallest
+      // legal form (the least() fold needs the 1-vs-many branch only
+      // for defense; the materializer can't produce a 1-cell layout)
+      IvfIndex.clusterCorpus(spark, path, dest, nCells = 2)
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 40 && col("vec_id") < 60)
+        .localCheckpoint(true)
+      IvfIndex.clusterAppend(spark, dest, batch)
+      assert(spark.read.parquet(dest).count() === 60L)
+      assert(spark.read.parquet(IvfIndex.refsPath(dest)).count() === 60L)
+    }
+  }
+
   test("refs probes prune by cell partition AND column-prune the re-rank corpus scan") {
     withTable() { path =>
       IvfIndex.collectRefs(spark, path, nCells = 8)

@@ -266,6 +266,91 @@ class StreamReplaySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
 
+  test("replay whose PRIOR attempt crashed between publish and refresh: prefixes vanish what the sweep can no longer see") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-amnesia").toString
+    val corpus = s"$root/corpus"
+    try {
+      // delivery 1: 3 parts, indexed
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 48).localCheckpoint(true)
+      val (pub1, _) = StreamingOps.idempotentBatchAppend(
+        spark, batch, corpus, batchId = 0L, targetRowsPerFile = 16)
+      assert(pub1.size === 3)
+      IvfIndex.collect(spark, corpus, nCells = 4)
+      IvfIndex.refresh(spark, corpus) // heal coverage
+      // attempt 1 of a config-changed replay: sweeps all three names
+      // and republishes ONE part — then CRASHES before its refresh
+      // (its replaced report dies with it)
+      StreamingOps.idempotentBatchAppend(
+        spark, batch, corpus, batchId = 0L, targetRowsPerFile = 1000)
+      // attempt 2: the sweep can only see (and report) the one name
+      // still on disk — p1/p2 were deleted by the crashed attempt
+      val (pub2, rep2) = StreamingOps.idempotentBatchAppend(
+        spark, batch, corpus, batchId = 0L, targetRowsPerFile = 1000)
+      assert(pub2.size === 1 && rep2 === pub2.toSet,
+        "fixture: attempt 2's sweep must under-report the crashed " +
+          "attempt's deletions (that amnesia is what prefixes close)")
+      // without the prefix, the under-reported plan wedges: fresh p0's
+      // 48 ids clash with the ghost rows of the never-vanished p1/p2
+      intercept[Exception] {
+        IvfIndex.refresh(spark, corpus, appendedOnly = Some(pub2.toSet),
+          replaced = rep2)
+      }
+      // the batch's deterministic name prefix vanishes every covered
+      // entry ANY attempt produced — ghosts and stale binding in the
+      // same commit the republished content indexes in
+      IvfIndex.refresh(spark, corpus, appendedOnly = Some(pub2.toSet),
+        replaced = rep2, replacedPrefixes = Seq("ingest-b0-"))
+      assert(spark.read.parquet(IvfIndex.cellsPath(corpus)).count() === 48L,
+        "every row of the republished batch must be indexed exactly once")
+      val q = spark.read.parquet(corpus).where(col("vec_id") < 3)
+      assert(ranks(IvfIndex.topK(spark, corpus, q, k = 5, nProbe = 4))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+          q, spark.read.parquet(corpus), k = 5)))
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
+  test("replay whose PRIOR attempt crashed between sweep and publish: prefixes re-index the republished name the sweep reported nothing for") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-amnesia2").toString
+    val corpus = s"$root/corpus"
+    try {
+      val batch = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") < 48).localCheckpoint(true)
+      val (pub1, _) = StreamingOps.idempotentBatchAppend(
+        spark, batch, corpus, batchId = 0L, targetRowsPerFile = 16)
+      IvfIndex.collect(spark, corpus, nCells = 4)
+      IvfIndex.refresh(spark, corpus)
+      // attempt 1 crashed AFTER its sweep deleted every prior name
+      // but BEFORE the staged files moved in: corpus empty of the
+      // batch, coverage still carries all three names
+      pub1.foreach(f => fsOf(corpus).delete(new Path(f), false))
+      // attempt 2: nothing on disk to sweep → replaced is EMPTY; the
+      // republished p0 reuses a covered name with different content
+      val (pub2, rep2) = StreamingOps.idempotentBatchAppend(
+        spark, batch, corpus, batchId = 0L, targetRowsPerFile = 1000)
+      assert(pub2.size === 1 && rep2.isEmpty,
+        "fixture: the sweep must report nothing (the silent-loss shape)")
+      // without prefixes this no-ops (p0 'already covered') and the
+      // eventual reconcile would drop p1/p2 without re-indexing p0 —
+      // permanent loss of the rows that moved into p0. With them the
+      // whole batch re-indexes:
+      IvfIndex.refresh(spark, corpus, appendedOnly = Some(pub2.toSet),
+        replaced = rep2, replacedPrefixes = Seq("ingest-b0-"))
+      val cells = spark.read.parquet(IvfIndex.cellsPath(corpus))
+      assert(cells.count() === 48L)
+      assert(cells.select("file").distinct().count() === 1L,
+        "every indexed row must bind to the republished file, no ghosts")
+      val q = spark.read.parquet(corpus).where(col("vec_id") < 3)
+      assert(ranks(IvfIndex.topK(spark, corpus, q, k = 5, nProbe = 4))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+          q, spark.read.parquet(corpus), k = 5)))
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("config-changed replay propagates to the retrieval-stats sidecars: BM25 keeps every moved-in doc") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-replaced-stats").toString
