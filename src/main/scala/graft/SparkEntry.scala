@@ -2529,6 +2529,62 @@ object SparkEntry {
       out
     }),
 
+    // CRASHED CONFIG-CHANGED REPLAY, hash-graded: a streaming replay
+    // whose PRIOR attempt crashed between its corpus publish and its
+    // index-refresh commit leaves the coverage carrying names the
+    // next attempt's sweep can no longer see (they were deleted by
+    // the crashed attempt) — the under-reported plan either wedges
+    // on the clash guard or silently serves a stale binding. The
+    // query constructs exactly that state through the real ingest
+    // path (delivery → index → crashed 3-parts→1-part replay →
+    // second attempt), REQUIREs the sweep under-reported AND that
+    // the prefix-less refresh refuses loudly, then heals through the
+    // batch's crash-durable NAME PREFIX (planAppend replacedPrefixes)
+    // in ONE commit — exhaustive probes hash-graded against the
+    // brute-force oracle over the full corpus.
+    "ext_ann_ivf_indexed_replay_recover" -> ((s, dir) => {
+      import graft.sinks.IvfIndex
+      import graft.streaming.StreamingOps
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfreplayrec").toString
+      val corpus = s"$root/vectors"
+      val batch = tbl(s, dir, "embeddings").localCheckpoint(true)
+      val n = batch.count()
+      // delivery 1: three parts, indexed
+      StreamingOps.idempotentBatchAppend(s, batch, corpus, 0L,
+        targetRowsPerFile = n / 3 + 1)
+      IvfIndex.collect(s, corpus, nCells = 8)
+      IvfIndex.refresh(s, corpus) // heal coverage
+      // config-changed replay attempt 1: sweeps all three names,
+      // republishes ONE — crashes before its refresh (its replaced
+      // report dies with it)
+      StreamingOps.idempotentBatchAppend(s, batch, corpus, 0L,
+        targetRowsPerFile = n)
+      // attempt 2: the sweep can only report the one surviving name
+      val (pub2, rep2) = StreamingOps.idempotentBatchAppend(
+        s, batch, corpus, 0L, targetRowsPerFile = n)
+      require(pub2.size == 1 && rep2 == pub2.toSet,
+        "fixture: attempt 2's sweep must under-report the crashed " +
+          "attempt's deletions — the amnesia the prefixes close")
+      val wedged =
+        try { IvfIndex.refresh(s, corpus, appendedOnly = Some(pub2.toSet),
+          replaced = rep2); false }
+        catch { case _: IllegalArgumentException => true }
+      require(wedged,
+        "the under-reported plan must clash loudly, never index twice")
+      IvfIndex.refresh(s, corpus, appendedOnly = Some(pub2.toSet),
+        replaced = rep2, replacedPrefixes = Seq("ingest-b0-"))
+      require(s.read.parquet(IvfIndex.cellsPath(corpus)).count() == n,
+        "every row of the republished batch must be indexed exactly once")
+      val q = s.read.parquet(corpus).where(col("vec_id") < 5)
+        .localCheckpoint(true)
+      val out = IvfIndex.topK(s, corpus, q, k = 10, nProbe = 8)
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // CELL-CLUSTERED corpus materialization — the layout operation
     // that makes the refs variant's partial-probe economics real: on
     // a randomly-laid-out corpus every file hosts every cell, so a
@@ -5839,6 +5895,17 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 10""".stripMargin,
 
     "ext_ann_ivf_indexed_publish_recover" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE q_id != neighbor_id)
+        |SELECT q_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
+
+    "ext_ann_ivf_indexed_replay_recover" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
