@@ -163,7 +163,25 @@ object DedupOps {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Hard cap on the all-pairs [[embeddingNearDup]] corpus size. The
+    * method is the exact O(n²) oracle baseline — at the cap it builds
+    * ~1.25e9 candidate pairs, already the practical ceiling for a
+    * single job; on a billion-vector corpus it would be 5e17 pairs.
+    * Callers above the cap must use the bucketed scale path
+    * ([[SimilaritySearch.lshNearDupPairs]]) whose candidate count is
+    * bounded by bucket collisions, not n². */
+  val EmbeddingAllPairsMaxRows: Long = 50000L
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // Guard the all-pairs construction: this is the exactness
+    // baseline, not the scale path, and nothing else stops a caller
+    // pointing it at a production corpus. One count() of the input is
+    // cheap relative to the n² stage it gates.
+    val n = embeddings.count()
+    require(n <= EmbeddingAllPairsMaxRows,
+      s"embeddingNearDup is the O(n²) all-pairs baseline and is capped at " +
+        s"$EmbeddingAllPairsMaxRows rows (got $n); use " +
+        s"SimilaritySearch.lshNearDupPairs for corpora above the cap")
     // Norms are computed once per vector, not once per pair (the
     // pair-level expression stays dot/(normA*normB) — identical IEEE
     // op order to the inline form, so oracle parity is preserved

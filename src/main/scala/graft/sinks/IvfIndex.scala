@@ -179,12 +179,37 @@ object IvfIndex {
       spark, cellsPath(table), Seq("__cell"), smallBytes,
       statsCol = Some("vec_id"))(salted(_, 1))
 
+  /** Codegen'd nearest-centroid argmin as a per-row Column: ONE
+    * `least()` fold over the collected centroids — no join, no
+    * window, no exchange. `least` over `struct(d, c)` compares d
+    * first then c, so ties go to the lowest cell id — the same rule
+    * KMeans transform applies at build time. Shared by
+    * [[assignFiles]] (refresh path) and [[clusterAppend]]. */
+  private[sinks] def nearestCellCol(
+      centRows: Array[org.apache.spark.sql.Row],
+      vecCol: String): org.apache.spark.sql.Column = {
+    require(centRows.nonEmpty, "nearestCellCol needs >= 1 centroid")
+    val cands = centRows.map { r =>
+      struct(
+        VectorFunctions.l2Sq(col(vecCol),
+          lit(r.getAs[Seq[Double]]("__centroid").toArray)).as("d"),
+        lit(r.getAs[Int]("__cell")).as("c"))
+    }.toIndexedSeq
+    // least() needs >= 2 args; an nCells = 1 geometry is legal and
+    // its single centroid needs no comparison at all
+    (if (cands.length == 1) cands.head else least(cands: _*)).getField("c")
+  }
+
   /** Nearest-centroid assignment for specific corpus files: each new
-    * vector × the broadcast nCells centroids, squared-euclidean
-    * argmin, ties to the lowest cell id — the same rule KMeans
-    * transform applies at build time. Windowed per (file, vec_id):
-    * an id appearing in two fresh files keeps BOTH rows here, so the
-    * layout guard sees and rejects it. */
+    * vector folds over the nCells collected centroids with the
+    * codegen'd [[nearestCellCol]] argmin — narrow, map-side-only,
+    * never materializing the delta-rows × nCells product (the prior
+    * shape cross-joined broadcast centroids and ran a
+    * `row_number()` window over (file, vec_id), a full shuffle of
+    * the product and the refresh path's biggest avoidable constant).
+    * Per-row, so an id appearing twice — in two fresh files OR twice
+    * inside one file — keeps BOTH rows here, and the layout guard
+    * sees and rejects it. */
   private def assignFiles(
       spark: SparkSession,
       table: String,
@@ -192,16 +217,11 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids)
-    val freshVecs = spark.read.option("basePath", table).parquet(paths: _*)
+    val centRows = centroids.collect()
+    spark.read.option("basePath", table).parquet(paths: _*)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val w = Window.partitionBy(col("file"), col("vec_id"))
-      .orderBy(col("__d").asc, col("__cell").asc)
-    freshVecs.crossJoin(cents)
-      .withColumn("__d", VectorFunctions.l2Sq(col("embedding"), col("__centroid")))
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") === 1)
+      .withColumn("__cell", nearestCellCol(centRows, "embedding"))
       .select("file", "vec_id", "embedding", "__cell")
   }
 
@@ -418,8 +438,11 @@ object IvfIndex {
     * batch generation — never the random-layout files × cells. The
     * per-row cell is ONE codegen'd least() fold over the collected
     * centroids (nCells rows by contract — no join, no window, safe
-    * under duplicate ids, which [[refreshRefs]]' one-row-per-vector
-    * guard still rejects before any index mutation). */
+    * under duplicate ids, which the pre-append clash check rejects
+    * before the CORPUS mutates — the corpus append is un-journaled,
+    * so a post-append guard alone would leave the duplicate parts
+    * permanent; [[refreshRefs]]' guard still runs after as the
+    * sidecar-side belt-and-braces). */
   def clusterAppend(
       spark: SparkSession,
       dest: String,
@@ -432,17 +455,19 @@ object IvfIndex {
     val centRows = spark.read.parquet(refsCentroidsPath(dest)).collect()
     require(centRows.nonEmpty, s"no refs quantizer at " +
       s"${refsCentroidsPath(dest)} — materialize with clusterCorpus()")
-    val cands = centRows.map { r =>
-      struct(
-        VectorFunctions.l2Sq(col(vecCol),
-          lit(r.getAs[Seq[Double]]("__centroid").toArray)).as("d"),
-        lit(r.getAs[Int]("__cell")).as("c"))
-    }.toIndexedSeq
-    // least() needs >= 2 args; a clusterCorpus(nCells = 1) corpus is
-    // legal and its single centroid needs no comparison at all
-    val nearest = if (cands.length == 1) cands.head else least(cands: _*)
+    // The corpus append is NOT journaled (nondeterministic part
+    // names, no undo), so a duplicate-id batch must be rejected
+    // BEFORE dest mutates — refreshRefs' guard alone would trip only
+    // after the appended parts are already a permanent layout
+    // violation with no idempotent sweep path. Check the batch
+    // against the committed refs sidecar first; the batch id-range
+    // pushes onto the refs scan, so monotonic ingest ids read
+    // ~nothing.
+    requireNoVectorClash(
+      batch.select(col(idCol).as("vec_id")),
+      Some(SidecarMaintenance.snapshotRead(spark, refsPath(dest))))
     batch
-      .withColumn("__cell", nearest.getField("c"))
+      .withColumn("__cell", nearestCellCol(centRows, vecCol))
       .repartitionByRange(centRows.length * filesPerCell,
         col("__cell"), col(idCol))
       .sortWithinPartitions(col("__cell"), col(idCol))

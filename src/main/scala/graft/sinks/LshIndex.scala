@@ -317,6 +317,12 @@ object LshIndex {
     require(filesPerBucket >= 1,
       s"filesPerBucket ($filesPerBucket) must be >= 1")
     val (planes, seed) = readRefsMeta(spark, dest)
+    // Reject duplicate-id batches BEFORE the (un-journaled,
+    // nondeterministically-named) corpus append mutates dest — see
+    // [[IvfIndex.clusterAppend]]'s pre-check for the rationale.
+    IvfIndex.requireNoVectorClash(
+      batch.select(col(idCol).as("vec_id")),
+      Some(SidecarMaintenance.snapshotRead(spark, refsPath(dest))))
     batch
       .withColumn("__bucket",
         VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed))

@@ -82,26 +82,75 @@ object SidecarMaintenance {
     * producing) remain outside the contract — this guard makes the
     * commit overlap, the corruption vector, loud. */
   private[graft] var leaseGraceMs: Long = 60000L
-  private def acquireLease(fs: FileSystem, dir: String): Unit = {
+  private[graft] def acquireLease(
+      fs: FileSystem,
+      dir: String,
+      owner: String = java.util.UUID.randomUUID().toString): Unit = {
     val lease = leasePath(dir)
-    def create(): Unit = { fs.mkdirs(new Path(dir)); fs.create(lease, false).close() }
+    def create(): Unit = {
+      fs.mkdirs(new Path(dir))
+      val out = fs.create(lease, false)
+      try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     def inFlight: Boolean =
       fs.exists(journalPath(dir)) || fs.exists(stagingPath(dir))
     def young: Boolean =
       try System.currentTimeMillis() -
         fs.getFileStatus(lease).getModificationTime < leaseGraceMs
       catch { case _: java.io.FileNotFoundException => false } // released
+    def holder: String =
+      try {
+        val in = fs.open(lease)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        if (s.isEmpty) "<unrecorded>" else s
+      } catch { case _: java.io.IOException => "<unrecorded>" }
     try create()
     catch {
       case _: java.io.IOException =>
         require(!inFlight && !young,
-          s"another maintainer holds the commit lease at $lease — " +
-            "sidecar maintenance is single-writer: serialize maintainers " +
-            "(a crashed run heals through recover(), which consumes its " +
-            "journal and staging first; its lease expires after the grace " +
-            "window)")
-        fs.delete(lease, false) // orphan: break and take over
-        create()
+          s"another maintainer ($holder) holds the commit lease at " +
+            s"$lease — sidecar maintenance is single-writer: serialize " +
+            "maintainers (a crashed run heals through recover(), which " +
+            "consumes its journal and staging first; its lease expires " +
+            "after the grace window)")
+        // Orphan: CLAIM it with an atomic rename to a unique name.
+        // Two breakers racing the old check-then-delete-then-create
+        // sequence could BOTH win (B's delete removed A's fresh
+        // lease); a rename succeeds for exactly one of them — the
+        // loser's source is gone and it must not proceed.
+        val claim = new Path(dir, s"_maint_lease.broken-$owner")
+        val claimed =
+          try fs.rename(lease, claim)
+          catch { case _: java.io.IOException => false }
+        if (!claimed) {
+          // the winner renamed the orphan away but may not have
+          // re-created its own lease yet — wait briefly so the
+          // refusal can NAME it instead of reporting <unrecorded>
+          var winner = holder
+          var waited = 0
+          while (winner == "<unrecorded>" && waited < 20) {
+            Thread.sleep(100); waited += 1; winner = holder
+          }
+          require(requirement = false,
+            s"another maintainer ($winner) won the orphan takeover of " +
+              s"the commit lease at $lease — sidecar maintenance is " +
+              "single-writer; let the winner's commit finish")
+        }
+        fs.delete(claim, false)
+        // Between our claim and this create a THIRD acquirer can slip
+        // in (it sees no lease at all); the exclusive create keeps
+        // the winner unique, and a failure here is the same loud
+        // single-writer refusal.
+        try create()
+        catch {
+          case _: java.io.IOException =>
+            require(requirement = false,
+              s"another maintainer ($holder) took the commit lease at " +
+                s"$lease between our orphan claim and re-create — " +
+                "sidecar maintenance is single-writer")
+        }
     }
   }
 
@@ -345,9 +394,25 @@ object SidecarMaintenance {
   private def prefixMatches(
       indexed: Set[String], prefixes: Seq[String]): Set[String] =
     if (prefixes.isEmpty) Set.empty
-    else indexed.filter { n =>
-      val base = n.substring(n.lastIndexOf('/') + 1)
-      prefixes.exists(base.startsWith)
+    else {
+      // Prefix shape guard: a bare basename startsWith would turn a
+      // caller's 'ingest-b1' into a match for b1 AND b10..b19 —
+      // vanishing unrelated batches' coverage (broad re-indexing, or
+      // dropped coverage until the slow reconcile when combined with
+      // a partial appendedOnly set). Internal producers always emit
+      // trailing-delimiter prefixes ('ingest-b7-'); require the same
+      // of the public refresh() APIs that forward user input.
+      prefixes.foreach { p =>
+        require(p.nonEmpty && !p.contains('/') && !p.last.isLetterOrDigit,
+          s"replaced-name prefix '$p' must be a bare file-NAME prefix " +
+            "ending in a non-alphanumeric delimiter (e.g. 'ingest-b7-'): " +
+            "without one, 'ingest-b1' also matches ingest-b10..b19 and " +
+            "silently vanishes unrelated batches' coverage")
+      }
+      indexed.filter { n =>
+        val base = n.substring(n.lastIndexOf('/') + 1)
+        prefixes.exists(base.startsWith)
+      }
     }
 
   // Derived planning view of the coverage map — absolute-path pairs,
@@ -830,7 +895,18 @@ object SidecarMaintenance {
     * pre-snapshot behavior. A missing file under the snapshot read
     * means either a crashed run (journal persists → the same loud
     * refusal requireClean always gave) or an out-of-band deletion
-    * (surfaced, not swallowed). */
+    * (surfaced, not swallowed).
+    *
+    * SCOPE of the in-method retry: it covers PLANNING-time misses
+    * only — the schema/footer read while CONSTRUCTING the DataFrame
+    * (typically one file). The returned DataFrame is lazy; a commit
+    * that deletes a non-schema-inference file AFTER this returns
+    * surfaces at the caller's ACTION as a raw missing-path failure.
+    * A caller whose action races live maintenance wraps the whole
+    * resolve-and-act sequence (probe construction AND its action) in
+    * [[retryOnSnapshotMiss]], which re-runs the body once against
+    * the newly committed generation — one retry closes the race
+    * because commits are serialized by the lease. */
   /** Test hook: invoked with the sidecar dir between a
     * [[snapshotRead]]'s generation RESOLUTION and its read — the gap
     * a later commit's doomed deletions race (specs interleave a real
@@ -868,6 +944,18 @@ object SidecarMaintenance {
         spark.read.parquet(dir)
     }
   }
+
+  /** ACTION-time companion to [[snapshotRead]]'s planning-time
+    * retry: run `body` (a full resolve-and-act sequence — construct
+    * the probe off a snapshot AND drive its action) and, if a live
+    * commit's doomed deletions outran the resolved generation
+    * mid-action, re-run it ONCE — the fresh run re-resolves the
+    * now-committed generation. Zero cost in the no-race steady
+    * state; a second miss means an out-of-band deletion and
+    * surfaces. */
+  def retryOnSnapshotMiss[T](body: => T): T =
+    try body
+    catch { case t: Throwable if isPathNotFound(t) => body }
 
   /** The sidecar rows the delta KEEPS (everything but vanished
     * files' rows) — what pre-mutation layout guards check the fresh

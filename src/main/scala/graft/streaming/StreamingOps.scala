@@ -162,13 +162,24 @@ object StreamingOps {
       .withColumn("__evt", col("l_shipdate").cast("timestamp"))
     val deduped = streamingPromote(stream, skIds = Seq("l_orderkey"),
       eventTimeCol = "__evt", hyphen = true, watermarkDelay = "3650 days")
-    val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = deduped.writeStream.format("memory").queryName(sink)
+    // Aggregate INSIDE the streamed pipeline: each micro-batch reduces
+    // to one Long on the executors (`batch.count()` is a distributed
+    // aggregate) and only that scalar crosses to the driver. The
+    // previous shape streamed the FULL deduped table into a memory
+    // sink and collected every row driver-side before counting — a
+    // driver OOM by construction at corpus scale and this harness's
+    // dominant cost even at sf0.1.
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = deduped.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        total.addAndGet(batch.count()): Unit
+      }
       .start()
     q.awaitTermination()
-    drainMemorySink(spark, sink)(_.agg(count(lit(1)).as("n_unique")))
+    import spark.implicits._
+    Seq(total.get()).toDF("n_unique")
   }
 
   /** Third oracle-graded streaming harness, covering SESSION-WINDOW
@@ -517,18 +528,38 @@ object StreamingOps {
     val inputs = batch.inputFiles
     val nParts = math.max(1L,
       if (inputs.nonEmpty) {
-        // ONE listStatus per parent directory (landing dirs: one),
-        // never one getFileStatus round trip per batch file — the
-        // serial-driver-RPC pattern the refs probes also eliminated
+        // Per parent directory: a SMALL slice sizes via per-file
+        // getFileStatus (k RPCs, and a vanished input throws
+        // FileNotFoundException LOUDLY — the signal we must keep,
+        // since a silent 0-byte contribution would shift nParts and
+        // the row→file binding across a replay); a larger batch pays
+        // ONE listStatus instead of k round trips — listStatus is
+        // O(parent-dir entries), so it only wins when the slice
+        // isn't tiny relative to the landing dir — with an explicit
+        // every-input-found check standing in for the lost
+        // per-file exception.
         val bytes = inputs.groupBy(f =>
           new org.apache.hadoop.fs.Path(f).getParent).iterator.map {
-          case (parent, fs) =>
-            val names = fs.map(f =>
-              new org.apache.hadoop.fs.Path(f).getName).toSet
-            parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .listStatus(parent)
-              .collect { case st if names(st.getPath.getName) => st.getLen }
-              .sum
+          case (parent, files) =>
+            val pfs = parent.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (files.length <= 8)
+              files.iterator.map(f => pfs.getFileStatus(
+                new org.apache.hadoop.fs.Path(f)).getLen).sum
+            else {
+              val names = files.map(f =>
+                new org.apache.hadoop.fs.Path(f).getName).toSet
+              val found = pfs.listStatus(parent).iterator
+                .filter(st => names(st.getPath.getName))
+                .map(st => st.getPath.getName -> st.getLen).toMap
+              val missing = names -- found.keySet
+              require(missing.isEmpty,
+                s"batch input files vanished from $parent before " +
+                  s"sizing: ${missing.take(3).mkString(", ")} — the " +
+                  "byte-derived nParts (and the row→file binding) " +
+                  "would silently shift across a replay")
+              found.values.sum
+            }
         }.sum
         (bytes + targetBytesPerFile - 1) / targetBytesPerFile
       } else (batch.count() + targetRowsPerFile - 1) / targetRowsPerFile

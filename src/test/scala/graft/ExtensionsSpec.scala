@@ -556,6 +556,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH near-dup recall $recall")
   }
 
+  test("embeddingNearDup refuses a corpus above the all-pairs cap") {
+    // The O(n²) baseline must fail loudly above its row cap and point
+    // the caller at the bucketed scale path, not silently build the
+    // cross join. spark.range keeps the oversize input cheap: the
+    // guard's count() runs, the n² stage never does.
+    val over = spark.range(DedupOps.EmbeddingAllPairsMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f)).as("embedding"))
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.embeddingNearDup(over, 0.9)
+    }
+    assert(err.getMessage.contains("lshNearDupPairs"),
+      s"guard message must name the scale path: ${err.getMessage}")
+  }
+
   test("IVF ANN beats LSH recall at comparable probe cost") {
     val q = embeddings.where(col("vec_id") < 5)
     val exact = SimilaritySearch.bruteForceTopK(q, embeddings, 10)

@@ -654,6 +654,44 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("two racing orphan-lease takeovers: exactly one wins, the loser's error names the winner") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val cellsDir = IvfIndex.cellsPath(path)
+      val fs = fsOf(cellsDir)
+      // an ORPHAN: lease present, no staging/journal, older than grace
+      fs.create(SidecarMaintenance.leasePath(cellsDir), false).close()
+      fs.setTimes(SidecarMaintenance.leasePath(cellsDir),
+        System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+      val threads = Seq("maint-A", "maint-B").map { who =>
+        val t = new Thread(() => {
+          gate.await()
+          try SidecarMaintenance.acquireLease(fs, cellsDir, owner = who)
+          catch { case e: Throwable => errs.put(who, e): Unit }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join(30000))
+      assert(errs.size === 1,
+        s"exactly one taker must lose the race (losers: ${errs.keySet()})")
+      val (loser, err) = {
+        val k = errs.keys().nextElement(); (k, errs.get(k))
+      }
+      val winner = if (loser == "maint-A") "maint-B" else "maint-A"
+      assert(err.isInstanceOf[IllegalArgumentException], s"loud refusal, got $err")
+      assert(err.getMessage.contains(winner),
+        s"the loser's error must name the winner ($winner): ${err.getMessage}")
+      // the winner's lease is up and carries its owner id
+      val in = fs.open(SidecarMaintenance.leasePath(cellsDir))
+      val held = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      assert(held === winner, s"the surviving lease must be the winner's: $held")
+      fs.delete(SidecarMaintenance.leasePath(cellsDir), false)
+    }
+  }
+
   test("a second maintainer whose commit overlaps a live one fails loudly at the lease") {
     withTable() { path =>
       IvfIndex.collect(spark, path, nCells = 4)
