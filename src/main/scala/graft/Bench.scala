@@ -3,6 +3,32 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Fixed-cost WINDOW CANARY: a CPU-bound distributed job whose cost
+    * depends only on the host's available compute — no file I/O (page
+    * cache can't flatter it), no shuffle (disk/fsync noise can't
+    * inflate it), constant work (2e9 modular reductions across 32
+    * tasks). A capture window where even the BEST canary sample reads
+    * far above its committed quiet-window reference is measuring the
+    * host's weather, not the code — r15/r16 shipped official captures
+    * whose totals spanned 1.7× on identical code, which made every
+    * per-query ratio unfalsifiable. The gate (tools/bench_gate.py)
+    * REFUSES such a capture (exit 2, "window invalid, re-run")
+    * instead of reporting phantom regressions. Three samples bracket
+    * the two sweeps, so the min-of-two-passes per-query protocol is
+    * validated by the min canary: if ANY part of the window was
+    * quiet, both survive. */
+  @volatile private var canaryWarmed = false
+  def canary(spark: SparkSession): Double = {
+    def job(): Unit = spark.range(0L, 2000000000L, 1L, 32)
+      .selectExpr("sum(id % 1000007)").collect()
+    // first call in a JVM pays codegen/JIT compile (~2s measured) —
+    // that is session warmth, not window load; burn it untimed
+    if (!canaryWarmed) { job(); canaryWarmed = true }
+    val t0 = System.nanoTime()
+    job()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** One full pass over every declared query plus the two BASELINE.md
     * flow items. Queries that persist/localCheckpoint intermediates
     * release their handles, but the blocks stay in the block manager
@@ -89,18 +115,22 @@ object Bench {
     // actually judged on. Failures stay sticky: a query that fails in
     // EITHER pass reports -1 (a flaky crash must not hide behind the
     // pass that happened to work).
+    val c1 = canary(spark)
     val pass1 = sweep(spark, sfDir)
+    val c2 = canary(spark)
     val pass2 = sweep(spark, sfDir)
+    val c3 = canary(spark)
     val all = pass1.zip(pass2).map { case ((n1, t1), (n2, t2)) =>
       require(n1 == n2, s"sweep order mismatch: $n1 vs $n2")
       n1 -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val canaries = s"[${fmt(c1)},${fmt(c2)},${fmt(c3)}]"
     val qs = all.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","canary":$canaries}"""
     // The full single-line record goes to a stable file for the local
     // gate (tools/bench_gate.py) and any reader with unbounded input.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
@@ -137,7 +167,7 @@ object Bench {
       k.matches("d[0-9].*") || k.startsWith("flow_ingest") || k.startsWith("flow_promote")
     }.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"bench_parts":$n,"full":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"bench_parts":$n,"canary":$canaries,"full":"bench_out.json"}""")
     System.out.flush()
   }
 }

@@ -92,6 +92,25 @@ object StreamingOps {
     * the event-time clock ONLY when the fixture stores ts as a nanos
     * long (same guard as the batch tbl() helper) — a fixture written
     * with a real parquet timestamp passes through unchanged. */
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set
+    * to `n`, restoring the prior value after. Streaming state stores
+    * instantiate ONE store per shuffle partition per stateful
+    * operator, and every micro-batch commits a delta file per store —
+    * so a bounded fixture replay at the session's batch-tuned 32
+    * partitions pays 32× state-store commit fixed costs per batch for
+    * single-digit-MB state. The graded replay harnesses pin a small
+    * documented state parallelism instead; production streams size
+    * this to the cluster — it is a config, not a code shape, and the
+    * graded values are partition-count-invariant (each harness's
+    * oracle equality is the proof). */
+  private def withShufflePartitions[T](
+      spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prior)
+  }
+
   private def timedEventStream(spark: SparkSession, eventsPath: String): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     val p = new org.apache.hadoop.fs.Path(eventsPath)
@@ -104,7 +123,8 @@ object StreamingOps {
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
-  def availableNowHourly(spark: SparkSession, eventsPath: String): DataFrame = {
+  def availableNowHourly(spark: SparkSession, eventsPath: String): DataFrame =
+    withShufflePartitions(spark, 8) {
     // LTZ window edges cast back to NTZ on the way out, the same
     // LTZ→NTZ exit cast the batch cap_events_hourly query uses
     val stream = timedEventStream(spark, eventsPath)
@@ -152,7 +172,8 @@ object StreamingOps {
     * guarantees for any batching the file source picks (an unbounded
     * horizon is also the honest config for an exactness harness; a
     * production stream tightens it to bound state). */
-  def availableNowDedupCount(spark: SparkSession, lineitemPath: String): DataFrame = {
+  def availableNowDedupCount(spark: SparkSession, lineitemPath: String): DataFrame =
+    withShufflePartitions(spark, 8) {
     val schema = spark.read.parquet(lineitemPath).schema
     val p = new org.apache.hadoop.fs.Path(lineitemPath)
     val stream = spark.readStream.schema(schema)
@@ -205,7 +226,8 @@ object StreamingOps {
   def availableNowSessions(
       spark: SparkSession,
       eventsPath: String,
-      gapSeconds: Long = 7200L): DataFrame = {
+      gapSeconds: Long = 7200L): DataFrame =
+    withShufflePartitions(spark, 8) {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
     val gap = s"$gapSeconds seconds 1 microsecond"
     val agg = timedEventStream(spark, eventsPath)
@@ -262,7 +284,8 @@ object StreamingOps {
     * replay. Counts are the graded value (the running double sum is
     * arrival-order-dependent in representation; the count is not) —
     * oracle: plain `GROUP BY user_id` counts. */
-  def availableNowRunningCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+  def availableNowRunningCounts(spark: SparkSession, eventsPath: String): DataFrame =
+    withShufflePartitions(spark, 8) {
     import spark.implicits._
     val stats = runningUserStats(spark,
       timedEventStream(spark, eventsPath)
@@ -312,12 +335,12 @@ object StreamingOps {
     // at 8, same result). State-store partitioning is fixed by the
     // FIRST run against a checkpoint, so the override binds cleanly
     // to this query's throwaway checkpoint; a production deployment
-    // sizes it to state volume / executor count instead.
-    val spKey = "spark.sql.shuffle.partitions"
-    val spPrev = spark.conf.get(spKey)
-    spark.conf.set(spKey, "8")
-    try availableNowClickAttributionInner(spark, eventsPath, attribution)
-    finally spark.conf.set(spKey, spPrev)
+    // sizes it to state volume / executor count instead. The same
+    // [[withShufflePartitions]] pinning covers every bounded-replay
+    // harness in this file (r17: hourly/dedup/sessions/state too).
+    withShufflePartitions(spark, 8) {
+      availableNowClickAttributionInner(spark, eventsPath, attribution)
+    }
   }
 
   private def availableNowClickAttributionInner(

@@ -25,9 +25,10 @@ import sys
 
 
 def load_bench(path):
+    """Returns (queries_map, canary_samples_or_None, canary_ref_or_None)."""
     obj = json.load(open(path))
     if "queries" in obj:
-        return obj["queries"]
+        return obj["queries"], obj.get("canary"), obj.get("canary_ref")
     tail = obj.get("tail")
     if isinstance(tail, str):
         # driver format: find the Bench JSON line inside the stdout
@@ -37,6 +38,7 @@ def load_bench(path):
         # lines (each <=1 KB, so none can straddle the tail boundary)
         # with a short queries-free summary last — reassemble those.
         found = None
+        canary = None
         parts = {}
         for line in tail.splitlines():
             j = line.find('{"bench_part"')
@@ -56,13 +58,14 @@ def load_bench(path):
                 continue
             if "queries" in cand:
                 found = cand["queries"]
+                canary = cand.get("canary", canary)
         if found is not None:
-            return found
+            return found, canary, None
         if parts:
             merged = {}
             for k in sorted(parts):
                 merged.update(parts[k])
-            return merged
+            return merged, canary, None
         sys.exit(f"{path}: driver-format file but no complete bench "
                  f"JSON line in its tail (run truncated or crashed?)")
     sys.exit(f"{path}: unrecognized bench format "
@@ -72,11 +75,35 @@ THRESHOLD = 1.5     # per-query regression factor that fails the gate
 MIN_DELTA = 2.0     # ...AND at least this many seconds slower: a 0.4s
                     # query jittering to 1.2s is noise; 1.9s -> 92s is
                     # the class this gate exists for
+CANARY_MAX = 1.3    # a capture whose BEST canary sample exceeds this
+                    # factor of the baseline window's canary_ref was
+                    # taken on a loaded host: its per-query numbers
+                    # measure weather, not code. Exit 2 ("window
+                    # invalid, re-run") — distinct from a regression.
 
 
 def main(fresh_path, base_path):
-    fresh = load_bench(fresh_path)
-    base = load_bench(base_path)
+    fresh, canary, _ = load_bench(fresh_path)
+    base, _, canary_ref = load_bench(base_path)
+    if canary_ref is not None:
+        if not canary:
+            print(f"== BENCH WINDOW UNKNOWN: baseline carries canary_ref="
+                  f"{canary_ref:.3f}s but the capture has no canary "
+                  f"samples (pre-canary Bench build?) — treating as "
+                  f"valid, but re-run on a canary-enabled build ==")
+        else:
+            best = min(canary)
+            if best > canary_ref * CANARY_MAX:
+                print(f"== BENCH WINDOW INVALID, RE-RUN ==")
+                print(f"  best canary sample {best:.3f}s > "
+                      f"{CANARY_MAX}x canary_ref {canary_ref:.3f}s "
+                      f"(samples: {', '.join(f'{c:.3f}' for c in canary)})")
+                print(f"  the host was loaded for the WHOLE capture "
+                      f"window; per-query numbers are weather, not "
+                      f"code — nothing can be graded from this file")
+                return 2
+            print(f"  [window ok] best canary {best:.3f}s <= "
+                  f"{CANARY_MAX}x ref {canary_ref:.3f}s")
     failures, notes = [], []
     for name, b in sorted(base.items()):
         f = fresh.get(name)
