@@ -753,6 +753,68 @@ object ScaleCheck {
         .truncate(root)
     }
 
+    // ZSTD-DICT corpus compression witness: bytes-on-disk delta for
+    // the documents corpus in the SMALL-FILE streaming regime (the
+    // posture the pass exists for — O(batch) micro-batches land
+    // ~150-row files, so the parquet page codec's history collapses
+    // to those rows while every dict frame carries the corpus-trained
+    // context). Reports, at 1x and kx: page-zstd bytes, dict-frame
+    // bytes (incl. the fixed 64 KB sidecar), their ratio, and the
+    // dict TRAIN time — which must stay FLAT (bounded sample) while
+    // write bytes grow ~kx.
+    if (only.exists(_.contains("zstd_dict"))) {
+      import graft.functions.ZstdDictCodec
+      import graft.sources.ZstdCorpus
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-zstd").toString
+      def dirBytes(dir: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var total = 0L
+        while (it.hasNext) {
+          val s = it.next()
+          if (!s.getPath.getName.endsWith(".crc")) total += s.getLen
+        }
+        total
+      }
+      // two file-size regimes, because the answer flips and the
+      // OPERATIONAL guidance is the crossover: dict frames win while
+      // per-file row counts are micro-batch-small (the page codec's
+      // history is only the co-located rows), the page codec wins
+      // once compaction has built real chunks — i.e. run the dict
+      // pass on the hot ingest tier, let compactSmall's rewrite flip
+      // the graduated tier to the page codec.
+      def measure(d: DataFrame, tag: String, rowsPerFile: Long): (Long, Long, Double) = {
+        val n = d.count()
+        val shards = math.max(4L, n / rowsPerFile).toInt
+        d.repartition(shards).write.option("compression", "zstd")
+          .parquet(s"$root/$tag-plain")
+        val t0 = System.nanoTime()
+        val dict = ZstdCorpus.trainDict(d)
+        val trainSecs = (System.nanoTime() - t0) / 1e9
+        d.repartition(shards)
+          .withColumn("text_z", ZstdDictCodec.compressCol(col("text"), dict, 3))
+          .drop("text")
+          .write.option("compression", "uncompressed")
+          .parquet(s"$root/$tag-dict")
+        graft.core.Sessions.settle(spark)
+        (dirBytes(s"$root/$tag-plain"),
+          dirBytes(s"$root/$tag-dict") + dict.length, trainSecs)
+      }
+      val dk = grow(docs, "doc_id")
+      Seq(("microbatch", 15L), ("compacted", 150L)).foreach {
+        case (regime, rpf) =>
+          val (p1, d1, tr1) = measure(docs, s"z1-$regime", rpf)
+          val (pK, dK, trK) = measure(dk, s"zk-$regime", rpf)
+          println(f"zstd_dict_${regime}_1x    plain $p1%12d B  dict $d1%12d B  dict/plain ${d1.toDouble / p1}%5.2f  train $tr1%6.2f s")
+          println(f"zstd_dict_${regime}_${k}x   plain $pK%12d B  dict $dK%12d B  dict/plain ${dK.toDouble / pK}%5.2f  train $trK%6.2f s")
+          println(f"zstd_dict_${regime}_grow  plain ${pK.toDouble / p1}%5.2fx  dict ${dK.toDouble / d1}%5.2fx  train ${trK / tr1}%5.2fx (train bounded by the fixed sample budget, not corpus size)")
+      }
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
+
     // MV rewrite wants the read/maintain separation: the statement is
     // the READ path — the state-served aggregate stays FLAT as the
     // base grows (the state is group-sized: 12 groups at any k here)

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dictionary-trained zstd codec for SHORT text values — the
+  * training-data-corpus compression trick parquet's own page codec
+  * cannot pull: general zstd needs a few KB of history before its
+  * matches pay off, so a column of independent 100-500 byte documents
+  * compresses poorly page-by-page, while a 64 KB dictionary trained
+  * on a corpus sample front-loads the shared redundancy (boilerplate,
+  * domain phrasing, markup) into every value's first byte. The
+  * compressed column is a plain parquet `binary`; the dictionary is a
+  * sidecar the reader loads once (see
+  * [[graft.sources.ZstdCorpus]]).
+  *
+  * Executor mechanics: one `ZstdCompressCtx`/`ZstdDecompressCtx` per
+  * (thread, dictionary) pair, cached in a per-thread map keyed by the
+  * dictionary's content hash — contexts are NOT thread-safe, and
+  * re-loading a 64 KB dictionary per VALUE would dwarf the codec
+  * itself. The dictionary rides the expression tree as a byte-array
+  * reference object (≤ a few hundred KB by contract), so tasks get it
+  * with the serialized plan — no side-channel distribution. */
+case class ZstdDictCompress(child: Expression, dict: Array[Byte], level: Int)
+    extends UnaryExpression {
+  require(level >= 1 && level <= 19, s"zstd level must be in [1, 19], got $level")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zstd_dict_compress expects string, got $other")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(s: Any): Any =
+    ZstdDictCodec.compress(s.asInstanceOf[UTF8String], dict, level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ZstdDictCodec.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val dictRef = ctx.addReferenceObj("zdict", dict, "byte[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $helper.compress($a, $dictRef, $level);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ZstdDictCompress =
+    copy(child = newChild)
+  override def prettyName: String = "zstd_dict_compress"
+}
+
+case class ZstdDictDecompress(child: Expression, dict: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"zstd_dict_decompress expects binary, got $other")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(b: Any): Any =
+    ZstdDictCodec.decompress(b.asInstanceOf[Array[Byte]], dict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ZstdDictCodec.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val dictRef = ctx.addReferenceObj("zdict", dict, "byte[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $helper.decompress($a, $dictRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ZstdDictDecompress =
+    copy(child = newChild)
+  override def prettyName: String = "zstd_dict_decompress"
+}
+
+object ZstdDictCodec {
+  import com.github.luben.zstd.{Zstd, ZstdCompressCtx, ZstdDecompressCtx}
+
+  // per-thread context caches keyed by (dict content hash, level) —
+  // one dictionary per job in practice, so the hash key never
+  // collides within a thread's lifetime; a collision would only
+  // corrupt OUTPUT SIZE economics, never data (decompress validates
+  // frames), but keep the key content-derived so a replay with a
+  // retrained dictionary can't reuse a stale context
+  private val cctx = new ThreadLocal[java.util.HashMap[(Int, Int), ZstdCompressCtx]] {
+    override def initialValue() = new java.util.HashMap
+  }
+  private val dctx = new ThreadLocal[java.util.HashMap[Int, ZstdDecompressCtx]] {
+    override def initialValue() = new java.util.HashMap
+  }
+
+  def compress(s: UTF8String, dict: Array[Byte], level: Int): Array[Byte] = {
+    val key = (java.util.Arrays.hashCode(dict), level)
+    var ctx = cctx.get().get(key)
+    if (ctx == null) {
+      ctx = new ZstdCompressCtx().setLevel(level).loadDict(dict)
+      cctx.get().put(key, ctx)
+    }
+    ctx.compress(s.getBytes)
+  }
+
+  def decompress(b: Array[Byte], dict: Array[Byte]): UTF8String = {
+    val key = java.util.Arrays.hashCode(dict)
+    var ctx = dctx.get().get(key)
+    if (ctx == null) {
+      ctx = new ZstdDecompressCtx().loadDict(dict)
+      dctx.get().put(key, ctx)
+    }
+    val size = Zstd.getFrameContentSize(b)
+    require(size >= 0 && size <= Int.MaxValue,
+      s"zstd frame without a valid content size: $size")
+    UTF8String.fromBytes(ctx.decompress(b, size.toInt))
+  }
+
+  def compressCol(c: Column, dict: Array[Byte], level: Int = 3): Column =
+    ColumnGlue.column(ZstdDictCompress(ColumnGlue.expression(c), dict, level))
+  def decompressCol(c: Column, dict: Array[Byte]): Column =
+    ColumnGlue.column(ZstdDictDecompress(ColumnGlue.expression(c), dict))
+}

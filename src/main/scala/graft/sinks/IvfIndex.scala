@@ -179,13 +179,13 @@ object IvfIndex {
       spark, cellsPath(table), Seq("__cell"), smallBytes,
       statsCol = Some("vec_id"))(salted(_, 1))
 
-  /** Codegen'd nearest-centroid argmin as a per-row Column: ONE
+  /** Per-row nearest-centroid argmin as a Column: ONE
     * `least()` fold over the collected centroids — no join, no
     * window, no exchange. `least` over `struct(d, c)` compares d
     * first then c, so ties go to the lowest cell id — the same rule
     * KMeans transform applies at build time. Shared by
     * [[assignFiles]] (refresh path) and [[clusterAppend]]. */
-  private[sinks] def nearestCellCol(
+  private[graft] def nearestCellCol(
       centRows: Array[org.apache.spark.sql.Row],
       vecCol: String): org.apache.spark.sql.Column = {
     require(centRows.nonEmpty, "nearestCellCol needs >= 1 centroid")
@@ -210,7 +210,7 @@ object IvfIndex {
     * Per-row, so an id appearing twice — in two fresh files OR twice
     * inside one file — keeps BOTH rows here, and the layout guard
     * sees and rejects it. */
-  private def assignFiles(
+  private[graft] def assignFiles(
       spark: SparkSession,
       table: String,
       paths: Seq[String],
@@ -436,7 +436,7 @@ object IvfIndex {
     * batch adds at most nCells−1 extra (file, cell) incidences, so a
     * probe's candidate files stay ≈ the probed fraction of EVERY
     * batch generation — never the random-layout files × cells. The
-    * per-row cell is ONE codegen'd least() fold over the collected
+    * per-row cell is ONE least() fold over the collected
     * centroids (nCells rows by contract — no join, no window, safe
     * under duplicate ids, which the pre-append clash check rejects
     * before the CORPUS mutates — the corpus append is un-journaled,

@@ -498,6 +498,52 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF refresh assignment: per-row least() fold, no exchange, no window") {
+    // assignFiles' nearest-centroid argmin is a codegen'd fold over
+    // the collected centroids — the r16 shape (crossJoin × nCells +
+    // row_number window over the product) paid a full shuffle of
+    // delta-rows × nCells per refresh. Pin the narrow plan so a
+    // refactor can't reintroduce it.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planq-ivf").toString
+    try {
+      SparkEntry.tbl(spark, sf, "embeddings").limit(50)
+        .write.parquet(s"$root/vectors")
+      graft.sinks.IvfIndex.collect(spark, s"$root/vectors", nCells = 4)
+      val paths = spark.read.parquet(s"$root/vectors").inputFiles.toSeq
+      val assigned = graft.sinks.IvfIndex.assignFiles(
+        spark, s"$root/vectors", paths, "vec_id", "embedding",
+        spark.read.parquet(
+          graft.sinks.IvfIndex.centroidsPath(s"$root/vectors")))
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"assignment must be map-side only:\n$plan")
+      assert(!plan.contains("Window") && !plan.contains("Join"),
+        s"assignment is a per-row fold, not a window over a product:\n$plan")
+      // (the fold itself uses aggregate/zip_with higher-order
+      // functions, which evaluate outside whole-stage codegen — the
+      // properties that matter at scale are the two above: narrow,
+      // map-side-only, never materializing the rows × cells product)
+      // and it still computes the argmin truth
+      val byFold = assigned.select("vec_id", "__cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val cents = spark.read.parquet(
+        graft.sinks.IvfIndex.centroidsPath(s"$root/vectors")).collect()
+        .map(r => r.getInt(0) -> r.getAs[Seq[Double]](1).toArray).toMap
+      val vecs = spark.read.parquet(s"$root/vectors")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getAs[Seq[Float]](1).toArray)
+      vecs.foreach { case (id, v) =>
+        val best = cents.toSeq.map { case (c, ct) =>
+          (c, v.zip(ct).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.minBy { case (c, d) => (d, c) }._1
+        assert(byFold(id) == best, s"vec $id: fold says ${byFold(id)}, truth $best")
+      }
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("bpe pair stats: two exchanges (word reduce, pair reduce), map-side partials") {
     val plan = graft.ext.Bpe.pairStats(
       SparkEntry.tbl(spark, sf, "documents"), "text")

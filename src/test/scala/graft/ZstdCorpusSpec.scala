@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.ZstdDictCodec
+import graft.sources.ZstdCorpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ZstdCorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = SparkEntry.tbl(spark, sf, "documents")
+    .select("doc_id", "lang", "text")
+
+  private def dirBytes(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      // data files only: the _zdict sidecar is part of the table's
+      // real footprint, so it COUNTS; checksums don't exist on real
+      // lakes
+      if (!s.getPath.getName.endsWith(".crc")) total += s.getLen
+    }
+    total
+  }
+
+  test("dict round-trip is exact for every document, nulls pass through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString
+    val withNull = docs.withColumn("text",
+      when(col("doc_id") % 97 === 0, lit(null)).otherwise(col("text")))
+    ZstdCorpus.writeCompressed(spark, withNull, s"$dir/z")
+    val back = ZstdCorpus.readCompressed(spark, s"$dir/z")
+    val diff = withNull.select("doc_id", "text")
+      .except(back.select("doc_id", "text"))
+    assert(diff.isEmpty, "decompressed text must equal the original exactly")
+    assert(back.count() == withNull.count())
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(dir)
+  }
+
+  test("dictionary economics: wins the small-file (streaming-delta) regime, dict-less ablation, honest big-file loss") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd-sz").toString
+    val sidecarBytes = 64 << 10 // fixed, amortized O(1) over a corpus
+    def dataBytes(d: String): Long = dirBytes(d) - (
+      if (new org.apache.hadoop.fs.Path(s"$d/_zdict").getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(
+        new org.apache.hadoop.fs.Path(s"$d/_zdict"))) sidecarBytes else 0L)
+
+    // BIG-FILE regime: one compacted file, page codec has the whole
+    // column chunk as history — expected to WIN; reported, not spun
+    docs.coalesce(1).write.option("compression", "zstd")
+      .parquet(s"$dir/plain-big")
+    val dict = ZstdCorpus.writeCompressed(
+      spark, docs.coalesce(1), s"$dir/dict-big")
+    // ablation: same per-value frames, EMPTY history — isolates the
+    // dictionary's contribution from frame overhead
+    docs.coalesce(1)
+      .withColumn("text_z", ZstdDictCodec.compressCol(col("text"),
+        Array.emptyByteArray, 3))
+      .drop("text")
+      .write.option("compression", "uncompressed").parquet(s"$dir/dictless")
+    val (plainBig, dictBig, noDict) = (dirBytes(s"$dir/plain-big"),
+      dataBytes(s"$dir/dict-big"), dirBytes(s"$dir/dictless"))
+    assert(dictBig < noDict,
+      s"the trained dictionary must beat dict-less per-value frames: $dictBig vs $noDict")
+
+    // SMALL-FILE regime — the streaming-ingest posture this pass
+    // exists for: O(batch) micro-batches land few rows per file, the
+    // page codec's history collapses to those rows, the dict frame's
+    // context doesn't
+    val shards = 64
+    docs.repartition(shards).write.option("compression", "zstd")
+      .parquet(s"$dir/plain-small")
+    docs.repartition(shards)
+      .withColumn("text_z", ZstdDictCodec.compressCol(col("text"), dict, 3))
+      .drop("text")
+      .write.option("compression", "uncompressed").parquet(s"$dir/dict-small")
+    val (plainSmall, dictSmall) =
+      (dirBytes(s"$dir/plain-small"), dirBytes(s"$dir/dict-small"))
+    info(f"big file: parquet-zstd $plainBig%,d B vs dict frames $dictBig%,d B (+64 KiB sidecar); dict-less $noDict%,d B")
+    info(f"small files (x$shards): parquet-zstd $plainSmall%,d B vs dict frames $dictSmall%,d B")
+    assert(dictSmall < plainSmall,
+      s"dict frames must beat the page codec in the small-file regime: " +
+        s"$dictSmall vs $plainSmall")
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(dir)
+  }
+
+  test("delta appends compress against the SAME frozen dictionary and stay readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd-delta").toString
+    val first = docs.where(col("doc_id") % 5 =!= 0)
+    val delta = docs.where(col("doc_id") % 5 === 0)
+    val d = ZstdCorpus.writeCompressed(spark, first, s"$dir/z")
+    // append path: reuse the returned dictionary, mode-append the rows
+    delta.withColumn("text_z", ZstdDictCodec.compressCol(col("text"), d, 3))
+      .drop("text")
+      .write.mode("append").option("compression", "uncompressed")
+      .parquet(s"$dir/z")
+    val back = ZstdCorpus.readCompressed(spark, s"$dir/z")
+    assert(back.count() == docs.count())
+    val diff = docs.select("doc_id", "text").except(back.select("doc_id", "text"))
+    assert(diff.isEmpty, "append-path frames must decode with the frozen dict")
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(dir)
+  }
+
+  test("column pruning drops the decompression with the text column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd-prune").toString
+    ZstdCorpus.writeCompressed(spark, docs, s"$dir/z")
+    val noText = ZstdCorpus.readCompressed(spark, s"$dir/z").select("doc_id", "lang")
+    val plan = noText.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"a text-free projection must not read (or decode) the frames:\n$plan")
+    assert(!plan.contains("zstd_dict_decompress"),
+      s"pruned plan must carry no decompression:\n$plan")
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(dir)
+  }
+}
