@@ -1729,6 +1729,36 @@ object SparkEntry {
     // read back through the schema-enforced, quarantine-not-crash
     // reader — must hash-match the parquet truth exactly (JSON
     // string escaping, unicode, BIGINT fidelity, null fields).
+    // Zstd-dict corpus compression round-trip, hash-graded as an
+    // IDENTITY (the ext_jsonl_roundtrip pattern): write the documents
+    // corpus with the text column dict-compressed (frames trained on
+    // a bounded corpus sample, _zdict sidecar), read it back through
+    // the decompressing projection — every byte of every document
+    // must survive. In-query REQUIREs pin the storage claims: the
+    // compressed table carries text_z binary + the sidecar, never a
+    // plaintext text column.
+    "ext_zstd_roundtrip" -> ((s, dir) => {
+      import graft.sources.ZstdCorpus
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zstdq").toString
+      val docs = tbl(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      ZstdCorpus.writeCompressed(s, docs.repartition(4), s"$root/docs")
+      val stored = s.read.parquet(s"$root/docs")
+      require(stored.columns.contains("text_z") &&
+        !stored.columns.contains("text"),
+        "compressed table must store frames, not plaintext")
+      require(stored.schema("text_z").dataType ==
+        org.apache.spark.sql.types.BinaryType,
+        "frames must be a plain parquet binary column")
+      val out = ZstdCorpus.readCompressed(s, s"$root/docs")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     "ext_jsonl_roundtrip" -> ((s, dir) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-jsonl").toString
@@ -5357,6 +5387,10 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "ext_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // dict-compressed storage must be an exact identity on read-back
+    "ext_zstd_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // the clean side of the quarantine split must be exactly the
