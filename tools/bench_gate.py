@@ -59,12 +59,16 @@ def load_bench(path):
             if "queries" in cand:
                 found = cand["queries"]
                 canary = cand.get("canary", canary)
-        if found is not None:
-            return found, canary, None
-        if parts:
+        # Since the canary change the FINAL line carries the headline
+        # subset (it fits the driver's ~2 KB tail) while the full map
+        # rides the bench_part lines — merge BOTH when both survived
+        # the tail, so a complete tail grades every row instead of
+        # reporting the non-headline rows missing.
+        if parts or found is not None:
             merged = {}
             for k in sorted(parts):
                 merged.update(parts[k])
+            merged.update(found or {})
             return merged, canary, None
         sys.exit(f"{path}: driver-format file but no complete bench "
                  f"JSON line in its tail (run truncated or crashed?)")
