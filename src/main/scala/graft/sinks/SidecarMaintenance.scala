@@ -955,7 +955,27 @@ object SidecarMaintenance {
     * surfaces. */
   def retryOnSnapshotMiss[T](body: => T): T =
     try body
-    catch { case t: Throwable if isPathNotFound(t) => body }
+    catch { case t: Throwable if isSnapshotMiss(t) => body }
+
+  /** Action-time misses wear different clothes than planning-time
+    * ones: a task reading a deleted file fails with
+    * FAILED_READ_FILE wrapping a FileNotFoundException (often buried
+    * under a SparkException job-failure layer), where the planning
+    * path throws PATH_NOT_FOUND directly — walk the cause chain and
+    * accept any of them. */
+  private[graft] def isSnapshotMiss(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 10) {
+      if (isPathNotFound(cur) ||
+          cur.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(cur.getMessage).exists(_.contains("FAILED_READ_FILE")))
+        return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** The sidecar rows the delta KEEPS (everything but vanished
     * files' rows) — what pre-mutation layout guards check the fresh

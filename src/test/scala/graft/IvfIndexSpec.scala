@@ -307,6 +307,32 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterAppend rejects a duplicate-id batch BEFORE the corpus mutates") {
+    withTable(100) { path =>
+      val dest = s"${new org.apache.hadoop.fs.Path(path).getParent}/cludup"
+      IvfIndex.clusterCorpus(spark, path, dest, nCells = 4)
+      val before = spark.read.parquet(dest).count()
+      // ids 50-99 already live in the clustered corpus — the append
+      // is un-journaled (nondeterministic part names, no undo), so
+      // the clash must trip BEFORE any bytes land, not after
+      // refreshRefs finds the damage
+      val dup = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id") >= 50 && col("vec_id") < 70)
+        .localCheckpoint(true)
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.clusterAppend(spark, dest, dup)
+      }
+      assert(e.getMessage.contains("indexed more than once"))
+      assert(spark.read.parquet(dest).count() === before,
+        "a tripped guard must leave the corpus copy byte-untouched")
+      // and the index still serves the pre-trip truth
+      val q = spark.read.parquet(dest).where(col("vec_id") < 3)
+      assert(ranks(IvfIndex.topKRefs(spark, dest, q, k = 5, nProbe = 4))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(
+          q, spark.read.parquet(dest), k = 5)))
+    }
+  }
+
   test("clusterCorpus rejects a single-cell layout loudly (KMeans needs k >= 2)") {
     withTable(40) { path =>
       val dest = s"${new org.apache.hadoop.fs.Path(path).getParent}/clu1"

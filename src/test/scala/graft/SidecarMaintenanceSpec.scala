@@ -654,6 +654,63 @@ class SidecarMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("replaced-name prefixes without a trailing delimiter are rejected loudly") {
+    withTable() { path =>
+      IvfIndex.collect(spark, path, nCells = 4)
+      val cellsDir = IvfIndex.cellsPath(path)
+      IvfIndex.refresh(spark, path) // heal coverage so planning sees names
+      // 'ingest-b1' would also match ingest-b10..b19 — a typo that
+      // silently vanishes unrelated batches' coverage; the planner
+      // must refuse the shape, not guess
+      val e = intercept[IllegalArgumentException] {
+        SidecarMaintenance.planDelta(spark, cellsDir,
+          spark.read.parquet(path).inputFiles.toSet,
+          replacedPrefixes = Seq("ingest-b1"))
+      }
+      assert(e.getMessage.contains("delimiter"),
+        s"refusal must explain the shape rule: ${e.getMessage}")
+      // the internal producers' trailing-dash shape passes (empty
+      // match on a corpus with no such names — a no-op, not an error;
+      // the corpus-name URI form is the planner's own concern, so
+      // only the prefix machinery is under test here)
+      val plan = SidecarMaintenance.planDelta(spark, cellsDir,
+        spark.read.parquet(path).inputFiles.toSet,
+        replacedPrefixes = Seq("ingest-b1-"))
+      assert(!plan.vanished.exists(_.contains("ingest-b1")),
+        "a non-matching valid prefix must vanish nothing")
+    }
+  }
+
+  test("retryOnSnapshotMiss: one re-run on a missing-path failure, other errors propagate") {
+    var calls = 0
+    val out = SidecarMaintenance.retryOnSnapshotMiss {
+      calls += 1
+      if (calls == 1)
+        throw new java.io.FileNotFoundException("part-0000.parquet vanished")
+      42
+    }
+    assert(out === 42 && calls === 2,
+      "a single action-time miss must re-resolve and succeed")
+    var other = 0
+    val boom = intercept[IllegalStateException] {
+      SidecarMaintenance.retryOnSnapshotMiss {
+        other += 1
+        throw new IllegalStateException("not a path miss")
+      }
+    }
+    assert(boom.getMessage.contains("not a path miss") && other === 1,
+      "non-path failures must surface unretried")
+    // a PERSISTENT miss (out-of-band deletion) surfaces after ONE retry
+    var gone = 0
+    intercept[java.io.FileNotFoundException] {
+      SidecarMaintenance.retryOnSnapshotMiss {
+        gone += 1
+        throw new java.io.FileNotFoundException("really gone")
+      }
+    }
+    assert(gone === 2, "exactly one retry, then surface")
+  }
+
   test("two racing orphan-lease takeovers: exactly one wins, the loser's error names the winner") {
     withTable() { path =>
       IvfIndex.collect(spark, path, nCells = 4)
