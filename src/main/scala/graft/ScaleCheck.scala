@@ -767,17 +767,9 @@ object ScaleCheck {
       import graft.sources.ZstdCorpus
       val root = java.nio.file.Files
         .createTempDirectory("graft-scale-zstd").toString
-      def dirBytes(dir: String): Long = {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(p, true)
-        var total = 0L
-        while (it.hasNext) {
-          val s = it.next()
-          if (!s.getPath.getName.endsWith(".crc")) total += s.getLen
-        }
-        total
-      }
+      val storage = new graft.core.LakeStorage(
+        spark.sparkContext.hadoopConfiguration)
+      def dirBytes(dir: String): Long = storage.dirBytes(dir)
       // two file-size regimes, because the answer flips and the
       // OPERATIONAL guidance is the crossover: dict frames win while
       // per-file row counts are micro-batch-small (the page codec's

@@ -43,6 +43,20 @@ final class LakeStorage(conf: Configuration) {
 
   def create(path: String): Unit = { val p = new Path(path); fs(p).mkdirs(p) }
 
+  /** Recursive bytes-on-disk under `path`, local-FS `.crc` shadows
+    * excluded (they don't exist on real lakes) — the storage-footprint
+    * measure the zstd-dict witnesses and specs share. */
+  def dirBytes(path: String): Long = {
+    val p = new Path(path)
+    val it = fs(p).listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (!s.getPath.getName.endsWith(".crc")) total += s.getLen
+    }
+    total
+  }
+
   /** K3 dataset truncation (destructive re-init): recursive delete of
     * every object under the prefix — reference
     * `cloud_utils.py:172-247` iterates blobs and deletes each; one

@@ -87,12 +87,23 @@ object ZstdDictCodec {
   // collides within a thread's lifetime; a collision would only
   // corrupt OUTPUT SIZE economics, never data (decompress validates
   // frames), but keep the key content-derived so a replay with a
-  // retrained dictionary can't reuse a stale context
-  private val cctx = new ThreadLocal[java.util.HashMap[(Int, Int), ZstdCompressCtx]] {
-    override def initialValue() = new java.util.HashMap
+  // retrained dictionary can't reuse a stale context. BOUNDED:
+  // contexts hold NATIVE buffers plus a copy of the loaded dict, and
+  // an executor's pooled threads outlive any one job — an unbounded
+  // map would leak off-heap memory per (thread, retrained dict) for
+  // the executor's lifetime. Access-order LRU of 4 per thread,
+  // evictee CLOSED (frees the native allocation); 4 >> the dicts any
+  // one job touches, so steady state never evicts.
+  private def lru[K, V <: AutoCloseable](max: Int) =
+    new java.util.LinkedHashMap[K, V](8, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        if (size() > max) { e.getValue.close(); true } else false
+    }
+  private val cctx = new ThreadLocal[java.util.LinkedHashMap[(Int, Int), ZstdCompressCtx]] {
+    override def initialValue() = lru(4)
   }
-  private val dctx = new ThreadLocal[java.util.HashMap[Int, ZstdDecompressCtx]] {
-    override def initialValue() = new java.util.HashMap
+  private val dctx = new ThreadLocal[java.util.LinkedHashMap[Int, ZstdDecompressCtx]] {
+    override def initialValue() = lru(4)
   }
 
   def compress(s: UTF8String, dict: Array[Byte], level: Int): Array[Byte] = {

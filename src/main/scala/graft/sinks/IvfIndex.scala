@@ -225,6 +225,21 @@ object IvfIndex {
       .select("file", "vec_id", "embedding", "__cell")
   }
 
+  /** The committed refs rows still BACKED by a live corpus file —
+    * the kept side [[clusterAppend]]'s pre-append clash check runs
+    * against (shared with [[LshIndex.clusterAppend]]). Rows of
+    * vanished corpus files are dropped via one broadcast semi-join
+    * on the current file list, mirroring
+    * [[SidecarMaintenance.keptRows]]' vanish-aware rule on the
+    * refresh path. */
+  private[sinks] def clusterAppendKeptRefs(
+      spark: SparkSession, dest: String, refsDir: String): DataFrame = {
+    import spark.implicits._
+    val current = BloomIndex.dataFilePaths(spark, dest)
+    SidecarMaintenance.snapshotRead(spark, refsDir)
+      .join(broadcast(current.toDF("file")), Seq("file"), "left_semi")
+  }
+
   /** The family's layout contract: a vector's row must live in ONE
     * corpus data file (append new ids, purge-rewrite whole files). */
   private[sinks] def requireOneRowPerVector(
@@ -460,12 +475,16 @@ object IvfIndex {
     // BEFORE dest mutates — refreshRefs' guard alone would trip only
     // after the appended parts are already a permanent layout
     // violation with no idempotent sweep path. Check the batch
-    // against the committed refs sidecar first; the batch id-range
-    // pushes onto the refs scan, so monotonic ingest ids read
-    // ~nothing.
+    // against the committed refs sidecar first, restricted to rows
+    // whose corpus file still EXISTS — a purge-rewritten file's ids
+    // legitimately reappear fresh (the same vanish-aware rule
+    // refreshRefs' keptRows applies; the raw snapshot would falsely
+    // reject them until a refresh ran). The corpus listing this
+    // costs is one refreshRefs (below) pays anyway; the batch
+    // id-range still pushes onto the refs scan.
     requireNoVectorClash(
       batch.select(col(idCol).as("vec_id")),
-      Some(SidecarMaintenance.snapshotRead(spark, refsPath(dest))))
+      Some(clusterAppendKeptRefs(spark, dest, refsPath(dest))))
     batch
       .withColumn("__cell", nearestCellCol(centRows, vecCol))
       .repartitionByRange(centRows.length * filesPerCell,

@@ -319,10 +319,12 @@ object LshIndex {
     val (planes, seed) = readRefsMeta(spark, dest)
     // Reject duplicate-id batches BEFORE the (un-journaled,
     // nondeterministically-named) corpus append mutates dest — see
-    // [[IvfIndex.clusterAppend]]'s pre-check for the rationale.
+    // [[IvfIndex.clusterAppend]]'s pre-check for the rationale,
+    // including the vanish-aware kept side (a purge-rewritten file's
+    // ids legitimately reappear fresh).
     IvfIndex.requireNoVectorClash(
       batch.select(col(idCol).as("vec_id")),
-      Some(SidecarMaintenance.snapshotRead(spark, refsPath(dest))))
+      Some(IvfIndex.clusterAppendKeptRefs(spark, dest, refsPath(dest))))
     batch
       .withColumn("__bucket",
         VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed))

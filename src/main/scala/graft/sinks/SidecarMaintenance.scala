@@ -87,11 +87,33 @@ object SidecarMaintenance {
       dir: String,
       owner: String = java.util.UUID.randomUUID().toString): Unit = {
     val lease = leasePath(dir)
+    // EXCLUSIVE create is the mutex. HDFS and object stores make
+    // fs.create(path, overwrite=false) atomic server-side; the LOCAL
+    // filesystems' implementation is check-then-act, which under two
+    // racing acquirers can succeed TWICE (both saw "absent") — route
+    // local schemes through POSIX O_EXCL (nio createFile), which the
+    // kernel serializes.
     def create(): Unit = {
       fs.mkdirs(new Path(dir))
-      val out = fs.create(lease, false)
-      try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      val localFile = fs match {
+        case l: org.apache.hadoop.fs.LocalFileSystem => Some(l.pathToFile(lease))
+        case r: org.apache.hadoop.fs.RawLocalFileSystem => Some(r.pathToFile(lease))
+        case _ => None
+      }
+      localFile match {
+        case Some(f) =>
+          try java.nio.file.Files.createFile(f.toPath)
+          catch {
+            case e: java.nio.file.FileAlreadyExistsException =>
+              throw new java.io.IOException(s"lease exists: $lease", e)
+          }
+          java.nio.file.Files.write(f.toPath,
+            owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case None =>
+          val out = fs.create(lease, false)
+          try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+      }
     }
     def inFlight: Boolean =
       fs.exists(journalPath(dir)) || fs.exists(stagingPath(dir))
@@ -106,11 +128,24 @@ object SidecarMaintenance {
         finally in.close()
         if (s.isEmpty) "<unrecorded>" else s
       } catch { case _: java.io.IOException => "<unrecorded>" }
+    // a refusal can race the holder's create→write window (the file
+    // exists before its owner id is flushed) — poll briefly so the
+    // error NAMES a live holder instead of reporting <unrecorded>;
+    // a genuinely unrecorded lease (pre-owner-id writer, a bare
+    // test fixture) still reports as such after the wait
+    def namedHolder: String = {
+      var h = holder
+      var waited = 0
+      while (h == "<unrecorded>" && waited < 20) {
+        Thread.sleep(100); waited += 1; h = holder
+      }
+      h
+    }
     try create()
     catch {
       case _: java.io.IOException =>
         require(!inFlight && !young,
-          s"another maintainer ($holder) holds the commit lease at " +
+          s"another maintainer ($namedHolder) holds the commit lease at " +
             s"$lease — sidecar maintenance is single-writer: serialize " +
             "maintainers (a crashed run heals through recover(), which " +
             "consumes its journal and staging first; its lease expires " +
@@ -125,18 +160,34 @@ object SidecarMaintenance {
           try fs.rename(lease, claim)
           catch { case _: java.io.IOException => false }
         if (!claimed) {
-          // the winner renamed the orphan away but may not have
-          // re-created its own lease yet — wait briefly so the
-          // refusal can NAME it instead of reporting <unrecorded>
-          var winner = holder
+          // Two ways the source can be gone: (a) another orphan
+          // breaker won the claim race — its fresh lease reappears
+          // within moments (claim → delete → create is three local
+          // metadata ops); (b) the live holder RELEASED it between
+          // our failed create and the rename — the lease stays
+          // absent. Wait out (a) FIRST: attempting the create
+          // immediately would race the winner's own re-create on
+          // filesystems whose exclusive create is check-then-act
+          // (local FS; real stores are atomic) and let both proceed.
           var waited = 0
-          while (winner == "<unrecorded>" && waited < 20) {
-            Thread.sleep(100); waited += 1; winner = holder
+          while (!fs.exists(lease) && waited < 20) {
+            Thread.sleep(100); waited += 1
           }
-          require(requirement = false,
-            s"another maintainer ($winner) won the orphan takeover of " +
-              s"the commit lease at $lease — sidecar maintenance is " +
-              "single-writer; let the winner's commit finish")
+          require(!fs.exists(lease),
+            s"another maintainer ($namedHolder) won the orphan takeover " +
+              s"of the commit lease at $lease — sidecar maintenance " +
+              "is single-writer; let the winner's commit finish")
+          // released: the lease is free — same exclusive create as
+          // the front door, loud if yet another acquirer slips in
+          try create()
+          catch {
+            case _: java.io.IOException =>
+              require(requirement = false,
+                s"another maintainer ($namedHolder) took the commit " +
+                  s"lease at $lease after its holder released it — " +
+                  "sidecar maintenance is single-writer")
+          }
+          return
         }
         fs.delete(claim, false)
         // Between our claim and this create a THIRD acquirer can slip
@@ -147,7 +198,7 @@ object SidecarMaintenance {
         catch {
           case _: java.io.IOException =>
             require(requirement = false,
-              s"another maintainer ($holder) took the commit lease at " +
+              s"another maintainer ($namedHolder) took the commit lease at " +
                 s"$lease between our orphan claim and re-create — " +
                 "sidecar maintenance is single-writer")
         }

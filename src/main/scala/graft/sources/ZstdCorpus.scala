@@ -60,9 +60,20 @@ object ZstdCorpus {
       .take(sampleRows)
       .iterator
       .map(_.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .takeWhile { b => fed += b.length; fed <= sampleBudgetBytes }
-      .foreach(trainer.addSample)
-    require(fed > 0, s"no non-null $textCol rows to train on")
+      .filter(_.nonEmpty)
+      // count a sample into the budget only if it is actually FED:
+      // an over-budget sample stops the feed without poisoning `fed`,
+      // so the emptiness guard below reports the truth
+      .takeWhile { b =>
+        val fits = fed + b.length <= sampleBudgetBytes
+        if (fits) { fed += b.length; trainer.addSample(b): Unit }
+        fits
+      }
+      .foreach(_ => ())
+    require(fed > 0,
+      s"no trainable $textCol samples: every sampled row was null/empty, " +
+        s"or the first sample alone exceeds sampleBudgetBytes " +
+        s"($sampleBudgetBytes)")
     trainer.trainSamples()
   }
 

@@ -333,6 +333,37 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterAppend accepts re-ingest of a purge-rewritten file's ids (vanish-aware pre-check)") {
+    withTable(100) { path =>
+      val dest = s"${new org.apache.hadoop.fs.Path(path).getParent}/clupurge"
+      IvfIndex.clusterCorpus(spark, path, dest, nCells = 4)
+      // purge shape: one corpus data file vanishes out-of-band; the
+      // refs sidecar still carries its rows until a refresh runs
+      val victim = spark.read.parquet(IvfIndex.refsPath(dest))
+        .select("file").as[String].head()
+      val victimIds = spark.read.parquet(IvfIndex.refsPath(dest))
+        .where(col("file") === victim)
+        .select("vec_id").as[Long].collect().toSet
+      assert(victimIds.nonEmpty, "fixture: victim file must carry rows")
+      new org.apache.hadoop.fs.Path(victim)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(victim), false)
+      // re-ingest exactly those ids: the pre-append clash check must
+      // NOT count the vanished file's stale refs rows (the keptRows
+      // rule) — a raw-snapshot check would falsely reject this batch
+      val reingest = SparkEntry.tbl(spark, sf, "embeddings")
+        .where(col("vec_id").isin(victimIds.toSeq: _*))
+        .localCheckpoint(true)
+      IvfIndex.clusterAppend(spark, dest, reingest)
+      val clus = spark.read.parquet(dest)
+      assert(clus.count() === 100L, "every id lives exactly once again")
+      // index heals and serves the exact truth over the union
+      val q = clus.where(col("vec_id") < 3)
+      assert(ranks(IvfIndex.topKRefs(spark, dest, q, k = 5, nProbe = 4))
+        === ranks(graft.ext.SimilaritySearch.bruteForceTopK(q, clus, k = 5)))
+    }
+  }
+
   test("clusterCorpus rejects a single-cell layout loudly (KMeans needs k >= 2)") {
     withTable(40) { path =>
       val dest = s"${new org.apache.hadoop.fs.Path(path).getParent}/clu1"

@@ -11,20 +11,11 @@ class ZstdCorpusSpec extends AnyFunSuite {
   private lazy val docs = SparkEntry.tbl(spark, sf, "documents")
     .select("doc_id", "lang", "text")
 
-  private def dirBytes(dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    var total = 0L
-    while (it.hasNext) {
-      val s = it.next()
-      // data files only: the _zdict sidecar is part of the table's
-      // real footprint, so it COUNTS; checksums don't exist on real
-      // lakes
-      if (!s.getPath.getName.endsWith(".crc")) total += s.getLen
-    }
-    total
-  }
+  // the _zdict sidecar is part of the table's real footprint, so the
+  // shared LakeStorage.dirBytes (which counts it) is the right measure
+  private def dirBytes(dir: String): Long =
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .dirBytes(dir)
 
   test("dict round-trip is exact for every document, nulls pass through") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString
