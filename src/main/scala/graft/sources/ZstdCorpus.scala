@@ -124,6 +124,32 @@ object ZstdCorpus {
       .drop(s"${textCol}_z")
   }
 
+  /** GRADUATION pass — the compaction-time flip the economics above
+    * call for: rewrite a dict-compressed hot-tier table as a
+    * compacted PAGE-CODEC table at `dest`. Once files are big enough
+    * that the page codec has a real column chunk as history, it
+    * out-compresses per-value frames (measured in `ZstdCorpusSpec`),
+    * so the graduated tier drops the `_zdict` dependency entirely —
+    * plain parquet any reader understands. `targetRowsPerFile`
+    * controls the compaction (one exchange); the text column comes
+    * back plaintext under parquet-zstd pages. */
+  def graduate(
+      spark: SparkSession,
+      dir: String,
+      dest: String,
+      textCol: String = "text",
+      targetRowsPerFile: Long = 1L << 20): Unit = {
+    require(targetRowsPerFile >= 1,
+      s"targetRowsPerFile ($targetRowsPerFile) must be >= 1")
+    val src = readCompressed(spark, dir, textCol)
+    val n = src.count()
+    val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+    src.repartition(parts.toInt)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(dest)
+  }
+
   private[graft] def readDict(spark: SparkSession, dir: String): Array[Byte] = {
     val p = dictPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

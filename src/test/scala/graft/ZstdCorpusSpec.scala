@@ -64,17 +64,33 @@ class ZstdCorpusSpec extends AnyFunSuite {
     val shards = 64
     docs.repartition(shards).write.option("compression", "zstd")
       .parquet(s"$dir/plain-small")
-    docs.repartition(shards)
-      .withColumn("text_z", ZstdDictCodec.compressCol(col("text"), dict, 3))
-      .drop("text")
-      .write.option("compression", "uncompressed").parquet(s"$dir/dict-small")
+    ZstdCorpus.writeCompressed(spark, docs.repartition(shards),
+      s"$dir/dict-small", dict = Some(dict))
+    // frames-only on the dict side: the 64 KiB sidecar is a fixed
+    // cost amortized O(1) over a corpus, not a per-tier cost
     val (plainSmall, dictSmall) =
-      (dirBytes(s"$dir/plain-small"), dirBytes(s"$dir/dict-small"))
+      (dirBytes(s"$dir/plain-small"), dataBytes(s"$dir/dict-small"))
     info(f"big file: parquet-zstd $plainBig%,d B vs dict frames $dictBig%,d B (+64 KiB sidecar); dict-less $noDict%,d B")
     info(f"small files (x$shards): parquet-zstd $plainSmall%,d B vs dict frames $dictSmall%,d B")
     assert(dictSmall < plainSmall,
       s"dict frames must beat the page codec in the small-file regime: " +
         s"$dictSmall vs $plainSmall")
+
+    // GRADUATION closes the loop: the dict-compressed hot tier
+    // rewritten compacted under the page codec must land at the
+    // compacted-page-codec size (it IS that table), beating the
+    // small-file dict tier it graduated from — and it reads back
+    // identical with no _zdict dependency
+    ZstdCorpus.graduate(spark, s"$dir/dict-small", s"$dir/graduated")
+    val grad = dirBytes(s"$dir/graduated")
+    info(f"graduated (compacted page-codec): $grad%,d B")
+    assert(grad < dictSmall,
+      s"graduation must shrink the hot tier: $grad vs $dictSmall")
+    assert(spark.read.parquet(s"$dir/graduated").columns.contains("text"),
+      "graduated tier is plain plaintext parquet")
+    val gdiff = docs.select("doc_id", "text")
+      .except(spark.read.parquet(s"$dir/graduated").select("doc_id", "text"))
+    assert(gdiff.isEmpty, "graduation must preserve every document")
     new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
       .truncate(dir)
   }
