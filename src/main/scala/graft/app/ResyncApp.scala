@@ -62,6 +62,21 @@ object ResyncJob {
       src.maxIntWithMargin(spark, pc, schema)
   }
 
+  /** Adapter-seam variant of [[MongoRanged]]: identical S4–S6
+    * semantics, but the reader behind the URI is whatever
+    * [[graft.sources.DocStoreAdapters]] has registered for its scheme
+    * — the real mongo-spark connector in production, the parquet
+    * stand-in here. The resync flows are agnostic either way. */
+  final case class DocRanged(
+      src: graft.sources.DocStoreSource,
+      schema: Option[org.apache.spark.sql.types.StructType] = None) extends RangedSource {
+    def readRange(spark: SparkSession, pc: String, startIncl: String, endExcl: String): DataFrame =
+      src.readRange(spark, pc, startIncl, endExcl, schema)
+    def minValue(spark: SparkSession, pc: String): Any = src.minValue(spark, pc, schema)
+    def maxIntWithMargin(spark: SparkSession, pc: String): Long =
+      src.maxIntWithMargin(spark, pc, schema)
+  }
+
   /** §1.4 resolution for the document flows: registry file → existing
     * trusted schema → None (infer). */
   def resolveSchema(
@@ -223,6 +238,46 @@ object ResyncJob {
     val chunks = plan
       .map(Intervals.halfOpenInts)
       .map { case (a, b) => (a.toString, b.toString) }
+    ParquetAppend.write(
+      source.readChunksParallel(spark, dataset, pc, chunks), workPath)
+  }
+
+  /** Throughput variant of the DATE resync for JDBC sources — the
+    * reference's main entry point (`carga_date.py`) pulls its
+    * intervals one at a time through the driver loop; this maps the
+    * P1/P3/P4 date plan onto JDBC partition predicates exactly like
+    * [[runIntParallel]] does for the int archetype, so one read pulls
+    * every chunk concurrently (one DB cursor per executor slot) into
+    * one K1 append. Same trade as the int variant: P5's per-chunk
+    * retry/checkpoint is given up for pull throughput — on failure
+    * the whole load re-runs, which K3 truncate + K2 upsert make safe.
+    * `today` is injectable so tests and backfills pin the open end of
+    * the window.
+    */
+  def runDateParallel(
+      spark: SparkSession,
+      source: JdbcSource,
+      dataset: String,
+      pc: String,
+      ref: DatasetRef,
+      lake: LakePaths,
+      cliStart: Option[LocalDate] = None,
+      cliEnd: Option[LocalDate] = None,
+      estimatedRows: Long,
+      truncateFirst: Boolean = true,
+      today: => LocalDate = LocalDate.now()): Unit = {
+    val workPath = lake.work(ref)
+    if (truncateFirst) LakeStorage(spark).clearOrCreate(workPath)
+    val jdbc = JdbcRanged(source, dataset)
+    val bounds = Boundaries.resolveDates(
+      cliStart, cliEnd,
+      sourceMin = toLocalDate(jdbc.minValue(spark, pc)),
+      today = today)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(bounds.start, bounds.end)
+    val width = ChunkWidth.dateChunkDays(estimatedRows, span)
+    val chunks = Intervals.dates(bounds.start, bounds.end, width)
+      .map(Intervals.halfOpenDates)
+      .map { case (s, e) => (s.toString, e.toString) }
     ParquetAppend.write(
       source.readChunksParallel(spark, dataset, pc, chunks), workPath)
   }

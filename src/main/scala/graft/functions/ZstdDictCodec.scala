@@ -82,32 +82,55 @@ case class ZstdDictDecompress(child: Expression, dict: Array[Byte])
 object ZstdDictCodec {
   import com.github.luben.zstd.{Zstd, ZstdCompressCtx, ZstdDecompressCtx}
 
-  // per-thread context caches keyed by (dict content hash, level) —
-  // one dictionary per job in practice, so the hash key never
-  // collides within a thread's lifetime; a collision would only
-  // corrupt OUTPUT SIZE economics, never data (decompress validates
-  // frames), but keep the key content-derived so a replay with a
-  // retrained dictionary can't reuse a stale context. BOUNDED:
-  // contexts hold NATIVE buffers plus a copy of the loaded dict, and
-  // an executor's pooled threads outlive any one job — an unbounded
-  // map would leak off-heap memory per (thread, retrained dict) for
-  // the executor's lifetime. Access-order LRU of 4 per thread,
-  // evictee CLOSED (frees the native allocation); 4 >> the dicts any
-  // one job touches, so steady state never evicts.
+  // per-thread context caches keyed by (dict content DIGEST, level).
+  // A 32-bit Arrays.hashCode key (the old scheme) is not
+  // collision-proof: two distinct dictionaries colliding in one
+  // executor thread would silently compress frames with the WRONG
+  // dictionary — a write-path defect that surfaces only at read time
+  // (zstd dictID mismatch under a table whose _zdict is the other
+  // dict). SHA-256 of the dict content cannot collide in practice,
+  // and to avoid hashing the whole dict per ROW the digest is
+  // memoized by the dict array's reference identity (plan-shipped
+  // dicts are one stable array per task binding, so the memo hits
+  // after the first row; the memo is bounded and cleared, never
+  // trusted for correctness). BOUNDED context caches: contexts hold
+  // NATIVE buffers plus a copy of the loaded dict, and an executor's
+  // pooled threads outlive any one job — an unbounded map would leak
+  // off-heap memory per (thread, retrained dict) for the executor's
+  // lifetime. Access-order LRU of 4 per thread, evictee CLOSED
+  // (frees the native allocation); 4 >> the dicts any one job
+  // touches, so steady state never evicts.
   private def lru[K, V <: AutoCloseable](max: Int) =
     new java.util.LinkedHashMap[K, V](8, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
         if (size() > max) { e.getValue.close(); true } else false
     }
-  private val cctx = new ThreadLocal[java.util.LinkedHashMap[(Int, Int), ZstdCompressCtx]] {
+  private val cctx = new ThreadLocal[java.util.LinkedHashMap[(String, Int), ZstdCompressCtx]] {
     override def initialValue() = lru(4)
   }
-  private val dctx = new ThreadLocal[java.util.LinkedHashMap[Int, ZstdDecompressCtx]] {
+  private val dctx = new ThreadLocal[java.util.LinkedHashMap[String, ZstdDecompressCtx]] {
     override def initialValue() = lru(4)
+  }
+  private val digestMemo = new ThreadLocal[java.util.IdentityHashMap[Array[Byte], String]] {
+    override def initialValue() = new java.util.IdentityHashMap[Array[Byte], String]()
+  }
+  private def dictDigest(dict: Array[Byte]): String = {
+    val memo = digestMemo.get()
+    var d = memo.get(dict)
+    if (d == null) {
+      d = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256").digest(dict))
+      // new array instances arrive once per task binding; dozens of
+      // live entries would mean the memo is holding dead tasks' dict
+      // copies — drop everything rather than leak them
+      if (memo.size() >= 64) memo.clear()
+      memo.put(dict, d)
+    }
+    d
   }
 
   def compress(s: UTF8String, dict: Array[Byte], level: Int): Array[Byte] = {
-    val key = (java.util.Arrays.hashCode(dict), level)
+    val key = (dictDigest(dict), level)
     var ctx = cctx.get().get(key)
     if (ctx == null) {
       ctx = new ZstdCompressCtx().setLevel(level).loadDict(dict)
@@ -117,7 +140,7 @@ object ZstdDictCodec {
   }
 
   def decompress(b: Array[Byte], dict: Array[Byte]): UTF8String = {
-    val key = java.util.Arrays.hashCode(dict)
+    val key = dictDigest(dict)
     var ctx = dctx.get().get(key)
     if (ctx == null) {
       ctx = new ZstdDecompressCtx().loadDict(dict)

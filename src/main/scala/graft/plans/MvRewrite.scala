@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Expand, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -79,6 +80,31 @@ case class MvDef(
     statePath: String,
     baseSignature: Option[String] = None,
     sets: Seq[Seq[String]] = Nil)
+
+/** A registered JOIN view: the state is
+  * `Cdc.aggState(left ⋈_on right, groupCols, sumCols)` maintained
+  * through [[graft.operators.Cdc.joinDelta]] → `maintainAgg` — the
+  * same counting shape as a plain [[MvDef]], whose "base" happens to
+  * be an inner equi-join of two tables. The read side therefore
+  * reuses the whole aggState value mapping; what is join-specific is
+  * only the MATCH: `Aggregate → [Project|Filter]* → Join(inner, on) →
+  * [Project|Filter]* → scan` with the two scan roots equal to the
+  * registered pair (either order — inner joins commute) and the join
+  * condition exactly the registered key equalities. Filters above OR
+  * below the join qualify when they reference only group columns: σ
+  * on group columns commutes with both the inner join and γ, so they
+  * apply to the state instead — this matters because the main
+  * optimizer pushes user filters below the join before this rule
+  * runs. */
+case class JoinMvDef(
+    leftPath: String,
+    rightPath: String,
+    on: Seq[String],
+    groupCols: Seq[String],
+    sumCols: Seq[String],
+    statePath: String,
+    leftSignature: Option[String] = None,
+    rightSignature: Option[String] = None)
 
 /** Process-wide registry base-path → view definition. Paths compare
   * by filesystem path, with scheme/authority kept as a GUARD: a
@@ -156,7 +182,55 @@ object MvCatalog {
     register(basePath, MvDef(groupCols, sumCols, statePath,
       baseSignature = Some(signature(spark, basePath))))
   def unregister(basePath: String): Unit = { mvs.remove(normalize(basePath)); () }
-  def clear(): Unit = { mvs.clear(); sigCache.clear() }
+  def clear(): Unit = { mvs.clear(); joinMvs.clear(); sigCache.clear() }
+
+  /** Join-view registry, keyed by the normalized (left, right) path
+    * pair. Lookup also tries the swapped order — inner joins commute,
+    * and the rule has no way to know which side the user wrote
+    * first. The same scheme/authority guard as scalar registrations
+    * applies to BOTH paths. */
+  private val joinMvs = new java.util.concurrent
+    .ConcurrentHashMap[(String, String), (Option[String], Option[String], JoinMvDef)]()
+
+  def registerJoin(mv: JoinMvDef): Unit = {
+    require(mv.on.nonEmpty, "join view needs join key columns")
+    require(mv.groupCols.nonEmpty, "join view needs group columns")
+    joinMvs.put((normalize(mv.leftPath), normalize(mv.rightPath)),
+      (fsId(mv.leftPath), fsId(mv.rightPath), mv))
+    ()
+  }
+
+  /** Registers with BOTH base file-sets pinned (see [[registerFresh]]):
+    * any drift under either base silently falls back to the join. */
+  def registerJoinFresh(
+      spark: org.apache.spark.sql.SparkSession, mv: JoinMvDef): Unit =
+    registerJoin(mv.copy(
+      leftSignature = Some(signature(spark, mv.leftPath)),
+      rightSignature = Some(signature(spark, mv.rightPath))))
+
+  def unregisterJoin(leftPath: String, rightPath: String): Unit = {
+    joinMvs.remove((normalize(leftPath), normalize(rightPath)))
+    joinMvs.remove((normalize(rightPath), normalize(leftPath)))
+    ()
+  }
+
+  /** Returns the registered view for the scanned pair, in QUERY order:
+    * when the registration matches swapped, left/right (paths AND
+    * signatures) are exchanged so callers can treat the result as
+    * (query-left, query-right). */
+  def lookupJoin(leftPath: String, rightPath: String): Option[JoinMvDef] = {
+    def fits(regId: Option[String], path: String) =
+      regId.isEmpty || fsId(path).isEmpty || regId == fsId(path)
+    val direct = Option(joinMvs.get((normalize(leftPath), normalize(rightPath))))
+      .collect { case (li, ri, mv) if fits(li, leftPath) && fits(ri, rightPath) => mv }
+    direct.orElse {
+      Option(joinMvs.get((normalize(rightPath), normalize(leftPath))))
+        .collect { case (li, ri, mv) if fits(li, rightPath) && fits(ri, leftPath) =>
+          mv.copy(leftPath = mv.rightPath, rightPath = mv.leftPath,
+            leftSignature = mv.rightSignature, rightSignature = mv.leftSignature)
+        }
+    }
+  }
 
   /** A hit requires path equality AND filesystem compatibility: a
     * qualified registration only serves the same scheme+authority; a
@@ -166,7 +240,7 @@ object MvCatalog {
       case (regId, mv) if regId.isEmpty || fsId(basePath).isEmpty ||
         regId == fsId(basePath) => mv
     }
-  def isEmpty: Boolean = mvs.isEmpty
+  def isEmpty: Boolean = mvs.isEmpty && joinMvs.isEmpty
 
   /** TTL-memoized [[signature]] for the OPTIMIZER's freshness check:
     * the rule sits in the operator-optimization batch, which runs to
@@ -208,7 +282,8 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           "spark.graft.mv.rewrite", "true") != "true") plan
     else plan.transformUp {
       case agg: Aggregate =>
-        tryRewrite(agg).orElse(tryRewriteGroupingSets(agg)).getOrElse(agg)
+        tryRewrite(agg).orElse(tryRewriteGroupingSets(agg))
+          .orElse(tryRewriteJoin(agg)).getOrElse(agg)
     }
 
   /** The canonical post-optimization chain under an aggregate:
@@ -341,6 +416,139 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
 
     buildBranch(mv, branchGroups = queriedGroups, gidIndex = gidIndex,
+      groupByGid = false, gidOutValue = None, filters = filters,
+      baseRefName = groupByExprId, groupRefName = groupByExprId,
+      gidRefId = None, outs = outs, keepExprIds = true)
+  }
+
+  // ──────────────────────────────────────────────────────────────────
+  // Aggregate → [Project|Filter]* → Join(inner, on) → two relations
+  // ──────────────────────────────────────────────────────────────────
+
+  private def stripToJoin(
+      p: LogicalPlan,
+      filters: List[Expression]): Option[(logical.Join, List[Expression])] =
+    p match {
+      case f: Filter => stripToJoin(f.child, f.condition :: filters)
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToJoin(pr.child, filters)
+      case j: logical.Join => Some((j, filters))
+      case _ => None
+    }
+
+  private def relRoot(lr: LogicalRelation): Option[String] = {
+    val roots = lr.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths
+      case _ => return None
+    }
+    if (roots.length == 1) Some(roots.head.toString) else None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** A query that aggregates an inner equi-join of a registered pair
+    * is answered from the join view's counting state. Filters may sit
+    * above OR below the join (the optimizer pushes them down before
+    * this rule runs) — both positions commute with the inner join and
+    * the aggregate when they touch only group columns, so they all
+    * apply to the state. The value mapping is [[buildBranch]]'s,
+    * identical to the scalar-base rewrite. */
+  private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    val (join, aboveFilters) = stripToJoin(agg.child, Nil) match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (join.joinType != org.apache.spark.sql.catalyst.plans.Inner) return None
+    val cond = join.condition match {
+      case Some(c) => c
+      case None => return None
+    }
+    val (llr, lFilters) = strip(join.left, Nil) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val (rlr, rFilters) = strip(join.right, Nil) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val (lPath, rPath) = (relRoot(llr), relRoot(rlr)) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => return None
+    }
+    val mv = MvCatalog.lookupJoin(lPath, rPath) match {
+      case Some(m) => m
+      case None => return None
+    }
+    // freshness pins, both sides (lookupJoin returned them in query
+    // order)
+    if (mv.leftSignature.exists(_ != MvCatalog.cachedSignature(session, lPath)) ||
+        mv.rightSignature.exists(_ != MvCatalog.cachedSignature(session, rPath)))
+      return None
+
+    // the join condition must be exactly the registered key
+    // equalities: one name-preserving attr = attr conjunct per key,
+    // one side from each relation, covering the key set exactly
+    val lIds = llr.output.map(_.exprId).toSet
+    val rIds = rlr.output.map(_.exprId).toSet
+    val eqPairs = conjuncts(cond).map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, b: AttributeReference)
+        if a.name == b.name &&
+          ((lIds.contains(a.exprId) && rIds.contains(b.exprId)) ||
+            (rIds.contains(a.exprId) && lIds.contains(b.exprId))) =>
+        (a.name, Seq(a.exprId, b.exprId))
+      case _ => return None
+    }
+    val eqNames = eqPairs.map(_._1)
+    if (eqNames.toSet != mv.on.toSet || eqNames.distinct.length != eqNames.length)
+      return None
+    val keyIds = eqPairs.flatMap(_._2).toSet
+
+    // attribute maps span BOTH relations; the shared key columns map
+    // from whichever side the query referenced (equal under the
+    // inner join, and the state carries one column per name)
+    val bothOut = llr.output ++ rlr.output
+    val groupByExprId = bothOut
+      .filter(a => mv.groupCols.contains(a.name))
+      .map(a => a.exprId.id -> a.name).toMap
+    val sumByExprId = bothOut
+      .filter(a => mv.sumCols.contains(a.name))
+      .map(a => a.exprId.id -> a.name).toMap
+
+    // `isnotnull(<join key>)` conjuncts are the optimizer's own
+    // constraint inference (an inner equi-join never emits null-key
+    // rows) — implied by the join, hence no-ops relative to the
+    // state; drop them rather than reject the query over them
+    val filters = (aboveFilters ++ lFilters ++ rFilters)
+      .flatMap(conjuncts)
+      .filterNot {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            ar: AttributeReference) => keyIds.contains(ar.exprId)
+        case _ => false
+      }
+    val fCols = filterCols(filters, groupByExprId) match {
+      case Some(cs) => cs
+      case None => return None
+    }
+
+    val queriedGroups = agg.groupingExpressions.map {
+      case ar: AttributeReference if groupByExprId.contains(ar.exprId.id) =>
+        groupByExprId(ar.exprId.id)
+      case _ => return None
+    }
+    val outs: Seq[Out] = agg.aggregateExpressions.map { ne =>
+      classifyOut(ne, groupByExprId.keySet, None, sumByExprId) match {
+        case Some(o) => o
+        case None => return None
+      }
+    }
+    val _ = fCols
+    buildBranch(MvDef(mv.groupCols, mv.sumCols, mv.statePath),
+      branchGroups = queriedGroups, gidIndex = None,
       groupByGid = false, gidOutValue = None, filters = filters,
       baseRefName = groupByExprId, groupRefName = groupByExprId,
       gidRefId = None, outs = outs, keepExprIds = true)

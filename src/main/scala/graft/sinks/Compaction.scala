@@ -141,6 +141,95 @@ object Compaction {
     dataFiles(fs, target).size
   }
 
+  /** Tier state of a [[graft.sources.ZstdCorpus]] zone after a
+    * [[compactCorpusTier]] pass. */
+  sealed trait CorpusTierState
+  /** Still dictionary-compressed: files merged, frames untouched,
+    * `_zdict` sidecar carried forward. */
+  case object DictTier extends CorpusTierState
+  /** Graduated to the parquet page codec (now or on a previous pass):
+    * plaintext text column, zstd pages, no `_zdict` dependency. */
+  case object PageTier extends CorpusTierState
+
+  /** Corpus-tier compaction with AUTOMATIC GRADUATION — the
+    * scheduling seam [[graft.sources.ZstdCorpus.graduate]]'s doc
+    * promises: call this on the maintenance cadence and the zone
+    * flips itself from dict frames to the page codec at the size
+    * boundary where the dictionary loses.
+    *
+    * The measured economics (`ZstdCorpusSpec`, ScaleCheck
+    * `zstd_dict`): dict frames win the micro-batch-file regime
+    * (0.89–0.94× of page-codec bytes — small files give the page
+    * codec no history), and LOSE once compacted (1.26–1.39× — a big
+    * column chunk gives the page codec the whole corpus as history).
+    * So while the zone's data is under `graduateAtBytes` it stays a
+    * dict tier — files merge WITHOUT touching frames (per-row frames
+    * survive file concatenation; no decompress/recompress, the
+    * `_zdict` sidecar is carried into the staged zone) — and once it
+    * crosses, the pass decompresses once and rewrites as a compacted
+    * page-codec table: plain parquet any reader understands, no
+    * sidecar. A zone with no `_zdict` is already graduated — the
+    * pass is a no-op returning [[PageTier]], so the call is
+    * idempotent on a cadence.
+    *
+    * Same staged write → commit marker → rename-swap discipline and
+    * crash recovery as [[compactWork]]. Flat (unpartitioned) zones
+    * without a streaming sink log — the shape
+    * [[graft.sources.ZstdCorpus.writeCompressed]] produces. */
+  def compactCorpusTier(
+      spark: SparkSession,
+      dir: String,
+      textCol: String = "text",
+      graduateAtBytes: Long = 32L << 20,
+      targetBytes: Long = 128L * 1024 * 1024,
+      targetRowsPerFile: Long = 1L << 20): CorpusTierState = {
+    require(graduateAtBytes >= 0, s"graduateAtBytes must be >= 0")
+    require(targetBytes > 0 && targetRowsPerFile > 0,
+      "targetBytes and targetRowsPerFile must be positive")
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + "__cstaging")
+    val prev = new Path(dir + "__cprev")
+    recoverCompaction(fs, target, staging, prev)
+    require(fs.exists(target), s"no corpus zone at $dir")
+    require(!fs.listStatus(target).exists(_.isDirectory),
+      s"$dir is partitioned or stream-logged — compactCorpusTier " +
+        "handles the flat zones ZstdCorpus.writeCompressed produces")
+    val dictP = graft.sources.ZstdCorpus.dictPath(dir)
+    if (!fs.exists(dictP)) return PageTier // already graduated
+
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val totalBytes = dataFiles(fs, target).map(_.getLen).sum
+    val graduated = totalBytes >= graduateAtBytes
+    if (!graduated) {
+      // dict tier: merge small files, frames pass through opaque —
+      // same no-shuffle coalesce bin-packing as compactWork, file
+      // codec stays off (the frames are already high-entropy)
+      val numFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(dir).coalesce(numFiles)
+        .write.option("compression", "uncompressed").parquet(staging.toString)
+      val dict = graft.sources.ZstdCorpus.readDictBytes(fs, dictP)
+      val out = fs.create(graft.sources.ZstdCorpus.dictPath(staging.toString), true)
+      try out.write(dict) finally out.close()
+    } else {
+      // graduation: decompress once, land as a compacted page-codec
+      // table (one exchange, sized by rows — the point of the flip)
+      val src = graft.sources.ZstdCorpus.readCompressed(spark, dir, textCol)
+      val n = src.count()
+      val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+      src.repartition(parts.toInt)
+        .write.option("compression", "zstd").parquet(staging.toString)
+    }
+    fs.create(new Path(staging, CommitMarker), true).close()
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (!fs.rename(target, prev))
+      sys.error(s"corpus compaction swap failed: could not move $target aside")
+    if (!fs.rename(staging, target))
+      sys.error(s"corpus compaction swap failed: could not promote $staging")
+    fs.delete(prev, true)
+    if (graduated) PageTier else DictTier
+  }
+
   /** Stage a `_spark_metadata` log listing exactly the staged data
     * files (addressed at their POST-swap paths), shaped as documented
     * on [[compactWork]]. */

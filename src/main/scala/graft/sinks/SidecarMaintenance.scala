@@ -159,6 +159,34 @@ object SidecarMaintenance {
         val claimed =
           try fs.rename(lease, claim)
           catch { case _: java.io.IOException => false }
+        // The rename can succeed against the WRONG file: if this
+        // breaker stalls between the `young` check and the rename, a
+        // concurrent breaker can complete its whole claim → delete →
+        // create sequence, and the delayed rename then claims the
+        // winner's FRESH lease — both maintainers would proceed.
+        // Rename preserves mtime, so validate the claimed file really
+        // is the expired orphan: a young claim is someone's live
+        // lease — put it back and refuse.
+        if (claimed) {
+          val claimAge =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(claim).getModificationTime
+            catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+          if (claimAge < leaseGraceMs) {
+            val restored =
+              try fs.rename(claim, lease)
+              catch { case _: java.io.IOException => false }
+            require(requirement = false,
+              s"another maintainer (${if (restored) namedHolder else holder}) " +
+                s"re-acquired the commit lease at $lease during our orphan " +
+                "takeover — sidecar maintenance is single-writer; let the " +
+                "winner's commit finish" +
+                (if (restored) ""
+                 else s" (could not restore its lease from $claim — a third " +
+                   "acquirer raced the restore; resolve the claim file " +
+                   "manually before the next maintenance run)"))
+          }
+        }
         if (!claimed) {
           // Two ways the source can be gone: (a) another orphan
           // breaker won the claim race — its fresh lease reappears
@@ -1013,14 +1041,23 @@ object SidecarMaintenance {
     * FAILED_READ_FILE wrapping a FileNotFoundException (often buried
     * under a SparkException job-failure layer), where the planning
     * path throws PATH_NOT_FOUND directly — walk the cause chain and
-    * accept any of them. */
+    * accept either. FAILED_READ_FILE alone is NOT enough: that error
+    * class also wraps corrupt footers, permission failures, and
+    * transient IO, and [[retryOnSnapshotMiss]] re-executes a possibly
+    * side-effecting body — so the wrapper only counts when a
+    * file-not-found actually appears beneath it (as a typed cause, or
+    * named in a message when remote serialization flattened the
+    * chain). */
   private[graft] def isSnapshotMiss(t: Throwable): Boolean = {
     var cur = t
     var depth = 0
     while (cur != null && depth < 10) {
       if (isPathNotFound(cur) ||
           cur.isInstanceOf[java.io.FileNotFoundException] ||
-          Option(cur.getMessage).exists(_.contains("FAILED_READ_FILE")))
+          Option(cur.getMessage).exists(m =>
+            m.contains("FAILED_READ_FILE") &&
+              (m.contains("FileNotFoundException") ||
+                m.contains("PATH_NOT_FOUND"))))
         return true
       cur = cur.getCause
       depth += 1

@@ -142,3 +142,126 @@ final case class MongoLikeSource(path: String) {
 object ParquetSource {
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 }
+
+/** Connector ADAPTER SEAM for document stores: URI + database +
+  * collection + optional schema → DataFrame.
+  *
+  * The reference loads real MongoDB through the mongo-spark connector
+  * (`shared_etls/etls/load_utils.py:49-103`: `spark.read.format(…)`
+  * with URI/collection options and inference disabled when a schema
+  * is resolved). No connector jar ships in this environment, so the
+  * engine cannot BE that reader — but the option plumbing must not be
+  * welded to the parquet stand-in either, or a production deployment
+  * has to fork the source to swap the jar in. This trait is the seam:
+  * [[DocStoreSource]] resolves the database name from the URI
+  * (P7 `ConnStrings.mongoDatabaseName` — regex `database=(\w+)`,
+  * namespace fallback) and routes every S4–S6 read through the
+  * adapter registered for the URI's scheme.
+  *
+  * Dropping the real connector in is a config swap, no engine change:
+  * {{{
+  * DocStoreAdapters.register("mongodb", new DocStoreAdapter {
+  *   def load(spark, uri, database, collection, schema) = {
+  *     val r = spark.read.format("mongodb")
+  *       .option("connection.uri", uri)
+  *       .option("database", database)
+  *       .option("collection", collection)
+  *     schema.fold(r)(s => r.schema(s)).load()  // schema ⇒ no inference
+  *   }
+  * })
+  * }}}
+  */
+trait DocStoreAdapter {
+  def load(
+      spark: SparkSession,
+      uri: String,
+      database: String,
+      collection: String,
+      schema: Option[StructType]): DataFrame
+}
+
+object DocStoreAdapters {
+  private val adapters =
+    new java.util.concurrent.ConcurrentHashMap[String, DocStoreAdapter]()
+
+  /** Default adapter: the parquet-backed stand-in — the URI (scheme
+    * stripped, query string dropped) is a lake directory and the
+    * collection is `<dir>/<collection>.parquet`. The explicit schema
+    * disables inference exactly as a real connector would. */
+  object ParquetDirAdapter extends DocStoreAdapter {
+    def load(
+        spark: SparkSession,
+        uri: String,
+        database: String,
+        collection: String,
+        schema: Option[StructType]): DataFrame = {
+      val noQuery = uri.split('?')(0)
+      val dir = noQuery.indexOf("://") match {
+        case -1 => noQuery
+        case i => noQuery.substring(i + 3).dropWhile(_ != '/')
+      }
+      val path = s"$dir/$collection.parquet"
+      schema.fold(spark.read.parquet(path))(s => spark.read.schema(s).parquet(path))
+    }
+  }
+
+  def register(scheme: String, adapter: DocStoreAdapter): Unit = {
+    adapters.put(scheme, adapter); ()
+  }
+  def unregister(scheme: String): Unit = { adapters.remove(scheme); () }
+
+  /** Adapter for a URI, by the P7 scheme rule ([[graft.planner
+    * .ConnStrings.driverName]]): `mongodb` anywhere in the URI wins;
+    * else the scheme is the last `:`-segment before `://` (so both
+    * `fakedb://…` and the JDBC-style `jdbc:mysql://…` resolve).
+    * Unregistered schemes (and bare paths) fall back to
+    * [[ParquetDirAdapter]]. */
+  def forUri(uri: String): DocStoreAdapter = {
+    val scheme =
+      if (uri.contains("mongodb")) "mongodb"
+      else uri.indexOf("://") match {
+        case -1 => ""
+        case i => uri.substring(0, i).split(':').last
+      }
+    Option(adapters.get(scheme)).getOrElse(ParquetDirAdapter)
+  }
+}
+
+/** Document-store source over the [[DocStoreAdapter]] seam: the same
+  * S4–S6 semantics as [[MongoLikeSource]] (inclusive `between` ranged
+  * scan, min/max boundary aggregates, schema-optional load with
+  * inference disabled when resolved — reference
+  * `load_utils.py:49-103, 244-303, 365-457`), with the reader itself
+  * swappable per URI scheme. The database name comes from the URI by
+  * the reference's own rule (`utils.py:30-47`). */
+final case class DocStoreSource(
+    uri: String,
+    collection: String,
+    fallbackNamespace: String = "default") {
+
+  def database: String =
+    graft.planner.ConnStrings.mongoDatabaseName(uri, fallbackNamespace)
+
+  private def base(spark: SparkSession, schema: Option[StructType]): DataFrame =
+    DocStoreAdapters.forUri(uri).load(spark, uri, database, collection, schema)
+
+  /** S4 — inclusive ranged scan (with a real connector the filter
+    * pushes as a server-side `$match`). */
+  def readRange(
+      spark: SparkSession,
+      pc: String,
+      start: Any,
+      end: Any,
+      schema: Option[StructType] = None): DataFrame =
+    base(spark, schema).filter(col(pc).between(lit(start), lit(end)))
+
+  /** S5 — min boundary aggregate. */
+  def minValue(spark: SparkSession, pc: String, schema: Option[StructType] = None): Any =
+    base(spark, schema).agg(min(col(pc))).head().get(0)
+
+  /** S6 — max boundary + the +300000 margin. */
+  def maxIntWithMargin(spark: SparkSession, pc: String, schema: Option[StructType] = None): Long = {
+    val v = base(spark, schema).select(max(col(pc))).head().getLong(0)
+    v + Boundaries.SecurityMargin
+  }
+}

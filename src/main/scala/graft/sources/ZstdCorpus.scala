@@ -155,6 +155,11 @@ object ZstdCorpus {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no zstd dictionary sidecar at $p — was this " +
       "table written by ZstdCorpus.writeCompressed?")
+    readDictBytes(fs, p)
+  }
+
+  private[graft] def readDictBytes(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
     val in = fs.open(p)
     try {
       val len = fs.getFileStatus(p).getLen.toInt

@@ -189,18 +189,23 @@ object StreamingOps {
     // previous shape streamed the FULL deduped table into a memory
     // sink and collected every row driver-side before counting — a
     // driver OOM by construction at corpus scale and this harness's
-    // dominant cost even at sf0.1.
-    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    // dominant cost even at sf0.1. Counts keyed by batchId,
+    // last-write-wins: foreachBatch's contract allows an epoch to be
+    // re-invoked on recovery/retry, and a bare accumulator would
+    // double-count the replayed batch — the same idempotent-sink
+    // discipline the durable foreachBatch sinks below follow.
+    val counts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
     val q = deduped.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        total.addAndGet(batch.count()): Unit
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        counts.put(batchId, batch.count()): Unit
       }
       .start()
     q.awaitTermination()
     import spark.implicits._
-    Seq(total.get()).toDF("n_unique")
+    import scala.jdk.CollectionConverters._
+    Seq(counts.values.asScala.foldLeft(0L)(_ + _)).toDF("n_unique")
   }
 
   /** Third oracle-graded streaming harness, covering SESSION-WINDOW

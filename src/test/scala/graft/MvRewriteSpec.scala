@@ -371,6 +371,150 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(baseline(q).isEmpty)
   }
 
+  // ── join views (JoinMvDef: Aggregate → Join → scans) ─────────────
+
+  /** Fact (key k, group tag, sum w — duplicate keys so the join
+    * multiplies rows) and dim (key k, group g — one duplicate key,
+    * one unmatched key, one NULL group). */
+  private def joinDfs: (DataFrame, DataFrame) = {
+    val a = Seq((1, "x", Option(10L)), (1, "y", Option(3L)), (2, "x", None),
+      (3, "z", Option(7L)), (2, "y", Option(5L)))
+      .toDF("k", "tag", "w")
+    val b = Seq((1, Option("G1")), (2, Option("G2")), (2, Option("G2b")),
+      (3, None), (4, Option("G4")))
+      .toDF("k", "g")
+    (a, b)
+  }
+
+  private def joinFixture(tag: String): (String, String, String) = {
+    val (a, b) = joinDfs
+    val aPath = tmp(s"$tag-a")
+    val bPath = tmp(s"$tag-b")
+    val statePath = tmp(s"$tag-state")
+    a.write.mode("overwrite").parquet(aPath)
+    b.write.mode("overwrite").parquet(bPath)
+    Cdc.aggState(a.join(b, Seq("k"), "inner"), Seq("g", "tag"), Seq("w"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.registerJoin(graft.plans.JoinMvDef(
+      aPath, bPath, Seq("k"), Seq("g", "tag"), Seq("w"), statePath))
+    (aPath, bPath, statePath)
+  }
+
+  private def scansOnlyState(df: DataFrame, statePath: String, bases: String*): Boolean = {
+    val paths = scanPaths(df)
+    paths.exists(_.startsWith(statePath)) &&
+      !bases.exists(b => paths.exists(_.startsWith(b)))
+  }
+
+  test("join view: aggregate over the registered inner join answers from the state") {
+    val (aPath, bPath, statePath) = joinFixture("jv")
+    def q = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "inner")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"),
+        count(col("w")).as("nn_w"), sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(q, statePath, aPath, bPath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
+  test("join view: pushed-below-join group filter, subset rollup, global, and swapped order all serve") {
+    val (aPath, bPath, statePath) = joinFixture("jv2")
+    // filter on a group column — the optimizer pushes it below the
+    // join (plus inferred isnotnull conjuncts) before the rule runs
+    def qf = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "inner")
+      .where(col("g") =!= "G2")
+      .groupBy("tag").agg(sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(qf, statePath, aPath, bPath), scanPaths(qf).mkString(", "))
+    assert(qf.collect().map(_.toString).sorted.toSeq === baseline(qf))
+    // global rollup
+    def qg = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "inner")
+      .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(qg, statePath, aPath, bPath))
+    assert(qg.collect().map(_.toString).sorted.toSeq === baseline(qg))
+    // the user writes the join the other way round — inner joins
+    // commute, the registration must still serve
+    def qs = spark.read.parquet(bPath)
+      .join(spark.read.parquet(aPath), Seq("k"), "inner")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"))
+    assert(scansOnlyState(qs, statePath, aPath, bPath), scanPaths(qs).mkString(", "))
+    assert(qs.collect().map(_.toString).sorted.toSeq === baseline(qs))
+  }
+
+  test("join view: non-rewritable shapes keep the join and stay correct") {
+    val (aPath, bPath, statePath) = joinFixture("jv3")
+    val a = spark.read.parquet(aPath)
+    val b = spark.read.parquet(bPath)
+    val shapes: Seq[(String, DataFrame)] = Seq(
+      "left join" -> a.join(b, Seq("k"), "left")
+        .groupBy("g").agg(count(lit(1)).as("n")),
+      "filter on sum col" -> a.join(b, Seq("k"), "inner")
+        .where(col("w") > 0).groupBy("g").agg(count(lit(1)).as("n")),
+      "filter on join key" -> a.join(b, Seq("k"), "inner")
+        .where(col("k") =!= 2).groupBy("g").agg(count(lit(1)).as("n")),
+      "sum of unregistered col" -> a.join(b, Seq("k"), "inner")
+        .groupBy("g").agg(sum(col("k")).as("s")))
+    for ((label, q) <- shapes) {
+      val paths = scanPaths(q)
+      assert(!paths.exists(_.startsWith(statePath)),
+        s"$label should not rewrite: ${paths.mkString(", ")}")
+      assert(q.collect().map(_.toString).sorted.toSeq === baseline(q), label)
+    }
+  }
+
+  test("join view maintained through two-sided churn answers queries — joinDelta loop closed") {
+    val (a0, b0) = joinDfs
+    // churn BOTH sides: drop a fact row, re-tag another, drop a dim
+    // key (deletes fan out through the join), re-group another
+    val a1 = a0.where(!(col("k") === 3 && col("tag") === "z"))
+      .withColumn("tag", when(col("k") === 1 && col("tag") === "y", lit("y2"))
+        .otherwise(col("tag")))
+    val b1 = b0.where(col("g").isNull || col("g") =!= "G2b")
+      .withColumn("g", when(col("k") === 1, lit("G1x")).otherwise(col("g")))
+    val aPath = tmp("jvm-a")
+    val bPath = tmp("jvm-b")
+    val statePath = tmp("jvm-state")
+    a1.write.mode("overwrite").parquet(aPath)
+    b1.write.mode("overwrite").parquet(bPath)
+    val state0 = Cdc.aggState(a0.join(b0, Seq("k"), "inner"), Seq("g", "tag"), Seq("w"))
+    val delta = Cdc.joinDelta(
+      Cdc.signedDelta(a0, a1, Seq("k", "tag")), a0,
+      Cdc.signedDelta(b0, b1, Seq("k", "g")), b0, on = Seq("k"))
+    Cdc.maintainAgg(state0, delta, Seq("g", "tag"), Seq("w"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.registerJoin(graft.plans.JoinMvDef(
+      aPath, bPath, Seq("k"), Seq("g", "tag"), Seq("w"), statePath))
+    def q = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "inner")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"), sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(q, statePath, aPath, bPath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
+  test("join view freshness pin: drift under either base falls back to the join") {
+    spark.conf.set("spark.graft.mv.signatureCacheMs", "0")
+    val (a, b) = joinDfs
+    val aPath = tmp("jvf-a")
+    val bPath = tmp("jvf-b")
+    val statePath = tmp("jvf-state")
+    a.write.mode("overwrite").parquet(aPath)
+    b.write.mode("overwrite").parquet(bPath)
+    Cdc.aggState(a.join(b, Seq("k"), "inner"), Seq("g", "tag"), Seq("w"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.registerJoinFresh(spark, graft.plans.JoinMvDef(
+      aPath, bPath, Seq("k"), Seq("g", "tag"), Seq("w"), statePath))
+    def q = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "inner")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"))
+    assert(scansOnlyState(q, statePath, aPath, bPath), "pinned join view must serve while fresh")
+    // drift the RIGHT base: a new dim row the state never saw
+    b.where(col("k") === 4).write.mode("append").parquet(bPath)
+    val paths = scanPaths(q)
+    assert(!paths.exists(_.startsWith(statePath)),
+      s"drifted base must fall back to the join; scans: $paths")
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
   test("maintained cubeState answers ROLLUP after churn — the lattice IVM loop closed") {
     val basePath = tmp("rum-base")
     val statePath = tmp("rum-state")

@@ -35,6 +35,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(df.select("ID").distinct().count() == 1000, "chunks must tile without overlap")
   }
 
+  test("parallel DATE resync: N planner chunks land as N input partitions and tile exactly") {
+    val url = "jdbc:derby:memory:graftpardate;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE pard_t (id INT NOT NULL, d DATE NOT NULL)")
+    val ins = conn.prepareStatement("INSERT INTO pard_t VALUES (?, ?)")
+    val start = java.time.LocalDate.parse("2020-01-01")
+    for (i <- 0 until 600) { // 10 rows/day over a 60-day span
+      ins.setInt(1, i)
+      ins.setDate(2, java.sql.Date.valueOf(start.plusDays(i / 10)))
+      ins.executeUpdate()
+    }
+    conn.close()
+
+    val lake = graft.core.LakePaths(
+      Files.createTempDirectory("graft-pardate").toString)
+    val ref = graft.core.DatasetRef("test", "db", "pard_t")
+    // estimatedRows < 100k with a 60-day span → P1 width 15 → 4 chunks
+    graft.app.ResyncJob.runDateParallel(
+      spark,
+      JdbcSource(url, "", "", Some("org.apache.derby.iapi.jdbc.AutoloadedDriver")),
+      dataset = "pard_t", pc = "d", ref = ref, lake = lake,
+      cliStart = Some(start), cliEnd = Some(start.plusDays(60)),
+      estimatedRows = 600)
+    val work = spark.read.parquet(lake.work(ref))
+    assert(work.count() == 600)
+    assert(work.select("ID").distinct().count() == 600, "chunks must tile without overlap")
+    // the scale witness: the chunked pull parallelizes the extract —
+    // one JDBC partition (one concurrent DB cursor) per planner chunk
+    val src = JdbcSource(url, "", "", Some("org.apache.derby.iapi.jdbc.AutoloadedDriver"))
+    val chunks = graft.planner.Intervals.dates(start, start.plusDays(60), 15)
+      .map(graft.planner.Intervals.halfOpenDates)
+      .map { case (a, b) => (a.toString, b.toString) }
+    // 60-day span at width 15 → 4 full tiles + the P6 end-compensation
+    // sliver covering the open end
+    assert(chunks.length == 5)
+    val df = src.readChunksParallel(spark, "pard_t", "d", chunks)
+    assert(df.rdd.getNumPartitions == chunks.length,
+      "one JDBC partition per date chunk")
+    assert(df.count() == 600)
+  }
+
   test("salted aggregation matches plain aggregation under a hot key") {
     // one pathological key with 50k rows + a uniform tail
     val hot = spark.range(50000).select(lit("HOT").as("fp"), col("id").as("doc_id"))

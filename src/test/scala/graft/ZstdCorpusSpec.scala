@@ -95,6 +95,43 @@ class ZstdCorpusSpec extends AnyFunSuite {
       .truncate(dir)
   }
 
+  test("compactCorpusTier: merges under the boundary, graduates over it, idempotent after") {
+    import graft.sinks.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-ztier").toString
+    val zone = s"$dir/z"
+    ZstdCorpus.writeCompressed(spark, docs.repartition(6), zone)
+    val fs = new org.apache.hadoop.fs.Path(zone)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(zone))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    def hasDict = fs.exists(ZstdCorpus.dictPath(zone))
+
+    // under the boundary: merge, keep frames + sidecar
+    assert(Compaction.compactCorpusTier(spark, zone,
+      graduateAtBytes = Long.MaxValue) == Compaction.DictTier)
+    assert(hasDict && nFiles < 6, s"expected merged dict tier ($nFiles files)")
+    assert(spark.read.parquet(zone).columns.contains("text_z"))
+    assert(ZstdCorpus.readCompressed(spark, zone).select("doc_id", "text")
+      .except(docs.select("doc_id", "text")).isEmpty,
+      "dict-tier merge must preserve every frame")
+
+    // over the boundary: graduate to the page codec, drop the sidecar
+    assert(Compaction.compactCorpusTier(spark, zone,
+      graduateAtBytes = 1L) == Compaction.PageTier)
+    assert(!hasDict, "graduated zone must not depend on _zdict")
+    val grad = spark.read.parquet(zone)
+    assert(grad.columns.contains("text") && !grad.columns.contains("text_z"))
+    assert(grad.select("doc_id", "text")
+      .except(docs.select("doc_id", "text")).isEmpty,
+      "graduation must preserve every row")
+
+    // already graduated: no-op PageTier on the cadence
+    assert(Compaction.compactCorpusTier(spark, zone) == Compaction.PageTier)
+    assert(grad.count() == docs.count())
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(dir)
+  }
+
   test("delta appends compress against the SAME frozen dictionary and stay readable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zstd-delta").toString
     val first = docs.where(col("doc_id") % 5 =!= 0)

@@ -25,10 +25,12 @@ import sys
 
 
 def load_bench(path):
-    """Returns (queries_map, canary_samples_or_None, canary_ref_or_None)."""
+    """Returns (queries_map, canary_samples_or_None, canary_ref_or_None,
+    worst_part_canary_or_None)."""
     obj = json.load(open(path))
     if "queries" in obj:
-        return obj["queries"], obj.get("canary"), obj.get("canary_ref")
+        return (obj["queries"], obj.get("canary"), obj.get("canary_ref"),
+                obj.get("canary_worst_part"))
     tail = obj.get("tail")
     if isinstance(tail, str):
         # driver format: find the Bench JSON line inside the stdout
@@ -39,6 +41,7 @@ def load_bench(path):
         # with a short queries-free summary last — reassemble those.
         found = None
         canary = None
+        worst_part = None
         parts = {}
         for line in tail.splitlines():
             j = line.find('{"bench_part"')
@@ -59,6 +62,7 @@ def load_bench(path):
             if "queries" in cand:
                 found = cand["queries"]
                 canary = cand.get("canary", canary)
+                worst_part = cand.get("canary_worst_part", worst_part)
         # Since the canary change the FINAL line carries the headline
         # subset (it fits the driver's ~2 KB tail) while the full map
         # rides the bench_part lines — merge BOTH when both survived
@@ -69,7 +73,7 @@ def load_bench(path):
             for k in sorted(parts):
                 merged.update(parts[k])
             merged.update(found or {})
-            return merged, canary, None
+            return merged, canary, None, worst_part
         sys.exit(f"{path}: driver-format file but no complete bench "
                  f"JSON line in its tail (run truncated or crashed?)")
     sys.exit(f"{path}: unrecognized bench format "
@@ -86,15 +90,44 @@ CANARY_MAX = 1.3    # a capture whose BEST canary sample exceeds this
                     # invalid, re-run") — distinct from a regression.
 
 
-def main(fresh_path, base_path):
-    fresh, canary, _ = load_bench(fresh_path)
-    base, _, canary_ref = load_bench(base_path)
+def main(fresh_path, base_path, allow_no_canary=False):
+    fresh, canary, _, worst_part = load_bench(fresh_path)
+    base, _, canary_ref, _ = load_bench(base_path)
     if canary_ref is not None:
         if not canary:
+            # A canary-less capture against a canary-carrying baseline
+            # is UNGRADEABLE: the window could be arbitrarily loaded
+            # and nothing in the file can prove otherwise — exactly
+            # the unfalsifiable-weather failure the canary exists to
+            # refuse. Exit 2 unless explicitly overridden.
             print(f"== BENCH WINDOW UNKNOWN: baseline carries canary_ref="
                   f"{canary_ref:.3f}s but the capture has no canary "
-                  f"samples (pre-canary Bench build?) — treating as "
-                  f"valid, but re-run on a canary-enabled build ==")
+                  f"samples (pre-canary or stripped Bench build?) ==")
+            if not allow_no_canary:
+                print(f"  refusing to grade (exit 2) — re-run on a "
+                      f"canary-enabled build, or pass --allow-no-canary "
+                      f"to grade anyway")
+                return 2
+            print(f"  --allow-no-canary given: grading an UNVALIDATED "
+                  f"window")
+        elif worst_part is not None:
+            # Self-healing Bench (r18+): canary_worst_part is the worst
+            # part's BEST bracket sample — per-part validity in one
+            # float. If even the worst part had a quiet bracket, EVERY
+            # graded row came from a validated window (strictly
+            # stronger than the whole-run min below).
+            if worst_part > canary_ref * CANARY_MAX:
+                print(f"== BENCH WINDOW INVALID, RE-RUN ==")
+                print(f"  worst part's best canary bracket "
+                      f"{worst_part:.3f}s > {CANARY_MAX}x canary_ref "
+                      f"{canary_ref:.3f}s — at least one measurement "
+                      f"part never saw a quiet window even after "
+                      f"in-run retries; its rows are weather, not code")
+                return 2
+            print(f"  [window ok per-part] worst part's best bracket "
+                  f"{worst_part:.3f}s <= {CANARY_MAX}x ref "
+                  f"{canary_ref:.3f}s (run summary: "
+                  f"{', '.join(f'{c:.3f}' for c in canary)})")
         else:
             best = min(canary)
             if best > canary_ref * CANARY_MAX:
@@ -138,7 +171,8 @@ def main(fresh_path, base_path):
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:] or []
+    args = [a for a in sys.argv[1:] if a != "--allow-no-canary"]
+    allow = "--allow-no-canary" in sys.argv[1:]
     fresh = args[0] if len(args) > 0 else "bench_out.json"
     base = args[1] if len(args) > 1 else "BENCH_BASELINE.json"
-    sys.exit(main(fresh, base))
+    sys.exit(main(fresh, base, allow_no_canary=allow))
