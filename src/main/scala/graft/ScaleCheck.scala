@@ -1068,6 +1068,163 @@ object ScaleCheck {
         .truncate(root)
     }
 
+    // ── sf1 TIER: the four load-bearing flows at ~one-order-deeper
+    // scale (k=10 over sf0.1 ⇒ ~6M-row lineitem, ~1.5M orders,
+    // ~100k vectors) with HARD require()s, not printed ratios — a
+    // violated invariant crashes the run. The invariants are the
+    // structural flat-cost claims (bytes written, records read,
+    // files rewritten), which are weather-independent; wall-clock is
+    // printed for the record alongside bracketing canary samples so
+    // a reader can judge the window. Run:
+    //   runMain graft.ScaleCheck 10 /root/testdata/sf0.1 32 sf1
+    if (only.exists(_.contains("sf1"))) {
+      require(k >= 10, s"the sf1 tier needs k >= 10 over sf0.1 (got $k)")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-sf1").toString
+      def io(f: => Unit): (Long, Long, Long) = {
+        val w = new java.util.concurrent.atomic.AtomicLong
+        val r = new java.util.concurrent.atomic.AtomicLong
+        val sh = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) {
+              w.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
+              r.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+              sh.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            }
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          org.apache.spark.graftglue.SparkGlue.flushListeners(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(l)
+        (w.get, r.get, sh.get)
+      }
+      val cBefore = Bench.canary(spark)
+
+      // (1) d7 PROMOTE at sf1 — LINEAR witness: records read and
+      // shuffle bytes must both scale ~k (no super-linear term in
+      // T1–T5's one exchange), and the dedup result must be exact.
+      // NB: no localCheckpoint on anything used across sections —
+      // Sessions.settle (the between-measurements hygiene) unpersists
+      // every persistent RDD, which truncated-lineage checkpoints
+      // cannot survive; sf1-scale inputs stay lazy plans.
+      val sf1Li = grow(lineitem, "l_orderkey")
+      def promoteCount(df: DataFrame): Long =
+        Promote.transform(df, Seq("l_orderkey", "l_linenumber"),
+          hyphen = true, clock = Clock.ForOracle, deterministic = true).count()
+      var n1 = 0L; var nk = 0L
+      val t1p = System.nanoTime()
+      val (_, pr1, ps1) = io { n1 = promoteCount(lineitem) }
+      val t2p = System.nanoTime()
+      val (_, prk, psk) = io { nk = promoteCount(sf1Li) }
+      val t3p = System.nanoTime()
+      graft.core.Sessions.settle(spark)
+      require(nk == k * n1, s"sf1 promote row drift: $n1 x$k -> $nk")
+      require(prk <= pr1 * k * 1.3 && psk <= math.max(ps1, 1L) * k * 1.3,
+        f"sf1 promote super-linear: records $pr1 -> $prk, " +
+          f"shuffle bytes $ps1 -> $psk (allowed ~${k}x)")
+      println(f"sf1_promote        rows $n1 -> $nk, records x${prk.toDouble / pr1}%.2f, " +
+        f"shuffle x${psk.toDouble / math.max(ps1, 1L)}%.2f, " +
+        f"wall ${(t2p - t1p) / 1e9}%.2f -> ${(t3p - t2p) / 1e9}%.2f s (linear = ~${k}x)")
+
+      // (2) d8 MERGE at sf1, partition-confined — FLAT witness: the
+      // trusted table is hive-partitioned on the grow() block (1
+      // partition at 1x, k at sf1); the update batch touches ONLY
+      // block 0, so mergeIntoPartitioned's bytes written must stay
+      // FLAT as the table grows 10x around it.
+      val ordCols = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      def withPt(df: DataFrame) =
+        df.withColumn("pt", floor(col("o_orderkey") / 100000000L))
+      def prepMerge(df: DataFrame, tag: String): String = {
+        val p = s"$root/merge-$tag"
+        withPt(df).write.partitionBy("pt").parquet(p)
+        p
+      }
+      val m1 = prepMerge(ordCols, "1x")
+      val mk = prepMerge(grow(ordCols, "o_orderkey"), "kx")
+      val updates = withPt(ordCols.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0))
+        .localCheckpoint(true)
+      val (mb1, _, _) = io(graft.sinks.MergeUpsert.mergeIntoPartitioned(
+        spark, m1, updates, key = "o_orderkey", partitionCol = "pt"))
+      val (mbk, _, _) = io(graft.sinks.MergeUpsert.mergeIntoPartitioned(
+        spark, mk, updates, key = "o_orderkey", partitionCol = "pt"))
+      graft.core.Sessions.settle(spark)
+      require(mbk <= (mb1 * 1.5).toLong,
+        f"sf1 merge not partition-confined: bytes $mb1 -> $mbk " +
+          f"(x${mbk.toDouble / mb1}%.2f; flat expected)")
+      require(spark.read.parquet(mk).where(col("pt") === 0 &&
+          col("o_orderkey") % 3 === 0 &&
+          col("o_totalprice") <= 100.0).isEmpty,
+        "sf1 merge must have applied every block-0 update")
+      println(f"sf1_merge          bytes written $mb1 -> $mbk " +
+        f"(x${mbk.toDouble / mb1}%.2f, flat = merge pays the touched partition, not the table)")
+
+      // (3) ANN O(delta) REFRESH at the sf1 corpus — FLAT witness:
+      // a fixed 500-vector delta against the 10x corpus must cost
+      // the same commit bytes and planning reads as against 1x.
+      def prepAnn(df: DataFrame, tag: String): String = {
+        val p = s"$root/ann-$tag"
+        df.repartition(8).write.parquet(p)
+        graft.sinks.IvfIndex.collect(spark, p, nCells = 16)
+        graft.sinks.IvfIndex.refresh(spark, p) // warm the coverage cache
+        p
+      }
+      val a1 = prepAnn(embs, "1x")
+      val ak = prepAnn(grow(embs, "vec_id"), "kx")
+      val annDelta = embs.limit(500)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000000L))
+        .localCheckpoint(true)
+      annDelta.coalesce(1).write.mode("append").parquet(a1)
+      annDelta.coalesce(1).write.mode("append").parquet(ak)
+      val (ab1, ar1, _) = io(graft.sinks.IvfIndex.refresh(spark, a1))
+      val (abk, ark, _) = io(graft.sinks.IvfIndex.refresh(spark, ak))
+      graft.core.Sessions.settle(spark)
+      require(abk <= (ab1 * 1.5).toLong && ark <= (math.max(ar1, 1L) * 1.5).toLong,
+        f"sf1 ANN refresh not O(delta): bytes $ab1 -> $abk, records $ar1 -> $ark")
+      println(f"sf1_ann_refresh    bytes written $ab1 -> $abk " +
+        f"(x${abk.toDouble / ab1}%.2f), records read $ar1 -> $ark " +
+        f"(x${ark.toDouble / math.max(ar1, 1L)}%.2f, flat = O(delta) commit + planning)")
+
+      // (4) PURGE at sf1, range-clustered — FLAT witness: 20 fixed
+      // doomed keys confined by clustering; the rewrite set must not
+      // grow with the table (10x files, same hit files).
+      def prepPurge(df: DataFrame, tag: String, files: Int, items: Long): String = {
+        val p = s"$root/purge-$tag"
+        df.repartitionByRange(files, col("l_orderkey")).write.parquet(p)
+        graft.sinks.BloomIndex.collect(spark, p, "l_orderkey", expectedItems = items)
+        graft.sinks.StatsIndex.collect(spark, p, Seq("l_orderkey"))
+        p
+      }
+      val keys = lineitem.select(col("l_orderkey"))
+        .distinct().orderBy(col("l_orderkey")).limit(20)
+        .withColumnRenamed("l_orderkey", "key")
+      val pu1 = prepPurge(lineitem, "1x", 16, 600000L)
+      val puk = prepPurge(sf1Li, "kx", 16 * k, 600000L * k)
+      val r1p = graft.sinks.Purge.purge(spark, pu1, keys, "key", "l_orderkey")
+      graft.core.Sessions.settle(spark)
+      val rkp = graft.sinks.Purge.purge(spark, puk, keys, "key", "l_orderkey")
+      graft.core.Sessions.settle(spark)
+      require(rkp.nRowsDeleted == r1p.nRowsDeleted,
+        s"sf1 purge row drift: ${r1p.nRowsDeleted} -> ${rkp.nRowsDeleted}")
+      require(rkp.nRewrittenFiles <= r1p.nRewrittenFiles + 1,
+        s"sf1 purge rewrite set grew with the table: " +
+          s"${r1p.nRewrittenFiles} of ${r1p.nDataFiles} files -> " +
+          s"${rkp.nRewrittenFiles} of ${rkp.nDataFiles}")
+      println(f"sf1_purge          rewrote ${r1p.nRewrittenFiles} of ${r1p.nDataFiles} " +
+        f"-> ${rkp.nRewrittenFiles} of ${rkp.nDataFiles} files, " +
+        f"${r1p.nRowsDeleted} rows both (flat = purge pays hit files, not the table)")
+
+      val cAfter = Bench.canary(spark)
+      println(f"sf1_window         canary $cBefore%.3f / $cAfter%.3f s " +
+        f"(quiet ref ~0.45; structural invariants above are window-independent)")
+      println("sf1_tier           ALL INVARIANTS HELD")
+      new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+        .truncate(root)
+    }
+
     // SIZE-TIERED compaction: the statement is that the scheduled
     // amortizer (compactSmall — what the streaming cadences call) is
     // O(accumulated delta), never O(sidecar). Protocol: bootstrap the

@@ -50,6 +50,20 @@ object SparkEntry {
     * the per-query temp roots on purpose — their truncate must not
     * tear it down between queries. */
   private val landings = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Same memoization for DERIVED landing fixtures (CDC change logs,
+    * signed-delta replays): the build closure runs once per key per
+    * JVM, later calls reuse the immutable files. The key carries the
+    * sf dir and the query's own tag, so fixtures never alias across
+    * queries or scales. */
+  private def memoFixture(key: String)(build: String => Unit): String =
+    landings.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-fixture").toString + "/data"
+      build(p)
+      p
+    })
+
   private def landingFor(
       s: SparkSession,
       dir: String,
@@ -398,21 +412,22 @@ object SparkEntry {
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         when(col("o_orderkey") % 11 === 0, lit(null))
           .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
-      val landing = s"$root/changes"
-      o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
-        .coalesce(1).write.parquet(landing)
+      val landing = memoFixture(s"$dir|cdc-ivm-changes") { lp =>
+        o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
+          .coalesce(1).write.parquet(lp)
         // ^ ONE bootstrap batch (r17): the second +1/I file bought a
         // redundant micro-batch — the accumulate-across-batches
         // semantics are already under grade via the later batches, so
         // the replay is 3 batches (bootstrap, then each delta phase),
         // not 4; the graded fold truth is file-layout-invariant
-      o.where(col("o_orderkey") % 3 === 0)
-        .withColumn("v", (col("v") + 100).cast("decimal(12,2)"))
-        .withColumn("seq", lit(2)).withColumn("op", lit("U"))
-        .coalesce(1).write.mode("append").parquet(landing)
-      o.where(col("o_orderkey") % 5 === 0)
-        .withColumn("seq", lit(3)).withColumn("op", lit("D"))
-        .coalesce(1).write.mode("append").parquet(landing)
+        o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("v", (col("v") + 100).cast("decimal(12,2)"))
+          .withColumn("seq", lit(2)).withColumn("op", lit("U"))
+          .coalesce(1).write.mode("append").parquet(lp)
+        o.where(col("o_orderkey") % 5 === 0)
+          .withColumn("seq", lit(3)).withColumn("op", lit("D"))
+          .coalesce(1).write.mode("append").parquet(lp)
+      }
       graft.streaming.StreamingOps.streamApplyChangesWithAgg(
         s, landing, s.read.parquet(landing).schema,
         s"$root/trusted", s"$root/state", s"$root/ckpt",
@@ -441,21 +456,22 @@ object SparkEntry {
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         when(col("o_orderkey") % 11 === 0, lit(null))
           .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
-      val landing = s"$root/changes"
-      o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
-        .coalesce(1).write.parquet(landing)
+      val landing = memoFixture(s"$dir|extrema-changes") { lp =>
+        o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
+          .coalesce(1).write.parquet(lp)
         // ^ ONE bootstrap batch (r17): the second +1/I file bought a
         // redundant micro-batch — the accumulate-across-batches
         // semantics are already under grade via the later batches, so
         // the replay is 3 batches (bootstrap, then each delta phase),
         // not 4; the graded fold truth is file-layout-invariant
-      o.where(col("o_orderkey") % 3 === 0)
-        .withColumn("v", (col("v") + 100).cast("decimal(12,2)"))
-        .withColumn("seq", lit(2)).withColumn("op", lit("U"))
-        .coalesce(1).write.mode("append").parquet(landing)
-      o.where(col("o_orderkey") % 5 === 0)
-        .withColumn("seq", lit(3)).withColumn("op", lit("D"))
-        .coalesce(1).write.mode("append").parquet(landing)
+        o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("v", (col("v") + 100).cast("decimal(12,2)"))
+          .withColumn("seq", lit(2)).withColumn("op", lit("U"))
+          .coalesce(1).write.mode("append").parquet(lp)
+        o.where(col("o_orderkey") % 5 === 0)
+          .withColumn("seq", lit(3)).withColumn("op", lit("D"))
+          .coalesce(1).write.mode("append").parquet(lp)
+      }
       graft.streaming.StreamingOps.streamApplyChangesWithExtrema(
         s, landing, s.read.parquet(landing).schema,
         s"$root/trusted", s"$root/state", s"$root/ckpt",
@@ -475,21 +491,22 @@ object SparkEntry {
         .createTempDirectory("graft-stream-cdc").toString
       val o = tbl(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      val landing = s"$root/changes"
-      o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
-        .coalesce(1).write.parquet(landing)
+      val landing = memoFixture(s"$dir|cdc-apply-changes") { lp =>
+        o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
+          .coalesce(1).write.parquet(lp)
         // ^ ONE bootstrap batch (r17): the second +1/I file bought a
         // redundant micro-batch — the accumulate-across-batches
         // semantics are already under grade via the later batches, so
         // the replay is 3 batches (bootstrap, then each delta phase),
         // not 4; the graded fold truth is file-layout-invariant
-      o.where(col("o_orderkey") % 3 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
-        .withColumn("seq", lit(2)).withColumn("op", lit("U"))
-        .repartition(1).write.mode("append").parquet(landing)
-      o.where(col("o_orderkey") % 5 === 0)
-        .withColumn("seq", lit(3)).withColumn("op", lit("D"))
-        .repartition(1).write.mode("append").parquet(landing)
+        o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+          .withColumn("seq", lit(2)).withColumn("op", lit("U"))
+          .repartition(1).write.mode("append").parquet(lp)
+        o.where(col("o_orderkey") % 5 === 0)
+          .withColumn("seq", lit(3)).withColumn("op", lit("D"))
+          .repartition(1).write.mode("append").parquet(lp)
+      }
       graft.streaming.StreamingOps.streamApplyChanges(
         s, landing, s.read.parquet(landing).schema,
         s"$root/trusted", s"$root/ckpt", key = "o_orderkey")
@@ -657,22 +674,23 @@ object SparkEntry {
             .when(col("o_orderkey") % 3 === 0, col("v") + 100)
             .otherwise(col("v"))
             .cast("decimal(12,2)"))
-      val landing = s"$root/deltas"
       val shape = Seq(col("__sign"), col("o_orderkey"),
         col("o_orderstatus"), col("v"))
-      base.withColumn("__sign", lit(1)).select(shape: _*)
-        .coalesce(1).write.parquet(landing)
+      val landing = memoFixture(s"$dir|ivm-deltas") { lp =>
+        base.withColumn("__sign", lit(1)).select(shape: _*)
+          .coalesce(1).write.parquet(lp)
         // ^ ONE bootstrap batch (r17): the second +1/I file bought a
         // redundant micro-batch — the accumulate-across-batches
         // semantics are already under grade via the later batches, so
         // the replay is 3 batches (bootstrap, then each delta phase),
         // not 4; the graded fold truth is file-layout-invariant
-      val delta = graft.operators.Cdc.signedDelta(
-        base, after, Seq("o_orderkey")).localCheckpoint(true)
-      delta.where(col("__sign") === -1).select(shape: _*)
-        .coalesce(1).write.mode("append").parquet(landing)
-      delta.where(col("__sign") === 1).select(shape: _*)
-        .coalesce(1).write.mode("append").parquet(landing)
+        val delta = graft.operators.Cdc.signedDelta(
+          base, after, Seq("o_orderkey")).localCheckpoint(true)
+        delta.where(col("__sign") === -1).select(shape: _*)
+          .coalesce(1).write.mode("append").parquet(lp)
+        delta.where(col("__sign") === 1).select(shape: _*)
+          .coalesce(1).write.mode("append").parquet(lp)
+      }
       graft.streaming.StreamingOps.streamMaintainAgg(
         s, landing, s.read.parquet(landing).schema,
         s"$root/state", s"$root/ckpt",
@@ -715,22 +733,23 @@ object SparkEntry {
       val basePath = s"$root/base"
       val statePath = s"$root/state"
       after.write.parquet(basePath)
-      val landing = s"$root/deltas"
       val shape = Seq(col("__sign"), col("o_orderkey"),
         col("o_orderstatus"), col("b"), col("v"))
-      before.withColumn("__sign", lit(1)).select(shape: _*)
-        .coalesce(1).write.parquet(landing)
+      val landing = memoFixture(s"$dir|mv-deltas") { lp =>
+        before.withColumn("__sign", lit(1)).select(shape: _*)
+          .coalesce(1).write.parquet(lp)
         // ^ ONE bootstrap batch (r17): the second +1/I file bought a
         // redundant micro-batch — the accumulate-across-batches
         // semantics are already under grade via the later batches, so
         // the replay is 3 batches (bootstrap, then each delta phase),
         // not 4; the graded fold truth is file-layout-invariant
-      val delta = graft.operators.Cdc.signedDelta(
-        before, after, Seq("o_orderkey")).localCheckpoint(true)
-      delta.where(col("__sign") === -1).select(shape: _*)
-        .coalesce(1).write.mode("append").parquet(landing)
-      delta.where(col("__sign") === 1).select(shape: _*)
-        .coalesce(1).write.mode("append").parquet(landing)
+        val delta = graft.operators.Cdc.signedDelta(
+          before, after, Seq("o_orderkey")).localCheckpoint(true)
+        delta.where(col("__sign") === -1).select(shape: _*)
+          .coalesce(1).write.mode("append").parquet(lp)
+        delta.where(col("__sign") === 1).select(shape: _*)
+          .coalesce(1).write.mode("append").parquet(lp)
+      }
       graft.streaming.StreamingOps.streamMaintainAgg(
         s, landing, s.read.parquet(landing).schema,
         statePath, s"$root/ckpt",
@@ -1634,10 +1653,11 @@ object SparkEntry {
       val trustedPath = s"$root/trusted"
       graft.sinks.MergeUpsert.mergeInto(
         s, trustedPath, base.where(col("l_orderkey") % 2 === 0))
-      val landing = s"$root/landing"
-      base.where(col("l_orderkey") % 3 === 0)
-        .withColumn("l_quantity", col("l_quantity") + 1000)
-        .repartition(3).write.parquet(landing)
+      val landing = memoFixture(s"$dir|stream-merge-landing") { lp =>
+        base.where(col("l_orderkey") % 3 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 1000)
+          .repartition(3).write.parquet(lp)
+      }
       val q = s.readStream.schema(s.read.parquet(landing).schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
         .writeStream
