@@ -240,10 +240,16 @@ object Bench {
     val qs = all.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
+    // the driver's ~2 KB stdout tail can only ever hold the LAST
+    // couple of part lines, so per-query failure visibility cannot
+    // ride the parts: the final line carries the failed-row count,
+    // and the gate fails a partial-tail capture on n_failed > 0 (or
+    // an n_queries shrink) instead of guessing which rows scrolled
+    val nFailed = all.count(_._2 < 0)
     val partDetail = partPairs.zip(slices).map { case ((a, b), (label, _)) =>
       s"""{"part":${graft.core.Json.quote(label)},"canary":[${fmt(a.canaryBefore)},${fmt(a.canaryAfter)},${fmt(b.canaryBefore)},${fmt(b.canaryAfter)}],"attempts":[${a.attempts},${b.attempts}]}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","canary":$canaries,"canary_worst_part":${fmt(worstPart)},"canary_ref_used":$refJson,"part_canaries":$partDetail}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"n_failed":$nFailed,"canary":$canaries,"canary_worst_part":${fmt(worstPart)},"canary_ref_used":$refJson,"part_canaries":$partDetail}"""
     // The full single-line record goes to a stable file for the local
     // gate (tools/bench_gate.py) and any reader with unbounded input.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
@@ -276,7 +282,7 @@ object Bench {
       k.matches("d[0-9].*") || k.startsWith("flow_ingest") || k.startsWith("flow_promote")
     }.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"bench_parts":$nParts,"canary":$canaries,"canary_worst_part":${fmt(worstPart)},"canary_ref_used":$refJson,"full":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"n_failed":$nFailed,"bench_parts":$nParts,"canary":$canaries,"canary_worst_part":${fmt(worstPart)},"canary_ref_used":$refJson,"full":"bench_out.json"}""")
     System.out.flush()
   }
 }

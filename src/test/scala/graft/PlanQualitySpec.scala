@@ -544,6 +544,40 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration).truncate(root)
   }
 
+  test("join-view MV rewrite: the served plan has NO join and exactly one group-by exchange") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-jmv").toString
+    try {
+      val a = spark.range(100).select(col("id").as("k"),
+        (col("id") % 7).cast("long").as("w"))
+      val b = spark.range(50).select(col("id").as("k"),
+        concat(lit("g"), col("id") % 3).as("g"))
+      val (aPath, bPath, statePath) = (s"$root/a", s"$root/b", s"$root/state")
+      a.write.parquet(aPath)
+      b.write.parquet(bPath)
+      graft.operators.Cdc.aggState(
+          a.join(b, Seq("k"), "inner"), Seq("g"), Seq("w"))
+        .write.parquet(statePath)
+      graft.plans.MvCatalog.registerJoin(graft.plans.JoinMvDef(
+        aPath, bPath, Seq("k"), Seq("g"), Seq("w"), statePath))
+      try {
+        val q = spark.read.parquet(aPath)
+          .join(spark.read.parquet(bPath), Seq("k"), "inner")
+          .groupBy("g").agg(count(lit(1)).as("n"), sum(col("w")).as("s"))
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("Join"),
+          s"the join must be GONE from the served plan:\n$plan")
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(exchanges == 1,
+          s"state rollup is one group-by exchange, nothing more:\n$plan")
+        assert(plan.contains("partial_sum"),
+          s"the rollup must combine map-side:\n$plan")
+      } finally graft.plans.MvCatalog.unregisterJoin(aPath, bPath)
+    } finally new graft.core.LakeStorage(
+      spark.sparkContext.hadoopConfiguration).truncate(root)
+  }
+
   test("bpe pair stats: two exchanges (word reduce, pair reduce), map-side partials") {
     val plan = graft.ext.Bpe.pairStats(
       SparkEntry.tbl(spark, sf, "documents"), "text")

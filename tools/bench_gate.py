@@ -26,11 +26,15 @@ import sys
 
 def load_bench(path):
     """Returns (queries_map, canary_samples_or_None, canary_ref_or_None,
-    worst_part_canary_or_None)."""
+    worst_part_canary_or_None, meta). meta carries completeness info for
+    driver-format files whose bounded tail cannot hold every part line:
+    {"partial": bool, "n_queries": int|None, "n_failed": int|None}."""
     obj = json.load(open(path))
     if "queries" in obj:
+        meta = {"partial": False, "n_queries": obj.get("n_queries"),
+                "n_failed": obj.get("n_failed")}
         return (obj["queries"], obj.get("canary"), obj.get("canary_ref"),
-                obj.get("canary_worst_part"))
+                obj.get("canary_worst_part"), meta)
     tail = obj.get("tail")
     if isinstance(tail, str):
         # driver format: find the Bench JSON line inside the stdout
@@ -42,6 +46,9 @@ def load_bench(path):
         found = None
         canary = None
         worst_part = None
+        n_queries = None
+        n_failed = None
+        n_parts_of = None
         parts = {}
         for line in tail.splitlines():
             j = line.find('{"bench_part"')
@@ -49,6 +56,7 @@ def load_bench(path):
                 try:
                     cand = json.loads(line[j:])
                     parts[cand["bench_part"]] = cand.get("queries", {})
+                    n_parts_of = cand.get("of", n_parts_of)
                 except (json.JSONDecodeError, KeyError):
                     pass
                 continue
@@ -63,6 +71,9 @@ def load_bench(path):
                 found = cand["queries"]
                 canary = cand.get("canary", canary)
                 worst_part = cand.get("canary_worst_part", worst_part)
+                n_queries = cand.get("n_queries", n_queries)
+                n_failed = cand.get("n_failed", n_failed)
+                n_parts_of = cand.get("bench_parts", n_parts_of)
         # Since the canary change the FINAL line carries the headline
         # subset (it fits the driver's ~2 KB tail) while the full map
         # rides the bench_part lines — merge BOTH when both survived
@@ -73,7 +84,10 @@ def load_bench(path):
             for k in sorted(parts):
                 merged.update(parts[k])
             merged.update(found or {})
-            return merged, canary, None, worst_part
+            partial = n_parts_of is not None and len(parts) < n_parts_of
+            meta = {"partial": partial, "n_queries": n_queries,
+                    "n_failed": n_failed}
+            return merged, canary, None, worst_part, meta
         sys.exit(f"{path}: driver-format file but no complete bench "
                  f"JSON line in its tail (run truncated or crashed?)")
     sys.exit(f"{path}: unrecognized bench format "
@@ -91,8 +105,8 @@ CANARY_MAX = 1.3    # a capture whose BEST canary sample exceeds this
 
 
 def main(fresh_path, base_path, allow_no_canary=False):
-    fresh, canary, _, worst_part = load_bench(fresh_path)
-    base, _, canary_ref, _ = load_bench(base_path)
+    fresh, canary, _, worst_part, meta = load_bench(fresh_path)
+    base, _, canary_ref, _, _ = load_bench(base_path)
     if canary_ref is not None:
         if not canary:
             # A canary-less capture against a canary-carrying baseline
@@ -142,10 +156,33 @@ def main(fresh_path, base_path, allow_no_canary=False):
             print(f"  [window ok] best canary {best:.3f}s <= "
                   f"{CANARY_MAX}x ref {canary_ref:.3f}s")
     failures, notes = [], []
+    # A driver artifact's ~2 KB stdout tail can only hold the LAST
+    # couple of bench_part lines, so most per-query rows legitimately
+    # scroll out. In that PARTIAL case a baseline row absent from the
+    # reassembled map is "not captured in the tail", not "dropped" —
+    # completeness is enforced instead through the final line's
+    # n_queries (total row count must cover the baseline) and n_failed
+    # (any crashed row fails the gate even when its line scrolled out).
+    partial = meta.get("partial", False)
+    if partial:
+        nq = meta.get("n_queries")
+        nf = meta.get("n_failed")
+        if nq is not None and nq < len(base):
+            failures.append(f"run declares n_queries={nq} < baseline "
+                            f"{len(base)}: queries were dropped")
+        if nf is not None and nf > 0:
+            failures.append(f"run declares n_failed={nf}: crashed "
+                            f"queries (which rows may have scrolled "
+                            f"out of the tail — see bench_out.json)")
+        visible = sum(1 for n in base if n in fresh)
+        print(f"  [partial tail] {visible}/{len(base)} baseline rows "
+              f"visible in the tail; per-query checks cover those, "
+              f"completeness rides n_queries/n_failed")
     for name, b in sorted(base.items()):
         f = fresh.get(name)
         if f is None:
-            failures.append(f"{name}: present in baseline but missing from run")
+            if not partial:
+                failures.append(f"{name}: present in baseline but missing from run")
             continue
         if f < 0:
             failures.append(f"{name}: query failed in bench (reported {f})")
