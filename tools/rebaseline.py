@@ -16,8 +16,21 @@ Refuses a source capture with failed queries or no canary samples.
 import json
 import sys
 
-src = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
-dst = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
+args = [a for a in sys.argv[1:] if not a.startswith("--canary-ref")]
+ref_override = None
+for a in sys.argv[1:]:
+    # --canary-ref=X: pin the window threshold instead of taking this
+    # capture's min. Use when the capture window was ANOMALOUSLY quiet
+    # (e.g. r18: canary min 0.232s vs the established quiet reference
+    # 0.448s — a 2x host-speed regime): adopting the anomalous min
+    # would classify every NORMAL quiet window as loaded and send the
+    # next driver capture straight back to exit 2. The ref's job is
+    # "reject load", not "norm host-speed regimes" — per-query rows
+    # still come from this single capture either way.
+    if a.startswith("--canary-ref="):
+        ref_override = float(a.split("=", 1)[1])
+src = args[0] if len(args) > 0 else "bench_out.json"
+dst = args[1] if len(args) > 1 else "BENCH_BASELINE.json"
 obj = json.load(open(src))
 if "queries" not in obj:
     sys.exit(f"{src}: no queries map — not a Bench capture")
@@ -34,8 +47,10 @@ out = {
     "sf": obj.get("sf"),
     "passes": obj.get("passes"),
     "agg": obj.get("agg"),
-    "canary_ref": min(obj["canary"]),
+    "canary_ref": ref_override if ref_override is not None
+                  else min(obj["canary"]),
     "canary_samples": obj["canary"],
+    "canary_worst_part": obj.get("canary_worst_part"),
     "note": ("single-window recapture (r17 protocol): every row from ONE "
              "two-pass Bench run in a canary-valid window. Minima are NO "
              "LONGER merged across rounds - the best-ever ratchet made "
