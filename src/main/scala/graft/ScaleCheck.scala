@@ -1144,21 +1144,28 @@ object ScaleCheck {
       }
       val m1 = prepMerge(ordCols, "1x")
       val mk = prepMerge(grow(ordCols, "o_orderkey"), "kx")
+      // SENTINEL price: no fixture row carries a negative total, so
+      // "every updated row reads -1.0 and only those" is a non-vacuous
+      // applied-check (a threshold against shifted real prices would
+      // pass on a no-op merge — all fixture prices exceed it)
       val updates = withPt(ordCols.where(col("o_orderkey") % 3 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 100.0))
+        .withColumn("o_totalprice", lit(-1.0)))
         .localCheckpoint(true)
+      val nUpdates = updates.count()
       val (mb1, _, _) = io(graft.sinks.MergeUpsert.mergeIntoPartitioned(
         spark, m1, updates, key = "o_orderkey", partitionCol = "pt"))
       val (mbk, _, _) = io(graft.sinks.MergeUpsert.mergeIntoPartitioned(
         spark, mk, updates, key = "o_orderkey", partitionCol = "pt"))
       graft.core.Sessions.settle(spark)
-      require(mbk <= (mb1 * 1.5).toLong,
+      require(mbk <= (mb1 * 1.5).toLong && mbk > 0,
         f"sf1 merge not partition-confined: bytes $mb1 -> $mbk " +
-          f"(x${mbk.toDouble / mb1}%.2f; flat expected)")
-      require(spark.read.parquet(mk).where(col("pt") === 0 &&
-          col("o_orderkey") % 3 === 0 &&
-          col("o_totalprice") <= 100.0).isEmpty,
-        "sf1 merge must have applied every block-0 update")
+          f"(x${mbk.toDouble / mb1}%.2f; flat AND non-zero expected)")
+      val sentinels = spark.read.parquet(mk)
+        .where(col("o_totalprice") === -1.0)
+      require(sentinels.count() == nUpdates &&
+          sentinels.where(col("pt") =!= 0 ||
+            col("o_orderkey") % 3 =!= 0).isEmpty,
+        "sf1 merge must have applied exactly the block-0 update rows")
       println(f"sf1_merge          bytes written $mb1 -> $mbk " +
         f"(x${mbk.toDouble / mb1}%.2f, flat = merge pays the touched partition, not the table)")
 

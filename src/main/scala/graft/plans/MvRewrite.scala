@@ -195,8 +195,18 @@ object MvCatalog {
   def registerJoin(mv: JoinMvDef): Unit = {
     require(mv.on.nonEmpty, "join view needs join key columns")
     require(mv.groupCols.nonEmpty, "join view needs group columns")
-    joinMvs.put((normalize(mv.leftPath), normalize(mv.rightPath)),
-      (fsId(mv.leftPath), fsId(mv.rightPath), mv))
+    val key = (normalize(mv.leftPath), normalize(mv.rightPath))
+    val ids = (fsId(mv.leftPath), fsId(mv.rightPath))
+    // same cross-filesystem guard as the scalar register(): two pairs
+    // on different filesystems must not share one catalog entry
+    Option(joinMvs.get(key)).foreach { case (prevL, prevR, _) =>
+      require((prevL, prevR) == ids,
+        s"join MV registration collision: (${mv.leftPath}, ${mv.rightPath}) " +
+          s"normalizes to the key already registered for filesystems " +
+          s"(${prevL.getOrElse("<default>")}, ${prevR.getOrElse("<default>")}) — " +
+          "unregisterJoin the other pair first if this is intentional")
+    }
+    joinMvs.put(key, (ids._1, ids._2, mv))
     ()
   }
 

@@ -212,13 +212,11 @@ object Compaction {
       val out = fs.create(graft.sources.ZstdCorpus.dictPath(staging.toString), true)
       try out.write(dict) finally out.close()
     } else {
-      // graduation: decompress once, land as a compacted page-codec
-      // table (one exchange, sized by rows — the point of the flip)
-      val src = graft.sources.ZstdCorpus.readCompressed(spark, dir, textCol)
-      val n = src.count()
-      val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
-      src.repartition(parts.toInt)
-        .write.option("compression", "zstd").parquet(staging.toString)
+      // graduation: ZstdCorpus.graduate owns the decompress-once →
+      // compacted page-codec rewrite (one exchange, sized by rows);
+      // staging it here adds only the swap discipline around it
+      graft.sources.ZstdCorpus.graduate(
+        spark, dir, staging.toString, textCol, targetRowsPerFile)
     }
     fs.create(new Path(staging, CommitMarker), true).close()
     if (fs.exists(prev)) fs.delete(prev, true)

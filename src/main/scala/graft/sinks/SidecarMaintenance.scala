@@ -144,6 +144,16 @@ object SidecarMaintenance {
     try create()
     catch {
       case _: java.io.IOException =>
+        // The holder's OWNER ID is read BEFORE the expiry check on
+        // purpose: it is the claim-identity anchor below (owner ids
+        // are unique per acquirer), and the read-then-verify order
+        // closes both race interleavings — a lease swapped in AFTER
+        // this read fails the expiry check right here (it is young),
+        // and one swapped in after the expiry check fails the owner
+        // comparison at claim time. Unlike mtime, the owner survives
+        // copy-based renames (object stores re-stamp modification
+        // time on rename).
+        val orphanOwner = holder
         require(!inFlight && !young,
           s"another maintainer ($namedHolder) holds the commit lease at " +
             s"$lease — sidecar maintenance is single-writer: serialize " +
@@ -164,15 +174,28 @@ object SidecarMaintenance {
         // concurrent breaker can complete its whole claim → delete →
         // create sequence, and the delayed rename then claims the
         // winner's FRESH lease — both maintainers would proceed.
-        // Rename preserves mtime, so validate the claimed file really
-        // is the expired orphan: a young claim is someone's live
-        // lease — put it back and refuse.
+        // Validate the claimed file really is the expired orphan:
+        // primarily by owner identity (rename-proof everywhere); for
+        // owner-less leases (pre-owner-id writers, bare fixtures) fall
+        // back to mtime, which rename preserves on real filesystems —
+        // there a young claim is someone's live lease. Either failure
+        // puts the file back and refuses.
         if (claimed) {
+          def claimOwner: String =
+            try {
+              val in = fs.open(claim)
+              val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+              if (s.isEmpty) "<unrecorded>" else s
+            } catch { case _: java.io.IOException => "<unrecorded>" }
           val claimAge =
             try System.currentTimeMillis() -
               fs.getFileStatus(claim).getModificationTime
             catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-          if (claimAge < leaseGraceMs) {
+          val isOrphan =
+            if (orphanOwner != "<unrecorded>") claimOwner == orphanOwner
+            else claimAge >= leaseGraceMs
+          if (!isOrphan) {
             val restored =
               try fs.rename(claim, lease)
               catch { case _: java.io.IOException => false }

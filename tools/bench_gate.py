@@ -32,7 +32,7 @@ def load_bench(path):
     obj = json.load(open(path))
     if "queries" in obj:
         meta = {"partial": False, "n_queries": obj.get("n_queries"),
-                "n_failed": obj.get("n_failed")}
+                "n_failed": obj.get("n_failed"), "value": obj.get("value")}
         return (obj["queries"], obj.get("canary"), obj.get("canary_ref"),
                 obj.get("canary_worst_part"), meta)
     tail = obj.get("tail")
@@ -49,6 +49,7 @@ def load_bench(path):
         n_queries = None
         n_failed = None
         n_parts_of = None
+        value = None
         parts = {}
         for line in tail.splitlines():
             j = line.find('{"bench_part"')
@@ -74,6 +75,7 @@ def load_bench(path):
                 n_queries = cand.get("n_queries", n_queries)
                 n_failed = cand.get("n_failed", n_failed)
                 n_parts_of = cand.get("bench_parts", n_parts_of)
+                value = cand.get("value", value)
         # Since the canary change the FINAL line carries the headline
         # subset (it fits the driver's ~2 KB tail) while the full map
         # rides the bench_part lines — merge BOTH when both survived
@@ -86,7 +88,7 @@ def load_bench(path):
             merged.update(found or {})
             partial = n_parts_of is not None and len(parts) < n_parts_of
             meta = {"partial": partial, "n_queries": n_queries,
-                    "n_failed": n_failed}
+                    "n_failed": n_failed, "value": value}
             return merged, canary, None, worst_part, meta
         sys.exit(f"{path}: driver-format file but no complete bench "
                  f"JSON line in its tail (run truncated or crashed?)")
@@ -156,28 +158,53 @@ def main(fresh_path, base_path, allow_no_canary=False):
             print(f"  [window ok] best canary {best:.3f}s <= "
                   f"{CANARY_MAX}x ref {canary_ref:.3f}s")
     failures, notes = [], []
+    # A crashed row fails the gate whatever map it came from — the
+    # final line's n_failed covers rows whose part lines are not in
+    # view (a partial tail), and a -1 row visible anywhere fails below
+    # even when it has no baseline yet.
+    nf = meta.get("n_failed")
+    if nf is not None and nf > 0:
+        failures.append(f"run declares n_failed={nf}: crashed queries "
+                        f"(rows report -1; a partial tail may have "
+                        f"scrolled them — see bench_out.json)")
     # A driver artifact's ~2 KB stdout tail can only hold the LAST
     # couple of bench_part lines, so most per-query rows legitimately
-    # scroll out. In that PARTIAL case a baseline row absent from the
-    # reassembled map is "not captured in the tail", not "dropped" —
-    # completeness is enforced instead through the final line's
-    # n_queries (total row count must cover the baseline) and n_failed
-    # (any crashed row fails the gate even when its line scrolled out).
+    # scroll out. First try to UPGRADE a partial tail to the full map:
+    # Bench always writes bench_out.json next to the gate's cwd during
+    # the same run, and the tail's final line authenticates it (total
+    # value + n_queries must match). Failing that, a baseline row
+    # absent from the tail is "not captured", not "dropped" —
+    # completeness then rides n_queries (which also catches an
+    # equal-count rename only when the full map is recovered, so the
+    # upgrade is attempted first and its absence is printed loudly).
     partial = meta.get("partial", False)
     if partial:
-        nq = meta.get("n_queries")
-        nf = meta.get("n_failed")
-        if nq is not None and nq < len(base):
-            failures.append(f"run declares n_queries={nq} < baseline "
-                            f"{len(base)}: queries were dropped")
-        if nf is not None and nf > 0:
-            failures.append(f"run declares n_failed={nf}: crashed "
-                            f"queries (which rows may have scrolled "
-                            f"out of the tail — see bench_out.json)")
-        visible = sum(1 for n in base if n in fresh)
-        print(f"  [partial tail] {visible}/{len(base)} baseline rows "
-              f"visible in the tail; per-query checks cover those, "
-              f"completeness rides n_queries/n_failed")
+        full = None
+        try:
+            cand = json.load(open("bench_out.json"))
+            same_total = abs(cand.get("value", -1) - meta.get("value", -2)) < 0.01                 if meta.get("value") is not None else False
+            nq = meta.get("n_queries")
+            if cand.get("queries") is not None and same_total and (
+                    nq is None or len(cand["queries"]) == nq):
+                full = cand["queries"]
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+        if full is not None:
+            print(f"  [partial tail -> full map] bench_out.json matches "
+                  f"the tail's total/value and n_queries — grading all "
+                  f"{len(full)} rows from it")
+            fresh = full
+            partial = False
+        else:
+            nq = meta.get("n_queries")
+            if nq is not None and nq < len(base):
+                failures.append(f"run declares n_queries={nq} < baseline "
+                                f"{len(base)}: queries were dropped")
+            visible = sum(1 for n in base if n in fresh)
+            print(f"  [partial tail] {visible}/{len(base)} baseline rows "
+                  f"visible in the tail (no matching bench_out.json to "
+                  f"upgrade from); per-query checks cover those, "
+                  f"completeness rides n_queries/n_failed")
     for name, b in sorted(base.items()):
         f = fresh.get(name)
         if f is None:
@@ -193,7 +220,11 @@ def main(fresh_path, base_path, allow_no_canary=False):
         if f > b * THRESHOLD and f - b > MIN_DELTA:
             failures.append(f"{name}: {b:.2f}s -> {f:.2f}s ({f / b:.1f}x)")
     for name in sorted(set(fresh) - set(base)):
-        notes.append(f"{name}: new query ({fresh[name]:.2f}s), no baseline")
+        if fresh[name] < 0:
+            failures.append(f"{name}: new query FAILED in bench "
+                            f"(reported {fresh[name]})")
+        else:
+            notes.append(f"{name}: new query ({fresh[name]:.2f}s), no baseline")
     for n in notes:
         print(f"  [note] {n}")
     if failures:
