@@ -1074,6 +1074,81 @@ object SparkEntry {
       out
     }),
 
+    // MV rewrite over the FULL SPJA view — σ(price > 1000) → join →
+    // aggregate, the classic select-project-join-aggregate class,
+    // read side. The state (bootstrapped on the filtered BEFORE join,
+    // maintained through the σ-filtered joinDelta — σ is linear over
+    // signed multisets) is registered with the view predicate; the
+    // user query joins the bases WITH the same WHERE, and the rule
+    // matches the predicate SEMANTICALLY (post-pushdown, inferred
+    // null-rejections and all) before serving. A query without the
+    // predicate keeps its join — the σ-state would undercount it
+    // (MvRewriteSpec pins the near-miss fallbacks). In-query REQUIRE:
+    // state scanned, neither base. 100 TB posture: the avoided work
+    // is scan + filter + join shuffle of the fact side.
+    "ext_mv_rewrite_spja" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mvruspja").toString
+      val cdc = graft.operators.Cdc
+      val aOld = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val aNew = aOld.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + 100)
+            .otherwise(col("price")).cast("decimal(12,2)"))
+      val bOld = tbl(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val bNew = bOld.where(col("custkey") % 9 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("custkey") % 4 === 0, lit("SEG"))
+            .otherwise(col("c_mktsegment")))
+      val pred = col("price") > 1000
+      val aPath = s"$root/orders_base"
+      val bPath = s"$root/customer_base"
+      val statePath = s"$root/state"
+      aNew.write.parquet(aPath)
+      bNew.write.parquet(bPath)
+      cdc.maintainAgg(
+          cdc.aggState(aOld.where(pred).join(bOld, Seq("custkey"), "inner"),
+            Seq("c_mktsegment"), Seq("price")),
+          cdc.joinDelta(
+            cdc.signedDelta(aOld, aNew, Seq("o_orderkey")).where(pred),
+            aOld.where(pred),
+            cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
+            on = Seq("custkey")),
+          Seq("c_mktsegment"), Seq("price"))
+        .write.parquet(statePath)
+      graft.plans.MvCatalog.registerJoin(graft.plans.JoinMvDef(
+        aPath, bPath, Seq("custkey"), Seq("c_mktsegment"), Seq("price"),
+        statePath, filterSql = Some("price > 1000")))
+      val out = try {
+        val q = s.read.parquet(aPath)
+          .join(s.read.parquet(bPath), Seq("custkey"), "inner")
+          .where(col("price") > 1000)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"), count(col("price")).as("nn_price"),
+            sum(col("price")).as("sum_price"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.startsWith(statePath)) &&
+          !scanned.exists(_.startsWith(aPath)) &&
+          !scanned.exists(_.startsWith(bPath)),
+          s"SPJA MV rewrite did not fire; scans: ${scanned.mkString(", ")}")
+        q.withColumn("sum_price", col("sum_price").cast("double"))
+          .localCheckpoint(true)
+      } finally graft.plans.MvCatalog.unregisterJoin(aPath, bPath)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // Incremental EXACT dedup, delta-vs-corpus through the persisted
     // bloom index: the corpus lands in two waves (collect, then an
     // append + O(new files) refresh — BloomSpec's poisoned row proves
@@ -5183,6 +5258,30 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,6))
         |       AS DOUBLE) AS sum_price
         |FROM a JOIN b USING (custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // from-scratch σ + join + aggregate recompute of the same
+    // two-sided churn; the engine answers from the σ-filtered
+    // joinDelta-maintained state without touching either base
+    "ext_mv_rewrite_spja" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |    CAST(CASE WHEN o_orderkey % 3 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2))
+        |         END AS DECIMAL(12,2)) AS price
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |), b AS (
+        |  SELECT c_custkey AS custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'SEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 9 <> 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n_rows, count(price) AS nn_price,
+        |  CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |       AS DOUBLE) AS sum_price
+        |FROM a JOIN b USING (custkey)
+        |WHERE price > 1000
         |GROUP BY c_mktsegment""".stripMargin,
 
     // the STREAM-maintained state must serve the identical rollup

@@ -104,7 +104,16 @@ case class JoinMvDef(
     sumCols: Seq[String],
     statePath: String,
     leftSignature: Option[String] = None,
-    rightSignature: Option[String] = None)
+    rightSignature: Option[String] = None,
+    /** The view's σ (the SPJA class: `σ_p(left) ⋈ right → γ`),
+      * as ANSI SQL over base column names — e.g. `"price > 1000"`.
+      * When set, the state holds only rows passing p, so a query
+      * rewrites ONLY when its own filters contain conjuncts
+      * semantically equal to p (plus the usual group-column filters,
+      * which commute, and the optimizer's own null-rejection
+      * inferences, which p implies). A query WITHOUT the predicate
+      * keeps its join — the state would undercount it. */
+    filterSql: Option[String] = None)
 
 /** Process-wide registry base-path → view definition. Paths compare
   * by filesystem path, with scheme/authority kept as a GUARD: a
@@ -533,13 +542,79 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // constraint inference (an inner equi-join never emits null-key
     // rows) — implied by the join, hence no-ops relative to the
     // state; drop them rather than reject the query over them
-    val filters = (aboveFilters ++ lFilters ++ rFilters)
+    val allConjuncts = (aboveFilters ++ lFilters ++ rFilters)
       .flatMap(conjuncts)
       .filterNot {
         case org.apache.spark.sql.catalyst.expressions.IsNotNull(
             ar: AttributeReference) => keyIds.contains(ar.exprId)
         case _ => false
       }
+    // Split: group-column-only conjuncts commute and apply to the
+    // state; everything else must BE the registered view predicate
+    // (σ in the SPJA class) — matched semantically below — or the
+    // query keeps its join.
+    val (groupOnly, viewPred) = allConjuncts.partition(c =>
+      c.deterministic && !SubqueryExpression.hasSubquery(c) &&
+        c.references.forall(a => groupByExprId.contains(a.exprId.id)))
+    mv.filterSql match {
+      case None =>
+        if (viewPred.nonEmpty) return None
+      case Some(sql) =>
+        // Bind the registered predicate's bare column names to the
+        // QUERY's base attributes, then run the analyzer over a
+        // LocalRelation carrying those same attributes — type
+        // coercion/casts land exactly as they did in the user query's
+        // own filter, so semanticEquals compares like with like.
+        val resolver = session.sessionState.analyzer.resolver
+        def bindByName(name: String): Option[Attribute] =
+          bothOut.find(a => resolver(a.name, name))
+        val parsed =
+          try session.sessionState.sqlParser.parseExpression(sql)
+          catch { case _: Exception => return None }
+        var bindable = true
+        val bound = parsed.transformUp {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            if (ua.nameParts.length != 1) { bindable = false; ua }
+            else bindByName(ua.nameParts.head) match {
+              case Some(a) => a
+              case None => bindable = false; ua
+            }
+        }
+        if (!bindable) return None
+        // analyze for type coercion, then fold constants/casts the
+        // same way the main optimizer already folded the query's own
+        // filter (the query side arrives here post-optimization, so
+        // like must compare with like)
+        val resolved =
+          try {
+            val analyzed = session.sessionState.analyzer.execute(
+              Filter(bound, logical.LocalRelation(bothOut.map(_.toAttribute))))
+            val folded =
+              org.apache.spark.sql.catalyst.optimizer.ConstantFolding(
+                org.apache.spark.sql.catalyst.optimizer.SimplifyCasts(analyzed))
+            folded match {
+              case Filter(cond, _) => cond
+              case _ => return None
+            }
+          } catch { case _: Exception => return None }
+        // every registered conjunct must be consumed by a query
+        // conjunct; leftovers must be null-rejection inferences the
+        // predicate itself implies (isnotnull on a column p filters)
+        val remaining = scala.collection.mutable.Buffer(viewPred: _*)
+        for (pc <- conjuncts(resolved)) {
+          val i = remaining.indexWhere(_.semanticEquals(pc))
+          if (i < 0) return None
+          remaining.remove(i)
+        }
+        val pRefs = conjuncts(resolved).flatMap(_.references).map(_.exprId).toSet
+        val onlyImplied = remaining.forall {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+              ar: AttributeReference) => pRefs.contains(ar.exprId)
+          case _ => false
+        }
+        if (!onlyImplied) return None
+    }
+    val filters = groupOnly
     val fCols = filterCols(filters, groupByExprId) match {
       case Some(cs) => cs
       case None => return None

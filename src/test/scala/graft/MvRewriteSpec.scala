@@ -491,6 +491,53 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
   }
 
+  test("SPJA join view: the registered predicate matches semantically, near-misses fall back") {
+    val (a, b) = joinDfs
+    val aPath = tmp("spja-a")
+    val bPath = tmp("spja-b")
+    val statePath = tmp("spja-state")
+    a.write.mode("overwrite").parquet(aPath)
+    b.write.mode("overwrite").parquet(bPath)
+    // the view: σ(w > 4) → join → γ; the state holds ONLY passing rows
+    Cdc.aggState(a.where(col("w") > 4).join(b, Seq("k"), "inner"),
+      Seq("g", "tag"), Seq("w"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.registerJoin(graft.plans.JoinMvDef(
+      aPath, bPath, Seq("k"), Seq("g", "tag"), Seq("w"), statePath,
+      filterSql = Some("w > 4")))
+    def joined = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "inner")
+    // exact predicate (written above the join; the optimizer pushes
+    // it below with an inferred isnotnull(w)) — serves from the state
+    def q = joined.where(col("w") > 4)
+      .groupBy("g").agg(count(lit(1)).as("n_rows"), sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(q, statePath, aPath, bPath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // the commuted spelling matches too (canonicalization)
+    def qc = joined.where(lit(4) < col("w"))
+      .groupBy("g").agg(count(lit(1)).as("n_rows"))
+    assert(scansOnlyState(qc, statePath, aPath, bPath), scanPaths(qc).mkString(", "))
+    assert(qc.collect().map(_.toString).sorted.toSeq === baseline(qc))
+    // predicate + group filter: the group filter commutes on top
+    def qg = joined.where(col("w") > 4 && col("g") =!= "G1")
+      .groupBy("tag").agg(sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(qg, statePath, aPath, bPath), scanPaths(qg).mkString(", "))
+    assert(qg.collect().map(_.toString).sorted.toSeq === baseline(qg))
+    // near-misses keep the join AND stay correct: no predicate,
+    // a different threshold, a strictly stronger predicate
+    val misses = Seq(
+      "no predicate" -> joined.groupBy("g").agg(count(lit(1)).as("n")),
+      "different threshold" -> joined.where(col("w") > 3)
+        .groupBy("g").agg(count(lit(1)).as("n")),
+      "stronger predicate" -> joined.where(col("w") > 4 && col("w") < 9)
+        .groupBy("g").agg(count(lit(1)).as("n")))
+    for ((label, m) <- misses) {
+      assert(!scanPaths(m).exists(_.startsWith(statePath)),
+        s"$label must NOT serve from the σ-state: ${scanPaths(m).mkString(", ")}")
+      assert(m.collect().map(_.toString).sorted.toSeq === baseline(m), label)
+    }
+  }
+
   test("join view freshness pin: drift under either base falls back to the join") {
     spark.conf.set("spark.graft.mv.signatureCacheMs", "0")
     val (a, b) = joinDfs
