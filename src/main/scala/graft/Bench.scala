@@ -176,13 +176,16 @@ object Bench {
 
     val ref = canaryRef()
     // Pre-run quiet-wait: a canary is ~0.45s, so probing for a quiet
-    // start is nearly free. Bounded: 5 probes, 20s apart.
+    // start is nearly free, and the START matters most — captures
+    // that begin loaded tend to stay loaded (r17's driver window ran
+    // another workload for its whole first half). Bounded: 8 probes,
+    // 30s apart (~4 min max), costing nothing on a quiet host.
     ref.foreach { r =>
       var probes = 0
-      while (probes < 5 && canary(spark) > r * CanaryMax) {
+      while (probes < 8 && canary(spark) > r * CanaryMax) {
         probes += 1
-        System.err.println(s"[bench] host loaded before sweep 1 (probe $probes/5), waiting 20s")
-        Thread.sleep(20000L)
+        System.err.println(s"[bench] host loaded before sweep 1 (probe $probes/8), waiting 30s")
+        Thread.sleep(30000L)
       }
     }
 

@@ -37,7 +37,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    because counts and the per-row-cast decimal sums are
   *    associative,
   *  - `count(*)` / `count(1)`, `count(c)` and `sum(c)` for `c` in the
-  *    view's sum columns (no DISTINCT, no FILTER clause),
+  *    view's sum columns (no FILTER clause),
+  *  - `count(DISTINCT g…)` over GROUP columns — the state holds one
+  *    row per distinct group combination (multiplicity in `n`, which
+  *    DISTINCT ignores), so the same distinct count over the state is
+  *    exact for any queried subset grouping; on a lattice the serving
+  *    slice must carry the counted columns (the chooser includes
+  *    them). DISTINCT over sum columns stays unrewritable — the state
+  *    has no raw values,
   *  - filters referencing ONLY group columns — σ on group columns
   *    commutes with γ, so they apply to the state instead (and from
   *    there push into the state parquet scan as ordinary data
@@ -343,12 +350,32 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   private case class CountStarOut(orig: NamedExpression) extends Out
   private case class CountColOut(colName: String, orig: NamedExpression) extends Out
   private case class SumColOut(colName: String, orig: NamedExpression) extends Out
+  /** `count(DISTINCT <group cols>)`: the state holds one row per
+    * distinct group-column combination (with multiplicity `n`, which
+    * DISTINCT ignores), so a distinct count over group columns is
+    * answered EXACTLY by the same distinct count over the state —
+    * for any queried subset grouping, including the global one. */
+  private case class DistinctCountOut(
+      colNames: Seq[String], orig: NamedExpression) extends Out
 
   private def classifyAgg(
       ae: AggregateExpression,
       orig: NamedExpression,
+      groupByExprId: Map[Long, String],
       sumByExprId: Map[Long, String]): Option[Out] = {
-    if (ae.isDistinct || ae.filter.nonEmpty || ae.mode != Complete) return None
+    if (ae.filter.nonEmpty || ae.mode != Complete) return None
+    if (ae.isDistinct) {
+      ae.aggregateFunction match {
+        case Count(children) if children.nonEmpty && children.forall {
+            case ar: AttributeReference => groupByExprId.contains(ar.exprId.id)
+            case _ => false
+          } =>
+          return Some(DistinctCountOut(children.map {
+            case ar: AttributeReference => groupByExprId(ar.exprId.id)
+          }, orig))
+        case _ => return None
+      }
+    }
     ae.aggregateFunction match {
       case Count(Seq(Literal(v, _))) if v != null => Some(CountStarOut(orig))
       case Count(Seq(ar: AttributeReference)) if sumByExprId.contains(ar.exprId.id) =>
@@ -419,7 +446,7 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val outs: Seq[Out] = agg.aggregateExpressions.map { ne =>
-      classifyOut(ne, groupByExprId.keySet, None, sumByExprId) match {
+      classifyOut(ne, groupByExprId, None, sumByExprId) match {
         case Some(o) => o
         case None => return None
       }
@@ -427,9 +454,13 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     // a lattice-registered state answers a plain aggregate from the
     // smallest registered superset's slice; a plain state serves all
+    val distinctCols = outs.flatMap {
+      case DistinctCountOut(cs, _) => cs
+      case _ => Nil
+    }.toSet
     val gidIndex =
       if (mv.sets.isEmpty) None
-      else chooseSet(mv, queriedGroups.toSet ++ fCols) match {
+      else chooseSet(mv, queriedGroups.toSet ++ fCols ++ distinctCols) match {
         case Some(i) => Some(i)
         case None => return None
       }
@@ -626,7 +657,7 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val outs: Seq[Out] = agg.aggregateExpressions.map { ne =>
-      classifyOut(ne, groupByExprId.keySet, None, sumByExprId) match {
+      classifyOut(ne, groupByExprId, None, sumByExprId) match {
         case Some(o) => o
         case None => return None
       }
@@ -728,7 +759,7 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val outs: Seq[Out] = agg.aggregateExpressions.map { ne =>
-      classifyOut(ne, groupRefName.keySet, Some(gidAttr.exprId.id), sumByExprId) match {
+      classifyOut(ne, groupRefName, Some(gidAttr.exprId.id), sumByExprId) match {
         case Some(o) => o
         case None => return None
       }
@@ -738,8 +769,12 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // registered superset's state slice; keepExprIds on the FIRST
     // branch only — Union takes its output from the first child, so
     // the original Aggregate's output ids survive for any consumer
+    val distinctCols = outs.flatMap {
+      case DistinctCountOut(cs, _) => cs
+      case _ => Nil
+    }.toSet
     val branches = querySets.zipWithIndex.map { case (qs, i) =>
-      val gidIndex = chooseSet(mv, qs ++ fCols) match {
+      val gidIndex = chooseSet(mv, qs ++ fCols ++ distinctCols) match {
         case Some(g) => g
         case None => return None
       }
@@ -760,14 +795,15 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     * the classifiable count/sum family. */
   private def classifyOut(
       ne: NamedExpression,
-      groupRefIds: Set[Long],
+      groupByExprId: Map[Long, String],
       gidRefId: Option[Long],
       sumByExprId: Map[Long, String]): Option[Out] = ne match {
-    case al @ Alias(ae: AggregateExpression, _) => classifyAgg(ae, al, sumByExprId)
+    case al @ Alias(ae: AggregateExpression, _) =>
+      classifyAgg(ae, al, groupByExprId, sumByExprId)
     case _ if ne.deterministic &&
         !ne.exists(_.isInstanceOf[AggregateExpression]) &&
         ne.references.forall(a =>
-          groupRefIds.contains(a.exprId.id) || gidRefId.contains(a.exprId.id)) =>
+          groupByExprId.contains(a.exprId.id) || gidRefId.contains(a.exprId.id)) =>
       Some(PassOut(ne))
     case _ => None
   }
@@ -829,6 +865,7 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case CountStarOut(_) => usedState += st("n")
       case CountColOut(c, _) => usedState += st(s"nn_$c")
       case SumColOut(c, _) => usedState += st(s"sum_$c")
+      case DistinctCountOut(cs, _) => cs.foreach(c => usedState += st(c))
     }
     val pruned = Project(usedState.toSeq, stateRel)
 
@@ -873,6 +910,9 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case CountStarOut(orig) => mkAlias(longRollup("n"), orig)
       case CountColOut(c, orig) => mkAlias(longRollup(s"nn_$c"), orig)
       case SumColOut(c, orig) => mkAlias(Cast(rollup(s"sum_$c"), orig.dataType), orig)
+      case DistinctCountOut(cs, orig) => mkAlias(
+        AggregateExpression(Count(cs.map(st(_))), Complete, isDistinct = true),
+        orig)
     }
     val groupExprs: Seq[Expression] = branchGroups.map(st(_)) ++
       (if (groupByGid) Seq(st("__gid")) else Nil)

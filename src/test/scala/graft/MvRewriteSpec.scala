@@ -162,6 +162,41 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("count(DISTINCT group col) answers exactly from the state's distinct combos") {
+    val (basePath, statePath, base) = fixture("dcount")
+    // subset grouping: distinct g2 per g1 — state rows are distinct
+    // (g1, g2) combos, so DISTINCT over them is the base truth
+    def q = base.groupBy("g1").agg(
+      countDistinct(col("g2")).as("d_g2"), count(lit(1)).as("n_rows"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // global distinct over one and over both group columns
+    def g = base.agg(countDistinct(col("g1")).as("d_g1"),
+      countDistinct(col("g1"), col("g2")).as("d_both"))
+    assert(scansState(g, statePath, basePath), scanPaths(g).mkString(", "))
+    assert(g.collect().map(_.toString).sorted.toSeq === baseline(g))
+    // with a commuting group filter
+    def f = base.where(col("g2") =!= 3).groupBy("g1")
+      .agg(countDistinct(col("g2")).as("d_g2"))
+    assert(scansState(f, statePath, basePath), scanPaths(f).mkString(", "))
+    assert(f.collect().map(_.toString).sorted.toSeq === baseline(f))
+    // distinct over a SUM column still falls back (state has no raw values)
+    def miss = base.groupBy("g1").agg(countDistinct(col("q")).as("d"))
+    assert(!scanPaths(miss).exists(_.startsWith(statePath)))
+    assert(miss.collect().map(_.toString).sorted.toSeq === baseline(miss))
+  }
+
+  test("count(DISTINCT group col) on the lattice serves from a slice that CARRIES the column") {
+    val (basePath, statePath, base) = cubeFixture("dcube",
+      sets = Seq(Seq("g1", "g2"), Seq("g1"), Seq.empty[String]))
+    // grouping by g1 alone, but distinct-counting g2: the (g1) slice
+    // lacks g2, so the chooser must serve from the finer (g1, g2)
+    // slice — values must still be exact
+    def q = base.groupBy("g1").agg(countDistinct(col("g2")).as("d_g2"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
   test("kill switch: spark.graft.mv.rewrite=false scans the base") {
     val (basePath, statePath, base) = fixture("switch")
     spark.conf.set("spark.graft.mv.rewrite", "false")
