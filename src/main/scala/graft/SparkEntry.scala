@@ -1002,6 +1002,68 @@ object SparkEntry {
       out
     }),
 
+    // MV rewrite over an EXTREMA view — MIN/MAX, the aggregate family
+    // that is NOT self-maintainable under deletion (a retracted
+    // extremum says nothing about the runner-up): the write side is
+    // maintainExtrema's fold/recompute split, and this row closes its
+    // READ side. The churn deliberately ENDANGERS extrema (the 'P'
+    // rows vanish — groups disappear; 'F' rows null out — non-null
+    // counts fall; repriced rows raise maxes), the state is maintained
+    // through that churn, and the user query's min/max/count over the
+    // base answers from the group-sized state: the in-query REQUIRE
+    // pins the state-only scan, the oracle recomputes from scratch.
+    "ext_mv_rewrite_extrema" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mvruext").toString
+      val cdc = graft.operators.Cdc
+      val before = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val after = before
+        .where(col("o_orderstatus") =!= "P")
+        .withColumn("v",
+          when(col("o_orderstatus") === "F", lit(null))
+            .when(col("o_orderkey") % 3 === 0, col("v") + 100)
+            .otherwise(col("v"))
+            .cast("decimal(12,2)"))
+      val basePath = s"$root/base"
+      val statePath = s"$root/state"
+      after.write.parquet(basePath)
+      cdc.maintainExtrema(
+          cdc.extremaState(before, Seq("o_orderstatus"), Seq("v")),
+          cdc.signedDelta(before, after, Seq("o_orderkey")),
+          after, Seq("o_orderstatus"), Seq("v"))
+        .write.parquet(statePath)
+      graft.plans.MvCatalog.register(basePath,
+        graft.plans.MvDef(Seq("o_orderstatus"), Nil, statePath,
+          extremaCols = Seq("v")))
+      val out = try {
+        val q = s.read.parquet(basePath)
+          .groupBy("o_orderstatus")
+          .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+            count(col("v")).as("nn_v"), count(lit(1)).as("n_rows"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.startsWith(statePath)) &&
+          !scanned.exists(_.startsWith(basePath)),
+          s"extrema MV rewrite did not fire; scans: ${scanned.mkString(", ")}")
+        q.withColumn("min_v", col("min_v").cast("double"))
+          .withColumn("max_v", col("max_v").cast("double"))
+          .localCheckpoint(true)
+      } finally graft.plans.MvCatalog.unregister(basePath)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // MV rewrite over a JOIN VIEW — the read side of the joinDelta
     // loop. The churned orders/customer snapshots are the stored
     // base tables; the join view's counting state — bootstrapped on
@@ -5236,6 +5298,28 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v,
         |  CAST(GROUPING(o_orderstatus, b) AS BIGINT) AS gid
         |FROM aft GROUP BY ROLLUP(o_orderstatus, b)""".stripMargin,
+
+    // from-scratch MIN/MAX recompute of the churned snapshot; the
+    // engine answers from the extremaState maintained THROUGH the
+    // extremum-retracting churn, never scanning the base
+    "ext_mv_rewrite_extrema" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN NULL
+        |              WHEN o_orderkey % 3 = 0 THEN v + 100
+        |              ELSE v END AS DECIMAL(12,2)) AS v
+        |  FROM base WHERE o_orderstatus <> 'P'
+        |)
+        |SELECT o_orderstatus,
+        |  CAST(min(v) AS DOUBLE) AS min_v,
+        |  CAST(max(v) AS DOUBLE) AS max_v,
+        |  count(v) AS nn_v, count(*) AS n_rows
+        |FROM aft GROUP BY o_orderstatus""".stripMargin,
 
     // from-scratch join + aggregate recompute of the same two-sided
     // churn; the engine answers it from the joinDelta-maintained

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal,
   NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Sum}
+  AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Expand, Filter, LogicalPlan, Project, Union}
@@ -86,7 +86,15 @@ case class MvDef(
     sumCols: Seq[String],
     statePath: String,
     baseSignature: Option[String] = None,
-    sets: Seq[Seq[String]] = Nil)
+    sets: Seq[Seq[String]] = Nil,
+    /** Columns whose `min_<c>` / `max_<c>` / `nn_<c>` live in the
+      * state — a [[graft.operators.Cdc.extremaState]] table
+      * maintained by `maintainExtrema`. MIN/MAX roll up exactly
+      * (min of group-mins, nulls skipped on both paths), and
+      * `count(c)` serves from `nn_<c>` just like a sum column's.
+      * Plain (non-lattice) registrations only — `cubeState` carries
+      * no extrema. */
+    extremaCols: Seq[String] = Nil)
 
 /** A registered JOIN view: the state is
   * `Cdc.aggState(left ⋈_on right, groupCols, sumCols)` maintained
@@ -350,6 +358,8 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   private case class CountStarOut(orig: NamedExpression) extends Out
   private case class CountColOut(colName: String, orig: NamedExpression) extends Out
   private case class SumColOut(colName: String, orig: NamedExpression) extends Out
+  private case class MinColOut(colName: String, orig: NamedExpression) extends Out
+  private case class MaxColOut(colName: String, orig: NamedExpression) extends Out
   /** `count(DISTINCT <group cols>)`: the state holds one row per
     * distinct group-column combination (with multiplicity `n`, which
     * DISTINCT ignores), so a distinct count over group columns is
@@ -362,7 +372,8 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       ae: AggregateExpression,
       orig: NamedExpression,
       groupByExprId: Map[Long, String],
-      sumByExprId: Map[Long, String]): Option[Out] = {
+      sumByExprId: Map[Long, String],
+      extByExprId: Map[Long, String]): Option[Out] = {
     if (ae.filter.nonEmpty || ae.mode != Complete) return None
     if (ae.isDistinct) {
       ae.aggregateFunction match {
@@ -376,13 +387,26 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => return None
       }
     }
+    // both aggState and extremaState carry `nn_<c>` for their value
+    // columns, so count(c) serves from either family
+    val nnByExprId = sumByExprId ++ extByExprId
     ae.aggregateFunction match {
       case Count(Seq(Literal(v, _))) if v != null => Some(CountStarOut(orig))
-      case Count(Seq(ar: AttributeReference)) if sumByExprId.contains(ar.exprId.id) =>
-        Some(CountColOut(sumByExprId(ar.exprId.id), orig))
+      case Count(Seq(ar: AttributeReference)) if nnByExprId.contains(ar.exprId.id) =>
+        Some(CountColOut(nnByExprId(ar.exprId.id), orig))
       case s: Sum => s.child match {
         case ar: AttributeReference if sumByExprId.contains(ar.exprId.id) =>
           Some(SumColOut(sumByExprId(ar.exprId.id), orig))
+        case _ => None
+      }
+      case m: Min => m.child match {
+        case ar: AttributeReference if extByExprId.contains(ar.exprId.id) =>
+          Some(MinColOut(extByExprId(ar.exprId.id), orig))
+        case _ => None
+      }
+      case m: Max => m.child match {
+        case ar: AttributeReference if extByExprId.contains(ar.exprId.id) =>
+          Some(MaxColOut(extByExprId(ar.exprId.id), orig))
         case _ => None
       }
       case _ => None
@@ -432,6 +456,11 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val sumByExprId = lr.output
       .filter(a => mv.sumCols.contains(a.name))
       .map(a => a.exprId.id -> a.name).toMap
+    val extByExprId =
+      if (mv.sets.nonEmpty) Map.empty[Long, String]
+      else lr.output
+        .filter(a => mv.extremaCols.contains(a.name))
+        .map(a => a.exprId.id -> a.name).toMap
 
     val fCols = filterCols(filters, groupByExprId) match {
       case Some(cs) => cs
@@ -446,7 +475,7 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val outs: Seq[Out] = agg.aggregateExpressions.map { ne =>
-      classifyOut(ne, groupByExprId, None, sumByExprId) match {
+      classifyOut(ne, groupByExprId, None, sumByExprId, extByExprId) match {
         case Some(o) => o
         case None => return None
       }
@@ -797,9 +826,10 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       ne: NamedExpression,
       groupByExprId: Map[Long, String],
       gidRefId: Option[Long],
-      sumByExprId: Map[Long, String]): Option[Out] = ne match {
+      sumByExprId: Map[Long, String],
+      extByExprId: Map[Long, String] = Map.empty): Option[Out] = ne match {
     case al @ Alias(ae: AggregateExpression, _) =>
-      classifyAgg(ae, al, groupByExprId, sumByExprId)
+      classifyAgg(ae, al, groupByExprId, sumByExprId, extByExprId)
     case _ if ne.deterministic &&
         !ne.exists(_.isInstanceOf[AggregateExpression]) &&
         ne.references.forall(a =>
@@ -841,11 +871,13 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // never silently return wrong results
     val expected = mv.groupCols ++
       (if (mv.sets.nonEmpty) Seq("__gid") else Nil) ++ Seq("n") ++
-      mv.sumCols.flatMap(c => Seq(s"nn_$c", s"sum_$c"))
+      mv.sumCols.flatMap(c => Seq(s"nn_$c", s"sum_$c")) ++
+      mv.extremaCols.flatMap(c => Seq(s"nn_$c", s"min_$c", s"max_$c"))
     require(expected.forall(st.contains),
       s"state table ${mv.statePath} lacks columns " +
         s"${expected.filterNot(st.contains).mkString(", ")} — build it with " +
-        s"Cdc.${if (mv.sets.nonEmpty) "cubeState" else "aggState"}")
+        s"Cdc.${if (mv.sets.nonEmpty) "cubeState"
+          else if (mv.extremaCols.nonEmpty) "extremaState" else "aggState"}")
 
     val present = branchGroups.toSet
 
@@ -865,6 +897,8 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case CountStarOut(_) => usedState += st("n")
       case CountColOut(c, _) => usedState += st(s"nn_$c")
       case SumColOut(c, _) => usedState += st(s"sum_$c")
+      case MinColOut(c, _) => usedState += st(s"min_$c")
+      case MaxColOut(c, _) => usedState += st(s"max_$c")
       case DistinctCountOut(cs, _) => cs.foreach(c => usedState += st(c))
     }
     val pruned = Project(usedState.toSeq, stateRel)
@@ -910,6 +944,12 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case CountStarOut(orig) => mkAlias(longRollup("n"), orig)
       case CountColOut(c, orig) => mkAlias(longRollup(s"nn_$c"), orig)
       case SumColOut(c, orig) => mkAlias(Cast(rollup(s"sum_$c"), orig.dataType), orig)
+      // min of group-mins / max of group-maxes — exact for any
+      // subset rollup; nulls skip identically on both paths
+      case MinColOut(c, orig) => mkAlias(
+        AggregateExpression(Min(st(s"min_$c")), Complete, isDistinct = false), orig)
+      case MaxColOut(c, orig) => mkAlias(
+        AggregateExpression(Max(st(s"max_$c")), Complete, isDistinct = false), orig)
       case DistinctCountOut(cs, orig) => mkAlias(
         AggregateExpression(Count(cs.map(st(_))), Complete, isDistinct = true),
         orig)

@@ -197,6 +197,68 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
   }
 
+  test("MIN/MAX serve from an extremaState registration; unregistered extrema fall back") {
+    val basePath = tmp("ext-base")
+    val statePath = tmp("ext-state")
+    baseDf.write.mode("overwrite").parquet(basePath)
+    Cdc.extremaState(spark.read.parquet(basePath), Seq("g1", "g2"), Seq("v", "q"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.register(basePath, MvDef(Seq("g1", "g2"), Nil, statePath,
+      extremaCols = Seq("v", "q")))
+    val base = spark.read.parquet(basePath)
+    // direct groups: min/max/count(c)/count(*) all from the state
+    def q = base.groupBy("g1", "g2").agg(
+      min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+      min(col("q")).as("min_q"), count(col("v")).as("nn_v"),
+      count(lit(1)).as("n_rows"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // subset rollup + group filter: min of group-mins is exact, the
+    // all-NULL group's extrema stay NULL through the rollup
+    def r = base.where(col("g2") =!= 3).groupBy("g1")
+      .agg(min(col("v")).as("min_v"), max(col("q")).as("max_q"))
+    assert(scansState(r, statePath, basePath), scanPaths(r).mkString(", "))
+    assert(r.collect().map(_.toString).sorted.toSeq === baseline(r))
+    // global
+    def g = base.agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    assert(scansState(g, statePath, basePath))
+    assert(g.collect().map(_.toString).sorted.toSeq === baseline(g))
+    // sum over an extrema-only registration falls back (no sum_ cols)
+    def miss = base.groupBy("g1").agg(sum(col("q")).as("s"))
+    assert(!scanPaths(miss).exists(_.startsWith(statePath)))
+    assert(miss.collect().map(_.toString).sorted.toSeq === baseline(miss))
+    // min over a column the view does not register falls back
+    MvCatalog.clear()
+    MvCatalog.register(basePath, MvDef(Seq("g1", "g2"), Nil, statePath,
+      extremaCols = Seq("v")))
+    def missQ = base.groupBy("g1").agg(min(col("q")).as("m"))
+    assert(!scanPaths(missQ).exists(_.startsWith(statePath)))
+    assert(missQ.collect().map(_.toString).sorted.toSeq === baseline(missQ))
+  }
+
+  test("maintained extremaState answers MIN/MAX after extremum-retracting churn") {
+    val basePath = tmp("extm-base")
+    val statePath = tmp("extm-state")
+    val before = baseDf
+    // retract a group's MAX (the A,1 10.25 row) and drop group (C,3)
+    // entirely — both endanger extrema, forcing the recompute path
+    val after = before
+      .where(!(col("g1") === "A" && col("g2") === 1 && col("q") === 5L))
+      .where(col("g1").isNull || col("g1") =!= "C")
+    after.write.mode("overwrite").parquet(basePath)
+    val state0 = Cdc.extremaState(before, Seq("g1", "g2"), Seq("v", "q"))
+    val delta = Cdc.signedDelta(before, after, Seq("g1", "g2", "v", "q"))
+    Cdc.maintainExtrema(state0, delta, after, Seq("g1", "g2"), Seq("v", "q"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.register(basePath, MvDef(Seq("g1", "g2"), Nil, statePath,
+      extremaCols = Seq("v", "q")))
+    def q = spark.read.parquet(basePath).groupBy("g1")
+      .agg(min(col("v")).as("min_v"), max(col("q")).as("max_q"),
+        count(lit(1)).as("n_rows"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
   test("kill switch: spark.graft.mv.rewrite=false scans the base") {
     val (basePath, statePath, base) = fixture("switch")
     spark.conf.set("spark.graft.mv.rewrite", "false")
