@@ -35,13 +35,37 @@ final case class LakePaths(root: String) {
 /** Bucket-lifecycle surface of the reference (exists / create /
   * clear — `cloud_utils.py:96-373`), realized over Hadoop
   * `FileSystem` so the same code runs on HDFS/S3A/GCS/local.
+  *
+  * Cloud control-plane seam: every lifecycle op first consults
+  * [[ObjectStoreAdapters.route]] — a path whose URI scheme has a
+  * registered [[ObjectStoreAdapter]] is decomposed into
+  * (bucket = authority, prefix = path) and served by the adapter
+  * (real SDK clients, auth, region pinning, retry policy), exactly
+  * as the reference's lifecycle calls go through per-cloud clients
+  * while Spark handles the data I/O. Unregistered schemes and bare
+  * paths keep the Hadoop behavior, so the seam is inert until a
+  * deployment opts in. ([[dirBytes]] stays FS-only: it is the
+  * spec/witness footprint measure, not a lifecycle call.)
   */
 final class LakeStorage(conf: Configuration) {
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
-  def exists(path: String): Boolean = { val p = new Path(path); fs(p).exists(p) }
+  def exists(path: String): Boolean =
+    ObjectStoreAdapters.route(path) match {
+      case Some((a, bucket, prefix)) =>
+        if (prefix.isEmpty) a.bucketExists(bucket)
+        else a.prefixExists(bucket, prefix)
+      case None => val p = new Path(path); fs(p).exists(p)
+    }
 
-  def create(path: String): Unit = { val p = new Path(path); fs(p).mkdirs(p) }
+  def create(path: String): Unit =
+    ObjectStoreAdapters.route(path) match {
+      case Some((a, bucket, prefix)) =>
+        // object stores have no directories: creating a dataset path
+        // means ensuring its BUCKET exists (keys appear on write)
+        if (prefix.isEmpty || !a.bucketExists(bucket)) a.createBucket(bucket)
+      case None => val p = new Path(path); fs(p).mkdirs(p); ()
+    }
 
   /** Recursive bytes-on-disk under `path`, local-FS `.crc` shadows
     * excluded (they don't exist on real lakes) — the storage-footprint
@@ -61,18 +85,29 @@ final class LakeStorage(conf: Configuration) {
     * every object under the prefix — reference
     * `cloud_utils.py:172-247` iterates blobs and deletes each; one
     * recursive FS delete is the scalable equivalent. */
-  def truncate(path: String): Unit = {
-    val p = new Path(path)
-    val f = fs(p)
-    if (f.exists(p)) { f.delete(p, true); () }
-  }
+  def truncate(path: String): Unit =
+    ObjectStoreAdapters.route(path) match {
+      case Some((a, bucket, prefix)) => a.deletePrefix(bucket, prefix)
+      case None =>
+        val p = new Path(path)
+        val f = fs(p)
+        if (f.exists(p)) { f.delete(p, true); () }
+    }
 
   /** `clear_current_bucket_or_create_a_new_bucket`
-    * (`cloud_utils.py:315-373`): wipe if present, else create. */
-  def clearOrCreate(path: String): Unit = {
-    truncate(path)
-    create(path)
-  }
+    * (`cloud_utils.py:315-373`): wipe if present, else create. On an
+    * adapter-routed path this is literally the reference's composite —
+    * bucket exists ⇒ clear the dataset prefix, absent ⇒ create the
+    * bucket (the first write materializes the keys). */
+  def clearOrCreate(path: String): Unit =
+    ObjectStoreAdapters.route(path) match {
+      case Some((a, bucket, prefix)) =>
+        if (a.bucketExists(bucket)) a.deletePrefix(bucket, prefix)
+        else a.createBucket(bucket)
+      case None =>
+        truncate(path)
+        create(path)
+    }
 }
 
 object LakeStorage {
