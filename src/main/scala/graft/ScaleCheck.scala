@@ -495,6 +495,39 @@ object ScaleCheck {
             Seq("custkey")),
           Seq("c_mktsegment"), Seq("price")).count()
       }, orders, "o_orderkey"),
+      // LEFT-outer-join-view IVM at k×: ivm_join's shape plus the
+      // anti-extension machinery — unmatched facts (dim drops
+      // custkey % 7 = 0) live in the view as null-extensions, and the
+      // two-sided churn crosses zero in both directions. The extra
+      // term costs one aggregate over ΔB's keys and two
+      // BROADCAST-key probes of the old snapshots, so growth should
+      // stay snapshot-scan-linear with churn-sized shuffles — never
+      // a k×-view reshuffle, and B_new is never materialized.
+      ("ivm_leftjoin", (df: DataFrame) => {
+        val cdc = graft.operators.Cdc
+        val aOld = df.select(
+          col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+        val aNew = aOld.where(col("o_orderkey") % 5 =!= 0)
+          .withColumn("price",
+            when(col("o_orderkey") % 3 === 0, col("price") + 100)
+              .otherwise(col("price")).cast("decimal(12,2)"))
+        val cust = customer.select(
+          col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val bOld = cust.where(col("custkey") % 7 =!= 0)
+        val bNew = cust.where(col("custkey") % 9 =!= 0)
+          .withColumn("c_mktsegment",
+            when(col("custkey") % 4 === 0, lit("SEG"))
+              .otherwise(col("c_mktsegment")))
+        cdc.maintainAgg(
+          cdc.aggState(aOld.join(bOld, Seq("custkey"), "left"),
+            Seq("c_mktsegment"), Seq("price")),
+          cdc.leftJoinDelta(
+            cdc.signedDelta(aOld, aNew, Seq("o_orderkey")), aOld,
+            cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
+            Seq("custkey")),
+          Seq("c_mktsegment"), Seq("price")).count()
+      }, orders, "o_orderkey"),
       // Extrema IVM fold path — the common append-heavy batch: state
       // bootstrapped once from the UNGROWN orders, insert-only churn
       // grows k×. Insertions fold with pure delta arithmetic, the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -283,6 +283,179 @@ object Cdc {
     term(da, bSnap)
       .unionByName(term(aSnap, db))
       .unionByName(term(da, db))
+  }
+
+  /** Signed delta of the LEFT OUTER equi-join `A ⟕ B` — the one join
+    * class that is NOT bilinear, because the null-extended rows carry
+    * an indicator: as signed multisets,
+    *
+    *   A ⟕ B  =  A ⋈ B  ∪  Σ_{a∈A} [m_B(k_a) = 0] · (a, NULLs)
+    *
+    * where `m_B(k)` counts B's rows with key k (any NULL key
+    * component ⇒ no match, standard SQL). Differencing:
+    *
+    *   Δ(A⟕B) = Δ(A⋈B)                                — [[joinDelta]]
+    *          + Σ_{ΔA signed} [m_Bnew(k_a) = 0] · (a, NULLs)
+    *          + Σ_{a∈A_old} ([m_Bnew=0] − [m_Bold=0]) · (a, NULLs)
+    *
+    * The second term is ΔA's own rows that stay unmatched under the
+    * NEW B (matched ΔA rows are already covered by the inner delta);
+    * the third fires only for keys whose match count TRANSITIONS
+    * across zero — a key B's churn newly populates retracts the
+    * null-extension (−1) of every old A row with that key, a key
+    * B's churn empties inserts it (+1). Only keys in ΔB can
+    * transition, so the term is churn-bounded by construction.
+    *
+    * Output schema == the view's (`on ++ A payload ++ B payload`,
+    * B payload typed-NULL on extension rows) + `__sign` — feed it to
+    * [[maintainAgg]] with `groupCols` = every view column for the
+    * row multiset, or real aggregates for an aggregate over the
+    * outer join (NULL-extended B values aggregate exactly like the
+    * base view's NULLs: skipped by sum/count(c), counted by n).
+    *
+    * 100 TB posture: beyond [[joinDelta]]'s cost, one aggregate over
+    * ΔB's keys, one B_old count probe and one A_old row probe — both
+    * against the BROADCAST touched/transition key sets, so the
+    * snapshots are scanned (never shuffled) and nothing re-runs the
+    * join. m_new comes from `m_old + Σ ΔB signs`, so B_new is never
+    * needed. The match-count table and the deltas are churn-sized
+    * and materialized once (`materialize = false` only when the
+    * caller already checkpointed the deltas).
+    */
+  def leftJoinDelta(
+      deltaA: DataFrame,
+      aOld: DataFrame,
+      deltaB: DataFrame,
+      bOld: DataFrame,
+      on: Seq[String],
+      materialize: Boolean = true): DataFrame = {
+    require(on.nonEmpty, "leftJoinDelta needs join key columns")
+    requireNoReserved(aOld, Seq("__sign", "__sl", "__sr", "__mo", "__mn", "__tsign"))
+    requireNoReserved(bOld, Seq("__sign", "__sl", "__sr", "__mo", "__mn", "__tsign"))
+    val (da, db) =
+      if (materialize) (deltaA.localCheckpoint(true), deltaB.localCheckpoint(true))
+      else (deltaA, deltaB)
+    // the inner-join bilinear terms (also validates the delta/payload
+    // contracts: __sign present, non-key names disjoint)
+    val inner = joinDelta(da, aOld, db, bOld, on, materialize = false)
+    inner.unionByName(
+      antiExtensionDelta(da, aOld, db, bOld, on, rightSideUnmatched = false))
+  }
+
+  /** Signed delta of the RIGHT OUTER equi-join `A ⟖ B`: the mirror of
+    * [[leftJoinDelta]] — inner bilinear terms plus the null-extension
+    * delta of B's unmatched rows (A payload typed-NULL). Output
+    * schema stays the view's `on ++ A payload ++ B payload`. */
+  def rightJoinDelta(
+      deltaA: DataFrame,
+      aOld: DataFrame,
+      deltaB: DataFrame,
+      bOld: DataFrame,
+      on: Seq[String],
+      materialize: Boolean = true): DataFrame = {
+    require(on.nonEmpty, "rightJoinDelta needs join key columns")
+    requireNoReserved(aOld, Seq("__sign", "__sl", "__sr", "__mo", "__mn", "__tsign"))
+    requireNoReserved(bOld, Seq("__sign", "__sl", "__sr", "__mo", "__mn", "__tsign"))
+    val (da, db) =
+      if (materialize) (deltaA.localCheckpoint(true), deltaB.localCheckpoint(true))
+      else (deltaA, deltaB)
+    val inner = joinDelta(da, aOld, db, bOld, on, materialize = false)
+    inner.unionByName(
+      antiExtensionDelta(db, bOld, da, aOld, on, rightSideUnmatched = true))
+  }
+
+  /** Signed delta of the FULL OUTER equi-join `A ⟗ B`: inner bilinear
+    * terms plus BOTH sides' null-extension deltas. The `on` columns
+    * carry the owning side's key values — exactly SQL's
+    * `COALESCE(a.k, b.k)` under `USING`. Feed to [[maintainAgg]] like
+    * the other join deltas. */
+  def fullJoinDelta(
+      deltaA: DataFrame,
+      aOld: DataFrame,
+      deltaB: DataFrame,
+      bOld: DataFrame,
+      on: Seq[String],
+      materialize: Boolean = true): DataFrame = {
+    require(on.nonEmpty, "fullJoinDelta needs join key columns")
+    requireNoReserved(aOld, Seq("__sign", "__sl", "__sr", "__mo", "__mn", "__tsign"))
+    requireNoReserved(bOld, Seq("__sign", "__sl", "__sr", "__mo", "__mn", "__tsign"))
+    val (da, db) =
+      if (materialize) (deltaA.localCheckpoint(true), deltaB.localCheckpoint(true))
+      else (deltaA, deltaB)
+    val inner = joinDelta(da, aOld, db, bOld, on, materialize = false)
+    inner
+      .unionByName(
+        antiExtensionDelta(da, aOld, db, bOld, on, rightSideUnmatched = false))
+      .unionByName(
+        antiExtensionDelta(db, bOld, da, aOld, on, rightSideUnmatched = true))
+  }
+
+  /** The non-bilinear half of an outer-join delta: the signed change
+    * of `side`'s null-extended (unmatched) rows against the churning
+    * `other` side —
+    *
+    *   Σ_{Δside signed} [m_otherNew(k) = 0] · (row, NULLs)
+    *   + Σ_{row∈sideOld} ([m_otherNew=0] − [m_otherOld=0]) · (row, NULLs)
+    *
+    * `m_new = m_old + Σ Δother signs`, so the new other-side snapshot
+    * is never needed; both probes go against BROADCAST touched /
+    * transition key sets. `rightSideUnmatched` only picks the output
+    * projection (which payload gets the typed NULLs) so both outer
+    * directions share one implementation. */
+  private def antiExtensionDelta(
+      dSide: DataFrame,
+      sideOld: DataFrame,
+      dOther: DataFrame,
+      otherOld: DataFrame,
+      on: Seq[String],
+      rightSideUnmatched: Boolean): DataFrame = {
+    val sidePayload = sideOld.columns.filterNot(on.contains)
+    val otherPayload = otherOld.columns.filterNot(on.contains)
+    val keyCols = on.map(col)
+    val otherNulls = otherPayload.map(c =>
+      lit(null).cast(otherOld.schema(c).dataType).as(c))
+    // view column order is always (on, A payload, B payload)
+    val outCols =
+      if (rightSideUnmatched) keyCols ++ otherNulls ++ sidePayload.map(col)
+      else keyCols ++ sidePayload.map(col) ++ otherNulls
+    def extended(src: DataFrame, sign: Column): DataFrame =
+      src.select(sign.as("__sign") +: outCols: _*)
+
+    // match-count table over the TOUCHED (non-null) key set:
+    // m_old from one probed snapshot count, m_new = m_old + Σ Δ signs
+    val nonNullKey = on.map(col(_).isNotNull).reduce(_ && _)
+    val tk = dSide.select(keyCols: _*).where(nonNullKey)
+      .unionByName(dOther.select(keyCols: _*).where(nonNullKey))
+      .distinct().localCheckpoint(true)
+    val mOld = otherOld.join(broadcast(tk), on.toSeq, "left_semi")
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("__mo"))
+    val dOtherCnt = dOther.where(nonNullKey).groupBy(keyCols: _*)
+      .agg(sum(col("__sign").cast("long")).as("__md"))
+    val m = tk.join(mOld, on.toSeq, "left").join(dOtherCnt, on.toSeq, "left")
+      .select(keyCols :+ coalesce(col("__mo"), lit(0L)).as("__mo") :+
+        (coalesce(col("__mo"), lit(0L)) + coalesce(col("__md"), lit(0L)))
+          .as("__mn"): _*)
+      .localCheckpoint(true)
+
+    // Δside rows unmatched under the NEW other side (a NULL-keyed or
+    // untouched-miss row falls off the left join ⇒ coalesce to 0 ⇒
+    // unmatched)
+    val t1 = extended(
+      dSide.join(broadcast(m.select(keyCols :+ col("__mn"): _*)), on.toSeq, "left")
+        .where(coalesce(col("__mn"), lit(0L)) === 0L),
+      col("__sign"))
+
+    // transition keys: every OLD side row with that key gains (+1) or
+    // loses (−1) its null-extension
+    val trans = m.where(
+      (col("__mo") === 0L && col("__mn") > 0L) ||
+        (col("__mo") > 0L && col("__mn") === 0L))
+      .select(keyCols :+
+        when(col("__mn") === 0L, lit(1)).otherwise(lit(-1)).as("__tsign"): _*)
+    val t2 = extended(
+      sideOld.join(broadcast(trans), on.toSeq, "inner"), col("__tsign"))
+
+    t1.unionByName(t2)
   }
 
   /** Stable carried type for maintained sums: max-precision decimal

@@ -274,6 +274,155 @@ class CdcSpec extends AnyFunSuite {
     assert(rows(maintained).contains(Seq(10L, 1L, "X", "A2", 1L)))
   }
 
+  test("leftJoinDelta law: state(Aold⟕Bold) + Δ(A⟕B) == state(Anew⟕Bnew), every term exercised") {
+    // churn chosen so each of the three delta terms fires, plus both
+    // zero-crossing directions and the gnarliest composition (an A
+    // row whose key B populates in the SAME batch):
+    //  - inner terms: delete of matched (2,10), update of matched
+    //    (1,10) against a re-segmented customer (cross term), insert
+    //    of matched (8,20) with fan-out 2
+    //  - term 1 (ΔA unmatched under B_new): insert (6,50)
+    //  - term 2 (+1, key emptied): B deletes 30's only row — old row
+    //    (4,30) gains a null-extension
+    //  - term 2 (−1, key populated): B inserts 40's first row — old
+    //    row (5,40) loses its null-extension while the inner A_old⋈ΔB
+    //    term adds its matched image
+    //  - both at once: (9,60) was null-extended and B inserts 60 in
+    //    this batch — term 2 retracts the extension, the inner terms'
+    //    sign algebra (+1 from A_old⋈ΔB, −1 from ΔA⋈ΔB) cancels the
+    //    matched image of the RETRACTED old row exactly
+    //  - a NULL-keyed A row never matches and never transitions
+    def a(rows: Seq[(Long, Option[Long], String)]) = rows.toDF("ok", "ck", "st")
+    def b(rows: Seq[(Long, String)]) = rows.toDF("ck", "seg")
+    val aOld = a(Seq((1L, Some(10L), "O"), (2L, Some(10L), "F"),
+      (3L, Some(20L), "O"), (4L, Some(30L), "F"), (5L, Some(40L), "O"),
+      (7L, None, "N"), (9L, Some(60L), "O")))
+    val aNew = a(Seq((1L, Some(10L), "X"), (3L, Some(20L), "O"),
+      (4L, Some(30L), "F"), (5L, Some(40L), "O"), (6L, Some(50L), "O"),
+      (7L, None, "N"), (8L, Some(20L), "P"), (9L, Some(20L), "O")))
+    val bOld = b(Seq((10L, "A"), (20L, "B"), (20L, "B2"), (30L, "C")))
+    val bNew = b(Seq((10L, "A2"), (20L, "B"), (20L, "B2"), (40L, "E"),
+      (60L, "Z")))
+
+    def viewL(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.join(y, Seq("ck"), "left")
+    val cols = Seq("ck", "ok", "st", "seg")
+    val state0 = Cdc.aggState(viewL(aOld, bOld), cols, Nil)
+    val delta = Cdc.leftJoinDelta(
+      Cdc.signedDelta(aOld, aNew, Seq("ok")), aOld,
+      Cdc.signedDelta(bOld, bNew, Seq("ck")), bOld, on = Seq("ck"))
+    val maintained = Cdc.maintainAgg(state0, delta, cols, Nil)
+    val recomputed = Cdc.aggState(viewL(aNew, bNew), cols, Nil)
+    assert(maintained.schema == recomputed.schema)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(maintained) == rows(recomputed))
+    // the emptied key's row is null-extended, the populated key's is
+    // matched, the same-batch composition landed on its NEW key, and
+    // the null-keyed row still carries its extension
+    assert(rows(maintained).contains(Seq(30L, 4L, "F", null, 1L)))
+    assert(rows(maintained).contains(Seq(40L, 5L, "O", "E", 1L)))
+    assert(rows(maintained).contains(Seq(20L, 9L, "O", "B", 1L)))
+    assert(!rows(maintained).exists(r => r.head == 60L))
+    assert(rows(maintained).contains(Seq(null, 7L, "N", null, 1L)))
+  }
+
+  test("leftJoinDelta maintains an aggregate OVER the outer join; randomized parity sweep") {
+    val rnd = new scala.util.Random(42)
+    for (i <- 1 to 5) {
+      def randA(n: Int) = (1 to n).map(j =>
+        (j.toLong + i * 1000,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(6).toLong),
+          Option(rnd.nextInt(20).toLong).filter(_ => rnd.nextInt(8) != 0)))
+        .toDF("ok", "ck", "v")
+      def randB(n: Int) = (1 to n)
+        .map(j => (rnd.nextInt(6).toLong, s"s${rnd.nextInt(3)}", j.toLong))
+        .toDF("ck", "seg", "bid")
+      val aOld = randA(30).localCheckpoint(true)
+      val bOld = randB(8).localCheckpoint(true)
+      // churn: random row replacement on both sides
+      val aNew = aOld.where(col("ok") % 7 =!= 0)
+        .unionByName(randA(6).withColumn("ok", col("ok") + 500))
+        .localCheckpoint(true)
+      val bNew = bOld.where(col("bid") % 3 =!= 0)
+        .unionByName(randB(3).withColumn("bid", col("bid") + 100))
+        .localCheckpoint(true)
+      val dA = Cdc.signedDelta(aOld, aNew, Seq("ok")).localCheckpoint(true)
+      val dB = Cdc.signedDelta(bOld, bNew, Seq("bid")).localCheckpoint(true)
+      // all three outer directions against their from-scratch truths;
+      // group on the DIMENSION payload so NULL-extension churn is
+      // visible (NULL seg = unmatched-A population in left/full) and
+      // on the FACT payload for right/full (NULL v = unmatched-B)
+      val cases = Seq[
+        (String, String, (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame, Seq[String], Boolean)
+          => org.apache.spark.sql.DataFrame)](
+        ("left", "left", Cdc.leftJoinDelta),
+        ("right", "right", Cdc.rightJoinDelta),
+        ("full", "outer", Cdc.fullJoinDelta))
+      for ((label, joinType, deltaFn) <- cases) {
+        def view(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+          x.join(y, Seq("ck"), joinType)
+        val state0 = Cdc.aggState(view(aOld, bOld), Seq("seg"), Seq("v"))
+        val delta = deltaFn(dA, aOld, dB, bOld, Seq("ck"), false)
+        val maintained = Cdc.maintainAgg(state0, delta, Seq("seg"), Seq("v"))
+        val recomputed = Cdc.aggState(view(aNew, bNew), Seq("seg"), Seq("v"))
+        assert(maintained.collect().map(_.toSeq).toSet ==
+          recomputed.collect().map(_.toSeq).toSet, s"sweep case $i ($label)")
+      }
+    }
+  }
+
+  test("fullJoinDelta law: both unmatched populations maintained, keys from the owning side") {
+    // B has never-matched rows (70) and gains an unmatched one (80);
+    // A's (4,30) delete empties B-row 30's match; B's (40,E) insert
+    // matches A's same-batch insert (5,40) — the composition where
+    // the inner terms and BOTH anti terms interact
+    def a(rows: Seq[(Long, Option[Long], String)]) = rows.toDF("ok", "ck", "st")
+    def b(rows: Seq[(Long, String)]) = rows.toDF("ck", "seg")
+    val aOld = a(Seq((1L, Some(10L), "O"), (2L, Some(20L), "O"),
+      (3L, None, "N"), (4L, Some(30L), "O")))
+    val aNew = a(Seq((1L, Some(10L), "O"), (2L, Some(20L), "P"),
+      (3L, None, "N"), (5L, Some(40L), "O")))
+    val bOld = b(Seq((10L, "A"), (20L, "B"), (30L, "C"), (70L, "G")))
+    val bNew = b(Seq((10L, "A"), (20L, "B"), (30L, "C"), (70L, "G"),
+      (40L, "E"), (80L, "H")))
+    def viewF(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.join(y, Seq("ck"), "outer")
+    val cols = Seq("ck", "ok", "st", "seg")
+    val state0 = Cdc.aggState(viewF(aOld, bOld), cols, Nil)
+    val delta = Cdc.fullJoinDelta(
+      Cdc.signedDelta(aOld, aNew, Seq("ok")), aOld,
+      Cdc.signedDelta(bOld, bNew, Seq("ck")), bOld, on = Seq("ck"))
+    val maintained = Cdc.maintainAgg(state0, delta, cols, Nil)
+    val recomputed = Cdc.aggState(viewF(aNew, bNew), cols, Nil)
+    assert(maintained.schema == recomputed.schema)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(maintained) == rows(recomputed))
+    // emptied key 30: B row survives null-extended on the A side;
+    // same-batch key 40: matched, no extension on either side;
+    // new unmatched B row 80: extended; null-keyed A row: extended
+    assert(rows(maintained).contains(Seq(30L, null, null, "C", 1L)))
+    assert(rows(maintained).contains(Seq(40L, 5L, "O", "E", 1L)))
+    assert(!rows(maintained).exists(r =>
+      r.head == 40L && (r(1) == null || r(3) == null)))
+    assert(rows(maintained).contains(Seq(80L, null, null, "H", 1L)))
+    assert(rows(maintained).contains(Seq(null, 3L, "N", null, 1L)))
+  }
+
+  test("leftJoinDelta rejects reserved names and inherits joinDelta's contracts") {
+    val aOld = Seq((1L, 10L, "O")).toDF("ok", "ck", "st")
+    val bOld = Seq((10L, "A")).toDF("ck", "seg")
+    val dA = Cdc.signedDelta(aOld, aOld.limit(0), Seq("ok"))
+    val dB = Cdc.signedDelta(bOld, bOld.limit(0), Seq("ck"))
+    intercept[IllegalArgumentException](
+      Cdc.leftJoinDelta(dA, aOld.withColumn("__mo", lit(1)), dB, bOld, Seq("ck")))
+    intercept[IllegalArgumentException](
+      Cdc.leftJoinDelta(dA.drop("__sign"), aOld, dB, bOld, Seq("ck")))
+  }
+
   test("delta linearity: σ (filter) commutes with signedDelta, boundary-crossers become I/D") {
     // σ is linear over signed multisets: σ(Δ) == Δ(σ). The sharp
     // edge is an UPDATE whose value crosses the predicate boundary —
