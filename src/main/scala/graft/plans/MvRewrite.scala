@@ -2,16 +2,17 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal,
-  NamedExpression, SubqueryExpression}
+  Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EvalMode,
+  Expression, Literal, NamedExpression, NumericEvalContext, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Max, Min, Sum}
+  AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Expand, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{
+  ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Materialized-view query rewrite over the IVM surface.
   *
@@ -37,7 +38,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    because counts and the per-row-cast decimal sums are
   *    associative,
   *  - `count(*)` / `count(1)`, `count(c)` and `sum(c)` for `c` in the
-  *    view's sum columns (no FILTER clause),
+  *    view's sum columns (no FILTER clause), and `avg(c)` when `c` is
+  *    INTEGRAL — served as the double division of the state's exact
+  *    sum by the non-null-count rollup, which equals base Average's
+  *    double accumulation while |Σc| ≤ 2^53 (fractional/decimal
+  *    children fall back — see [[AvgColOut]]),
   *  - `count(DISTINCT g…)` over GROUP columns — the state holds one
   *    row per distinct group combination (multiplicity in `n`, which
   *    DISTINCT ignores), so the same distinct count over the state is
@@ -128,7 +133,27 @@ case class JoinMvDef(
       * which commute, and the optimizer's own null-rejection
       * inferences, which p implies). A query WITHOUT the predicate
       * keeps its join — the state would undercount it. */
-    filterSql: Option[String] = None)
+    filterSql: Option[String] = None,
+    /** `"inner"` (default) or `"left"` — a LEFT registration's state
+      * is `Cdc.aggState(left ⟕ right)` maintained by
+      * [[graft.operators.Cdc.leftJoinDelta]] (null-extended rows
+      * included, so the state's group columns from the right side
+      * carry NULLs for unmatched-left populations). Left joins do
+      * NOT commute: the swapped-order lookup is inner-only, and
+      * filters BELOW the join on the RIGHT side do not commute
+      * through the outer join (the rule rejects them — except the
+      * optimizer's own inferred `isnotnull(key)`, which a left join
+      * pushes right-side because unmatched right rows never
+      * surface). Filters ABOVE the join commute regardless of
+      * null-intolerance — σ on the view IS a filter on the state's
+      * rows. A null-INTOLERANT right-column filter above the join is
+      * therefore servable; since this rule shares the operator-
+      * optimization fixed point with `EliminateOuterJoin`, either
+      * the serve fires first (state filtered, extensions drop under
+      * the null-intolerant predicate exactly as view rows would) or
+      * the conversion does (inner join ⇒ registered-type mismatch ⇒
+      * fallback) — both orders produce correct values. */
+    joinType: String = "inner")
 
 /** Process-wide registry base-path → view definition. Paths compare
   * by filesystem path, with scheme/authority kept as a GUARD: a
@@ -219,6 +244,8 @@ object MvCatalog {
   def registerJoin(mv: JoinMvDef): Unit = {
     require(mv.on.nonEmpty, "join view needs join key columns")
     require(mv.groupCols.nonEmpty, "join view needs group columns")
+    require(Seq("inner", "left").contains(mv.joinType),
+      s"join view type must be inner or left, got ${mv.joinType}")
     val key = (normalize(mv.leftPath), normalize(mv.rightPath))
     val ids = (fsId(mv.leftPath), fsId(mv.rightPath))
     // same cross-filesystem guard as the scalar register(): two pairs
@@ -258,8 +285,11 @@ object MvCatalog {
     val direct = Option(joinMvs.get((normalize(leftPath), normalize(rightPath))))
       .collect { case (li, ri, mv) if fits(li, leftPath) && fits(ri, rightPath) => mv }
     direct.orElse {
+      // swapped order is valid for INNER registrations only — an
+      // outer join does not commute
       Option(joinMvs.get((normalize(rightPath), normalize(leftPath))))
-        .collect { case (li, ri, mv) if fits(li, rightPath) && fits(ri, leftPath) =>
+        .collect { case (li, ri, mv) if mv.joinType == "inner" &&
+            fits(li, rightPath) && fits(ri, leftPath) =>
           mv.copy(leftPath = mv.rightPath, rightPath = mv.leftPath,
             leftSignature = mv.rightSignature, rightSignature = mv.leftSignature)
         }
@@ -360,6 +390,17 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   private case class SumColOut(colName: String, orig: NamedExpression) extends Out
   private case class MinColOut(colName: String, orig: NamedExpression) extends Out
   private case class MaxColOut(colName: String, orig: NamedExpression) extends Out
+  /** `avg(c)` for an INTEGRAL sum column: both paths compute the same
+    * two doubles — base Average accumulates integral values into a
+    * double sum (exact while |Σ| ≤ 2^53, the range where double
+    * addition of integers is associative) and divides by the non-null
+    * count; the serve casts the state's exact decimal `sum_<c>` to
+    * double and divides by the `nn_<c>` rollup, with the same LEGACY
+    * division (count 0 ⇒ NULL, matching avg-over-no-values).
+    * Fractional/decimal children fall back: double accumulation is
+    * order-sensitive and decimal Average's division precision depends
+    * on the child type the state no longer carries. */
+  private case class AvgColOut(colName: String, orig: NamedExpression) extends Out
   /** `count(DISTINCT <group cols>)`: the state holds one row per
     * distinct group-column combination (with multiplicity `n`, which
     * DISTINCT ignores), so a distinct count over group columns is
@@ -397,6 +438,15 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case s: Sum => s.child match {
         case ar: AttributeReference if sumByExprId.contains(ar.exprId.id) =>
           Some(SumColOut(sumByExprId(ar.exprId.id), orig))
+        case _ => None
+      }
+      case a: Average => a.child match {
+        case ar: AttributeReference if sumByExprId.contains(ar.exprId.id) &&
+            (ar.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            }) =>
+          Some(AvgColOut(sumByExprId(ar.exprId.id), orig))
         case _ => None
       }
       case m: Min => m.child match {
@@ -529,19 +579,26 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** A query that aggregates an inner equi-join of a registered pair
-    * is answered from the join view's counting state. Filters may sit
-    * above OR below the join (the optimizer pushes them down before
-    * this rule runs) — both positions commute with the inner join and
-    * the aggregate when they touch only group columns, so they all
-    * apply to the state. The value mapping is [[buildBranch]]'s,
+  /** A query that aggregates an inner OR left-outer equi-join of a
+    * registered pair is answered from the join view's counting state
+    * (the registered [[JoinMvDef.joinType]] must equal the query's —
+    * and a left registration only matches in declared order). Filters
+    * may sit above OR below the join (the optimizer pushes them down
+    * before this rule runs) — for INNER views both positions commute
+    * when they touch only group columns; for LEFT views below-right
+    * filters do not commute through the outer join and reject (see
+    * [[JoinMvDef.joinType]]). The value mapping is [[buildBranch]]'s,
     * identical to the scalar-base rewrite. */
   private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
     val (join, aboveFilters) = stripToJoin(agg.child, Nil) match {
       case Some(x) => x
       case None => return None
     }
-    if (join.joinType != org.apache.spark.sql.catalyst.plans.Inner) return None
+    val queryType = join.joinType match {
+      case org.apache.spark.sql.catalyst.plans.Inner => "inner"
+      case org.apache.spark.sql.catalyst.plans.LeftOuter => "left"
+      case _ => return None
+    }
     val cond = join.condition match {
       case Some(c) => c
       case None => return None
@@ -562,6 +619,10 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case Some(m) => m
       case None => return None
     }
+    // the registered view type must BE the query's join type: an
+    // inner state undercounts a left query (no extensions), a left
+    // state overcounts an inner one
+    if (mv.joinType != queryType) return None
     // freshness pins, both sides (lookupJoin returned them in query
     // order)
     if (mv.leftSignature.exists(_ != MvCatalog.cachedSignature(session, lPath)) ||
@@ -599,16 +660,26 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       .map(a => a.exprId.id -> a.name).toMap
 
     // `isnotnull(<join key>)` conjuncts are the optimizer's own
-    // constraint inference (an inner equi-join never emits null-key
-    // rows) — implied by the join, hence no-ops relative to the
-    // state; drop them rather than reject the query over them
-    val allConjuncts = (aboveFilters ++ lFilters ++ rFilters)
-      .flatMap(conjuncts)
-      .filterNot {
+    // constraint inference — implied by the join, hence no-ops
+    // relative to the state; drop them rather than reject the query
+    // over them. An INNER join implies non-null keys on BOTH sides;
+    // a LEFT join only on the RIGHT (unmatched right rows never
+    // surface, but null-keyed LEFT rows DO, as extensions — a user's
+    // isnotnull(left key) is a real filter and must NOT be dropped).
+    val rKeyIds = eqPairs.flatMap(_._2).filter(rIds.contains).toSet
+    val droppableKeyIds = if (queryType == "inner") keyIds else rKeyIds
+    def dropImplied(es: Seq[Expression]): Seq[Expression] =
+      es.flatMap(conjuncts).filterNot {
         case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            ar: AttributeReference) => keyIds.contains(ar.exprId)
+            ar: AttributeReference) => droppableKeyIds.contains(ar.exprId)
         case _ => false
       }
+    // filters BELOW the join on the RIGHT side do not commute through
+    // an OUTER join (they turn removals into null-extensions, which
+    // the state does not reflect) — for a left view, anything beyond
+    // the dropped inference there keeps the query on its join
+    if (queryType == "left" && dropImplied(rFilters).nonEmpty) return None
+    val allConjuncts = dropImplied(aboveFilters ++ lFilters ++ rFilters).toList
     // Split: group-column-only conjuncts commute and apply to the
     // state; everything else must BE the registered view predicate
     // (σ in the SPJA class) — matched semantically below — or the
@@ -657,6 +728,12 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
               case _ => return None
             }
           } catch { case _: Exception => return None }
+        // a LEFT view's σ is σ_p(left) ⟕ right: p must bind only
+        // LEFT-side columns — a right-side σ does not commute
+        // through the outer join
+        if (queryType == "left" &&
+            resolved.references.exists(a => rIds.contains(a.exprId)))
+          return None
         // every registered conjunct must be consumed by a query
         // conjunct; leftovers must be null-rejection inferences the
         // predicate itself implies (isnotnull on a column p filters)
@@ -897,6 +974,8 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case CountStarOut(_) => usedState += st("n")
       case CountColOut(c, _) => usedState += st(s"nn_$c")
       case SumColOut(c, _) => usedState += st(s"sum_$c")
+      case AvgColOut(c, _) =>
+        usedState += st(s"sum_$c"); usedState += st(s"nn_$c")
       case MinColOut(c, _) => usedState += st(s"min_$c")
       case MaxColOut(c, _) => usedState += st(s"max_$c")
       case DistinctCountOut(cs, _) => cs.foreach(c => usedState += st(c))
@@ -944,6 +1023,12 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case CountStarOut(orig) => mkAlias(longRollup("n"), orig)
       case CountColOut(c, orig) => mkAlias(longRollup(s"nn_$c"), orig)
       case SumColOut(c, orig) => mkAlias(Cast(rollup(s"sum_$c"), orig.dataType), orig)
+      // double(exact decimal sum) / double(count), LEGACY division —
+      // the same two doubles base Average evaluates (see AvgColOut)
+      case AvgColOut(c, orig) => mkAlias(
+        Divide(Cast(rollup(s"sum_$c"), DoubleType),
+          Cast(rollup(s"nn_$c"), DoubleType),
+          NumericEvalContext(EvalMode.LEGACY)), orig)
       // min of group-mins / max of group-maxes — exact for any
       // subset rollup; nulls skip identically on both paths
       case MinColOut(c, orig) => mkAlias(

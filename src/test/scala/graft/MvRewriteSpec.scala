@@ -144,8 +144,12 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
       // filter on a non-group column
       "filter on sum col" ->
         base.where(col("q") > 0).groupBy("g1").agg(count(lit(1)).as("n")),
+      // avg over a DECIMAL column: base Average's division precision
+      // depends on the child type the state no longer carries — only
+      // integral avg serves (see the dedicated avg law)
+      "decimal avg" -> base.groupBy("g1").agg(avg(col("v")).as("a")),
       // unsupported aggregate function
-      "avg" -> base.groupBy("g1").agg(avg(col("q")).as("a")),
+      "stddev" -> base.groupBy("g1").agg(stddev(col("q")).as("a")),
       // DISTINCT aggregate
       "count distinct" ->
         base.groupBy("g1").agg(countDistinct(col("q")).as("d")),
@@ -160,6 +164,35 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
         s"$label should not rewrite: ${paths.mkString(", ")}")
       assert(q.collect().map(_.toString).sorted.toSeq === baseline(q), label)
     }
+  }
+
+  test("avg(integral sum col) serves as sum/nn from the state; direct, rollup, global, all-null group") {
+    val (basePath, statePath, base) = fixture("avg")
+    // direct groups — includes (A,1) whose q has a NULL (avg skips it)
+    // and the all-null v group (B,1) to pin NULL propagation
+    def q = base.groupBy("g1", "g2").agg(
+      avg(col("q")).as("avg_q"), count(lit(1)).as("n_rows"))
+    assert(scansState(q, statePath, basePath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    assert(q.schema("avg_q").dataType === org.apache.spark.sql.types.DoubleType)
+    // subset rollup + commuting group filter
+    def r = base.where(col("g2") =!= 3).groupBy("g1").agg(avg(col("q")).as("avg_q"))
+    assert(scansState(r, statePath, basePath), scanPaths(r).mkString(", "))
+    assert(r.collect().map(_.toString).sorted.toSeq === baseline(r))
+    // global
+    def g = base.agg(avg(col("q")).as("avg_q"))
+    assert(scansState(g, statePath, basePath))
+    assert(g.collect().map(_.toString).sorted.toSeq === baseline(g))
+    // empty base: global avg is NULL on both paths
+    val emptyBase = tmp("avg-emptyb")
+    val emptyState = tmp("avg-empties")
+    baseDf.where(lit(false)).write.mode("overwrite").parquet(emptyBase)
+    Cdc.aggState(spark.read.parquet(emptyBase), Seq("g1", "g2"), Seq("v", "q"))
+      .write.mode("overwrite").parquet(emptyState)
+    MvCatalog.register(emptyBase, MvDef(Seq("g1", "g2"), Seq("v", "q"), emptyState))
+    val er = spark.read.parquet(emptyBase).agg(avg(col("q")).as("avg_q"))
+    assert(scanPaths(er).exists(_.startsWith(emptyState)))
+    assert(er.collect().head.isNullAt(0))
   }
 
   test("count(DISTINCT group col) answers exactly from the state's distinct combos") {
@@ -346,7 +379,8 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
         count(lit(1)).as(s"n_$i"),
         count(col("v")).as(s"nv_$i"),
         sum(col("v")).as(s"sv_$i"),
-        sum(col("q")).as(s"sq_$i"))).take(1 + rnd.nextInt(3))
+        sum(col("q")).as(s"sq_$i"),
+        avg(col("q")).as(s"aq_$i"))).take(1 + rnd.nextInt(3))
       val filtered =
         if (rnd.nextBoolean()) base.where(col("g2") =!= (1 + rnd.nextInt(3))) else base
       def q = filtered.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -586,6 +620,141 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
       .groupBy("g").agg(count(lit(1)).as("n_rows"), sum(col("w")).as("sum_w"))
     assert(scansOnlyState(q, statePath, aPath, bPath), scanPaths(q).mkString(", "))
     assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+  }
+
+  /** The join fixture plus an unmatched fact key (9) and a NULL-key
+    * fact row — both become null-extensions in a LEFT view. */
+  private def leftJoinDfs: (DataFrame, DataFrame) = {
+    val a = Seq((Option(1), "x", Option(10L)), (Option(1), "y", Option(3L)),
+      (Option(2), "x", None: Option[Long]), (Option(3), "z", Option(7L)),
+      (Option(2), "y", Option(5L)), (Option(9), "x", Option(2L)),
+      (None: Option[Int], "u", Option(4L)))
+      .toDF("k", "tag", "w")
+    val b = Seq((1, Option("G1")), (2, Option("G2")), (2, Option("G2b")),
+      (3, None), (4, Option("G4")))
+      .toDF("k", "g")
+    (a, b)
+  }
+
+  private def leftJoinFixture(tag: String): (String, String, String) = {
+    val (a, b) = leftJoinDfs
+    val aPath = tmp(s"$tag-a")
+    val bPath = tmp(s"$tag-b")
+    val statePath = tmp(s"$tag-state")
+    a.write.mode("overwrite").parquet(aPath)
+    b.write.mode("overwrite").parquet(bPath)
+    Cdc.aggState(a.join(b, Seq("k"), "left"), Seq("g", "tag"), Seq("w"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.registerJoin(graft.plans.JoinMvDef(
+      aPath, bPath, Seq("k"), Seq("g", "tag"), Seq("w"), statePath,
+      joinType = "left"))
+    (aPath, bPath, statePath)
+  }
+
+  test("left-join view: aggregate, left-side filter, null-tolerant right filter all serve") {
+    val (aPath, bPath, statePath) = leftJoinFixture("ljv")
+    // NULL g mixes matched-null-dim rows AND extensions — both paths
+    // must agree on the combined group
+    def q = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "left")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"),
+        count(col("w")).as("nn_w"), sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(q, statePath, aPath, bPath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // LEFT-side group filter: pushed below the join, commutes
+    def qf = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "left")
+      .where(col("tag") =!= "z")
+      .groupBy("g").agg(sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(qf, statePath, aPath, bPath), scanPaths(qf).mkString(", "))
+    assert(qf.collect().map(_.toString).sorted.toSeq === baseline(qf))
+    // null-TOLERANT right-side group filter stays above the outer
+    // join and commutes to the state (σ on the view)
+    def qn = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "left")
+      .where(col("g").isNull)
+      .groupBy("tag").agg(count(lit(1)).as("n_rows"))
+    assert(scansOnlyState(qn, statePath, aPath, bPath), scanPaths(qn).mkString(", "))
+    assert(qn.collect().map(_.toString).sorted.toSeq === baseline(qn))
+    // global
+    def qg = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(qg, statePath, aPath, bPath))
+    assert(qg.collect().map(_.toString).sorted.toSeq === baseline(qg))
+  }
+
+  test("left-join view fallbacks: inner query, swapped order, below-right filter, null-intolerant right filter") {
+    val (aPath, bPath, statePath) = leftJoinFixture("ljf")
+    val a = spark.read.parquet(aPath)
+    val b = spark.read.parquet(bPath)
+    val shapes: Seq[(String, DataFrame)] = Seq(
+      // an inner query must NOT be served by a left state (it would
+      // overcount by the extensions)
+      "inner over left reg" -> a.join(b, Seq("k"), "inner")
+        .groupBy("g").agg(count(lit(1)).as("n")),
+      // left joins do not commute — swapped order keeps the join
+      "swapped left" -> b.join(a, Seq("k"), "left")
+        .groupBy("g").agg(count(lit(1)).as("n")),
+      // a filter below the join on the RIGHT side turns removals
+      // into extensions the state does not reflect
+      "below-right filter" -> a.join(
+        b.where(col("g") =!= "G2"), Seq("k"), "left")
+        .groupBy("tag").agg(count(lit(1)).as("n")),
+      // a user's isnotnull on the LEFT key is a REAL filter on a left
+      // view (null-keyed extensions exist) — never dropped as implied
+      "isnotnull left key" -> a.join(b, Seq("k"), "left")
+        .where(col("k").isNotNull).groupBy("g").agg(count(lit(1)).as("n")))
+    for ((label, q) <- shapes) {
+      val paths = scanPaths(q)
+      assert(!paths.exists(_.startsWith(statePath)),
+        s"$label should not rewrite: ${paths.mkString(", ")}")
+      assert(q.collect().map(_.toString).sorted.toSeq === baseline(q), label)
+    }
+    // a null-INTOLERANT right filter above the join: σ on the view
+    // commutes to the state, so the serve is CORRECT — but the rule
+    // shares the operator-optimization fixed point with
+    // EliminateOuterJoin, so either the serve fires first or the
+    // inner conversion does (⇒ type mismatch ⇒ fallback). The law is
+    // VALUE parity under both orders, not a plan shape.
+    def qi = a.join(b, Seq("k"), "left")
+      .where(col("g") === "G2").groupBy("tag").agg(count(lit(1)).as("n"))
+    assert(qi.collect().map(_.toString).sorted.toSeq === baseline(qi))
+  }
+
+  test("left-join view maintained through two-sided churn — the leftJoinDelta loop closed") {
+    val (a0, b0) = leftJoinDfs
+    // churn with BOTH zero-crossings: dim key 3 deleted (its fact
+    // extends), dim key 9 inserted (fact 9's extension retracts),
+    // plus a fact re-tag and a dim re-group
+    val a1 = a0.withColumn("tag",
+      when(col("k") === 1 && col("tag") === "y", lit("y2"))
+        .otherwise(col("tag")))
+    val b1 = b0.where(col("k") =!= 3)
+      .unionByName(Seq((9, Option("G9"))).toDF("k", "g"))
+      .withColumn("g", when(col("k") === 1, lit("G1x")).otherwise(col("g")))
+    val aPath = tmp("ljm-a")
+    val bPath = tmp("ljm-b")
+    val statePath = tmp("ljm-state")
+    a1.write.mode("overwrite").parquet(aPath)
+    b1.write.mode("overwrite").parquet(bPath)
+    val state0 = Cdc.aggState(a0.join(b0, Seq("k"), "left"), Seq("g", "tag"), Seq("w"))
+    val delta = Cdc.leftJoinDelta(
+      Cdc.signedDelta(a0, a1, Seq("k", "tag")), a0,
+      Cdc.signedDelta(b0, b1, Seq("k", "g")), b0, on = Seq("k"))
+    Cdc.maintainAgg(state0, delta, Seq("g", "tag"), Seq("w"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.registerJoin(graft.plans.JoinMvDef(
+      aPath, bPath, Seq("k"), Seq("g", "tag"), Seq("w"), statePath,
+      joinType = "left"))
+    def q = spark.read.parquet(aPath)
+      .join(spark.read.parquet(bPath), Seq("k"), "left")
+      .groupBy("g").agg(count(lit(1)).as("n_rows"), sum(col("w")).as("sum_w"))
+    assert(scansOnlyState(q, statePath, aPath, bPath), scanPaths(q).mkString(", "))
+    assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
+    // fact 3's extension row (g NULL via extension) and fact 9's
+    // retraction both landed: G9 serves, k=3's group is NULL now
+    assert(q.where(col("g") === "G9").select("n_rows").as[Long].head() === 1L)
   }
 
   test("SPJA join view: the registered predicate matches semantically, near-misses fall back") {
