@@ -1101,6 +1101,80 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** [[streamApplyChangesWithAgg]]'s JOIN-VIEW sibling: the
+    * maintained state aggregates over `fact ⋈/⟕ dim` with the
+    * DIMENSION FROZEN for the stream's lifetime (a churning dimension
+    * needs the two-sided [[graft.operators.Cdc.joinDelta]] /
+    * `leftJoinDelta` batch path). With ΔB = 0 the outer-join delta
+    * algebra degenerates to joining the fact's signed delta itself:
+    * Δ(A ⟕ B) = ΔA ⟕ B — matched delta rows pair with their dim rows,
+    * unmatched ones null-extend, each carrying its own ±sign;
+    * leftJoinDelta's zero-crossing transition term is identically
+    * empty because the dim's match counts never change. (And
+    * Δ(A ⋈ B) = ΔA ⋈ B for the inner flavor.)
+    *
+    * Per batch the cost is one churn-sized join against the dim (AQE
+    * broadcasts the delta side); the fact table, the dim, and the
+    * view are never rescanned. Same crash-consistency write order as
+    * the aggregate sibling: transactional state first, idempotent
+    * table apply second. */
+  def streamApplyChangesWithJoinAgg(
+      spark: SparkSession,
+      changeLogDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      trustedPath: String,
+      dimPath: String,
+      statePath: String,
+      checkpointDir: String,
+      key: String,
+      on: Seq[String],
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      joinType: String = "left",
+      seqCols: Seq[String] = Seq("seq"),
+      opCol: String = "op",
+      maxFilesPerTrigger: Int = 1): Unit = {
+    require(Seq("inner", "left").contains(joinType),
+      s"join-view maintenance supports inner or left, got $joinType")
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(changeLogDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val storage = graft.core.LakeStorage(spark)
+        val alreadyMaintained = graft.sinks.AggStateSink
+          .appliedBatch(spark, statePath).exists(_ >= id)
+        if (!alreadyMaintained) {
+          val payload = batch.drop((opCol +: seqCols): _*)
+          val pre =
+            if (storage.exists(trustedPath)) spark.read.parquet(trustedPath)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              payload.schema)
+          val factDelta = graft.operators.Cdc
+            .logDelta(pre, batch.toDF(), Seq(key), seqCols, opCol)
+            .localCheckpoint(true)
+          val dim = spark.read.parquet(dimPath)
+          val clash = dim.columns.filterNot(on.contains)
+            .intersect(factDelta.columns)
+          require(clash.isEmpty,
+            s"dim non-key columns ${clash.mkString(", ")} collide with " +
+              "the fact payload — rename them; the view needs one column " +
+              "per name")
+          val viewDelta = factDelta.join(dim, on.toSeq, joinType)
+          graft.sinks.AggStateSink.maintainInto(
+            spark, statePath, viewDelta, groupCols, sumCols, id)
+        }
+        graft.sinks.MergeUpsert.applyChangesInto(
+          spark, trustedPath, batch, key, seqCols, opCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[streamApplyChangesWithAgg]]'s extrema sibling: the maintained
     * state is MIN/MAX ([[graft.operators.Cdc.maintainExtrema]]),
     * whose recompute path needs the POST-batch table — supplied

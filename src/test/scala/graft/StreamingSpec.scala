@@ -292,6 +292,68 @@ class StreamingSpec extends AnyFunSuite {
       .truncate(root)
   }
 
+  test("CDC apply with piggybacked JOIN-view IVM: state == recompute over table ⟕ dim across restart") {
+    import graft.streaming.StreamingOps
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamjoinivm").toString
+    val landing = s"$root/changes"
+    val trusted = s"$root/trusted"
+    val dimPath = s"$root/dim"
+    val statePath = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    // frozen dimension; fact kd = 99 and NULL never match (extensions)
+    Seq((10L, "A"), (20L, "B")).toDF("kd", "seg")
+      .coalesce(1).write.parquet(dimPath)
+    def chg(rows: (Long, Option[Long], Option[Long], Int, String)*) =
+      rows.toDF("k", "kd", "v", "seq", "op")
+    def run(): Unit = StreamingOps.streamApplyChangesWithJoinAgg(
+      spark, landing, spark.read.parquet(landing).schema,
+      trusted, dimPath, statePath, ckpt,
+      key = "k", on = Seq("kd"), groupCols = Seq("seg"), sumCols = Seq("v"))
+    def state(): Map[Option[String], (Long, Long, Option[String])] =
+      spark.read.parquet(statePath).collect()
+        .map(r => Option(r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2),
+            Option(r.getDecimal(3)).map(_.toPlainString)))).toMap
+
+    chg((1L, Some(10L), Some(5L), 1, "I"), (2L, Some(20L), Some(7L), 1, "I"),
+      (3L, Some(99L), Some(11L), 1, "I")).coalesce(1).write.parquet(landing)
+    run()
+    assert(state()(Some("A")) == ((1L, 1L, Some("5.000000"))))
+    assert(state()(Some("B")) == ((1L, 1L, Some("7.000000"))))
+    assert(state()(None) == ((1L, 1L, Some("11.000000"))),
+      "unmatched fact must aggregate in the NULL-extension group")
+
+    // "crash"; tier 2: re-value k=1, delete k=2 (B empties), insert a
+    // NULL-key fact, and MOVE k=3 from unmatched (99) to matched (20)
+    // — its −image retracts the extension, its +image lands in B
+    chg((1L, Some(10L), Some(6L), 2, "U"), (2L, Some(20L), Some(7L), 2, "D"),
+      (4L, None, Some(3L), 2, "I"), (3L, Some(20L), Some(11L), 2, "U"))
+      .coalesce(1).write.mode("append").parquet(landing)
+    run()
+    val s2 = state()
+    assert(s2(Some("A")) == ((1L, 1L, Some("6.000000"))))
+    assert(s2(Some("B")) == ((1L, 1L, Some("11.000000"))))
+    assert(s2(None) == ((1L, 1L, Some("3.000000"))))
+    // the law: state == aggState over the final table's LEFT join
+    val recomputed = graft.operators.Cdc.aggState(
+      spark.read.parquet(trusted)
+        .join(spark.read.parquet(dimPath), Seq("kd"), "left")
+        .select("seg", "v"),
+      Seq("seg"), Seq("v"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.getDecimal(3)).map(_.toPlainString)))).toMap
+    assert(s2 == recomputed)
+
+    // no new files: a third run changes neither store
+    run()
+    assert(state() == s2)
+
+    new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
+      .truncate(root)
+  }
+
   test("CDC apply with piggybacked EXTREMA: state tracks the table across restart") {
     import graft.streaming.StreamingOps
     val root = java.nio.file.Files
