@@ -441,6 +441,52 @@ object SparkEntry {
       out
     }),
 
+    // The JOIN-VIEW sibling of flow_stream_cdc_ivm: the I/U/D stream
+    // maintains a revenue-by-SEGMENT state — an aggregate over
+    // fact ⟕ customers — alongside the TRUSTED apply. The dimension
+    // is frozen, so each micro-batch's view delta is just the fact's
+    // signed logDelta LEFT-joined to the dim (Δ(A⟕B) = ΔA⟕B when
+    // ΔB = 0): matched delta rows pair, unmatched ones (custkey % 7
+    // = 0 — absent from the dim) null-extend into the NULL segment
+    // group, each with its own ±sign. Neither the fact table, the
+    // dim, nor the view is ever rescanned; state commits first
+    // (transactional), table second (idempotent).
+    "flow_stream_join_ivm" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-join-ivm").toString
+      val o = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(12,2)").as("v"))
+      val dimPath = s"$root/dim"
+      tbl(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        .where(col("custkey") % 7 =!= 0)
+        .write.parquet(dimPath)
+      val landing = memoFixture(s"$dir|join-ivm-changes") { lp =>
+        o.withColumn("seq", lit(1)).withColumn("op", lit("I"))
+          .coalesce(1).write.parquet(lp)
+        o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("v", (col("v") + 100).cast("decimal(12,2)"))
+          .withColumn("seq", lit(2)).withColumn("op", lit("U"))
+          .coalesce(1).write.mode("append").parquet(lp)
+        o.where(col("o_orderkey") % 5 === 0)
+          .withColumn("seq", lit(3)).withColumn("op", lit("D"))
+          .coalesce(1).write.mode("append").parquet(lp)
+      }
+      graft.streaming.StreamingOps.streamApplyChangesWithJoinAgg(
+        s, landing, s.read.parquet(landing).schema,
+        s"$root/trusted", dimPath, s"$root/state", s"$root/ckpt",
+        key = "o_orderkey", on = Seq("custkey"),
+        groupCols = Seq("c_mktsegment"), sumCols = Seq("v"))
+      val out = s.read.parquet(s"$root/state")
+        .withColumn("sum_v", col("sum_v").cast("double"))
+        .localCheckpoint(true)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // The extrema sibling of flow_stream_cdc_ivm: the same I/U/D
     // stream maintains a MIN/MAX state alongside the TRUSTED apply.
     // The recompute path's baseAfter is the apply's own
@@ -607,6 +653,86 @@ object SparkEntry {
         aOld.join(bOld, Seq("custkey"), "inner"),
         Seq("c_mktsegment"), Seq("price"))
       val delta = cdc.joinDelta(
+        cdc.signedDelta(aOld, aNew, Seq("o_orderkey")), aOld,
+        cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
+        on = Seq("custkey"))
+      cdc.maintainAgg(state0, delta, Seq("c_mktsegment"), Seq("price"))
+        .withColumn("sum_price", col("sum_price").cast("double"))
+    }),
+
+    // LEFT OUTER join view maintained incrementally — the one join
+    // class that is NOT bilinear: the null-extended rows carry a
+    // [no-match] indicator, so Cdc.leftJoinDelta adds two terms to
+    // the inner bilinear rule — ΔA rows unmatched under B_new, and
+    // ±null-extensions of OLD A rows for keys whose B match count
+    // crosses zero. The churn exercises both crossings at corpus
+    // scale: customers with custkey % 7 = 0 are absent from the OLD
+    // dimension (their orders start null-extended) and appear in the
+    // NEW one (extensions retract, matches appear); custkey % 9 = 0
+    // customers are deleted (their orders' matches retract,
+    // extensions appear); % 63 stay unmatched throughout. The NULL
+    // segment group in the aggregate is exactly the surviving
+    // unmatched-order population. 100 TB posture: beyond joinDelta's
+    // broadcast-churn terms, one aggregate over ΔB's keys and two
+    // broadcast-key probes of the old snapshots — the join never
+    // re-runs, neither base rescans.
+    "ext_ivm_left_join" -> ((s, dir) => {
+      val cdc = graft.operators.Cdc
+      val aOld = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val aNew = aOld.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + 100)
+            .otherwise(col("price")).cast("decimal(12,2)"))
+      val cust = tbl(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val bOld = cust.where(col("custkey") % 7 =!= 0)
+      val bNew = cust.where(col("custkey") % 9 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("custkey") % 4 === 0, lit("SEG"))
+            .otherwise(col("c_mktsegment")))
+      val state0 = cdc.aggState(
+        aOld.join(bOld, Seq("custkey"), "left"),
+        Seq("c_mktsegment"), Seq("price"))
+      val delta = cdc.leftJoinDelta(
+        cdc.signedDelta(aOld, aNew, Seq("o_orderkey")), aOld,
+        cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
+        on = Seq("custkey"))
+      cdc.maintainAgg(state0, delta, Seq("c_mktsegment"), Seq("price"))
+        .withColumn("sum_price", col("sum_price").cast("double"))
+    }),
+
+    // FULL OUTER join view maintained incrementally: both unmatched
+    // populations carry indicators, so Cdc.fullJoinDelta runs the
+    // anti-extension delta in BOTH directions on top of the inner
+    // bilinear terms. The same two-sided churn as ext_ivm_left_join
+    // ALSO moves the customer side's unmatched population: TPC-H
+    // customers without orders aggregate with NULL price (counted by
+    // n, skipped by sum/nn), and order deletions (%5) empty some
+    // customers' match sets in-batch — the B-side zero-crossing
+    // driven by ΔA. Neither base rescans; the probes ride broadcast
+    // churn keys.
+    "ext_ivm_full_join" -> ((s, dir) => {
+      val cdc = graft.operators.Cdc
+      val aOld = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val aNew = aOld.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + 100)
+            .otherwise(col("price")).cast("decimal(12,2)"))
+      val cust = tbl(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val bOld = cust.where(col("custkey") % 7 =!= 0)
+      val bNew = cust.where(col("custkey") % 9 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("custkey") % 4 === 0, lit("SEG"))
+            .otherwise(col("c_mktsegment")))
+      val state0 = cdc.aggState(
+        aOld.join(bOld, Seq("custkey"), "outer"),
+        Seq("c_mktsegment"), Seq("price"))
+      val delta = cdc.fullJoinDelta(
         cdc.signedDelta(aOld, aNew, Seq("o_orderkey")), aOld,
         cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
         on = Seq("custkey"))
@@ -916,6 +1042,126 @@ object SparkEntry {
       out
     }),
 
+    // AVG served from the maintained state: avg(q) for an INTEGRAL
+    // column rewrites to the double division of the state's exact
+    // decimal sum by the non-null-count rollup — the same two doubles
+    // base Average evaluates (exact while |Σq| ≤ 2^53). The churn
+    // nulls one whole status's values, so a served group with nn = 0
+    // must surface as SQL's avg-over-no-values NULL. The in-query
+    // REQUIRE proves the state is scanned and the base never — avg
+    // was the blocking aggregate before this serve existed (one
+    // unclassifiable output keeps the whole query on the base).
+    "ext_mv_rewrite_avg" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mvavg").toString
+      val before = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        (col("o_orderkey") % 4).as("b"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 997).cast("long").as("q"))
+      val after = before
+        .where(col("o_orderstatus") =!= "P")
+        .withColumn("q",
+          when(col("o_orderstatus") === "F", lit(null))
+            .when(col("o_orderkey") % 3 === 0, col("q") + 50)
+            .otherwise(col("q"))
+            .cast("long"))
+      val basePath = s"$root/base"
+      val statePath = s"$root/state"
+      after.write.parquet(basePath)
+      graft.operators.Cdc.maintainAgg(
+          graft.operators.Cdc.aggState(before, Seq("o_orderstatus", "b"), Seq("q")),
+          graft.operators.Cdc.signedDelta(before, after, Seq("o_orderkey")),
+          Seq("o_orderstatus", "b"), Seq("q"))
+        .write.parquet(statePath)
+      graft.plans.MvCatalog.register(basePath,
+        graft.plans.MvDef(Seq("o_orderstatus", "b"), Seq("q"), statePath))
+      val out = try {
+        val q = s.read.parquet(basePath)
+          .where(col("b") =!= 2)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), count(col("q")).as("nn_q"),
+            avg(col("q")).as("avg_q"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.startsWith(statePath)) &&
+          !scanned.exists(_.startsWith(basePath)),
+          s"MV avg rewrite did not fire; scans: ${scanned.mkString(", ")}")
+        q.localCheckpoint(true)
+      } finally graft.plans.MvCatalog.unregister(basePath)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // count(DISTINCT <value col>) served from a MAINTAINED two-level
+    // counting state: Cdc.distinctCount's write side keeps the
+    // (group…, value) multiset self-maintainable under deletion;
+    // registering THAT state as the view (value column as a state
+    // group column) lets the optimizer rewrite serve the distinct
+    // count exactly — the DistinctCountOut path over state rows that
+    // are distinct (group, value) combos by construction. The churn
+    // nulls one status's values (count(DISTINCT) must report 0-ish
+    // semantics: nulls don't count) and collapses value sets; the
+    // REQUIRE pins the state scan. 100 TB posture: the avoided scan
+    // is the base; what remains is |distinct (group, value) pairs|.
+    "ext_mv_rewrite_distinct" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mvdistinct").toString
+      val before = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        (col("o_orderkey") % 4).as("b"),
+        when(col("o_orderkey") % 13 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 50).cast("long").as("q"))
+      val after = before
+        .where(col("o_orderstatus") =!= "P")
+        .withColumn("q",
+          when(col("o_orderstatus") === "F", lit(null))
+            .when(col("o_orderkey") % 3 === 0, col("q") + 1)
+            .otherwise(col("q"))
+            .cast("long"))
+      val basePath = s"$root/base"
+      val statePath = s"$root/state"
+      after.write.parquet(basePath)
+      graft.operators.Cdc.maintainAgg(
+          graft.operators.Cdc.aggState(
+            before, Seq("o_orderstatus", "b", "q"), Nil),
+          graft.operators.Cdc.signedDelta(before, after, Seq("o_orderkey")),
+          Seq("o_orderstatus", "b", "q"), Nil)
+        .write.parquet(statePath)
+      graft.plans.MvCatalog.register(basePath,
+        graft.plans.MvDef(Seq("o_orderstatus", "b", "q"), Nil, statePath))
+      val out = try {
+        val q = s.read.parquet(basePath)
+          .where(col("b") =!= 2)
+          .groupBy("o_orderstatus")
+          .agg(countDistinct(col("q")).as("nd_q"), count(lit(1)).as("n"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.startsWith(statePath)) &&
+          !scanned.exists(_.startsWith(basePath)),
+          s"MV distinct rewrite did not fire; scans: ${scanned.mkString(", ")}")
+        q.localCheckpoint(true)
+      } finally graft.plans.MvCatalog.unregister(basePath)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
     // REAL audio-container round-trip: the engine WRITES canonical
     // RIFF/WAV bytes (PCM16 LE mono, samples from doc_id arithmetic),
     // the chunk-walking WavParser locates the data chunk in the raw
@@ -1128,6 +1374,80 @@ object SparkEntry {
           !scanned.exists(_.startsWith(aPath)) &&
           !scanned.exists(_.startsWith(bPath)),
           s"join MV rewrite did not fire; scans: ${scanned.mkString(", ")}")
+        q.withColumn("sum_price", col("sum_price").cast("double"))
+          .localCheckpoint(true)
+      } finally graft.plans.MvCatalog.unregisterJoin(aPath, bPath)
+      new graft.core.LakeStorage(s.sparkContext.hadoopConfiguration)
+        .truncate(root)
+      out
+    }),
+
+    // MV rewrite over a LEFT-OUTER join view — the read side of the
+    // leftJoinDelta loop. The state is aggState(orders ⟕ customers)
+    // maintained through two-sided churn whose match counts cross
+    // zero in both directions (ext_ivm_left_join's arithmetic), and
+    // is registered with joinType = "left": a LEFT query over the
+    // registered pair — IN ORDER; outer joins do not commute — is
+    // served from the state including the null-extension rows (the
+    // NULL segment group IS the unmatched-order population). An
+    // inner query over the same pair must keep its join (the left
+    // state would overcount it by the extensions) — MvRewriteSpec
+    // pins that and the below-right-filter rejection. In-query
+    // REQUIRE: state scanned, neither base. 100 TB posture: the
+    // avoided work is both scans AND the outer-join shuffle.
+    "ext_mv_rewrite_left_join" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mvruljoin").toString
+      val cdc = graft.operators.Cdc
+      val aOld = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val aNew = aOld.where(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + 100)
+            .otherwise(col("price")).cast("decimal(12,2)"))
+      val cust = tbl(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val bOld = cust.where(col("custkey") % 7 =!= 0)
+      val bNew = cust.where(col("custkey") % 9 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("custkey") % 4 === 0, lit("SEG"))
+            .otherwise(col("c_mktsegment")))
+      val aPath = s"$root/orders_base"
+      val bPath = s"$root/customer_base"
+      val statePath = s"$root/state"
+      aNew.write.parquet(aPath)
+      bNew.write.parquet(bPath)
+      cdc.maintainAgg(
+          cdc.aggState(aOld.join(bOld, Seq("custkey"), "left"),
+            Seq("c_mktsegment"), Seq("price")),
+          cdc.leftJoinDelta(
+            cdc.signedDelta(aOld, aNew, Seq("o_orderkey")), aOld,
+            cdc.signedDelta(bOld, bNew, Seq("custkey")), bOld,
+            on = Seq("custkey")),
+          Seq("c_mktsegment"), Seq("price"))
+        .write.parquet(statePath)
+      graft.plans.MvCatalog.registerJoin(graft.plans.JoinMvDef(
+        aPath, bPath, Seq("custkey"), Seq("c_mktsegment"), Seq("price"),
+        statePath, joinType = "left"))
+      val out = try {
+        val q = s.read.parquet(aPath)
+          .join(s.read.parquet(bPath), Seq("custkey"), "left")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"), count(col("price")).as("nn_price"),
+            sum(col("price")).as("sum_price"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.startsWith(statePath)) &&
+          !scanned.exists(_.startsWith(aPath)) &&
+          !scanned.exists(_.startsWith(bPath)),
+          s"left-join MV rewrite did not fire; scans: ${scanned.mkString(", ")}")
         q.withColumn("sum_price", col("sum_price").cast("double"))
           .localCheckpoint(true)
       } finally graft.plans.MvCatalog.unregisterJoin(aPath, bPath)
@@ -5229,6 +5549,41 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
         |FROM applied GROUP BY o_orderstatus""".stripMargin,
 
+    // the whole-log fold truth LEFT-joined to the frozen dim and
+    // aggregated — the piggybacked join-view state must land exactly
+    // this; the NULL segment group is the unmatched-fact population
+    "flow_stream_join_ivm" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) AS v,
+        |    1 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)) + 100, 2, 'U'
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_totalprice END AS DECIMAL(12,2)), 3, 'D'
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |), latest AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM changes
+        |), applied AS (
+        |  SELECT custkey, CAST(v AS DECIMAL(12,2)) AS v
+        |  FROM latest WHERE rn = 1 AND op <> 'D'
+        |), dim AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 7 <> 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n, count(v) AS nn_v,
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v
+        |FROM applied LEFT JOIN dim USING (custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
     // partition-scoped application of the SAME log, ditto
     "flow_partitioned_apply" -> cdcApplyOracleSql,
 
@@ -5277,6 +5632,45 @@ object SparkEntry {
     // the rewrite answers from the maintained state, the oracle
     // recomputes from scratch — values must match exactly
     "ext_mv_rewrite" -> mvRewriteOracleSql,
+
+    // from-scratch recompute of the avg-served rollup: the exact
+    // integer sum cast to double, divided by the non-null count —
+    // the same two doubles the engine's serve (and base Average)
+    // produces; the all-null 'F' group is NULL on both paths
+    "ext_mv_rewrite_avg" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderkey % 4 AS b,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_orderkey % 997 END AS q
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus, b,
+        |    CASE WHEN o_orderstatus = 'F' THEN NULL
+        |         WHEN o_orderkey % 3 = 0 THEN q + 50
+        |         ELSE q END AS q
+        |  FROM base WHERE o_orderstatus <> 'P'
+        |)
+        |SELECT o_orderstatus, count(*) AS n, count(q) AS nn_q,
+        |  CAST(sum(q) AS DOUBLE) / CAST(count(q) AS DOUBLE) AS avg_q
+        |FROM aft WHERE b <> 2 GROUP BY o_orderstatus""".stripMargin,
+
+    // from-scratch recompute of the distinct-count-served rollup:
+    // NULLed values never count, the all-null 'F' group reports 0
+    "ext_mv_rewrite_distinct" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderkey % 4 AS b,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |         ELSE o_orderkey % 50 END AS q
+        |  FROM orders
+        |), aft AS (
+        |  SELECT o_orderkey, o_orderstatus, b,
+        |    CASE WHEN o_orderstatus = 'F' THEN NULL
+        |         WHEN o_orderkey % 3 = 0 THEN q + 1
+        |         ELSE q END AS q
+        |  FROM base WHERE o_orderstatus <> 'P'
+        |)
+        |SELECT o_orderstatus, count(DISTINCT q) AS nd_q, count(*) AS n
+        |FROM aft WHERE b <> 2 GROUP BY o_orderstatus""".stripMargin,
 
     // from-scratch ROLLUP recompute; DuckDB's GROUPING(a, b) bitmask
     // matches Spark's grouping_id() convention (0 finest … 3 total)
@@ -5649,6 +6043,78 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n, count(price) AS nn_price,
         |  CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
         |FROM an JOIN bn USING (custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // independent truth for the maintained LEFT-join aggregate:
+    // recompute the churned outer join from scratch — the NULL
+    // segment group is the surviving unmatched-order population
+    "ext_ivm_left_join" ->
+      """WITH a0 AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders
+        |), an AS (
+        |  SELECT o_orderkey, custkey,
+        |    CAST(CASE WHEN o_orderkey % 3 = 0 THEN price + 100
+        |              ELSE price END AS DECIMAL(12,2)) AS price
+        |  FROM a0 WHERE o_orderkey % 5 <> 0
+        |), bn AS (
+        |  SELECT c_custkey AS custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'SEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 9 <> 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n, count(price) AS nn_price,
+        |  CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+        |FROM an LEFT JOIN bn USING (custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the left-join read side shares ext_ivm_left_join's churn: one
+    // from-scratch LEFT JOIN recompute grades the rewrite-served
+    // aggregate (the in-query REQUIRE already pinned the state scan)
+    "ext_mv_rewrite_left_join" ->
+      """WITH a0 AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders
+        |), an AS (
+        |  SELECT o_orderkey, custkey,
+        |    CAST(CASE WHEN o_orderkey % 3 = 0 THEN price + 100
+        |              ELSE price END AS DECIMAL(12,2)) AS price
+        |  FROM a0 WHERE o_orderkey % 5 <> 0
+        |), bn AS (
+        |  SELECT c_custkey AS custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'SEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 9 <> 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n_rows, count(price) AS nn_price,
+        |  CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+        |FROM an LEFT JOIN bn USING (custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // independent truth for the maintained FULL-OUTER-join aggregate:
+    // the NULL-price contribution is the surviving customer-without-
+    // orders population, the NULL segment group the unmatched orders
+    "ext_ivm_full_join" ->
+      """WITH a0 AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders
+        |), an AS (
+        |  SELECT o_orderkey, custkey,
+        |    CAST(CASE WHEN o_orderkey % 3 = 0 THEN price + 100
+        |              ELSE price END AS DECIMAL(12,2)) AS price
+        |  FROM a0 WHERE o_orderkey % 5 <> 0
+        |), bn AS (
+        |  SELECT c_custkey AS custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'SEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 9 <> 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n, count(price) AS nn_price,
+        |  CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+        |FROM an FULL JOIN bn USING (custkey)
         |GROUP BY c_mktsegment""".stripMargin,
 
     // independent truth for the maintained JOIN view: recompute the
