@@ -359,6 +359,38 @@ class PlanQualitySpec extends AnyFunSuite {
       s"deltas must be materialized once, not re-diffed per term (saw $fullOuterJoins):\n$plan")
   }
 
+  test("left-join-view IVM: anti-extension probes broadcast, no nested loop, no re-diffs") {
+    // Same runtime-pin discipline as the join-view case: churn sides
+    // are size-unknown statically, so assert on the AQE final plan.
+    // Beyond joinDelta's three broadcast terms, the anti-extension
+    // term adds the B_old count probe (broadcast touched keys), the
+    // ΔA unmatched probe (broadcast match-count table), and the
+    // transition probe of A_old (broadcast transition keys) — all
+    // explicit broadcast() hints, so the snapshots are scanned,
+    // never shuffled.
+    val df = SparkEntry.queries("ext_ivm_left_join")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("== Initial Plan ==")
+    val plan = if (cut >= 0) full.substring(0, cut) else full
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"leftJoinDelta degenerated to a nested-loop join:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 4,
+      s"delta terms + anti-extension probes should broadcast (saw $bhj):\n$plan")
+    val fullOuterJoins = plan.linesIterator
+      .count(l => l.contains("SortMergeJoin") && l.contains("FullOuter"))
+    assert(fullOuterJoins == 0,
+      s"deltas must be materialized once, not re-diffed per term (saw $fullOuterJoins):\n$plan")
+    // the maintained outer join must not re-run: the only LeftOuter
+    // allowed is the anti term's broadcast match-count probe — a
+    // sort-merge LeftOuter means the bases are being re-joined
+    val smjLeft = plan.linesIterator
+      .count(l => l.contains("SortMergeJoin") && l.contains("LeftOuter"))
+    assert(smjLeft == 0,
+      s"the maintained plan must never re-run the outer join (saw $smjLeft):\n$plan")
+  }
+
   test("extrema IVM: endangered-key recompute is a broadcast semi, base never shuffled") {
     import org.apache.spark.sql.functions._
     import graft.operators.Cdc
