@@ -411,7 +411,8 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     val (basePath, statePath, base) = cubeFixture("ru")
     def q = base.rollup("g1", "g2")
       .agg(count(lit(1)).as("n_rows"), count(col("v")).as("nn_v"),
-        sum(col("v")).as("sum_v"), sum(col("q")).as("sum_q"))
+        sum(col("v")).as("sum_v"), sum(col("q")).as("sum_q"),
+        avg(col("q")).as("avg_q")) // integral avg rolls up exactly per level
     assert(scansState(q, statePath, basePath),
       s"rollup must serve from the lattice; scans: ${scanPaths(q).mkString(", ")}")
     assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
@@ -542,7 +543,8 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     def q = spark.read.parquet(aPath)
       .join(spark.read.parquet(bPath), Seq("k"), "inner")
       .groupBy("g").agg(count(lit(1)).as("n_rows"),
-        count(col("w")).as("nn_w"), sum(col("w")).as("sum_w"))
+        count(col("w")).as("nn_w"), sum(col("w")).as("sum_w"),
+        avg(col("w")).as("avg_w")) // integral avg serves through joins too
     assert(scansOnlyState(q, statePath, aPath, bPath), scanPaths(q).mkString(", "))
     assert(q.collect().map(_.toString).sorted.toSeq === baseline(q))
   }
