@@ -62,8 +62,11 @@ final class LakeStorage(conf: Configuration) {
     ObjectStoreAdapters.route(path) match {
       case Some((a, bucket, prefix)) =>
         // object stores have no directories: creating a dataset path
-        // means ensuring its BUCKET exists (keys appear on write)
-        if (prefix.isEmpty || !a.bucketExists(bucket)) a.createBucket(bucket)
+        // means ensuring its BUCKET exists (keys appear on write).
+        // Idempotent like mkdirs — an existing bucket is a no-op, so
+        // real adapters' create-conflict (409) never surfaces here
+        val _ = prefix
+        if (!a.bucketExists(bucket)) a.createBucket(bucket)
       case None => val p = new Path(path); fs(p).mkdirs(p); ()
     }
 

@@ -107,9 +107,14 @@ final class RetryingObjectStore(
       n += 1
       try return body
       catch {
-        case e: Throwable if n < maxAttempts && isTransient(e) =>
+        // fatal VM errors and interrupts propagate raw — wrapping
+        // (or worse, sleeping on) them loses the type frameworks
+        // special-case and consumes the interrupt
+        case e: Throwable
+            if n < maxAttempts && scala.util.control.NonFatal(e) &&
+              isTransient(e) =>
           sleep(baseDelayMs << (n - 1))
-        case e: Throwable =>
+        case e: Throwable if scala.util.control.NonFatal(e) =>
           throw new ObjectStoreException(
             e match { case o: ObjectStoreException => o.statusCode case _ => 0 },
             s"$op failed after $n attempt(s): ${e.getMessage}", e)
@@ -161,14 +166,22 @@ object ObjectStoreAdapters {
   /** (adapter, bucket = URI authority, prefix = path sans leading
     * slash) when the path's scheme is registered — the
     * `scheme://bucket/prefix` decomposition every object store
-    * shares. */
+    * shares. Non-empty prefixes are DELIMITER-TERMINATED (`ds/table`
+    * → `ds/table/`) before reaching the adapter: raw key-prefix
+    * matching would make `truncate(…/ds/table)` also delete a
+    * sibling `ds/table_v2`'s objects and `exists(…/ds/tab)` report a
+    * dataset that does not exist — the Hadoop branch's
+    * exact-directory semantics are the contract. */
   def route(path: String): Option[(ObjectStoreAdapter, String, String)] = {
     if (adapters.isEmpty) return None // fast path: seam not in use
     val uri = new Path(path).toUri
     for {
       adapter <- forScheme(uri.getScheme)
       bucket <- Option(uri.getAuthority).filter(_.nonEmpty)
-    } yield (adapter, bucket, Option(uri.getPath).getOrElse("").stripPrefix("/"))
+    } yield {
+      val raw = Option(uri.getPath).getOrElse("").stripPrefix("/")
+      (adapter, bucket, if (raw.isEmpty) raw else s"$raw/")
+    }
   }
 }
 

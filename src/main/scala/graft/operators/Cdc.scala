@@ -338,8 +338,9 @@ object Cdc {
     // the inner-join bilinear terms (also validates the delta/payload
     // contracts: __sign present, non-key names disjoint)
     val inner = joinDelta(da, aOld, db, bOld, on, materialize = false)
-    inner.unionByName(
-      antiExtensionDelta(da, aOld, db, bOld, on, rightSideUnmatched = false))
+    inner.unionByName(antiExtensionDelta(
+      da, aOld, db, bOld, on, touchedKeys(da, db, on),
+      rightSideUnmatched = false))
   }
 
   /** Signed delta of the RIGHT OUTER equi-join `A ⟖ B`: the mirror of
@@ -360,8 +361,9 @@ object Cdc {
       if (materialize) (deltaA.localCheckpoint(true), deltaB.localCheckpoint(true))
       else (deltaA, deltaB)
     val inner = joinDelta(da, aOld, db, bOld, on, materialize = false)
-    inner.unionByName(
-      antiExtensionDelta(db, bOld, da, aOld, on, rightSideUnmatched = true))
+    inner.unionByName(antiExtensionDelta(
+      db, bOld, da, aOld, on, touchedKeys(da, db, on),
+      rightSideUnmatched = true))
   }
 
   /** Signed delta of the FULL OUTER equi-join `A ⟗ B`: inner bilinear
@@ -383,11 +385,14 @@ object Cdc {
       if (materialize) (deltaA.localCheckpoint(true), deltaB.localCheckpoint(true))
       else (deltaA, deltaB)
     val inner = joinDelta(da, aOld, db, bOld, on, materialize = false)
+    // the touched-key set is symmetric in the two deltas — compute
+    // (and pin) it ONCE for both anti-extension directions
+    val tk = touchedKeys(da, db, on)
     inner
-      .unionByName(
-        antiExtensionDelta(da, aOld, db, bOld, on, rightSideUnmatched = false))
-      .unionByName(
-        antiExtensionDelta(db, bOld, da, aOld, on, rightSideUnmatched = true))
+      .unionByName(antiExtensionDelta(
+        da, aOld, db, bOld, on, tk, rightSideUnmatched = false))
+      .unionByName(antiExtensionDelta(
+        db, bOld, da, aOld, on, tk, rightSideUnmatched = true))
   }
 
   /** The non-bilinear half of an outer-join delta: the signed change
@@ -402,12 +407,25 @@ object Cdc {
     * transition key sets. `rightSideUnmatched` only picks the output
     * projection (which payload gets the typed NULLs) so both outer
     * directions share one implementation. */
+  /** DISTINCT non-null keys touched by either delta — churn-sized,
+    * pinned once (it feeds both probes of [[antiExtensionDelta]],
+    * and [[fullJoinDelta]] reuses one set for both directions). */
+  private def touchedKeys(
+      dA: DataFrame, dB: DataFrame, on: Seq[String]): DataFrame = {
+    val keyCols = on.map(col)
+    val nonNullKey = on.map(col(_).isNotNull).reduce(_ && _)
+    dA.select(keyCols: _*).where(nonNullKey)
+      .unionByName(dB.select(keyCols: _*).where(nonNullKey))
+      .distinct().localCheckpoint(true)
+  }
+
   private def antiExtensionDelta(
       dSide: DataFrame,
       sideOld: DataFrame,
       dOther: DataFrame,
       otherOld: DataFrame,
       on: Seq[String],
+      tk: DataFrame,
       rightSideUnmatched: Boolean): DataFrame = {
     val sidePayload = sideOld.columns.filterNot(on.contains)
     val otherPayload = otherOld.columns.filterNot(on.contains)
@@ -424,9 +442,6 @@ object Cdc {
     // match-count table over the TOUCHED (non-null) key set:
     // m_old from one probed snapshot count, m_new = m_old + Σ Δ signs
     val nonNullKey = on.map(col(_).isNotNull).reduce(_ && _)
-    val tk = dSide.select(keyCols: _*).where(nonNullKey)
-      .unionByName(dOther.select(keyCols: _*).where(nonNullKey))
-      .distinct().localCheckpoint(true)
     val mOld = otherOld.join(broadcast(tk), on.toSeq, "left_semi")
       .groupBy(keyCols: _*).agg(count(lit(1)).as("__mo"))
     val dOtherCnt = dOther.where(nonNullKey).groupBy(keyCols: _*)

@@ -649,37 +649,55 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val keyIds = eqPairs.flatMap(_._2).toSet
 
     // attribute maps span BOTH relations; the shared key columns map
-    // from whichever side the query referenced (equal under the
-    // inner join, and the state carries one column per name)
+    // from whichever side the query referenced — equal under an INNER
+    // join. Under a LEFT join they are NOT equal: on extension rows
+    // the right-side key is NULL while the state's key column carries
+    // the left value, so right-side KEY attributes must not map (a
+    // query grouping by the right key falls back). Right-side NON-key
+    // attributes are fine — the state holds their NULLs for
+    // extensions exactly as the view does.
     val bothOut = llr.output ++ rlr.output
-    val groupByExprId = bothOut
+    val mappableOut =
+      if (queryType == "left")
+        llr.output ++ rlr.output.filterNot(a => keyIds.contains(a.exprId))
+      else bothOut
+    val groupByExprId = mappableOut
       .filter(a => mv.groupCols.contains(a.name))
       .map(a => a.exprId.id -> a.name).toMap
-    val sumByExprId = bothOut
+    val sumByExprId = mappableOut
       .filter(a => mv.sumCols.contains(a.name))
       .map(a => a.exprId.id -> a.name).toMap
 
     // `isnotnull(<join key>)` conjuncts are the optimizer's own
     // constraint inference — implied by the join, hence no-ops
     // relative to the state; drop them rather than reject the query
-    // over them. An INNER join implies non-null keys on BOTH sides;
-    // a LEFT join only on the RIGHT (unmatched right rows never
-    // surface, but null-keyed LEFT rows DO, as extensions — a user's
-    // isnotnull(left key) is a real filter and must NOT be dropped).
+    // over them. An INNER join implies non-null keys on BOTH sides in
+    // EVERY position. A LEFT join implies it ONLY for the inference
+    // the optimizer pushes into the RIGHT input (unmatched right rows
+    // never surface): a user's isnotnull(right key) ABOVE the join is
+    // exactly the predicate that removes extension rows and must NOT
+    // be dropped (it stays in viewPred and rejects), and null-keyed
+    // LEFT rows are real extension rows so isnotnull(left key) never
+    // drops anywhere.
     val rKeyIds = eqPairs.flatMap(_._2).filter(rIds.contains).toSet
-    val droppableKeyIds = if (queryType == "inner") keyIds else rKeyIds
-    def dropImplied(es: Seq[Expression]): Seq[Expression] =
+    def dropKeyNotNull(es: Seq[Expression], ids: Set[
+        org.apache.spark.sql.catalyst.expressions.ExprId]): Seq[Expression] =
       es.flatMap(conjuncts).filterNot {
         case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            ar: AttributeReference) => droppableKeyIds.contains(ar.exprId)
+            ar: AttributeReference) => ids.contains(ar.exprId)
         case _ => false
       }
     // filters BELOW the join on the RIGHT side do not commute through
     // an OUTER join (they turn removals into null-extensions, which
     // the state does not reflect) — for a left view, anything beyond
-    // the dropped inference there keeps the query on its join
-    if (queryType == "left" && dropImplied(rFilters).nonEmpty) return None
-    val allConjuncts = dropImplied(aboveFilters ++ lFilters ++ rFilters).toList
+    // the right-input inference there keeps the query on its join
+    val allConjuncts = (
+      if (queryType == "inner")
+        dropKeyNotNull(aboveFilters ++ lFilters ++ rFilters, keyIds)
+      else {
+        if (dropKeyNotNull(rFilters, rKeyIds).nonEmpty) return None
+        (aboveFilters ++ lFilters).flatMap(conjuncts)
+      }).toList
     // Split: group-column-only conjuncts commute and apply to the
     // state; everything else must BE the registered view predicate
     // (σ in the SPJA class) — matched semantically below — or the

@@ -1136,6 +1136,12 @@ object StreamingOps {
       maxFilesPerTrigger: Int = 1): Unit = {
     require(Seq("inner", "left").contains(joinType),
       s"join-view maintenance supports inner or left, got $joinType")
+    // the dim is FROZEN by contract, so load and pin it ONCE — the
+    // per-batch body must not pay a dim scan (or even a footer read)
+    // per micro-batch
+    val dim = spark.read.parquet(dimPath)
+      .localCheckpoint(true)
+    val clash = dim.columns.filterNot(on.contains)
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -1155,11 +1161,9 @@ object StreamingOps {
           val factDelta = graft.operators.Cdc
             .logDelta(pre, batch.toDF(), Seq(key), seqCols, opCol)
             .localCheckpoint(true)
-          val dim = spark.read.parquet(dimPath)
-          val clash = dim.columns.filterNot(on.contains)
-            .intersect(factDelta.columns)
-          require(clash.isEmpty,
-            s"dim non-key columns ${clash.mkString(", ")} collide with " +
+          val dimClash = clash.intersect(factDelta.columns)
+          require(dimClash.isEmpty,
+            s"dim non-key columns ${dimClash.mkString(", ")} collide with " +
               "the fact payload — rename them; the view needs one column " +
               "per name")
           val viewDelta = factDelta.join(dim, on.toSeq, joinType)

@@ -724,6 +724,41 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(qi.collect().map(_.toString).sorted.toSeq === baseline(qi))
   }
 
+  test("left-join view: right-side KEY references never serve (unequal on extension rows)") {
+    val (aPath, bPath, statePath) = leftJoinFixture("ljk")
+    // register the key as a group column too — a LEFT state built
+    // this way carries the LEFT key for extensions
+    MvCatalog.clear()
+    val (a0, b0) = leftJoinDfs
+    Cdc.aggState(a0.join(b0, Seq("k"), "left"), Seq("k", "g", "tag"), Seq("w"))
+      .write.mode("overwrite").parquet(statePath)
+    MvCatalog.registerJoin(graft.plans.JoinMvDef(
+      aPath, bPath, Seq("k"), Seq("k", "g", "tag"), Seq("w"), statePath,
+      joinType = "left"))
+    val a = spark.read.parquet(aPath)
+    val b = spark.read.parquet(bPath)
+    // explicit join condition keeps BOTH k attributes visible;
+    // grouping by the RIGHT one is NULL on extension rows while the
+    // state's k column holds the LEFT value — must fall back
+    def qr = a.join(b, a("k") === b("k"), "left")
+      .groupBy(b("k")).agg(count(lit(1)).as("n"))
+    assert(!scanPaths(qr).exists(_.startsWith(statePath)),
+      s"right-key grouping must not serve: ${scanPaths(qr).mkString(", ")}")
+    assert(qr.collect().map(_.toString).sorted.toSeq === baseline(qr))
+    // grouping by the LEFT key serves (the state's k IS the left key,
+    // null-keyed extensions included)
+    def ql = a.join(b, a("k") === b("k"), "left")
+      .groupBy(a("k")).agg(count(lit(1)).as("n"))
+    assert(ql.collect().map(_.toString).sorted.toSeq === baseline(ql))
+    // a user's isnotnull(RIGHT key) — the predicate that removes
+    // extension rows — must never be dropped as join-implied: the
+    // query either falls back or converts to inner (never a serve
+    // that silently includes the extensions); values must match
+    def qn = a.join(b, a("k") === b("k"), "left")
+      .where(b("k").isNotNull).groupBy("g").agg(count(lit(1)).as("n"))
+    assert(qn.collect().map(_.toString).sorted.toSeq === baseline(qn))
+  }
+
   test("left-join view maintained through two-sided churn — the leftJoinDelta loop closed") {
     val (a0, b0) = leftJoinDfs
     // churn with BOTH zero-crossings: dim key 3 deleted (its fact

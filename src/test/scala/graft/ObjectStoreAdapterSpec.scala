@@ -105,7 +105,27 @@ class ObjectStoreAdapterSpec extends AnyFunSuite with BeforeAndAfterEach {
     LakeStorage(spark).truncate("fakes3://b/ds")
     assert(store.buckets("b").toSeq === Seq("keepme/part-0"))
     // 10 keys at page size 3 ⇒ 4 list pages, not 1
-    assert(store.calls.count(_ == "list:b/ds") === 4)
+    assert(store.calls.count(_ == "list:b/ds/") === 4)
+  }
+
+  test("prefixes are delimiter-terminated: a sibling dataset sharing a name prefix survives") {
+    val store = new FakeStore()
+    ObjectStoreAdapters.register("fakes3", store)
+    store.createBucket("b")
+    store.buckets("b") ++= Seq("ds/table/part-0", "ds/table_v2/part-0")
+    val lake = LakeStorage(spark)
+    // raw key-prefix matching would destroy ds/table_v2 here
+    lake.truncate("fakes3://b/ds/table")
+    assert(store.buckets("b").toSeq === Seq("ds/table_v2/part-0"))
+    // and exists() keeps exact-directory semantics: a name prefix of
+    // a real dataset is NOT a dataset
+    assert(!lake.exists("fakes3://b/ds/tab"))
+    assert(lake.exists("fakes3://b/ds/table_v2"))
+    // bucket-root create is idempotent like mkdirs (a real adapter's
+    // create throws 409 on an existing bucket — must not be reached)
+    val before = store.calls.count(_.startsWith("create:"))
+    lake.create("fakes3://b")
+    assert(store.calls.count(_.startsWith("create:")) === before)
   }
 
   test("retry decorator: transient failures retry on the backoff schedule, permanent ones propagate at once") {
