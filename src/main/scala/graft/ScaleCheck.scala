@@ -1257,6 +1257,94 @@ object ScaleCheck {
         f"-> ${rkp.nRewrittenFiles} of ${rkp.nDataFiles} files, " +
         f"${r1p.nRowsDeleted} rows both (flat = purge pays hit files, not the table)")
 
+      // (5) LEFT-JOIN-VIEW IVM at sf1 — BOUNDED-SHUFFLE witness: a
+      // FIXED two-sided churn maintained against the k×-grown fact.
+      // Deltas arrive materialized (the production shape — logDelta /
+      // stream batches are churn-sized by construction), so the
+      // measured work is leftJoinDelta's bilinear terms, the
+      // anti-extension probes, and ONE maintainAgg exchange. The
+      // snapshots are SCANNED (records read ~k, linear — broadcast
+      // probes never shuffle them); shuffle bytes stay churn-bounded:
+      // the only k-sensitive shuffle contribution is the anti term's
+      // count-aggregate partials (maps × |touched keys| rows), which
+      // an absolute slack covers — a plan that reshuffled the fact or
+      // the k×-view would blow the bound by orders of magnitude.
+      // Parity is HARD: the maintained k× state must equal the
+      // from-scratch recompute of the churned outer join.
+      {
+        val cdc = graft.operators.Cdc
+        def factShape(o: DataFrame) = o.select(col("o_orderkey"),
+          col("o_custkey").as("custkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+        val fact1 = factShape(orders)
+        val factK = factShape(grow(orders, "o_orderkey"))
+        val custS = customer.select(
+          col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val dimB = custS.where(col("custkey") % 7 =!= 0)
+        // fixed SMALL dim churn with a deletion (extensions appear)
+        // and a re-segmentation (groups move)
+        val dimA = dimB.where(col("custkey") % 2003 =!= 0)
+          .withColumn("c_mktsegment",
+            when(col("custkey") % 1500 === 0, lit("SEG"))
+              .otherwise(col("c_mktsegment")))
+        // fixed fact churn: block-0 keys only — identical at both
+        // scales (grown copies' keys sit at +i·1e8)
+        val updBase = fact1.where(col("o_orderkey") % 997 === 0)
+        val fDeltaPath = s"$root/ljd-fact-delta"
+        updBase.withColumn("__sign", lit(-1))
+          .unionByName(updBase
+            .withColumn("price", (col("price") + 50).cast("decimal(12,2)"))
+            .withColumn("__sign", lit(1)))
+          .write.parquet(fDeltaPath)
+        val dDeltaPath = s"$root/ljd-dim-delta"
+        cdc.signedDelta(dimB, dimA, Seq("custkey")).write.parquet(dDeltaPath)
+        val fDelta = spark.read.parquet(fDeltaPath)
+        val dDelta = spark.read.parquet(dDeltaPath)
+        def prepState(fact: DataFrame, tag: String): String = {
+          val p = s"$root/ljd-state-$tag"
+          cdc.aggState(fact.join(dimB, Seq("custkey"), "left"),
+            Seq("c_mktsegment"), Seq("price")).write.parquet(p)
+          p
+        }
+        val st1 = prepState(fact1, "1x")
+        val stK = prepState(factK, "kx")
+        graft.core.Sessions.settle(spark)
+        def maintain(statePath: String, fact: DataFrame) =
+          cdc.maintainAgg(spark.read.parquet(statePath),
+            cdc.leftJoinDelta(fDelta, fact, dDelta, dimB, Seq("custkey"),
+              materialize = false),
+            Seq("c_mktsegment"), Seq("price")).collect()
+        var out1: Array[org.apache.spark.sql.Row] = null
+        var outK: Array[org.apache.spark.sql.Row] = null
+        val tl1 = System.nanoTime()
+        val (_, lr1, ls1) = io { out1 = maintain(st1, fact1) }
+        val tl2 = System.nanoTime()
+        val (_, lrk, lsk) = io { outK = maintain(stK, factK) }
+        val tl3 = System.nanoTime()
+        graft.core.Sessions.settle(spark)
+        require(lrk <= lr1 * k * 1.3,
+          f"sf1 leftjoin IVM records super-linear: $lr1 -> $lrk (allowed ~${k}x)")
+        require(lsk <= ls1 * 1.5 + 2000000L,
+          f"sf1 leftjoin IVM shuffle not churn-bounded: bytes $ls1 -> $lsk")
+        // HARD parity at k×: churned fact = grown minus block-0
+        // repriced keys plus their new images, against the churned dim
+        val factKNew = factK
+          .where(!(col("o_orderkey") % 997 === 0 &&
+            col("o_orderkey") < 100000000L))
+          .unionByName(updBase
+            .withColumn("price", (col("price") + 50).cast("decimal(12,2)")))
+        val recomputedK = cdc.aggState(
+          factKNew.join(dimA, Seq("custkey"), "left"),
+          Seq("c_mktsegment"), Seq("price")).collect()
+        require(outK.map(_.toSeq).toSet == recomputedK.map(_.toSeq).toSet,
+          "sf1 leftjoin IVM maintained state != from-scratch outer-join recompute")
+        require(out1 != null && outK != null)
+        println(f"sf1_leftjoin_ivm   records x${lrk.toDouble / math.max(lr1, 1L)}%.2f " +
+          f"(linear scan), shuffle bytes $ls1 -> $lsk (churn-bounded), " +
+          f"maintained == recompute at k×; " +
+          f"${(tl2 - tl1) / 1e9}%.2f s -> ${(tl3 - tl2) / 1e9}%.2f s")
+      }
+
       val cAfter = Bench.canary(spark)
       println(f"sf1_window         canary $cBefore%.3f / $cAfter%.3f s " +
         f"(quiet ref ~0.45; structural invariants above are window-independent)")
