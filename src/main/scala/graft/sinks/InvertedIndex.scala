@@ -198,6 +198,48 @@ object InvertedIndex {
       .limit(5).collect())
   }
 
+  /** One-job fusion of [[requireDeltaOneFilePerDoc]]'s fresh-side
+    * statistics (r18, mirroring [[IvfIndex.guardFreshAgainstKept]]):
+    * the per-id file count, the id range for kept-file pruning
+    * ([[SidecarMaintenance.idRangeOf]] semantics) and the native
+    * bounds all come from ONE aggregation; the clash probe is
+    * unchanged. Offender collection (error path only) re-runs the old
+    * query for the message. */
+  private def guardDeltaOneFilePerDoc(
+      spark: SparkSession, freshPost: DataFrame, idxDir: String,
+      plan: SidecarMaintenance.DeltaPlan): Unit = {
+    def fail(ids: Array[org.apache.spark.sql.Row]): Unit =
+      require(ids.isEmpty,
+        s"documents present in MORE THAN ONE data file: ids " +
+          s"${ids.map(_.get(0)).mkString(", ")}${if (ids.length == 5) ", …" else ""} — " +
+          "the index family's df/dl statistics assume one file per document " +
+          "(append new ids, purge-rewrite whole files); compact the table so " +
+          "each document's rows live in a single file, then rebuild")
+    val g = freshPost.groupBy("id")
+      .agg(count_distinct(col("file")).as("__nf"))
+    val Array(st) = g.agg(
+      sum(when(col("__nf") > 1, 1L).otherwise(0L)).as("dups"),
+      count(lit(1)).as("n"),
+      min(col("id")).as("lo"), max(col("id")).as("hi"),
+      min(col("id").cast("long")).as("llo"),
+      max(col("id").cast("long")).as("lhi"),
+      sum(when(col("id").cast("long").isNull, 1L).otherwise(0L))
+        .as("badcast"))
+      .collect()
+    if (st.getLong(0) > 0L)
+      fail(g.where(col("__nf") > 1).limit(5).collect())
+    if (st.getLong(1) == 0L) return
+    val idRange =
+      if (st.getLong(6) > 0L || st.isNullAt(4)) None
+      else Some((st.getLong(4), st.getLong(5)))
+    val kept = SidecarMaintenance.keptRows(spark, idxDir, plan, idRange)
+    if (kept.isEmpty || st.isNullAt(2)) return
+    fail(kept.get.select("id")
+      .where(col("id").between(lit(st.get(2)), lit(st.get(3))))
+      .join(broadcast(freshPost.select("id").distinct()), Seq("id"), "left_semi")
+      .limit(5).collect())
+  }
+
   /** Incremental maintenance at O(delta) WRITE I/O
     * ([[SidecarMaintenance.commitDelta]], the same journaled
     * delta-commit as the ANN sidecars): postings for files not yet
@@ -234,9 +276,7 @@ object InvertedIndex {
       else {
         val fp = postingsOf(spark, table, plan.fresh, textCol, idCol)
           .localCheckpoint(true)
-        requireDeltaOneFilePerDoc(fp,
-          SidecarMaintenance.keptRows(spark, idx, plan,
-            SidecarMaintenance.idRangeOf(fp, "id")))
+        guardDeltaOneFilePerDoc(spark, fp, idx, plan)
         Some(fp)
       }
     SidecarMaintenance.applyDelta(spark, idx, plan, freshPost, Seq.empty,
@@ -382,7 +422,7 @@ object InvertedIndex {
     * ENFORCE the layout (`requireOneFilePerDoc`), so an index these
     * sidecars are built from has already proven it. */
   def buildRetrievalStats(spark: SparkSession, table: String): Unit = {
-    val idx = spark.read.parquet(indexPath(table))
+    val idx = ParquetMemo.readDir(spark, indexPath(table))
     writeStatsPartials(spark, table, idx, SaveMode.Overwrite)
   }
 
@@ -432,7 +472,7 @@ object InvertedIndex {
     Seq(termStatsPath(table), docLenPath(table)).foreach(p =>
       require(fs.exists(new Path(p)),
         s"no retrieval stats at $p — bootstrap with buildRetrievalStats()"))
-    val idx = spark.read.parquet(indexPath(table))
+    val idx = ParquetMemo.readDir(spark, indexPath(table))
     // the postings index's coverage log already records which corpus
     // files it covers — the memoized read replaces an O(index-rows)
     // `file`-column scan per refresh; the scan remains as the heal
@@ -585,10 +625,14 @@ object InvertedIndex {
       val cands = post
         .where(col("token").isin(ubs.take(e).map(_._1).toSeq: _*))
         .select("id").distinct()
-      val top = topOf(Some(cands)).localCheckpoint(true)
-      // the top-k rows are k-bounded by construction — the collect is
-      // the same limit-probed contract the cluster operators use
-      val rows = top.collect()
+      // the top-k rows are k-bounded by construction — collect ONCE
+      // (the same limit-probed contract the cluster operators use)
+      // and hand them back as a LocalRelation: the old shape paid a
+      // localCheckpoint job AND a collect job per widening round
+      val topPlan = topOf(Some(cands))
+      val rows = topPlan.collect()
+      val top = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), topPlan.schema)
       val verified = suffix == 0.0 ||
         (rows.length == k && rows.last.getDouble(1) >= suffix)
       if (verified) return PrunedTopK(top, e, ubs.length, boundVerified = true)

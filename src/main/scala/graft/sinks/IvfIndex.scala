@@ -91,13 +91,13 @@ object IvfIndex {
     SidecarMaintenance.recoverPublish(spark, dest)
     val next = s"$dest.next"
     fs.delete(new Path(next), true)
-    salted(idx.assigned, writeSalt)
-      .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(next)
+    val rows = salted(idx.assigned, writeSalt)
+    rows.write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(next)
     idx.centroids.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$next/_centroids")
-    requireOneRowPerVector(spark.read.parquet(next), onTrip = {
-      fs.delete(new Path(next), true)
-    })
+    requireOneRowPerVector(
+      spark.read.schema(ParquetMemo.nullableTop(rows.schema)).parquet(next),
+      onTrip = { fs.delete(new Path(next), true) })
     SidecarMaintenance.publishDir(spark, dest)
   }
 
@@ -140,14 +140,12 @@ object IvfIndex {
       if (plan.fresh.isEmpty) None
       else {
         val fa = assignFiles(spark, table, plan.fresh, idCol, vecCol,
-            spark.read.parquet(centroidsPath(table)))
+            ParquetMemo.metaDF(spark, centroidsPath(table)))
           .localCheckpoint(true)
         // guard BEFORE any mutation: a trip leaves the live index
         // untouched. Rows of vanished files don't count — a
         // purge-rewritten file's ids legitimately reappear fresh.
-        requireNoVectorClash(fa,
-          SidecarMaintenance.keptRows(spark, cellsPath(table), plan,
-            SidecarMaintenance.idRangeOf(fa, "vec_id")))
+        guardFreshAgainstKept(spark, fa, cellsPath(table), plan)
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, cellsPath(table), plan,
@@ -256,6 +254,48 @@ object IvfIndex {
     }
   }
 
+  /** One-job fusion of the refresh guard's fresh-side statistics
+    * (r18): the old shape ran THREE aggregation jobs over the fresh
+    * batch (duplicate check, [[SidecarMaintenance.idRangeOf]] for
+    * kept-file pruning, native-typed bounds for the kept-row filter)
+    * plus the clash probe — this computes all three statistics in ONE
+    * aggregation, then runs the same pruned clash probe. The
+    * duplicate-offender collection (error path only) re-runs the old
+    * query purely to name the ids in the failure message. Semantics
+    * are identical to `requireNoVectorClash(fresh, keptRows(spark,
+    * dir, plan, idRangeOf(fresh, "vec_id")))`. */
+  private[sinks] def guardFreshAgainstKept(
+      spark: SparkSession, fresh: DataFrame, dir: String,
+      plan: SidecarMaintenance.DeltaPlan): Unit = {
+    val g = fresh.groupBy("vec_id").agg(count(lit(1)).as("__n"))
+    val Array(st) = g.agg(
+      sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dups"),
+      count(lit(1)).as("n"),
+      min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"),
+      min(col("vec_id").cast("long")).as("llo"),
+      max(col("vec_id").cast("long")).as("lhi"),
+      sum(when(col("vec_id").cast("long").isNull, 1L).otherwise(0L))
+        .as("badcast"))
+      .collect()
+    if (st.getLong(0) > 0L) requireOneRowPerVector(fresh, onTrip = ())
+    if (st.getLong(1) == 0L) return // empty fresh batch: nothing to clash
+    val idRange =
+      if (st.getLong(6) > 0L || st.isNullAt(4)) None
+      else Some((st.getLong(4), st.getLong(5)))
+    val kept = SidecarMaintenance.keptRows(spark, dir, plan, idRange)
+    if (kept.isEmpty || st.isNullAt(2)) return
+    val clash = kept.get.select("vec_id")
+      .where(col("vec_id").between(lit(st.get(2)), lit(st.get(3))))
+      .join(broadcast(fresh.select("vec_id").distinct()),
+        Seq("vec_id"), "left_semi")
+      .limit(5).collect()
+    require(clash.isEmpty,
+      s"vectors indexed more than once: ids " +
+        s"${clash.map(_.get(0)).mkString(", ")} — a vector's row " +
+        "must live in ONE corpus data file (append new ids, " +
+        "purge-rewrite whole files); compact, then rebuild")
+  }
+
   /** Pre-append guard: the fresh batch must be duplicate-free both
     * within itself and against the rows staying in the index.
     *
@@ -335,13 +375,15 @@ object IvfIndex {
     SidecarMaintenance.recoverPublish(spark, dest)
     val next = s"$dest.next"
     fs.delete(new Path(next), true)
-    saltedRefs(rows, writeSalt)
+    val saltedRows = saltedRefs(rows, writeSalt)
+    saltedRows
       .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(next)
     cents.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$next/_centroids")
-    requireOneRowPerVector(spark.read.parquet(next), onTrip = {
-      fs.delete(new Path(next), true)
-    })
+    requireOneRowPerVector(
+      spark.read.schema(ParquetMemo.nullableTop(saltedRows.schema))
+        .parquet(next),
+      onTrip = { fs.delete(new Path(next), true) })
     SidecarMaintenance.publishDir(spark, dest)
   }
 
@@ -364,11 +406,9 @@ object IvfIndex {
       if (plan.fresh.isEmpty) None
       else {
         val fa = assignFiles(spark, table, plan.fresh, idCol, vecCol,
-            spark.read.parquet(refsCentroidsPath(table)))
+            ParquetMemo.metaDF(spark, refsCentroidsPath(table)))
           .drop("embedding").localCheckpoint(true)
-        requireNoVectorClash(fa,
-          SidecarMaintenance.keptRows(spark, refsPath(table), plan,
-            SidecarMaintenance.idRangeOf(fa, "vec_id")))
+        guardFreshAgainstKept(spark, fa, refsPath(table), plan)
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, refsPath(table), plan,
@@ -467,7 +507,7 @@ object IvfIndex {
       filesPerCell: Int = 1): Unit = {
     require(filesPerCell >= 1,
       s"filesPerCell ($filesPerCell) must be >= 1")
-    val centRows = spark.read.parquet(refsCentroidsPath(dest)).collect()
+    val centRows = ParquetMemo.metaRows(spark, refsCentroidsPath(dest))._2
     require(centRows.nonEmpty, s"no refs quantizer at " +
       s"${refsCentroidsPath(dest)} — materialize with clusterCorpus()")
     // The corpus append is NOT journaled (nondeterministic part
@@ -519,18 +559,25 @@ object IvfIndex {
     // pre-commit truth instead of refusing for its whole duration
     // ([[SidecarMaintenance.snapshotRead]])
     val refsSnap = SidecarMaintenance.snapshotRead(spark, refsPath(table))
-    val cents = spark.read.parquet(refsCentroidsPath(table))
+    // centroids from the listing-signature memo (no read job), probes
+    // collected ONCE: the prior shape paid a localCheckpoint job, a
+    // distinct+collect job AND a broadcast-build job on the probe set
+    // — which is driver-bounded by contract (queries × nProbe) and
+    // becomes a LocalRelation, so the broadcast join side costs no
+    // job at all. The ranking arithmetic stays in Spark, bit-for-bit.
+    val cents = ParquetMemo.metaDF(spark, refsCentroidsPath(table))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val cellRank = Window.partitionBy(col("q_id"))
       .orderBy(col("__cdist").asc, col("__cell").asc)
-    val probes = q.crossJoin(broadcast(cents))
+    val probesPlan = q.crossJoin(broadcast(cents))
       .withColumn("__cdist", VectorFunctions.l2Sq(col("q_vec"), col("__centroid")))
       .withColumn("__cr", row_number().over(cellRank))
       .where(col("__cr") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("__cell"))
-      .localCheckpoint(true)
-    val probedCells = probes.select("__cell").distinct()
-      .collect().map(_.get(0))
+    val probeRows = probesPlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val probedCells: Array[Any] = probeRows.map(_.get(2)).distinct
     val candidates = refsSnap
       .where(col("__cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"), col("__cell"))
@@ -589,18 +636,21 @@ object IvfIndex {
     // committed-snapshot read: serves through a live commit window on
     // the pre-commit truth ([[SidecarMaintenance.snapshotRead]])
     val cellsSnap = SidecarMaintenance.snapshotRead(spark, cellsPath(table))
-    val cents = spark.read.parquet(centroidsPath(table))
+    // see [[topKRefs]]: memoized centroids + one probe collect replace
+    // localCheckpoint + distinct-collect + broadcast-build jobs
+    val cents = ParquetMemo.metaDF(spark, centroidsPath(table))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val cellRank = Window.partitionBy(col("q_id"))
       .orderBy(col("__cdist").asc, col("__cell").asc)
-    val probes = q.crossJoin(broadcast(cents))
+    val probesPlan = q.crossJoin(broadcast(cents))
       .withColumn("__cdist", VectorFunctions.l2Sq(col("q_vec"), col("__centroid")))
       .withColumn("__cr", row_number().over(cellRank))
       .where(col("__cr") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("__cell"))
-      .localCheckpoint(true) // reused as the filter source AND the join side
-    val probedCells = probes.select("__cell").distinct()
-      .collect().map(_.get(0))
+    val probeRows = probesPlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val probedCells: Array[Any] = probeRows.map(_.get(2)).distinct
     val scored = cellsSnap
       .where(col("__cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"),

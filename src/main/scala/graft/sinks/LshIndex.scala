@@ -70,19 +70,23 @@ object LshIndex {
     SidecarMaintenance.recoverPublish(spark, dest)
     val next = s"$dest.next"
     fs.delete(new Path(next), true)
-    salted(signFiles(spark, table, BloomIndex.dataFilePaths(spark, table),
-        idCol, vecCol, planes, seed), writeSalt)
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(next)
+    val rows = salted(signFiles(spark, table,
+      BloomIndex.dataFilePaths(spark, table), idCol, vecCol, planes, seed),
+      writeSalt)
+    rows.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(next)
     Seq((planes, seed)).toDF("planes", "seed").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$next/_meta")
-    IvfIndex.requireOneRowPerVector(spark.read.parquet(next), onTrip = {
-      fs.delete(new Path(next), true)
-    })
+    IvfIndex.requireOneRowPerVector(
+      spark.read.schema(ParquetMemo.nullableTop(rows.schema)).parquet(next),
+      onTrip = { fs.delete(new Path(next), true) })
     SidecarMaintenance.publishDir(spark, dest)
   }
 
   private[graft] def readMeta(spark: SparkSession, table: String): (Int, Long) = {
-    val r = spark.read.parquet(metaPath(table)).head()
+    // listing-signature memo: zero Spark jobs in the steady state
+    // (the old head() shape paid a schema-inference job + a fetch job
+    // on every refresh and every probe) — [[ParquetMemo.metaHead]]
+    val r = ParquetMemo.metaHead(spark, metaPath(table))
     (r.getAs[Int]("planes"), r.getAs[Long]("seed"))
   }
 
@@ -116,9 +120,7 @@ object LshIndex {
       else {
         val fa = signFiles(spark, table, plan.fresh, idCol, vecCol, planes, seed)
           .localCheckpoint(true)
-        IvfIndex.requireNoVectorClash(fa,
-          SidecarMaintenance.keptRows(spark, bucketsPath(table), plan,
-            SidecarMaintenance.idRangeOf(fa, "vec_id")))
+        IvfIndex.guardFreshAgainstKept(spark, fa, bucketsPath(table), plan)
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, bucketsPath(table), plan,
@@ -196,20 +198,21 @@ object LshIndex {
     SidecarMaintenance.recoverPublish(spark, dest)
     val next = s"$dest.next"
     fs.delete(new Path(next), true)
-    saltedRefs(signFiles(spark, table, BloomIndex.dataFilePaths(spark, table),
-        idCol, vecCol, planes, seed).drop("embedding"), writeSalt)
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(next)
+    val rows = saltedRefs(signFiles(spark, table,
+      BloomIndex.dataFilePaths(spark, table), idCol, vecCol, planes, seed)
+      .drop("embedding"), writeSalt)
+    rows.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(next)
     Seq((planes, seed)).toDF("planes", "seed").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$next/_meta")
-    IvfIndex.requireOneRowPerVector(spark.read.parquet(next), onTrip = {
-      fs.delete(new Path(next), true)
-    })
+    IvfIndex.requireOneRowPerVector(
+      spark.read.schema(ParquetMemo.nullableTop(rows.schema)).parquet(next),
+      onTrip = { fs.delete(new Path(next), true) })
     SidecarMaintenance.publishDir(spark, dest)
   }
 
   private[graft] def readRefsMeta(
       spark: SparkSession, table: String): (Int, Long) = {
-    val r = spark.read.parquet(refsMetaPath(table)).head()
+    val r = ParquetMemo.metaHead(spark, refsMetaPath(table))
     (r.getAs[Int]("planes"), r.getAs[Long]("seed"))
   }
 
@@ -235,9 +238,7 @@ object LshIndex {
         val fa = signFiles(spark, table, plan.fresh, idCol, vecCol,
             planes, seed).drop("embedding")
           .localCheckpoint(true)
-        IvfIndex.requireNoVectorClash(fa,
-          SidecarMaintenance.keptRows(spark, refsPath(table), plan,
-            SidecarMaintenance.idRangeOf(fa, "vec_id")))
+        IvfIndex.guardFreshAgainstKept(spark, fa, refsPath(table), plan)
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, refsPath(table), plan,
@@ -366,14 +367,18 @@ object LshIndex {
       .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
     val probes = expr(
       s"transform(array(${masks.mkString(",")}), m -> sig0 ^ CAST(m AS BIGINT))")
-    val q = queries
+    // probe set collected ONCE (driver-bounded by contract: queries ×
+    // Hamming ball) and re-joined as a LocalRelation — replaces the
+    // localCheckpoint + distinct-collect + broadcast-build jobs
+    val qPlan = queries
       .withColumn("sig0",
         VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed))
       .withColumn("bucket", explode(probes))
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("bucket"))
-      .localCheckpoint(true)
-    val probedBuckets = q.select("bucket").distinct()
-      .collect().map(_.getLong(0).toInt)
+    val qRows = qPlan.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qPlan.schema)
+    val probedBuckets = qRows.map(_.getLong(2).toInt).distinct
     val candidates = refsSnap
       .where(col("bucket").isin(probedBuckets: _*))
       .select(col("vec_id").as("neighbor_id"), col("bucket"))
@@ -434,17 +439,21 @@ object LshIndex {
       .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
     val probes = expr(
       s"transform(array(${masks.mkString(",")}), m -> sig0 ^ CAST(m AS BIGINT))")
-    val q = queries
+    // probe set collected ONCE and re-joined as a LocalRelation —
+    // replaces the localCheckpoint + distinct-collect +
+    // broadcast-build jobs (see [[topKRefs]])
+    val qPlan = queries
       .withColumn("sig0",
         VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed))
       .withColumn("bucket", explode(probes))
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("bucket"))
-      .localCheckpoint(true) // filter source AND join side
+    val qRows = qPlan.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qPlan.schema)
     // partition-column type inference reads `bucket=N` directories
     // back as INTEGER; the probe literals must match that type or the
     // implicit cast wraps the partition column and kills the pruning
-    val probedBuckets = q.select("bucket").distinct()
-      .collect().map(_.getLong(0).toInt)
+    val probedBuckets = qRows.map(_.getLong(2).toInt).distinct
     val scored = bucketsSnap
       .where(col("bucket").isin(probedBuckets: _*))
       .select(col("vec_id").as("neighbor_id"),

@@ -85,19 +85,21 @@ object PqIndex {
     SidecarMaintenance.recoverPublish(spark, dest)
     val next = s"$dest.next"
     fs.delete(new Path(next), true)
-    clustered(idx.encoded, buckets)
-      .write.mode(SaveMode.Overwrite).parquet(next)
+    val rows = clustered(idx.encoded, buckets)
+    rows.write.mode(SaveMode.Overwrite).parquet(next)
     Seq((cb.m, cb.ks, cb.dsub, cb.flat))
       .toDF("m", "ks", "dsub", "flat").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$next/_codebooks")
-    IvfIndex.requireOneRowPerVector(spark.read.parquet(next), onTrip = {
-      fs.delete(new Path(next), true)
-    })
+    IvfIndex.requireOneRowPerVector(
+      spark.read.schema(ParquetMemo.nullableTop(rows.schema)).parquet(next),
+      onTrip = { fs.delete(new Path(next), true) })
     SidecarMaintenance.publishDir(spark, dest)
   }
 
   private[graft] def readCodebooks(spark: SparkSession, table: String): PqCodebooks = {
-    val r = spark.read.parquet(codebooksPath(table)).head()
+    // listing-signature memo — zero Spark jobs in the steady state
+    // (was: schema-inference + head() fetch per refresh AND per probe)
+    val r = ParquetMemo.metaHead(spark, codebooksPath(table))
     PqCodebooks(r.getAs[Int]("m"), r.getAs[Int]("ks"), r.getAs[Int]("dsub"),
       r.getAs[Seq[Double]]("flat").toArray)
   }
@@ -135,9 +137,7 @@ object PqIndex {
             col(idCol).as("vec_id"),
             PqEncode(col(vecCol), cb).as("__codes"))
           .localCheckpoint(true)
-        IvfIndex.requireNoVectorClash(fc,
-          SidecarMaintenance.keptRows(spark, codesPath(table), plan,
-            SidecarMaintenance.idRangeOf(fc, "vec_id")))
+        IvfIndex.guardFreshAgainstKept(spark, fc, codesPath(table), plan)
         Some(fc)
       }
     SidecarMaintenance.applyDelta(spark, codesPath(table), plan,

@@ -356,7 +356,15 @@ object SidecarMaintenance {
     val stagedRecs: Array[CovRec] =
       if (stagedFiles.isEmpty) Array.empty
       else {
-        val base = spark.read.option("basePath", staging.toString)
+        // explicit schema (what we just wrote, top-level nullable to
+        // match the parquet round trip) — skips the read's
+        // schema-inference job; partition columns are pruned by the
+        // projections below, so their dir-parsed type is irrelevant
+        val stagedSchema = newRows.map(r =>
+          org.apache.spark.sql.types.StructType(
+            r.schema.fields.map(_.copy(nullable = true))))
+        val rdr = spark.read.option("basePath", staging.toString)
+        val base = stagedSchema.fold(rdr)(rdr.schema)
           .parquet(stagedFiles: _*)
         statsCol match {
           case Some(sc) =>
@@ -713,7 +721,7 @@ object SidecarMaintenance {
     import spark.implicits._
     val files = dataFiles(spark, dir)
     if (files.isEmpty) return Array.empty
-    spark.read.option("basePath", dir).parquet(files: _*)
+    ParquetMemo.readFiles(spark, dir, files)
       .select(col("file"), col("_metadata.file_path").as("__sfile"),
         col("_metadata.file_size").as("__slen"))
       .distinct().as[(String, String, Long)].collect()
@@ -1024,7 +1032,7 @@ object SidecarMaintenance {
       case Some(files) =>
         val hook = onSnapshotResolve
         if (hook != null) hook(dir)
-        try spark.read.option("basePath", dir).parquet(files: _*)
+        try ParquetMemo.readFiles(spark, dir, files)
         catch {
           case t: Throwable if isPathNotFound(t) =>
             requireClean(spark, dir) // crashed run → loud refusal
@@ -1037,13 +1045,13 @@ object SidecarMaintenance {
             // means an out-of-band deletion: surface it.
             resolve() match {
               case Some(fresh) if fresh != files =>
-                spark.read.option("basePath", dir).parquet(fresh: _*)
+                ParquetMemo.readFiles(spark, dir, fresh)
               case _ => throw t
             }
         }
       case None =>
         requireClean(spark, dir)
-        spark.read.parquet(dir)
+        ParquetMemo.readDir(spark, dir)
     }
   }
 
@@ -1117,7 +1125,7 @@ object SidecarMaintenance {
       case None => all
     }
     if (files.isEmpty) None
-    else Some(spark.read.option("basePath", dir).parquet(files: _*).join(
+    else Some(ParquetMemo.readFiles(spark, dir, files).join(
       broadcast(plan.vanished.toSeq.toDF("file")), Seq("file"), "left_anti"))
   }
 
@@ -1155,7 +1163,7 @@ object SidecarMaintenance {
     val doomed = plan.doomed
     val survivors =
       if (doomed.isEmpty) None
-      else Some(spark.read.option("basePath", dir).parquet(doomed: _*)
+      else Some(ParquetMemo.readFiles(spark, dir, doomed)
         .join(broadcast(plan.vanished.toSeq.toDF("file")),
           Seq("file"), "left_anti"))
     val newRows = (survivors.toSeq ++ freshRows.toSeq)
@@ -1269,7 +1277,7 @@ object SidecarMaintenance {
     recover(spark, dir)
     val files = dataFiles(spark, dir)
     if (files.isEmpty) return
-    val all = spark.read.option("basePath", dir).parquet(files: _*)
+    val all = ParquetMemo.readFiles(spark, dir, files)
     commitDelta(spark, dir, Some(layout(all)), files, partCols, statsCol)
   }
 
@@ -1334,7 +1342,7 @@ object SidecarMaintenance {
       .values.filter(_.size >= minFiles)
       .flatten.map(_._1).toSeq.sorted
     if (victims.isEmpty) return
-    val rows = spark.read.option("basePath", dir).parquet(victims: _*)
+    val rows = ParquetMemo.readFiles(spark, dir, victims)
     commitDelta(spark, dir, Some(layout(rows)), victims, partCols, statsCol)
   }
 
@@ -1450,6 +1458,7 @@ object SidecarMaintenance {
         covMemo.remove(dest) // the new dir starts a fresh coverage log
         covView.remove(dest)
         snapMemo.remove(dest)
+        ParquetMemo.invalidate(dest) // a rebuild may change the schema
       } else fs.delete(next, true) // unsealed build — roll back
     }
     if (!fs.exists(destP) && fs.exists(old)) {
@@ -1457,6 +1466,7 @@ object SidecarMaintenance {
       covMemo.remove(dest)
       covView.remove(dest)
       snapMemo.remove(dest)
+      ParquetMemo.invalidate(dest)
     }
     fs.delete(new Path(destP, PublishMarker), false)
     fs.delete(old, true)
