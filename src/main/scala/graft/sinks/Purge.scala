@@ -83,12 +83,23 @@ object Purge {
 
     val files = BloomIndex.dataFilePaths(spark, table)
     require(files.nonEmpty, s"no data files under $table")
-    val tableCols = spark.read.parquet(files.head).columns
+    // ONE schema inference for the whole purge (r18): the verify and
+    // rewrite reads below reuse this schema instead of paying their
+    // own footer-inference job each
+    val tblSchema = spark.read.parquet(files.head).schema
+    val tableCols = tblSchema.fieldNames
     require(tableCols.contains(column), s"no column $column in $table")
     Seq("__key", "__file").foreach(r => require(!tableCols.contains(r),
       s"table column $r collides with purge's internal names"))
-    val keyVals = keys.select(col(keyCol).as("__key"))
-      .where(col("__key").isNotNull).distinct().localCheckpoint(true)
+    // deletion keys are broadcast-sized by contract — collect them
+    // once and re-join as a LocalRelation, so the several broadcast
+    // joins below build driver-side without a per-broadcast job (the
+    // old localCheckpoint shape paid one build job per broadcast)
+    val keyPlan = keys.select(col(keyCol).as("__key"))
+      .where(col("__key").isNotNull).distinct()
+    val keyRows = keyPlan.collect()
+    val keyVals = spark.createDataFrame(
+      java.util.Arrays.asList(keyRows: _*), keyPlan.schema)
 
     // ── locate, cheapest index first ──────────────────────────────
     // 1. `_stats` range pruning: KB-sized read, near-exact on tables
@@ -106,7 +117,7 @@ object Purge {
     val statsCands: Option[Seq[String]] =
       if (!fs.exists(statsIdx)) None
       else {
-        val st = spark.read.parquet(statsIdx.toString)
+        val st = ParquetMemo.readDir(spark, statsIdx.toString)
         if (!st.columns.contains(s"min_$column")) None
         else Some(st.join(broadcast(keyVals),
             col(s"min_$column") <= col("__key") &&
@@ -124,7 +135,7 @@ object Purge {
           org.apache.spark.sql.catalyst.expressions.Literal
             .create(hashes, org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType))))
-      spark.read.parquet(bloomIdx.toString)
+      ParquetMemo.readDir(spark, bloomIdx.toString)
         .where(anyHit).select("file")
         .collect().map(_.getString(0)).toSeq.sorted
     }
@@ -134,7 +145,8 @@ object Purge {
       case (Some(sc), false) => sc
       case (None, true) => bloomCands()
       case (None, false) =>
-        spark.read.option("basePath", table).parquet(files: _*)
+        spark.read.option("basePath", table).schema(tblSchema)
+          .parquet(files: _*)
           .select(col("_metadata.file_path").as("__file"), col(column))
           .join(broadcast(keyVals), col(column) === col("__key"), "left_semi")
           .select("__file").distinct().collect().map(_.getString(0))
@@ -143,7 +155,7 @@ object Purge {
     if (candidates.isEmpty) return Report(files.size, 0, 0, 0L)
 
     // ── verify: drop bloom false positives (candidate sliver only) ─
-    val candDf = spark.read.option("basePath", table)
+    val candDf = spark.read.option("basePath", table).schema(tblSchema)
       .parquet(candidates: _*)
       .withColumn("__file", col("_metadata.file_path"))
     val touched = candDf.select(col("__file"), col(column))
@@ -152,16 +164,31 @@ object Purge {
     if (touched.isEmpty) return Report(files.size, candidates.size, 0, 0L)
 
     // ── rewrite: survivors of the touched files, one file each ─────
-    val touchedDf = spark.read.option("basePath", table)
+    val touchedDf = spark.read.option("basePath", table).schema(tblSchema)
       .parquet(touched: _*)
-    val nBefore = touchedDf.count()
     val survivors = touchedDf
       .join(broadcast(keyVals), col(column) === col("__key"), "left_anti")
     val staging = stagingPath(table)
     fs.delete(staging, true)
     survivors.coalesce(touched.size)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val nAfter = spark.read.parquet(staging.toString).count()
+    // deleted-row accounting from parquet FOOTER record counts
+    // (driver-side, exact) — the old shape paid one full count job
+    // over the touched files and a second read+count job over the
+    // staging it had just written; touched is a handful of files by
+    // design, so O(touched) footer opens replace both jobs
+    val conf = spark.sparkContext.hadoopConfiguration
+    def footerRows(paths: Seq[String]): Long = paths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    val nBefore = footerRows(touched)
+    val nAfter = footerRows(fs.listStatus(staging).toSeq
+      .map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map(_.toString))
 
     // ── journal, then marker, then swap ────────────────────────────
     // journal BEFORE marker: the journal write is not atomic, so it
