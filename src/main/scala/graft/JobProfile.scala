@@ -35,7 +35,12 @@ object JobProfile {
     val stageToJob = mutable.Map.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
-        val site = e.stageInfos.lastOption.map(_.name).getOrElse("?")
+        // job-property callsite first (survives streaming-thread jobs
+        // whose stage names are empty), then stage names as fallback
+        val fromProps = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+        val site = fromProps.getOrElse(
+          e.stageInfos.map(_.name).filter(_.nonEmpty).distinct.mkString(" <- "))
         val desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .map(d => s"$d | $site").getOrElse(site)

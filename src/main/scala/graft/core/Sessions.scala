@@ -24,6 +24,14 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // AQE inside persist()/cache() materialization (off by default
+      // only for plan-output-partitioning compat): without it a cached
+      // subtree keeps the static shuffle-partition count — 32 tiny
+      // post-shuffle tasks over KB-scale partitions locally, and on a
+      // cluster a cached intermediate skips exactly the runtime
+      // coalescing the 100 TB posture assumes everywhere else.
+      // Nothing here relies on a cached plan's partitioning.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // MinHash signatures aggregate 128 columns at once; the default
       // maxFields=100 would silently drop those plans out of
       // whole-stage codegen (interpreted row-at-a-time, ~4x slower).

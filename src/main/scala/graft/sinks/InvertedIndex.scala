@@ -205,6 +205,51 @@ object InvertedIndex {
     * bounds all come from ONE aggregation; the clash probe is
     * unchanged. Offender collection (error path only) re-runs the old
     * query for the message. */
+  /** ONE-job, tokenization-free form of the layout guard (r18): with
+    * the fresh id bounds already known from the corpus files' parquet
+    * footers ([[SidecarMaintenance.footerIdRange]]), the guard reads
+    * the fresh side at DOC level straight from the corpus (id column
+    * only — no posting explode, no tokenizer) and collapses the
+    * more-than-one-file check and the fresh-vs-kept clash check into
+    * a single per-id aggregation. Null-id rule unchanged: null ids
+    * only trip as fresh-side multi-file documents (the old equality
+    * clash join never matched them). One deliberate tightening: a
+    * token-less (empty-text) document was invisible to the
+    * posting-level guard; the doc-level read sees it, so a layout
+    * violation involving an empty document now rejects too — strictly
+    * stricter, never looser. */
+  private def guardDeltaOneFilePerDocFused(
+      spark: SparkSession, table: String, idCol: String, idxDir: String,
+      plan: SidecarMaintenance.DeltaPlan, bounds: (Long, Long)): Unit = {
+    def fail(ids: Array[org.apache.spark.sql.Row]): Unit =
+      require(ids.isEmpty,
+        s"documents present in MORE THAN ONE data file: ids " +
+          s"${ids.map(_.get(0)).mkString(", ")}${if (ids.length == 5) ", …" else ""} — " +
+          "the index family's df/dl statistics assume one file per document " +
+          "(append new ids, purge-rewrite whole files); compact the table so " +
+          "each document's rows live in a single file, then rebuild")
+    val (lo, hi) = bounds
+    val freshDocs = spark.read.option("basePath", table)
+      .parquet(plan.fresh: _*)
+      .select(col(idCol).as("id"), col("_metadata.file_path").as("file"))
+      .withColumn("__fresh", lit(1L))
+    val both = SidecarMaintenance.keptRows(spark, idxDir, plan, Some(bounds)) match {
+      case Some(k) => freshDocs.unionByName(
+        k.select(col("id"))
+          .where(col("id").between(lit(lo), lit(hi)))
+          .withColumn("file", lit(null).cast("string"))
+          .withColumn("__fresh", lit(0L)))
+      case None => freshDocs
+    }
+    fail(both.groupBy("id")
+      .agg(count_distinct(when(col("__fresh") === 1L, col("file")))
+          .as("__nf"),
+        sum(lit(1L) - col("__fresh")).as("__nk"))
+      .where(col("__nf") > 1L ||
+        (col("__nf") >= 1L && col("__nk") >= 1L && col("id").isNotNull))
+      .limit(5).collect())
+  }
+
   private def guardDeltaOneFilePerDoc(
       spark: SparkSession, freshPost: DataFrame, idxDir: String,
       plan: SidecarMaintenance.DeltaPlan): Unit = {
@@ -274,10 +319,22 @@ object InvertedIndex {
     val freshPost =
       if (plan.fresh.isEmpty) None
       else {
-        val fp = postingsOf(spark, table, plan.fresh, textCol, idCol)
-          .localCheckpoint(true)
-        guardDeltaOneFilePerDoc(spark, fp, idx, plan)
-        Some(fp)
+        // footer bounds → fused doc-level guard (one job, no
+        // tokenizer) and no checkpoint: the postings build then runs
+        // exactly once, inside the staging write. Unusable footers
+        // (non-integral ids, nulls) keep the checkpointed
+        // aggregation form.
+        val hint = SidecarMaintenance.footerIdRange(spark, plan.fresh, idCol)
+        hint match {
+          case Some(bounds) =>
+            guardDeltaOneFilePerDocFused(spark, table, idCol, idx, plan, bounds)
+            Some(postingsOf(spark, table, plan.fresh, textCol, idCol))
+          case None =>
+            val fp = postingsOf(spark, table, plan.fresh, textCol, idCol)
+              .localCheckpoint(true)
+            guardDeltaOneFilePerDoc(spark, fp, idx, plan)
+            Some(fp)
+        }
       }
     SidecarMaintenance.applyDelta(spark, idx, plan, freshPost, Seq.empty,
       _.select("file", "token", "id", "positions")

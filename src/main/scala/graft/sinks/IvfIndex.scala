@@ -139,13 +139,20 @@ object IvfIndex {
     val freshAssigned =
       if (plan.fresh.isEmpty) None
       else {
-        val fa = assignFiles(spark, table, plan.fresh, idCol, vecCol,
+        // footer-derived fresh bounds (zero jobs) let the guard run
+        // its ONE-job fused form, which reads only the id column —
+        // then the checkpoint materialization is pure overhead and
+        // the staging write re-derives the (cheap, codegen) assign
+        // from the corpus files. The aggregation fallback consumes
+        // the assigned frame three times, so it keeps the checkpoint.
+        val hint = SidecarMaintenance.footerIdRange(spark, plan.fresh, idCol)
+        val fa0 = assignFiles(spark, table, plan.fresh, idCol, vecCol,
             ParquetMemo.metaDF(spark, centroidsPath(table)))
-          .localCheckpoint(true)
+        val fa = if (hint.isDefined) fa0 else fa0.localCheckpoint(true)
         // guard BEFORE any mutation: a trip leaves the live index
         // untouched. Rows of vanished files don't count — a
         // purge-rewritten file's ids legitimately reappear fresh.
-        guardFreshAgainstKept(spark, fa, cellsPath(table), plan)
+        guardFreshAgainstKept(spark, fa, cellsPath(table), plan, hint)
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, cellsPath(table), plan,
@@ -265,6 +272,43 @@ object IvfIndex {
     * are identical to `requireNoVectorClash(fresh, keptRows(spark,
     * dir, plan, idRangeOf(fresh, "vec_id")))`. */
   private[sinks] def guardFreshAgainstKept(
+      spark: SparkSession, fresh: DataFrame, dir: String,
+      plan: SidecarMaintenance.DeltaPlan,
+      freshIdRange: Option[(Long, Long)] = None): Unit = freshIdRange match {
+    case Some((lo, hi)) =>
+      // ONE-job form (r18): the fresh bounds came from the corpus
+      // files' parquet footers ([[SidecarMaintenance.footerIdRange]] —
+      // exact, driver-side, zero jobs), so the kept-file pruning and
+      // the kept-side row-group filter need no bounds aggregation, and
+      // the in-batch duplicate check and the fresh-vs-kept clash check
+      // collapse into a single per-id aggregation: an id trips when it
+      // occurs twice on the fresh side, or on both sides. The
+      // null-id rule is unchanged — null ids only trip as FRESH
+      // duplicates (equality joins never matched them before).
+      val freshSide = fresh.select(col("vec_id"))
+        .withColumn("__fresh", lit(1L))
+      val both = SidecarMaintenance.keptRows(spark, dir, plan, freshIdRange) match {
+        case Some(k) => freshSide.unionByName(
+          k.select(col("vec_id"))
+            .where(col("vec_id").between(lit(lo), lit(hi)))
+            .withColumn("__fresh", lit(0L)))
+        case None => freshSide
+      }
+      val offenders = both.groupBy("vec_id")
+        .agg(sum(col("__fresh")).as("__nf"),
+          sum(lit(1L) - col("__fresh")).as("__nk"))
+        .where(col("__nf") > 1L ||
+          (col("__nf") >= 1L && col("__nk") >= 1L && col("vec_id").isNotNull))
+        .limit(5).collect()
+      require(offenders.isEmpty,
+        s"vectors indexed more than once: ids " +
+          s"${offenders.map(_.get(0)).mkString(", ")} — a vector's row " +
+          "must live in ONE corpus data file (append new ids, " +
+          "purge-rewrite whole files); compact, then rebuild")
+    case None => guardFreshAgainstKeptAgg(spark, fresh, dir, plan)
+  }
+
+  private def guardFreshAgainstKeptAgg(
       spark: SparkSession, fresh: DataFrame, dir: String,
       plan: SidecarMaintenance.DeltaPlan): Unit = {
     val g = fresh.groupBy("vec_id").agg(count(lit(1)).as("__n"))
@@ -405,10 +449,12 @@ object IvfIndex {
     val freshAssigned =
       if (plan.fresh.isEmpty) None
       else {
-        val fa = assignFiles(spark, table, plan.fresh, idCol, vecCol,
+        val hint = SidecarMaintenance.footerIdRange(spark, plan.fresh, idCol)
+        val fa0 = assignFiles(spark, table, plan.fresh, idCol, vecCol,
             ParquetMemo.metaDF(spark, refsCentroidsPath(table)))
-          .drop("embedding").localCheckpoint(true)
-        guardFreshAgainstKept(spark, fa, refsPath(table), plan)
+          .drop("embedding")
+        val fa = if (hint.isDefined) fa0 else fa0.localCheckpoint(true)
+        guardFreshAgainstKept(spark, fa, refsPath(table), plan, hint)
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, refsPath(table), plan,

@@ -118,9 +118,10 @@ object LshIndex {
     val freshSigned =
       if (plan.fresh.isEmpty) None
       else {
-        val fa = signFiles(spark, table, plan.fresh, idCol, vecCol, planes, seed)
-          .localCheckpoint(true)
-        IvfIndex.guardFreshAgainstKept(spark, fa, bucketsPath(table), plan)
+        val hint = SidecarMaintenance.footerIdRange(spark, plan.fresh, idCol)
+        val fa0 = signFiles(spark, table, plan.fresh, idCol, vecCol, planes, seed)
+        val fa = if (hint.isDefined) fa0 else fa0.localCheckpoint(true)
+        IvfIndex.guardFreshAgainstKept(spark, fa, bucketsPath(table), plan, hint)
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, bucketsPath(table), plan,
@@ -235,10 +236,11 @@ object LshIndex {
     val freshSigned =
       if (plan.fresh.isEmpty) None
       else {
-        val fa = signFiles(spark, table, plan.fresh, idCol, vecCol,
+        val hint = SidecarMaintenance.footerIdRange(spark, plan.fresh, idCol)
+        val fa0 = signFiles(spark, table, plan.fresh, idCol, vecCol,
             planes, seed).drop("embedding")
-          .localCheckpoint(true)
-        IvfIndex.guardFreshAgainstKept(spark, fa, refsPath(table), plan)
+        val fa = if (hint.isDefined) fa0 else fa0.localCheckpoint(true)
+        IvfIndex.guardFreshAgainstKept(spark, fa, refsPath(table), plan, hint)
         Some(fa)
       }
     SidecarMaintenance.applyDelta(spark, refsPath(table), plan,

@@ -132,12 +132,13 @@ object PqIndex {
       if (plan.fresh.isEmpty) None
       else {
         val cb = readCodebooks(spark, table)
-        val fc = spark.read.option("basePath", table).parquet(plan.fresh: _*)
+        val hint = SidecarMaintenance.footerIdRange(spark, plan.fresh, idCol)
+        val fc0 = spark.read.option("basePath", table).parquet(plan.fresh: _*)
           .select(col("_metadata.file_path").as("file"),
             col(idCol).as("vec_id"),
             PqEncode(col(vecCol), cb).as("__codes"))
-          .localCheckpoint(true)
-        IvfIndex.guardFreshAgainstKept(spark, fc, codesPath(table), plan)
+        val fc = if (hint.isDefined) fc0 else fc0.localCheckpoint(true)
+        IvfIndex.guardFreshAgainstKept(spark, fc, codesPath(table), plan, hint)
         Some(fc)
       }
     SidecarMaintenance.applyDelta(spark, codesPath(table), plan,

@@ -337,10 +337,12 @@ object SidecarMaintenance {
     val staging = stagingPath(dir)
     fs.delete(staging, true)
     newRows match {
-      case Some(rows) =>
+      case Some(rows) => graft.core.Jobs.described(spark,
+        s"sidecar: stage delta ${new Path(dir).getName}") {
         val w = rows.write.mode(SaveMode.Overwrite)
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
           .parquet(staging.toString)
+      }
       case None => fs.mkdirs(staging)
     }
     // The commit's coverage delta — computed from the STAGED files
@@ -351,11 +353,14 @@ object SidecarMaintenance {
     // record also carries each pair's id min/max — what lets
     // [[keptRows]] prune the clash guard's file list driver-side.
     val doomedRel = doomed.map(relPath(dir, _))
-    val stagedFiles = walkStatuses(fs, staging)
-      .map(_.getPath.toString).filterNot(_.endsWith(CommitMarker))
+    val stagedStatuses = walkStatuses(fs, staging)
+      .filterNot(_.getPath.getName == CommitMarker)
+    val stagedFiles = stagedStatuses.map(_.getPath.toString)
     val stagedRecs: Array[CovRec] =
       if (stagedFiles.isEmpty) Array.empty
-      else {
+      else footerCovRecs(spark, staging, stagedStatuses, statsCol)
+        .getOrElse(graft.core.Jobs.described(spark,
+          s"sidecar: staged stats ${new Path(dir).getName}") {
         // explicit schema (what we just wrote, top-level nullable to
         // match the parquet round trip) — skips the read's
         // schema-inference job; partition columns are pruned by the
@@ -395,7 +400,7 @@ object SidecarMaintenance {
                 CovRec(c, relPath(staging.toString, sf), len,
                   Long.MinValue, Long.MaxValue) }
         }
-      }
+      })
     val seq = nextSeq(fs, dir)
     val covOut = fs.create(new Path(staging, f"$CovDeltaPrefix$seq%09d"))
     covOut.write((
@@ -419,6 +424,110 @@ object SidecarMaintenance {
     if (hook != null) hook(dir)
     finishSwap(fs, dir)
     advanceMemo(fs, dir, doomedRel.toSet, stagedRecs)
+  }
+
+  /** Driver-side derivation of a commit's coverage records from the
+    * staged parquet FOOTERS — zero Spark jobs (r18, guide §5: the
+    * driver does metadata work, not data work — but footer metadata
+    * IS the cheap exact answer here). Applicable exactly when every
+    * staged file provably covers ONE corpus file (footer min == max on
+    * the `file` column) and the stats column's bounds are footer-exact
+    * (plain signed INT32/INT64 physical type, so Spark's cast-to-long
+    * equals the footer min/max; any nulls degrade that pair to the
+    * full-range sentinel, exactly as the aggregation does). The
+    * streaming / refresh cadence stages one corpus file's rows per
+    * commit, so the steady state never pays the staged-stats Spark
+    * job; rewrites that interleave many corpus files per staged file
+    * (compaction, vanish-survivor rewrites) return None and keep the
+    * aggregation. Any surprise — missing or truncated statistics (a
+    * truncated binary max no longer equals its min, and a truncated
+    * min loses its ".parquet" suffix), unexpected physical/logical
+    * type, unset null counts — also returns None: fall back, never
+    * guess. At 100 TB this is one footer RPC per staged file instead
+    * of a scheduled job re-reading the staged bytes. */
+  private[graft] def footerCovRecs(
+      spark: SparkSession,
+      staging: Path,
+      staged: Seq[FileStatus],
+      statsCol: Option[String]): Option[Array[CovRec]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = Array.newBuilder[CovRec]
+    staged.foreach { st =>
+      val reader =
+        try org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        catch { case _: java.io.IOException => return None }
+      try {
+        val bs = reader.getFooter.getBlocks.asScala.filter(_.getRowCount > 0)
+        if (bs.nonEmpty) {
+          var corpus: String = null
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var nulls = 0L
+          var nonNull = false
+          for (b <- bs) {
+            val cols = b.getColumns.asScala
+            val fc = cols.find(_.getPath.toDotString == "file")
+              .getOrElse(return None)
+            if (fc.getPrimitiveType.getPrimitiveTypeName !=
+                PrimitiveTypeName.BINARY) return None
+            val fst = fc.getStatistics
+            if (fst == null || fst.isEmpty || !fst.isNumNullsSet ||
+                fst.getNumNulls != 0 || !fst.hasNonNullValue) return None
+            val mn = fst.genericGetMin
+              .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            val mx = fst.genericGetMax
+              .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            if (mn != mx || !mn.endsWith(".parquet")) return None
+            if (corpus == null) corpus = mn
+            else if (corpus != mn) return None
+            statsCol.foreach { sc =>
+              val cc = cols.find(_.getPath.toDotString == sc)
+                .getOrElse(return None)
+              val pt = cc.getPrimitiveType
+              val okType = pt.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 =>
+                  pt.getLogicalTypeAnnotation match {
+                    case null => true
+                    case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      i.isSigned
+                    case _ => false
+                  }
+                case _ => false
+              }
+              if (!okType) return None
+              val cst = cc.getStatistics
+              if (cst == null || cst.isEmpty || !cst.isNumNullsSet) return None
+              nulls += cst.getNumNulls
+              if (cst.hasNonNullValue) {
+                nonNull = true
+                val (bLo, bHi) = (cst.genericGetMin, cst.genericGetMax) match {
+                  case (a: java.lang.Long, b2: java.lang.Long) =>
+                    (a.longValue, b2.longValue)
+                  case (a: java.lang.Integer, b2: java.lang.Integer) =>
+                    (a.longValue, b2.longValue)
+                  case _ => return None
+                }
+                if (bLo < lo) lo = bLo
+                if (bHi > hi) hi = bHi
+              }
+            }
+          }
+          val rel = relPath(staging.toString, st.getPath.toString)
+          out += (statsCol match {
+            case Some(_) if nulls == 0 && nonNull =>
+              CovRec(corpus, rel, st.getLen, lo, hi)
+            case _ =>
+              CovRec(corpus, rel, st.getLen, Long.MinValue, Long.MaxValue)
+          })
+        }
+      } finally reader.close()
+    }
+    Some(out.result())
   }
 
   /** One coverage-log entry: a (covered corpus file → sidecar file)
@@ -1127,6 +1236,68 @@ object SidecarMaintenance {
     if (files.isEmpty) None
     else Some(ParquetMemo.readFiles(spark, dir, files).join(
       broadcast(plan.vanished.toSeq.toDF("file")), Seq("file"), "left_anti"))
+  }
+
+  /** [min, max] of column `c` over the given parquet files, derived
+    * ENTIRELY from their footers — zero Spark jobs (r18). This is the
+    * refresh guard's fresh-bounds probe: the files are the corpus
+    * files the batch just appended, so their footers are fresh and
+    * exact. None (callers fall back to the aggregation form) unless
+    * every file carries usable stats: plain signed INT32/INT64
+    * physical type (footer min/max then equals Spark's cast-to-long),
+    * known null counts, and ZERO nulls — the same any-null-disables-
+    * pruning rule as [[idRangeOf]]. Row-less files contribute
+    * nothing; no rows at all => None. */
+  def footerIdRange(
+      spark: SparkSession, paths: Seq[String], c: String): Option[(Long, Long)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var any = false
+    paths.foreach { p =>
+      val reader =
+        try org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf))
+        catch { case _: java.io.IOException => return None }
+      try {
+        for (b <- reader.getFooter.getBlocks.asScala if b.getRowCount > 0) {
+          val cc = b.getColumns.asScala.find(_.getPath.toDotString == c)
+            .getOrElse(return None)
+          val pt = cc.getPrimitiveType
+          val okType = pt.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 =>
+              pt.getLogicalTypeAnnotation match {
+                case null => true
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                  i.isSigned
+                case _ => false
+              }
+            case _ => false
+          }
+          if (!okType) return None
+          val cst = cc.getStatistics
+          if (cst == null || cst.isEmpty || !cst.isNumNullsSet ||
+              cst.getNumNulls > 0) return None
+          if (cst.hasNonNullValue) {
+            any = true
+            val (bLo, bHi) = (cst.genericGetMin, cst.genericGetMax) match {
+              case (a: java.lang.Long, b2: java.lang.Long) =>
+                (a.longValue, b2.longValue)
+              case (a: java.lang.Integer, b2: java.lang.Integer) =>
+                (a.longValue, b2.longValue)
+              case _ => return None
+            }
+            if (bLo < lo) lo = bLo
+            if (bHi > hi) hi = bHi
+          }
+        }
+      } finally reader.close()
+    }
+    if (any) Some((lo, hi)) else None
   }
 
   /** [min, max] of `c` (cast to long) over `df` — the fresh batch's

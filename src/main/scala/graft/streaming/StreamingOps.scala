@@ -553,7 +553,8 @@ object StreamingOps {
     // under targetRowsPerFile; a config or derivation change across
     // a restart is the replaced-names case the sweep already reports
     // and planAppend re-indexes.
-    val inputs = batch.inputFiles
+    val inputs = graft.core.Jobs.described(spark, "ingest: input files") {
+      batch.inputFiles }
     val nParts = math.max(1L,
       if (inputs.nonEmpty) {
         // Per parent directory: a SMALL slice sizes via per-file
@@ -592,8 +593,17 @@ object StreamingOps {
         (bytes + targetBytesPerFile - 1) / targetBytesPerFile
       } else (batch.count() + targetRowsPerFile - 1) / targetRowsPerFile
     ).toInt
-    batch.repartition(nParts, batch.columns.map(col): _*)
-      .write.mode("overwrite").parquet(staging.toString)
+    // nParts == 1: every row lands in the single p0 file, so the
+    // row→file binding is deterministic WITHOUT the column-hash
+    // shuffle — coalesce merges the input partitions shuffle-free
+    // (one job instead of an exchange pair, guide §2.4). Multi-part
+    // batches keep the hash repartition: there the binding must not
+    // depend on input split order.
+    graft.core.Jobs.described(spark, "ingest: stage batch") {
+      (if (nParts == 1) batch.coalesce(1)
+       else batch.repartition(nParts, batch.columns.map(col): _*))
+        .write.mode("overwrite").parquet(staging.toString)
+    }
     val prefix = s"ingest-${ns}b$batchId-"
     // sweep a prior delivery of this batch WITHOUT listing the corpus
     // (O(corpus-file-count) per batch at scale): the row→file binding
@@ -825,9 +835,12 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val (published, replaced) = idempotentBatchAppend(spark,
-          batch.toDF(), corpusDir, batchId, runId = runId,
-          sweepLegacy = ownsLegacy)
+        val (published, replaced) = graft.core.Jobs.described(spark,
+          s"stream: append b$batchId") {
+          idempotentBatchAppend(spark,
+            batch.toDF(), corpusDir, batchId, runId = runId,
+            sweepLegacy = ownsLegacy)
+        }
         val marker = new org.apache.hadoop.fs.Path(indexMarker)
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // per-batch: APPEND-ONLY refresh planned from the files this
@@ -852,11 +865,15 @@ object StreamingOps {
           Seq(s"ingest-${if (runId.isEmpty) "" else s"r$runId-"}b$batchId-") ++
             (if (ownsLegacy && runId.nonEmpty) Seq(s"ingest-b$batchId-")
              else Nil)
-        if (fs.exists(marker)) refresh(published, replaced, prefixes)
-        else bootstrap
+        if (fs.exists(marker)) graft.core.Jobs.described(spark,
+          s"stream: refresh b$batchId") { refresh(published, replaced, prefixes) }
+        else graft.core.Jobs.described(spark,
+          s"stream: bootstrap b$batchId") { bootstrap }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          reconcile
-          compact
+          graft.core.Jobs.described(spark, s"stream: reconcile b$batchId") {
+            reconcile }
+          graft.core.Jobs.described(spark, s"stream: compact b$batchId") {
+            compact }
         }
         ()
       }

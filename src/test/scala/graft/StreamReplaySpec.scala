@@ -151,11 +151,13 @@ class StreamReplaySpec extends AnyFunSuite {
       }
       // the r15 form paid a count() job ON TOP of the shuffle+write;
       // with byte-derived nParts the publish runs exactly the jobs
-      // the bare shuffle+write costs (AQE may split that into more
-      // than one job — the pin is NO EXTRA PASS, not an absolute)
+      // the bare write costs (the pin is NO EXTRA PASS, not an
+      // absolute). Since r18 a single-part batch stages via
+      // coalesce(1) — no exchange at all — so the write-only baseline
+      // is the same shuffle-free shape.
       val batch = spark.read.parquet(landing)
       val writeOnly = jobsDuring(
-        batch.repartition(1, batch.columns.map(col): _*)
+        batch.coalesce(1)
           .write.mode("overwrite").parquet(s"$root/scratch"))
       val jobs = jobsDuring(
         StreamingOps.idempotentBatchAppend(spark, batch, corpus, 0L))
