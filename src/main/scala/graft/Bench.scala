@@ -281,11 +281,42 @@ object Bench {
       val pc = s"[${fmt(a.canaryBefore)},${fmt(a.canaryAfter)},${fmt(b.canaryBefore)},${fmt(b.canaryAfter)}]"
       println(s"""{"bench_part":${i + 1},"of":$nParts,"canary":$pc,"attempts":[${a.attempts},${b.attempts}],"queries":{$entries}}""")
     }
-    val headline = all.filter { case (k, _) =>
+    // r19 (verdict item: restore per-query driver visibility): the
+    // driver's PERF auto-compare reads the FINAL line's queries map,
+    // and its stdout capture is a bounded ~2 KB tail — rounds 5-10
+    // proved a full-207-row final line head-truncates there and the
+    // driver then parses NOTHING (BENCH_r05..r10 carry parsed:{}).
+    // So the final line carries the contract's headline set (d1-d9 +
+    // the BASELINE.md flow pair — never removed) PLUS as many of the
+    // most expensive remaining rows as fit a 1800-char line:
+    // regression visibility concentrates where the seconds are (the
+    // gate's MIN_DELTA is 2 s — sub-0.1 s rows cannot trip it), and
+    // the complete map still rides the bench_part lines above and
+    // bench_out.json. Membership is deterministic given the
+    // measurements: mandatory rows first, then descending cost until
+    // the rendered line would exceed the budget.
+    val mandatory = all.filter { case (k, _) =>
       k.matches("d[0-9].*") || k.startsWith("flow_ingest") || k.startsWith("flow_promote")
-    }.map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headline,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"n_failed":$nFailed,"bench_parts":$nParts,"canary":$canaries,"canary_worst_part":${fmt(worstPart)},"canary_ref_used":$refJson,"full":"bench_out.json"}""")
+    }
+    val mandatoryNames = mandatory.map(_._1).toSet
+    def render(entries: Seq[(String, Double)]): String = {
+      val qmap = entries.sortBy(_._1)
+        .map { case (k, v) => graft.core.Json.quote(k) + ":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qmap,"sf":"$sfDir","passes":2,"agg":"min","n_queries":${all.length},"n_failed":$nFailed,"bench_parts":$nParts,"canary":$canaries,"canary_worst_part":${fmt(worstPart)},"canary_ref_used":$refJson,"full":"bench_out.json"}"""
+    }
+    val lineBudget = 1800 // leaves tail room for the trailing newline
+    val selected = scala.collection.mutable.ArrayBuffer(mandatory: _*)
+    val rest = all.filterNot(e => mandatoryNames(e._1)).sortBy(-_._2).iterator
+    var finalLine = render(selected.toSeq)
+    var full = true
+    while (rest.hasNext && full) {
+      val e = rest.next()
+      val cand = render((selected :+ e).toSeq)
+      if (cand.length <= lineBudget) { selected += e; finalLine = cand }
+      else full = false
+    }
+    println(finalLine)
     System.out.flush()
   }
 }

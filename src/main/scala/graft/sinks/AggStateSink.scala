@@ -69,11 +69,16 @@ object AggStateSink {
 
     if (appliedBatch(spark, statePath).exists(_ >= batchId)) return false
 
+    // the stored state's schema IS the aggState schema for this shape
+    // (maintainAgg's output equals it exactly — CdcSpec law), so the
+    // per-micro-batch read takes it explicitly instead of paying a
+    // schema-inference job every batch (guide §5)
+    val emptyState = graft.operators.Cdc.aggState(
+      delta.drop("__sign").limit(0), groupCols, sumCols)
     val state =
-      if (fs.exists(target)) spark.read.parquet(statePath)
-      else // empty state with the exact aggState schema for this shape
-        graft.operators.Cdc.aggState(
-          delta.drop("__sign").limit(0), groupCols, sumCols)
+      if (fs.exists(target)) spark.read
+        .schema(ParquetMemo.nullableTop(emptyState.schema)).parquet(statePath)
+      else emptyState
     val next = graft.operators.Cdc.maintainAgg(
       state, delta, groupCols, sumCols)
 
@@ -107,10 +112,14 @@ object AggStateSink {
 
     if (appliedBatch(spark, statePath).exists(_ >= batchId)) return false
 
+    // explicit stored-state schema — same per-batch inference-job
+    // elimination as [[maintainInto]]
+    val emptyState = graft.operators.Cdc.extremaState(
+      delta.drop("__sign").limit(0), groupCols, extCols)
     val state =
-      if (fs.exists(target)) spark.read.parquet(statePath)
-      else graft.operators.Cdc.extremaState(
-        delta.drop("__sign").limit(0), groupCols, extCols)
+      if (fs.exists(target)) spark.read
+        .schema(ParquetMemo.nullableTop(emptyState.schema)).parquet(statePath)
+      else emptyState
     val next = graft.operators.Cdc.maintainExtrema(
       state, delta, baseAfter, groupCols, extCols)
 

@@ -63,7 +63,7 @@ object BloomIndex {
       column: String,
       numBits: Int,
       numHashes: Int): DataFrame =
-    spark.read.option("basePath", table).parquet(paths: _*)
+    ParquetMemo.readFiles(spark, table, paths)
       .select(col("_metadata.file_path").as("file"),
         when(col(column).isNotNull, xxhash64(col(column))).as("__h"))
       .groupBy("file")

@@ -55,7 +55,7 @@ object InvertedIndex {
       paths: Seq[String],
       textCol: String,
       idCol: String): DataFrame =
-    spark.read.option("basePath", table).parquet(paths: _*)
+    ParquetMemo.readFiles(spark, table, paths)
       .select(col("_metadata.file_path").as("file"), col(idCol).as("id"),
         posexplode(
           TextFunctions.words(TextFunctions.normalized(col(textCol)))))
@@ -229,8 +229,7 @@ object InvertedIndex {
           "(append new ids, purge-rewrite whole files); compact the table so " +
           "each document's rows live in a single file, then rebuild")
     val (lo, hi) = bounds
-    val freshDocs = spark.read.option("basePath", table)
-      .parquet(plan.fresh: _*)
+    val freshDocs = ParquetMemo.readFiles(spark, table, plan.fresh)
       .select(col(idCol).as("id"), col("_metadata.file_path").as("file"))
       .withColumn("__fresh", lit(1L))
     val both = SidecarMaintenance.keptRows(spark, idxDir, plan, Some(bounds)) match {
@@ -714,7 +713,7 @@ object InvertedIndex {
       phrase: String): DataFrame = {
     val norm = phraseWords(phrase).mkString(" ")
     require(norm.nonEmpty, "empty search phrase")
-    val docs = spark.read.parquet(table)
+    val docs = ParquetMemo.readDir(spark, table)
     docs.join(broadcast(candidates(spark, table, phrase)),
         docs(idCol) === col("id"), "left_semi")
       .where(instr(

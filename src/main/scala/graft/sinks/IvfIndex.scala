@@ -82,7 +82,7 @@ object IvfIndex {
       nCells: Int = 16,
       seed: Long = 42L,
       writeSalt: Int = 1): Unit = {
-    val corpus = spark.read.parquet(table)
+    val corpus = ParquetMemo.readDir(spark, table)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val idx = IvfSearch.buildIndex(corpus, nCells, seed)
@@ -223,7 +223,7 @@ object IvfIndex {
       vecCol: String,
       centroids: DataFrame): DataFrame = {
     val centRows = centroids.collect()
-    spark.read.option("basePath", table).parquet(paths: _*)
+    ParquetMemo.readFiles(spark, table, paths)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("__cell", nearestCellCol(centRows, "embedding"))
@@ -408,7 +408,7 @@ object IvfIndex {
           BloomIndex.dataFilePaths(spark, table), idCol, vecCol, c)
           .drop("embedding"))
       case None =>
-        val corpus = spark.read.parquet(table)
+        val corpus = ParquetMemo.readDir(spark, table)
           .select(col("_metadata.file_path").as("file"),
             col(idCol).as("vec_id"), col(vecCol).as("embedding"))
         val idx = IvfSearch.buildIndex(corpus, nCells, seed)

@@ -157,7 +157,7 @@ object LshIndex {
       vecCol: String,
       planes: Int,
       seed: Long): DataFrame =
-    spark.read.option("basePath", table).parquet(paths: _*)
+    ParquetMemo.readFiles(spark, table, paths)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"),
         VectorFunctions.hyperplaneSignature(col(vecCol), planes, seed)

@@ -80,6 +80,26 @@ private[graft] object ParquetMemo {
     }
   }
 
+  /** [[readFiles]] with `ignoreMissingFiles` — the probe re-rank's
+    * corpus read ([[SidecarMaintenance.readCandidateFiles]]): same
+    * schema memo, so the steady-state probe pays no inference job.
+    * Missing-path failures still surface at PLANNING time (the file
+    * index lists the explicit paths regardless of schema), which is
+    * what the caller's exception-driven staleness retry keys on. */
+  def readFilesLenient(
+      spark: SparkSession, dir: String, files: Seq[String]): DataFrame = {
+    val k = key(dir)
+    val memo = schemaMemo.get(k)
+    val reader = spark.read.option("basePath", dir)
+      .option("ignoreMissingFiles", "true")
+    if (memo != null) reader.schema(memo).parquet(files: _*)
+    else {
+      val df = reader.parquet(files: _*)
+      schemaMemo.put(k, df.schema)
+      df
+    }
+  }
+
   /** Directory read of a sidecar with the memoized schema
     * (`spark.read.parquet(dir)` minus repeat inference). */
   def readDir(spark: SparkSession, dir: String): DataFrame = {

@@ -75,7 +75,7 @@ object PqIndex {
       seed: Long = 42L,
       buckets: Int = 4): Unit = {
     import spark.implicits._
-    val corpus = spark.read.parquet(table)
+    val corpus = ParquetMemo.readDir(spark, table)
       .select(col("_metadata.file_path").as("file"),
         col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val idx = PqSearch.buildIndex(corpus, m, ks, iters, seed)
@@ -133,7 +133,7 @@ object PqIndex {
       else {
         val cb = readCodebooks(spark, table)
         val hint = SidecarMaintenance.footerIdRange(spark, plan.fresh, idCol)
-        val fc0 = spark.read.option("basePath", table).parquet(plan.fresh: _*)
+        val fc0 = ParquetMemo.readFiles(spark, table, plan.fresh)
           .select(col("_metadata.file_path").as("file"),
             col(idCol).as("vec_id"),
             PqEncode(col(vecCol), cb).as("__codes"))
@@ -199,7 +199,7 @@ object PqIndex {
       .select(col("q_id"), col("neighbor_id"))
     // candidates (queries × candidateK, small by contract) broadcast
     // INTO the corpus pass, which is column-pruned to (id, vector)
-    val corpusVecs = spark.read.parquet(table)
+    val corpusVecs = ParquetMemo.readDir(spark, table)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         VectorFunctions.norm(col(vecCol)).as("c_nrm"))
     val wCos = Window.partitionBy(col("q_id"))

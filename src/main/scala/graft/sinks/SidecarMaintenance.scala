@@ -1044,8 +1044,7 @@ object SidecarMaintenance {
       files: Seq[String]): Option[DataFrame] = {
     if (files.isEmpty) return None
     def read(fs: Seq[String]): DataFrame =
-      spark.read.option("basePath", table)
-        .option("ignoreMissingFiles", "true").parquet(fs: _*)
+      ParquetMemo.readFilesLenient(spark, table, fs)
     try Some(read(files))
     catch {
       case t: Throwable if isPathNotFound(t) =>

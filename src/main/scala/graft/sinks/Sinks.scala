@@ -406,13 +406,19 @@ object MergeUpsert {
       new Path(trustedPath + "__staging"), new Path(trustedPath + "__prev"))
     retainPrevHours.foreach(gcPrevSnapshots(fs, trustedPath, _))
 
+    // change payload schema == table schema by contract (scaladoc
+    // above), so the table read takes it EXPLICITLY (top-level
+    // nullable, what a parquet round trip reports) — this is the
+    // per-micro-batch hot path of the streaming CDC apply, and the
+    // schema-inference job the bare read pays per batch is pure
+    // overhead (guide §5: no driver-side jobs for known metadata)
+    val payload = changes.drop((opCol +: seqCols): _*)
+    val tableSchema = ParquetMemo.nullableTop(payload.schema)
     val trusted =
-      if (storage.exists(trustedPath)) spark.read.parquet(trustedPath)
-      else {
-        val payload = changes.drop((opCol +: seqCols): _*)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload.schema)
-      }
+      if (storage.exists(trustedPath))
+        spark.read.schema(tableSchema).parquet(trustedPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload.schema)
     writeAndSwap(fs, trustedPath,
       appliedChanges(trusted, changes, key, seqCols, opCol), retainPrevHours)
   }

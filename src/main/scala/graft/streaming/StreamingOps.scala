@@ -1098,8 +1098,12 @@ object StreamingOps {
           .appliedBatch(spark, statePath).exists(_ >= id)
         if (!alreadyMaintained) {
           val payload = batch.drop((opCol +: seqCols): _*)
+          // payload schema == table schema by contract; explicit
+          // schema skips the per-micro-batch inference job (guide §5)
           val pre =
-            if (storage.exists(trustedPath)) spark.read.parquet(trustedPath)
+            if (storage.exists(trustedPath)) spark.read
+              .schema(graft.sinks.ParquetMemo.nullableTop(payload.schema))
+              .parquet(trustedPath)
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               payload.schema)
@@ -1170,8 +1174,12 @@ object StreamingOps {
           .appliedBatch(spark, statePath).exists(_ >= id)
         if (!alreadyMaintained) {
           val payload = batch.drop((opCol +: seqCols): _*)
+          // payload schema == table schema by contract; explicit
+          // schema skips the per-micro-batch inference job (guide §5)
           val pre =
-            if (storage.exists(trustedPath)) spark.read.parquet(trustedPath)
+            if (storage.exists(trustedPath)) spark.read
+              .schema(graft.sinks.ParquetMemo.nullableTop(payload.schema))
+              .parquet(trustedPath)
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               payload.schema)
@@ -1231,8 +1239,12 @@ object StreamingOps {
           .appliedBatch(spark, statePath).exists(_ >= id)
         if (!alreadyMaintained) {
           val payload = batch.drop((opCol +: seqCols): _*)
+          // payload schema == table schema by contract; explicit
+          // schema skips the per-micro-batch inference job (guide §5)
           val pre =
-            if (storage.exists(trustedPath)) spark.read.parquet(trustedPath)
+            if (storage.exists(trustedPath)) spark.read
+              .schema(graft.sinks.ParquetMemo.nullableTop(payload.schema))
+              .parquet(trustedPath)
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               payload.schema)

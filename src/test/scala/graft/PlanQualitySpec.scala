@@ -58,9 +58,16 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("deterministic dedup limits rows map-side before the shuffle") {
+    // r19: the window+WindowGroupLimit shape became a min_by
+    // aggregation — the stronger map-side property now is PARTIAL
+    // aggregation below a single exchange (duplicates collapse to one
+    // row per key per map partition before any bytes shuffle)
     val plan = planOf("d5_dedup_deterministic")
-    assert(plan.contains("WindowGroupLimit"),
-      s"rank-limit pushdown (partial WindowGroupLimit) missing:\n$plan")
+    assert(plan.contains("partial_min_by"),
+      s"map-side partial min_by aggregation missing:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"deterministic dedup needs exactly one exchange:\n$plan")
   }
 
   test("d9 chunk lookup is a hash join on the arithmetic chunk id, not a BNLJ") {

@@ -17,6 +17,32 @@ class ZstdCorpusSpec extends AnyFunSuite {
     new graft.core.LakeStorage(spark.sparkContext.hadoopConfiguration)
       .dirBytes(dir)
 
+  test("context cache keys on dict CONTENT: two dicts colliding under " +
+      "Arrays.hashCode (the pre-r18 cache key) do not cross-contaminate") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // java.util.Arrays.hashCode([a, b]) = 31*(31 + a) + b, so these
+    // two DISTINCT raw-content dictionaries collide: 992 == 992. Under
+    // a hash-keyed context cache the second compress on the same
+    // executor thread would silently reuse the first dict's context —
+    // frames readable only with the WRONG dictionary. The digest-keyed
+    // cache must round-trip both on one thread, interleaved.
+    val d1 = Array[Byte](1, 0)
+    val d2 = Array[Byte](0, 31)
+    assert(java.util.Arrays.hashCode(d1) == java.util.Arrays.hashCode(d2))
+    assert(!java.util.Arrays.equals(d1, d2))
+    val doc = "the quick brown fox jumps over the lazy dog, twice over"
+    val c1 = ZstdDictCodec.compress(UTF8String.fromString(doc), d1, 3)
+    val c2 = ZstdDictCodec.compress(UTF8String.fromString(doc), d2, 3)
+    assert(ZstdDictCodec.decompress(c1, d1).toString == doc)
+    assert(ZstdDictCodec.decompress(c2, d2).toString == doc)
+    // interleave again so each dict's ctx must be re-looked-up after
+    // the other's was used — a colliding key would serve the wrong one
+    val c1b = ZstdDictCodec.compress(UTF8String.fromString(doc), d1, 3)
+    assert(ZstdDictCodec.decompress(c1b, d1).toString == doc)
+    assert(java.util.Arrays.equals(c1, c1b),
+      "same dict + level must produce the same frame")
+  }
+
   test("dict round-trip is exact for every document, nulls pass through") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString
     val withNull = docs.withColumn("text",
