@@ -32,6 +32,17 @@ object Sessions {
       // coalescing the 100 TB posture assumes everywhere else.
       // Nothing here relies on a cached plan's partitioning.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Size-based post-shuffle coalescing (r19): with the default
+      // parallelismFirst=true AQE refuses to coalesce below the
+      // default parallelism, so every KB-scale exchange still
+      // schedules `cores` tasks — locally 32 tasks for 100-row probe
+      // ranks, on a cluster thousands for group-sized states. false
+      // honors advisoryPartitionSizeInBytes (the guide-§2.2 posture:
+      // partitions sized by bytes, not core count), which is also
+      // Spark's own documented recommendation for busy clusters.
+      // Scale-adaptive by construction: big shuffles keep their
+      // parallelism, tiny ones stop paying 32 empty task launches.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // MinHash signatures aggregate 128 columns at once; the default
       // maxFields=100 would silently drop those plans out of
       // whole-stage codegen (interpreted row-at-a-time, ~4x slower).
